@@ -1,0 +1,192 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design notes (these run over the full corpus):
+  *  - exact dedup is ONE shuffle on the group key with map-side partial agg;
+  *  - the pairwise variants never materialize the O(N^2) cross product:
+  *    candidates come from an equi-join on a BUCKET key (shared shingle /
+  *    minhash band / simhash chunk), which Spark executes as a shuffle
+  *    hash join on the bucket — the classic LSH band trick;
+  *  - hyper-frequent buckets (stopword shingles) are capped with a
+  *    frequency filter before the self-join, the standard skew guard —
+  *    without it one hot shingle creates a quadratic straggler partition;
+  *  - all hashes are deterministic arithmetic (see
+  *    [[TextAnalysis.rollingHash]]) so results are oracle-reproducible.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the token array (n=1 -> tokens). */
+  def shingles(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+
+  /** Exact dedup: group identical normalized text, keep the smallest id.
+    * Output: one row per distinct text with the keeper id + duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col(textCol), col("keep_id"), col("n_dups"))
+
+  /** Distinct (id, shingle) pairs — the base relation for the set-similarity
+    * family. `maxDocFreq` drops shingles appearing in more than that many
+    * docs (skew guard; at 100 TB this bound is what keeps the self-join
+    * from going quadratic on stopword shingles).
+    */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  maxDocFreq: Option[Long] = None): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+    maxDocFreq match {
+      case None => base
+      case Some(cap) =>
+        val freq = base.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        base.join(freq, Seq("sh"), "left_semi")
+    }
+  }
+
+  /** n-gram Jaccard near-dup: candidate pairs share >=1 shingle (equi-join
+    * on the shingle), then J = |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    * No cross join anywhere: the shingle join IS the candidate generator.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = ds.select(col("doc").as("d1"), col("sh"))
+    val b = ds.select(col("doc").as("d2"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** MinHash signature: k permutations h_i(x) = (a_i*x + b_i) mod P over
+    * the rolling-hashed shingles; signature_i = min over the doc's
+    * shingles. a_i, b_i are fixed odd/affine constants so the oracle can
+    * regenerate them: a_i = 2i+1, b_i = 17i+3.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    val perms = (0 until k).map(i => struct(lit(i).as("i"),
+      lit(2L * i + 1).as("a"), lit(17L * i + 3).as("b")))
+    shingled
+      .withColumn("h", TextAnalysis.rollingHash(col("sh")))
+      .withColumn("p", explode(array(perms: _*)))
+      .groupBy(col("doc"), col("p.i").as("i"))
+      .agg(min((col("p.a") * col("h") + col("p.b")) % lit(MinhashP)).as("mh"))
+  }
+
+  /** MinHash + LSH banding: k minhashes in bands of `rowsPerBand`; docs
+    * sharing a band signature become candidates; candidates are verified
+    * with true Jaccard over their shingle sets.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n).cache()
+    val sig = minhashSignatures(ds, k)
+    val bands = sig
+      .withColumn("band", (col("i") / lit(rowsPerBand)).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",").as("bkey"))
+    val l = bands.select(col("doc").as("d1"), col("band"), col("bkey"))
+    val r = bands.select(col("doc").as("d2"), col("band"), col("bkey"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // verify candidates with exact Jaccard (semi-joined to candidates only)
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = ds.select(col("doc").as("d1"), col("sh"))
+    val b = ds.select(col("doc").as("d2"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over token hashes: bit b of the signature is 1 iff the
+    * count of tokens with bit b set exceeds half the token count.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextAnalysis.rollingHash(col("tok")))
+    val bits = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    toks.groupBy(col("doc")).agg(bits.head, bits.tail: _*)
+      .select(col("doc"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L) * lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup: band the 32-bit signature into four 8-bit chunks;
+    * pairs sharing a chunk (guaranteed for hamming<=3 by pigeonhole over
+    * 4 chunks) are verified with exact hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sig = simhash(df, idCol, textCol).cache()
+    val chunked = sig.select(col("doc"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), (shiftright(col("simhash"), c * 8) % 256).as("ck"))): _*))
+        .as("ch"))
+      .select(col("doc"), col("simhash"), col("ch.c"), col("ch.ck"))
+    val l = chunked.select(col("doc").as("d1"), col("simhash").as("h1"), col("c"), col("ck"))
+    val r = chunked.select(col("doc").as("d2"), col("simhash").as("h2"), col("c"), col("ck"))
+    l.join(r, Seq("c", "ck")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine >= threshold. Small-side
+    * implementation is the exact O(N^2/2) self-join; the scale path is
+    * [[Similarity.lshBuckets]] which pre-buckets by hyperplane signs so the
+    * join is an equi-join on the bucket key.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, useLsh: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val normed = base.withColumn("nv", Similarity.normalize(col("v")))
+    val joined = if (useLsh) {
+      val b = normed.withColumn("bucket", Similarity.hyperplaneBucket(col("nv"), 8))
+      b.select(col("id").as("d1"), col("nv").as("v1"), col("bucket"))
+        .join(b.select(col("id").as("d2"), col("nv").as("v2"), col("bucket")), Seq("bucket"))
+    } else {
+      normed.select(col("id").as("d1"), col("nv").as("v1"))
+        .crossJoin(normed.select(col("id").as("d2"), col("nv").as("v2")))
+    }
+    joined.filter(col("d1") < col("d2"))
+      .withColumn("cos", round(Similarity.dot(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches.
+  *
+  * The decode step itself is STUBBED (no media libraries in this
+  * environment — see `decodeStub`): it derives deterministic fake
+  * "features" from the raw bytes. Everything around it — the binary
+  * column, the metadata struct, the typed Dataset batch shape, the
+  * mapPartitions batching, the partitioning — is the real 100 TB design:
+  * payloads never leave executors, the decode UDF processes one partition
+  * (= one file split) at a time, and feature extraction is a narrow map.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, payload: Array[Byte], format: String)
+  final case class MediaFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
+                                 mean_byte: Double)
+
+  /** Attach a binary payload column + metadata struct to a text corpus
+    * (stand-in for reading real media files via
+    * `spark.read.format("binaryFile")`).
+    */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit("fake/raw").as("format")).as("meta"))
+
+  /** STUB decode: in production this calls the image/audio codec on each
+    * payload batch (??? boundary). The fake derives (width, height) from
+    * the first two bytes and a mean over all bytes — deterministic, so the
+    * plumbing is testable end-to-end.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      // real implementation: ImageIO/ffmpeg decode of r.payload — ??? in
+      // this offline container; deterministic fake below.
+      val bytes = r.payload
+      val w = if (bytes.length > 0) (bytes(0) & 0xff) else 0
+      val h = if (bytes.length > 1) (bytes(1) & 0xff) else 0
+      val mean = if (bytes.isEmpty) 0.0
+                 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      MediaFeatures(r.id, bytes.length.toLong, w, h,
+        math.rint(mean * 1e6) / 1e6)
+    }
+
+  /** Partition-batched feature extraction over the payload column: the
+    * Scala analogue of `mapInPandas` — one decode call per partition batch,
+    * typed Dataset in/out.
+    */
+  def extractFeatures(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(decodeStub)
+  }
+}

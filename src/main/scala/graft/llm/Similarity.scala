@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one narrow pass over the corpus computing scores, then a per-query
+  * top-k. At 1000 executors this is embarrassingly parallel: corpus stays
+  * partitioned, queries are broadcast, and the only shuffle is the final
+  * per-query top-k (k rows per partition per query after partial top-k).
+  *
+  * Scale path: LSH random-hyperplane bucketing — sign bits of fixed
+  * pseudo-random hyperplanes form a bucket key; candidate generation
+  * becomes an equi-join on the bucket, turning O(N*Q) into
+  * O(N*Q/2^planes) per bucket.
+  *
+  * Dot products use the built-in higher-order functions `zip_with` +
+  * `aggregate` — columnar, no UDF.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2-normalize a float-array column (cast to double first so later dot
+    * products are exact-enough for 6-decimal oracle rounding).
+    */
+  def normalize(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(normalize(a), normalize(b))
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * an LCG step mapped to [-0.5, 0.5). Fixed arithmetic — reproducible
+    * anywhere, no RNG state.
+    */
+  def planeComponent(plane: Int, dim: Column): Column = {
+    val seed = (lit(plane.toLong) * lit(64L) + dim) * lit(1103515245L) + lit(12345L)
+    (pmod(seed, lit(2147483648L)).cast("double") / lit(2147483648.0d)) - lit(0.5d)
+  }
+
+  /** Sign-bit bucket over `nPlanes` hyperplanes: bucket = sum over planes
+    * of (dot(v, plane_p) >= 0) << p.
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i.cast("long"))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself when ids collide). Scores rounded to 6
+    * decimals; ties broken by corpus id so ordering is deterministic.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
+    * top-k within candidates. Approximate (recall < 1) but the candidate
+    * join is an equi-join on the bucket key — the 100 TB path.
+    */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization + counting, quality scoring, language identification,
+  * and document fingerprinting. All pure `Column` expression trees over
+  * built-in (codegen'd) functions — each runs as a single narrow map over
+  * the corpus, no shuffle, no UDFs, arbitrarily partitionable: at 100 TB
+  * these scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Deterministic polynomial rolling hash of a string:
+    * h = fold(chars)(h0=7)((h,c) => (h*131 + codepoint(c)) mod 1e9+7).
+    * Kept below 2^30 so every intermediate product fits comfortably in a
+    * 64-bit long (no overflow divergence between engines) — the same fold
+    * is expressible in the DuckDB oracle via `list_reduce`.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(7L),
+      (h, ch) => (h * lit(131L) + ascii(ch)) % lit(1000000007L))
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** BPE-ish token count: word runs + individual punctuation marks, the
+    * standard pre-tokenizer regex shape.
+    */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  val stopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Quality metrics (length / punctuation / stopword ratios) + a simple
+    * composite score. Ratios rounded to 6 decimals so results hash-match
+    * a DuckDB oracle despite float formatting differences.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stop = typedLit(stopwordsEn)
+    df.withColumn("n_chars_calc", length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        round(length(t).cast("double") / nTok.cast("double"), 6))
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double")
+          / length(t).cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, tk => array_contains(stop, tk))).cast("double")
+          / nTok.cast("double"), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nTok.cast("double") / lit(50.0)) * lit(0.5)
+          + col("stopword_ratio") * lit(0.3)
+          + (lit(1.0) - col("punct_ratio")) * lit(0.2), 6))
+  }
+
+  /** n-gram-heuristic language ID: count hits against tiny per-language
+    * marker-word sets; argmax with a fixed precedence order for ties.
+    * Scores are integers so the argmax is exactly reproducible in SQL.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with", "for"),
+    "de" -> Seq("der", "die", "und", "ist", "mit", "für"),
+    "fr" -> Seq("le", "la", "et", "est", "avec", "pour"),
+    "es" -> Seq("el", "la", "y", "es", "con", "para"),
+    "zh" -> Seq("的", "是", "和", "在", "了", "有"))
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(toks, tk => array_contains(typedLit(words), tk))))
+    }
+    // argmax by fixed precedence (list order wins ties) — same CASE chain
+    // the oracle uses, so comparison semantics are identical
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und")) { case (lang, acc) =>
+      val beats = langs.filterNot(_ == lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .foldLeft(col(s"score_$lang") > 0)(_ && _)
+      when(beats, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Token counting summary per document. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("bpeish_tokens", bpeishCount(col(textCol)))
+      .withColumn("chars", length(col(textCol)))
+
+  /** Document fingerprint: rolling hash of the full text (S9-style content
+    * identity for incremental dedup / change detection).
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", rollingHash(col(textCol)))
+}

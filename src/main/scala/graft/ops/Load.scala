@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{EtlObj, EtlSchema}
+
+/** The "L" of the pipeline (S8/S9, src/main/etl.js:758-829): relational
+  * load with parent-then-child ordering and a pre-insert existence filter
+  * (F7, src/test/examples/family.js:71-73), plus the fixed-width flat-file
+  * sink.
+  *
+  * The reference builds per-row `INSERT` strings (src/main/etl.js:770-790);
+  * set-oriented Spark loads whole DataFrames: `df.write.mode("append")`
+  * to JDBC/parquet, parent table first, then children (FK order) —
+  * sequential `write` calls, each internally fully parallel.
+  */
+object Load {
+
+  /** F7 load filter: skip rows already present in the target — a LEFT ANTI
+    * join on the key (never a per-row existence RPC).
+    */
+  def filterExisting(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(col(key)), Seq(key), "left_anti")
+
+  /** Split a badgerfish-shaped row into the parent's scalar `@`-columns and
+    * its related child tables (non-`@` array-of-struct columns), matching
+    * the load split at src/main/etl.js:815-827. Returns (parent, children).
+    */
+  def splitRelated(df: DataFrame): (DataFrame, Map[String, DataFrame]) = {
+    val (attrCols, relCols) = df.columns.partition(_.startsWith("@"))
+    val parent = df.select(attrCols.map(c => col(s"`$c`").as(c.substring(1))).toSeq: _*)
+    val children = relCols.map { rc =>
+      rc -> df.select(explode(col(rc)).as("x")).select(col("x.*"))
+    }.toMap
+    (parent, children)
+  }
+
+  /** Parent-then-child ordered load. `write` abstracts the sink (JDBC in
+    * production, parquet/csv in the offline test environment).
+    */
+  def loadOrdered(parent: (String, DataFrame), children: Seq[(String, DataFrame)],
+                  write: (String, DataFrame) => Unit): Unit = {
+    write.tupled(parent)
+    children.foreach(write.tupled)
+  }
+
+  /** Fixed-width flat-file sink (S9): schema-rendered single `value`
+    * column, written as text. One shuffle-free pass.
+    */
+  def writeFixedWidth(df: DataFrame, schema: EtlObj, path: String): Unit =
+    EtlSchema.applyFixedWidth(df, schema).write.mode("overwrite").text(path)
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The view-query DSL (SURVEY §2.4, §3.1): a nested tree over registered
+  * models with equality `where` filters, required/optional children, and
+  * `unique` (at-most-one-match) semantics — the reference compiles the same
+  * tree to Sequelize `{model, include:[…]}` and lets MySQL execute
+  * (src/main/etl.js:28-33,472-491). Here the tree compiles directly to a
+  * Spark logical plan: scan -> filter -> join chain, and Catalyst supplies
+  * pushdown, pruning, and join selection.
+  *
+  * Scale design:
+  *  - equality `where` filters are authored at the scan (pushed into
+  *    parquet as `PushedFilters`);
+  *  - `broadcast=true` children (dimension lookups — the reference's every
+  *    `include` is one) hash-join without a shuffle of the fact side;
+  *  - `unique` dedup runs on the (small) child BEFORE the join, never on
+  *    the joined fact table;
+  *  - `nest` (hasMany result shaping, src/main/etl.js:482-487) is a single
+  *    shuffle on the parent key with map-side partial aggregation.
+  */
+object ViewDsl {
+
+  sealed trait AssocKind
+  case object BelongsTo extends AssocKind // N:1 — child struct, J4
+  case object HasMany   extends AssocKind // 1:N — nested list, J3
+
+  /** FK association: parent.parentKey = child.childKey. */
+  final case class Assoc(parentKey: String, childKey: String, kind: AssocKind)
+
+  final case class ViewNode(
+      model: String,
+      where: Seq[(String, Any)] = Seq.empty,   // F6 equality predicates
+      required: Boolean = false,               // J1 inner vs J2 left_outer
+      unique: Boolean = false,                 // J7 at-most-one-match
+      broadcast: Boolean = false,              // physical hint for dim tables
+      assoc: Option[Assoc] = None,             // edge to the PARENT node
+      nest: Boolean = false,                   // hasMany: collect children as array
+      columns: Seq[String] = Seq.empty,        // projection (empty = all)
+      children: Seq[ViewNode] = Seq.empty)
+
+  /** Model registry: name -> DataFrame. Views are `$`-parameterized
+    * functions returning a ViewNode tree (registerView,
+    * src/main/etl.js:185-189) — in Scala, ordinary functions
+    * `Map[String,Any] => ViewNode`.
+    */
+  final class Registry(models: Map[String, DataFrame]) {
+    def model(name: String): DataFrame = models.getOrElse(name,
+      throw new IllegalArgumentException(s"unregistered model: $name"))
+
+    def applyView(node: ViewNode): DataFrame = compile(node)
+
+    private def scan(node: ViewNode): DataFrame = {
+      var df = model(node.model)
+      // author filters at the scan so Catalyst pushes them into parquet
+      node.where.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
+      if (node.columns.nonEmpty) df = df.select(node.columns.map(col): _*)
+      df
+    }
+
+    private def compile(node: ViewNode): DataFrame = {
+      val base = scan(node)
+      node.children.foldLeft(base) { (parentDf, child) =>
+        val a = child.assoc.getOrElse(throw new IllegalArgumentException(
+          s"child ${child.model} lacks an association to ${node.model}"))
+        var childDf = compile(child)
+        if (child.unique) {
+          // enforce <=1 match on the child side BEFORE joining (J7):
+          // row_number over the join key — cheap, child is the small side
+          val w = Window.partitionBy(col(a.childKey)).orderBy(childDf.columns.map(col): _*)
+          childDf = childDf.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        }
+        val joinType = if (child.required) "inner" else "left_outer"
+        a.kind match {
+          case BelongsTo =>
+            val rhs = if (child.broadcast) broadcast(childDf) else childDf
+            parentDf.join(rhs, parentDf(a.parentKey) === rhs(a.childKey), joinType)
+          case HasMany if child.nest =>
+            // reproduce the nested findAll result shape: one array-of-struct
+            // column per parent key; array_sort for deterministic output
+            val childCols = childDf.columns.filterNot(_ == a.childKey)
+            val nested = childDf.groupBy(col(a.childKey))
+              .agg(array_sort(collect_list(struct(childCols.map(col): _*)))
+                .as(child.model.toLowerCase + "s"))
+            parentDf.join(nested, parentDf(a.parentKey) === nested(a.childKey), joinType)
+              .drop(nested(a.childKey))
+          case HasMany =>
+            parentDf.join(childDf, parentDf(a.parentKey) === childDf(a.childKey), joinType)
+        }
+      }
+    }
+
+    /** Many-to-many `through` an edge table (J5,
+      * src/test/examples/associations/EntityEntity.js:3-8): two chained
+      * equi-joins via the edge model.
+      */
+    def manyToMany(left: String, through: String, right: String,
+                   leftKey: String, throughLeft: String,
+                   throughRight: String, rightKey: String): DataFrame = {
+      val l = model(left); val e = model(through); val r = model(right)
+      l.join(e, l(leftKey) === e(throughLeft))
+        .join(r, e(throughRight) === r(rightKey))
+    }
+  }
+}
