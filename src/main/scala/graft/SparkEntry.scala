@@ -1,13 +1,612 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlLeaf, EtlObj, EtlSchema}
+import graft.ops._
+import graft.llm._
+
+/** Driver contract: one named query per implemented operator (SURVEY §2 +
+  * the LLM-pipeline family), each with DuckDB-equivalent oracle SQL over
+  * the same parquet tables. Column names and numeric types are aligned on
+  * both sides (the driver sorts columns by name and hashes values), and
+  * every rounded double uses [[Num.r6]] — the identical
+  * `floor(x*1e6+0.5)/1e6` float expression — in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; read it as raw nanos (legacy flag) and
+    * rebuild a microsecond timestamp with integer arithmetic (`div`, not
+    * `/`: a long→double division would lose precision above 2^53 ns).
+    * Oracle equivalent: `make_timestamp(epoch_ns(ts) // 1000)`.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ------------------------------------------------------------------ views
+
+  /** Flagship view query (SURVEY §7 step 5): the applyView('person')
+    * analogue — customer ⟕ nation ⟕ region as the person⟕entity⟕belonging
+    * N:1 chain with equality `where` (F6), required joins (J1),
+    * broadcast-hinted dimensions.
+    */
+  private def viewFlagship(s: SparkSession, dir: String): DataFrame = {
+    import ViewDsl._
+    val reg = new Registry(Map(
+      "Customer" -> t(s, dir, "customer"),
+      "Nation"   -> t(s, dir, "nation"),
+      "Region"   -> t(s, dir, "region")))
+    val tree = ViewNode("Customer", where = Seq("c_mktsegment" -> "BUILDING"),
+      children = Seq(ViewNode("Nation", required = true, broadcast = true,
+        assoc = Some(Assoc("c_nationkey", "n_nationkey", BelongsTo)),
+        children = Seq(ViewNode("Region", required = true, broadcast = true,
+          assoc = Some(Assoc("n_regionkey", "r_regionkey", BelongsTo)))))))
+    reg.applyView(tree)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+  }
+
+  // --------------------------------------------------------- oracle helpers
+
+  /** DuckDB SQL for [[TextAnalysis.rollingHash]] of `expr`: identical fold
+    * (h0=7; h = (h*131 + codepoint) mod 1e9+7). list_reduce has no init
+    * parameter, so the seed is prepended to the codepoint list.
+    */
+  private def rhSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % 1000000007)"
+
+  /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
+    * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
+    * squares, per-element divide).
+    */
+  private def nvSql(expr: String): String =
+    s"list_transform($expr, x -> CAST(x AS DOUBLE) / " +
+      s"sqrt(list_reduce(list_transform($expr, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"(a, b) -> a + b)))"
+
+  /** DuckDB SQL for [[Similarity.dot]] over two normalized vectors (the
+    * lambda index `i` is 1-based in DuckDB, matching `b[i]` 1-based
+    * element access).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+
+  /** DuckDB SQL for [[Similarity.hyperplaneBucket]] over normalized vector
+    * `v` (dims 0-based: `i-1`).
+    */
+  private def bucketSql(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val comp = s"(((($p * 64 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+      s"CASE WHEN list_reduce(list_transform($v, (x, i) -> x * $comp), (p_, q_) -> p_ + q_) >= 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE prefix for the shingle family: tokens → distinct doc
+    * bigram shingles → doc-frequency cap (mirrors [[Dedup.docShingles]]
+    * with n = 2 and maxDocFreq = cap).
+    */
+  private def shingleCte(cap: Long): String =
+    s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])) AS sh FROM toks WHERE len(tk) >= 2),
+       |shf AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh) WHERE c <= $cap),
+       |sh1 AS (SELECT doc, sh FROM sh0 WHERE sh IN (SELECT sh FROM shf)),
+       |sizes AS (SELECT doc, count(*) AS sz FROM sh1 GROUP BY doc)""".stripMargin
+
+  private def jaccardSql(interRel: String, threshold: Double): String = {
+    val j = Num.r6Sql(s"CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+    s"""SELECT d1, d2, $j AS jaccard
+       |FROM $interRel x JOIN sizes s1 ON x.d1 = s1.doc JOIN sizes s2 ON x.d2 = s2.doc
+       |WHERE $j >= $threshold""".stripMargin
+  }
+
+  // ------------------------------------------------------------- the registry
+
+  /** One entry per operator: (name, spark fn, oracle SQL). */
+  private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // ---- view DSL / joins -------------------------------------------------
+    ("view_flagship",
+      (s: SparkSession, dir: String) => viewFlagship(s, dir),
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin),
+
+    ("view_unique_first_order",
+      (s: SparkSession, dir: String) => {
+        import ViewDsl._
+        val reg = new Registry(Map(
+          "Customer" -> t(s, dir, "customer"), "Orders" -> t(s, dir, "orders")))
+        val tree = ViewNode("Customer",
+          children = Seq(ViewNode("Orders", unique = true,
+            assoc = Some(Assoc("c_custkey", "o_custkey", BelongsTo)))))
+        reg.applyView(tree)
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      },
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1) o
+        |  ON c_custkey = o_custkey""".stripMargin),
+
+    ("view_hasmany_nest",
+      (s: SparkSession, dir: String) => {
+        import ViewDsl._
+        val reg = new Registry(Map(
+          "Nation" -> t(s, dir, "nation"), "Customer" -> t(s, dir, "customer")))
+        val tree = ViewNode("Nation",
+          children = Seq(ViewNode("Customer", nest = true,
+            assoc = Some(Assoc("n_nationkey", "c_nationkey", HasMany)))))
+        reg.applyView(tree).select(col("n_nationkey"), col("n_name"),
+          coalesce(size(col("customers")), lit(0)).cast("long").as("n_customers"),
+          array_join(transform(col("customers"), x => x.getField("c_name")), ",").as("names"))
+      },
+      """SELECT n_nationkey, n_name, CAST(count(c_custkey) AS BIGINT) AS n_customers,
+        |       string_agg(c_name, ',' ORDER BY c_custkey) AS names
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name""".stripMargin),
+
+    ("view_m2m_through",
+      (s: SparkSession, dir: String) => {
+        val reg = new ViewDsl.Registry(Map(
+          "Customer" -> t(s, dir, "customer"), "Orders" -> t(s, dir, "orders"),
+          "Lineitem" -> t(s, dir, "lineitem")))
+        reg.manyToMany("Customer", "Orders", "Lineitem",
+            "c_custkey", "o_custkey", "o_orderkey", "l_orderkey")
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+      },
+      """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_items, CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey""".stripMargin),
+
+    // ---- extract (J6 lookup joins, U2 dep DAG) ---------------------------
+    ("extract_enrich",
+      (s: SparkSession, dir: String) => {
+        // spec deliberately scrambled: toposort must schedule
+        // cust_nation_key before nation_name
+        val spec = Seq(
+          "nation_name" -> (Extract.Lookup(t(s, dir, "nation"), "cust_nation_key",
+            "n_nationkey", Seq("n_name" -> "nation_name"),
+            deps = Seq("cust_nation_key")): Extract.Extractor),
+          "big_order" -> Extract.ExprField(Nil, _ => col("o_totalprice") > 100000.0),
+          "cust_nation_key" -> Extract.Lookup(t(s, dir, "customer"), "o_custkey",
+            "c_custkey", Seq("c_name" -> "cust_name", "c_nationkey" -> "cust_nation_key")))
+        Extract.extract(t(s, dir, "orders"), spec)
+          .select(col("o_orderkey"), col("cust_name"), col("cust_nation_key"),
+            col("nation_name"), col("big_order"))
+      },
+      """SELECT o_orderkey, c_name AS cust_name, c_nationkey AS cust_nation_key,
+        |       n_name AS nation_name, o_totalprice > 100000.0 AS big_order
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |            LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin),
+
+    ("extract_selfjoin",
+      (s: SparkSession, dir: String) => {
+        // the mother/father pattern: two lookups into the SAME table by
+        // different derived keys (reference: person.js:19-31)
+        val c = t(s, dir, "customer")
+        val spec = Seq(
+          "prev_key" -> (Extract.ExprField(Nil, _ => col("c_custkey") - 1): Extract.Extractor),
+          "next_key" -> Extract.ExprField(Nil, _ => col("c_custkey") + 1),
+          "prev_name" -> Extract.Lookup(c, "prev_key", "c_custkey",
+            Seq("c_name" -> "prev_name"), deps = Seq("prev_key")),
+          "next_name" -> Extract.Lookup(c, "next_key", "c_custkey",
+            Seq("c_name" -> "next_name"), deps = Seq("next_key")))
+        Extract.extract(c, spec)
+          .select(col("c_custkey"), col("c_name"), col("prev_name"), col("next_name"))
+      },
+      """SELECT c.c_custkey, c.c_name, p.c_name AS prev_name, n.c_name AS next_name
+        |FROM customer c LEFT JOIN customer p ON c.c_custkey - 1 = p.c_custkey
+        |                LEFT JOIN customer n ON c.c_custkey + 1 = n.c_custkey""".stripMargin),
+
+    // ---- transform / path language ---------------------------------------
+    ("transform_path",
+      (s: SparkSession, dir: String) => {
+        import Transform._
+        val base = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          transform(split(col("text"), " "), x => struct(x.as("t"))).as("toks"))
+        val spec = TObj(Seq(
+          "doc_id" -> TPath("doc_id"),
+          "n_toks" -> TPath("#toks"),
+          "pairs" -> TArrMap("toks", TObj(Seq(
+            "idx" -> TPath("#"),
+            "tok" -> TPath("t"),
+            "root_chars" -> TPath("$.n_chars"))))))
+        Transform.applyTransform(base, spec)
+          .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+            explode(col("pairs")).as("p"))
+          .select(col("doc_id"), col("n_toks"), col("p.idx").cast("long").as("idx"),
+            col("p.tok").as("tok"), col("p.root_chars").as("root_chars"))
+      },
+      """WITH b AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_toks,
+        |             unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x})) AS p
+        |      FROM b)
+        |SELECT doc_id, n_toks, CAST(p.i - 1 AS BIGINT) AS idx, p.x AS tok,
+        |       n_chars AS root_chars
+        |FROM u""".stripMargin),
+
+    ("transform_scatter",
+      (s: SparkSession, dir: String) => {
+        val sc = Transform.scatter(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderkey" -> Seq("ids.okey", "okey_flat"),
+            "o_totalprice" -> Seq("ids.price"),
+            "o_orderstatus" -> Seq("status")))
+        sc.select(col("okey_flat"), col("ids.okey").as("okey_nested"),
+          col("ids.price").as("price"), col("status"))
+      },
+      """SELECT o_orderkey AS okey_flat, o_orderkey AS okey_nested,
+        |       o_totalprice AS price, o_orderstatus AS status FROM orders""".stripMargin),
+
+    ("transform_defaults",
+      (s: SparkSession, dir: String) => {
+        val masked = events(s, dir).select(col("event_id"),
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+        Transform.applyDefaults(masked, Seq("value" -> -1.0, "channel" -> "none"))
+      },
+      """SELECT event_id,
+        |       COALESCE(CASE WHEN event_type = 'click' THEN NULL ELSE value END, -1.0) AS value,
+        |       'none' AS channel
+        |FROM events""".stripMargin),
+
+    // ---- badgerfish -------------------------------------------------------
+    ("badgerfish_roundtrip",
+      (s: SparkSession, dir: String) =>
+        Badgerfish.attributes(Badgerfish.convert(t(s, dir, "region"), toBfish = true)),
+      "SELECT r_regionkey, r_name FROM region"),
+
+    ("badgerfish_values",
+      (s: SparkSession, dir: String) =>
+        Badgerfish.values(t(s, dir, "nation").select(col("n_name"),
+          array(col("n_nationkey"), col("n_regionkey")).as("keys"))),
+      """SELECT 'n_name' AS path, n_name AS value FROM nation
+        |UNION ALL SELECT 'keys', CAST(n_nationkey AS VARCHAR) FROM nation
+        |UNION ALL SELECT 'keys', CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin),
+
+    // ---- schema / coercion / fixed-width ---------------------------------
+    ("schema_coerce",
+      (s: SparkSession, dir: String) => {
+        val raw = t(s, dir, "orders").select(
+          col("o_orderkey").cast("string").as("id"),
+          when(col("o_orderkey") % 7 === 0, lit(""))
+            .otherwise(col("o_custkey").cast("string")).as("cust"),
+          when(col("o_orderkey") % 5 === 0, lit("0000-00-00"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("odate"),
+          when(col("o_orderstatus") === "F", lit("false")).otherwise(lit("true")).as("done"),
+          col("o_orderpriority").as("prio"))
+        EtlSchema.applySchema(raw, EtlObj(Seq(
+          "id" -> EtlLeaf("number"), "cust" -> EtlLeaf("Number"),
+          "odate" -> EtlLeaf("Date"), "done" -> EtlLeaf("Boolean"),
+          "prio" -> EtlLeaf("String"))))
+      },
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS BIGINT) AS cust,
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS odate,
+        |  o_orderstatus <> 'F' AS done,
+        |  o_orderpriority AS prio
+        |FROM orders""".stripMargin),
+
+    ("schema_fixedwidth",
+      (s: SparkSession, dir: String) => {
+        val raw = t(s, dir, "orders").select(
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderkey")).cast("string").as("okey"),
+          col("o_orderstatus").as("status"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise((col("o_orderpriority") === "1-URGENT").cast("string")).as("urgent"),
+          when(col("o_orderkey") % 5 === 0, lit("0000-00-00"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("odate"))
+        EtlSchema.applyFixedWidth(raw, EtlObj(Seq(
+          "okey" -> EtlLeaf("Number", Some(10)), "status" -> EtlLeaf("String", Some(2)),
+          "urgent" -> EtlLeaf("Boolean", Some(3)), "odate" -> EtlLeaf("Date", Some(8)))))
+      },
+      """SELECT concat(
+        |  CASE WHEN o_orderkey % 11 = 0 THEN repeat(' ', 10) ELSE lpad(CAST(o_orderkey AS VARCHAR), 10, '0') END,
+        |  rpad(substr(o_orderstatus, 1, 2), 2, ' '),
+        |  CASE WHEN o_orderkey % 3 = 0 THEN '   ' WHEN o_orderpriority = '1-URGENT' THEN '001' ELSE '000' END,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN '00000000' ELSE strftime(o_orderdate, '%Y%m%d') END
+        |) AS value FROM orders""".stripMargin),
+
+    // ---- validation / match ----------------------------------------------
+    ("validate_clauses",
+      (s: SparkSession, dir: String) => {
+        val spec: Validate.Spec = Seq(
+          "c_mktsegment" -> Seq(Validate.EqLit("BUILDING"), Validate.EqLit("AUTOMOBILE")),
+          "c_name" -> Seq(Validate.Pred(x => x.rlike("^Customer#[0-9]+$"))),
+          "c_acctbal" -> Seq(Validate.Absent, Validate.Pred(x => x > 0.0)))
+        Validate.observed(Validate.validate(t(s, dir, "customer"), spec), "validate_clauses")
+          .select(col("c_custkey"), col("c_mktsegment_valid"), col("c_name_valid"),
+            col("c_acctbal_valid"), col("_valid"))
+      },
+      """SELECT c_custkey,
+        |  (c_mktsegment IS NOT DISTINCT FROM 'BUILDING') OR (c_mktsegment IS NOT DISTINCT FROM 'AUTOMOBILE') AS c_mktsegment_valid,
+        |  COALESCE(regexp_matches(c_name, '^Customer#[0-9]+$'), false) AS c_name_valid,
+        |  (c_acctbal IS NULL) OR COALESCE(c_acctbal > 0.0, false) AS c_acctbal_valid,
+        |  ((c_mktsegment IS NOT DISTINCT FROM 'BUILDING') OR (c_mktsegment IS NOT DISTINCT FROM 'AUTOMOBILE'))
+        |    AND COALESCE(regexp_matches(c_name, '^Customer#[0-9]+$'), false)
+        |    AND ((c_acctbal IS NULL) OR COALESCE(c_acctbal > 0.0, false)) AS "_valid"
+        |FROM customer""".stripMargin),
+
+    ("match_dispatch",
+      (s: SparkSession, dir: String) =>
+        Validate.dispatch(t(s, dir, "orders"), Seq(
+          Validate.Mapping("fulfilled", Seq("o_orderstatus" -> "F")),
+          Validate.Mapping("open", Seq("o_orderstatus" -> "O")),
+          Validate.Mapping("pending", Seq("o_orderstatus" -> "P"))))
+          .select(col("o_orderkey"), col("_mapping")),
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 'fulfilled'
+        |       WHEN o_orderstatus IS NOT DISTINCT FROM 'O' THEN 'open'
+        |       WHEN o_orderstatus IS NOT DISTINCT FROM 'P' THEN 'pending'
+        |       ELSE NULL END AS "_mapping"
+        |FROM orders""".stripMargin),
+
+    ("match_validate_matrix",
+      (s: SparkSession, dir: String) =>
+        Validate.matchValidate(t(s, dir, "customer"), Seq(
+          "c_mktsegment" -> Seq(Validate.EqLit("BUILDING")),
+          "c_acctbal" -> Seq(Validate.Pred(x => x > 1000.0))),
+          keep = Seq("c_custkey")),
+      """SELECT c_custkey,
+        |  NOT (c_mktsegment IS NOT DISTINCT FROM 'BUILDING') AS c_mktsegment_failed,
+        |  NOT COALESCE(c_acctbal > 1000.0, false) AS c_acctbal_failed
+        |FROM customer""".stripMargin),
+
+    ("load_filter",
+      (s: SparkSession, dir: String) =>
+        // "already loaded" = customers holding a large order; the anti-join
+        // keeps the rest (non-empty at every SF, unlike all-orders)
+        Load.filterExisting(t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+            .select(col("o_custkey").as("c_custkey")), "c_custkey")
+          .select(col("c_custkey"), col("c_name")),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin),
+
+    // ---- sources ----------------------------------------------------------
+    ("source_json_props",
+      (s: SparkSession, dir: String) =>
+        events(s, dir).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin),
+
+    ("events_window_agg",
+      (s: SparkSession, dir: String) =>
+        events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")),
+      """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
+    // ---- dedup family -----------------------------------------------------
+    ("dedup_exact",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.exact(d.union(d.select(col("doc_id") + 10000, col("text"))), "doc_id", "text")
+      },
+      """WITH dup AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM dup GROUP BY text""".stripMargin),
+
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, threshold = 0.12, maxDocFreq = Some(400)),
+      s"""WITH ${shingleCte(400)},
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh1 a JOIN sh1 b USING (sh) WHERE a.doc < b.doc GROUP BY a.doc, b.doc)
+         |${jaccardSql("inter", 0.12)}""".stripMargin),
+
+    ("dedup_minhash_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, k = 16, rowsPerBand = 4, threshold = 0.1, maxDocFreq = Some(400)),
+      {
+        val perms = (0 until 16).map(i =>
+          s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
+        s"""WITH ${shingleCte(400)},
+           |perms(i, a, b) AS (VALUES $perms),
+           |hh AS (SELECT doc, ${rhSql("sh")} AS h FROM sh1),
+           |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM hh CROSS JOIN perms GROUP BY doc, i),
+           |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+           |          FROM mh GROUP BY doc, i // 4),
+           |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2 FROM bands l
+           |         JOIN bands r ON l.band = r.band AND l.bkey = r.bkey WHERE l.doc < r.doc),
+           |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+           |          FROM sh1 a JOIN sh1 b USING (sh)
+           |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
+           |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc)
+           |${jaccardSql("inter", 0.1)}""".stripMargin
+      }),
+
+    ("dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 4)
+          .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming")),
+      {
+        val sums = (0 until 32).map(b =>
+          s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+        val sig = (0 until 32).map(b =>
+          s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        s"""WITH tk AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
+           |hh AS (SELECT doc, ${rhSql("tok")} AS h FROM tk),
+           |sums AS (SELECT doc, $sums FROM hh GROUP BY doc),
+           |sig AS (SELECT doc, $sig AS simhash FROM sums),
+           |ch AS (SELECT doc, simhash, c, (simhash >> (c * 8)) % 256 AS ck
+           |       FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(c)),
+           |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2, l.simhash AS h1, r.simhash AS h2
+           |         FROM ch l JOIN ch r ON l.c = r.c AND l.ck = r.ck WHERE l.doc < r.doc)
+           |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin
+      }),
+
+    ("dedup_embedding_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.2, useLsh = true),
+      {
+        val cos = Num.r6Sql(dotSql("a.v", "b.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |bk AS (SELECT id, v, ${bucketSql("v", 8)} AS bucket FROM nv)
+           |SELECT a.id AS d1, b.id AS d2, $cos AS cos
+           |FROM bk a JOIN bk b USING (bucket) WHERE a.id < b.id AND $cos >= 0.2""".stripMargin
+      }),
+
+    ("dedup_embedding_exact",
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, useLsh = false),
+      {
+        val cos = Num.r6Sql(dotSql("a.v", "b.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)
+           |SELECT a.id AS d1, b.id AS d2, $cos AS cos
+           |FROM nv a JOIN nv b ON a.id < b.id WHERE $cos >= 0.25""".stripMargin
+      }),
+
+    // ---- similarity search ------------------------------------------------
+    ("similarity_topk",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.topK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |       FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
+    ("similarity_topk_lsh",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 8)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |bk AS (SELECT id, v, ${bucketSql("v", 8)} AS bucket FROM nv),
+           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |       FROM bk c JOIN bk q ON c.bucket = q.bucket AND q.id < 20 AND c.id <> q.id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
+    // ---- text analysis ----------------------------------------------------
+    ("text_quality",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+            col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+            col("quality_score")),
+      {
+        val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+        val avg = Num.r6Sql("CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+        val punct = Num.r6Sql(raw"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
+        val stopr = Num.r6Sql(s"CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+        val score = Num.r6Sql("least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")
+        s"""WITH b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+           |m AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
+           |             CAST(len(toks) AS INT) AS n_tokens,
+           |             $avg AS avg_token_len, $punct AS punct_ratio, $stopr AS stopword_ratio,
+           |             len(toks) AS nt FROM b)
+           |SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           |       ${Num.r6Sql("least(1.0, CAST(nt AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")} AS quality_score
+           |FROM m""".stripMargin
+      }),
+
+    ("text_langid",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.langId(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("lang_pred")),
+      {
+        val langs = TextAnalysis.langMarkers.map(_._1)
+        val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+          val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS INT) AS score_$l"
+        }.mkString(", ")
+        val cases = langs.map { l =>
+          val beats = (s"score_$l > 0" +: langs.filterNot(_ == l)
+            .map(o => s"score_$l >= score_$o")).mkString(" AND ")
+          s"WHEN $beats THEN '$l'"
+        }.mkString(" ")
+        s"""WITH b AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+           |sc AS (SELECT doc_id, $scores FROM b)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM sc""".stripMargin
+      }),
+
+    ("text_tokenstats",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tokenStats(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"), col("chars")),
+      raw"""SELECT doc_id,
+           |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS bpeish_tokens,
+           |  CAST(length(text) AS INT) AS chars
+           |FROM documents""".stripMargin),
+
+    ("text_fingerprint",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("fingerprint")),
+      s"SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents"),
+
+    // ---- multimodal plumbing ---------------------------------------------
+    ("multimodal_features",
+      (s: SparkSession, dir: String) =>
+        Multimodal.extractFeatures(s,
+          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+      {
+        val mean = Num.r6Sql(
+          "CAST(list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
+        s"""SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CAST(ascii(substr(text, 1, 1)) AS INT) AS width,
+           |  CAST(ascii(substr(text, 2, 1)) AS INT) AS height,
+           |  $mean AS mean_byte
+           |FROM documents""".stripMargin
+      }))
+
+  // ------------------------------------------------------------ driver API
+
+  /** Flagship query on sf=0.001: the view chain + double self-join extract
+    * composed end-to-end; driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val base = viewFlagship(spark, dir)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    Extract.extract(base, Seq(
+      "first_order" -> (Extract.Lookup(orders, "c_custkey", "o_custkey",
+        Seq("o_orderkey" -> "first_order")): Extract.Extractor),
+      "has_order" -> Extract.ExprField(Seq("first_order"),
+        _ => col("first_order").isNotNull)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.map { case (n, _, sql) => n -> sql }.toMap
 }

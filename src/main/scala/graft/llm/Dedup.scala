@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the token array (n=1 -> tokens). */
+  /** Word n-gram shingles of the token array (n=1 -> tokens). Docs shorter
+    * than n tokens yield an EMPTY shingle set (not an error): without the
+    * guard, `sequence(0, size-n)` is descending for short docs and
+    * `slice` throws at runtime.
+    */
   def shingles(toks: Column, n: Int): Column =
     if (n == 1) toks
-    else transform(
-      sequence(lit(0), size(toks) - lit(n)),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * Output: one row per distinct text with the keeper id + duplicate count.
@@ -60,8 +65,9 @@ object Dedup {
     * No cross join anywhere: the shingle join IS the candidate generator.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val ds = docShingles(df, idCol, textCol, n).cache()
+                   n: Int, threshold: Double,
+                   maxDocFreq: Option[Long] = Some(500)): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n, maxDocFreq).cache()
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val a = ds.select(col("doc").as("d1"), col("sh"))
     val b = ds.select(col("doc").as("d2"), col("sh"))
@@ -72,22 +78,36 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
       .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+        graft.Num.r6(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** MinHash signature: k permutations h_i(x) = (a_i*x + b_i) mod P over
     * the rolling-hashed shingles; signature_i = min over the doc's
-    * shingles. a_i, b_i are fixed odd/affine constants so the oracle can
-    * regenerate them: a_i = 2i+1, b_i = 17i+3.
+    * shingles. a_i, b_i come from a splitmix-style integer mix of i
+    * ([[mixConstant]]) so the k hash functions behave independently —
+    * tiny-slope affine constants (2i+1 etc.) rarely wrap mod P for small
+    * hashes and produce correlated, hot-bucket-prone signatures. The mix
+    * is pure 64-bit arithmetic, reproducible in any SQL engine.
     */
   val MinhashP = 2147483647L // 2^31 - 1
 
+  /** Deterministic well-mixed constant in [1, P): splitmix64 finalizer
+    * over the seed, folded to 31 bits.
+    */
+  def mixConstant(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D4ECB17E3C1271L
+    z = z ^ (z >>> 31)
+    (z & 0x7FFFFFFFL) % (MinhashP - 1) + 1
+  }
+
   def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
     val perms = (0 until k).map(i => struct(lit(i).as("i"),
-      lit(2L * i + 1).as("a"), lit(17L * i + 3).as("b")))
+      lit(mixConstant(2L * i)).as("a"), lit(mixConstant(2L * i + 1)).as("b")))
     shingled
       .withColumn("h", TextAnalysis.rollingHash(col("sh")))
       .withColumn("p", explode(array(perms: _*)))
@@ -100,8 +120,9 @@ object Dedup {
     * with true Jaccard over their shingle sets.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
-                 k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val ds = docShingles(df, idCol, textCol, n).cache()
+                 k: Int, rowsPerBand: Int, threshold: Double,
+                 maxDocFreq: Option[Long] = Some(500)): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n, maxDocFreq).cache()
     val sig = minhashSignatures(ds, k)
     val bands = sig
       .withColumn("band", (col("i") / lit(rowsPerBand)).cast("int"))
@@ -113,10 +134,17 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    // verify candidates with exact Jaccard (semi-joined to candidates only)
+    // verify candidates with exact Jaccard. Restrict the shingle relation
+    // to candidate docs BEFORE the self-join — the candidate set is tiny
+    // relative to the corpus, so the expensive shingle⋈shingle join only
+    // ever sees candidate rows (not the full corpus re-joined and then
+    // semi-filtered after the fact)
+    val candDocs = cand.select(col("d1").as("doc"))
+      .union(cand.select(col("d2").as("doc"))).distinct()
+    val dsc = ds.join(candDocs, Seq("doc"), "left_semi")
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val a = ds.select(col("doc").as("d1"), col("sh"))
-    val b = ds.select(col("doc").as("d2"), col("sh"))
+    val a = dsc.select(col("doc").as("d1"), col("sh"))
+    val b = dsc.select(col("doc").as("d2"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
       .join(cand, Seq("d1", "d2"), "left_semi")
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
@@ -124,8 +152,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
       .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
       .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+        graft.Num.r6(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -167,13 +195,15 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup: pairs with cosine >= threshold. Small-side
-    * implementation is the exact O(N^2/2) self-join; the scale path is
-    * [[Similarity.lshBuckets]] which pre-buckets by hyperplane signs so the
-    * join is an equi-join on the bucket key.
+  /** Embedding-cosine near-dup: pairs with cosine >= threshold. The
+    * DEFAULT is the scale path — hyperplane-sign LSH bucketing
+    * ([[Similarity.hyperplaneBucket]]) so candidate generation is an
+    * equi-join on the bucket key. `useLsh = false` is the explicit
+    * small-data escape hatch running the exact O(N^2/2) self-join
+    * (recall 1.0, only sane below ~1M rows).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, useLsh: Boolean = false): DataFrame = {
+                       threshold: Double, useLsh: Boolean = true): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val normed = base.withColumn("nv", Similarity.normalize(col("v")))
     val joined = if (useLsh) {
@@ -185,7 +215,7 @@ object Dedup {
         .crossJoin(normed.select(col("id").as("d2"), col("nv").as("v2")))
     }
     joined.filter(col("d1") < col("d2"))
-      .withColumn("cos", round(Similarity.dot(col("v1"), col("v2")), 6))
+      .withColumn("cos", graft.Num.r6(Similarity.dot(col("v1"), col("v2"))))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))
   }

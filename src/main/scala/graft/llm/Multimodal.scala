@@ -47,8 +47,7 @@ object Multimodal {
       val h = if (bytes.length > 1) (bytes(1) & 0xff) else 0
       val mean = if (bytes.isEmpty) 0.0
                  else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
-      MediaFeatures(r.id, bytes.length.toLong, w, h,
-        math.rint(mean * 1e6) / 1e6)
+      MediaFeatures(r.id, bytes.length.toLong, w, h, graft.Num.r6(mean))
     }
 
   /** Partition-batched feature extraction over the payload column: the

@@ -61,22 +61,40 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Two-stage per-query top-k: stage 1 takes the top k within each
+    * (query, salt) slice — `nSalts`-way parallel, so no single task ever
+    * sees more than ~N/nSalts corpus rows per query; stage 2 merges the
+    * <= nSalts*k survivors per query. At 100 TB stage 1 is the only pass
+    * over the corpus and stage 2's input is tiny. A plain
+    * `Window.partitionBy(query_id)` over the raw scores would funnel ALL
+    * N corpus scores for a query through one task — the skew this
+    * replaces. Deterministic: ties broken by corpus id.
+    */
+  private def topKMerge(scored: DataFrame, k: Int, nSalts: Int): DataFrame = {
+    val salted = scored.withColumn("_salt", pmod(col("nn_id"), lit(nSalts)))
+    val w1 = Window.partitionBy(col("query_id"), col("_salt"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    val partial = salted.withColumn("_rank", row_number().over(w1))
+      .filter(col("_rank") <= k).drop("_rank", "_salt")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    partial.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Scores rounded to 6
     * decimals; ties broken by corpus id so ordering is deterministic.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int): DataFrame = {
+           k: Int, nSalts: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("score", round(dot(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, nSalts)
   }
 
   /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
@@ -84,18 +102,14 @@ object Similarity {
     * join is an equi-join on the bucket key — the 100 TB path.
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nPlanes: Int = 8): DataFrame = {
+              k: Int, nPlanes: Int = 8, nSalts: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("score", round(dot(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, nSalts)
   }
 }

@@ -47,17 +47,17 @@ object TextAnalysis {
     df.withColumn("n_chars_calc", length(t))
       .withColumn("n_tokens", nTok)
       .withColumn("avg_token_len",
-        round(length(t).cast("double") / nTok.cast("double"), 6))
+        graft.Num.r6(length(t).cast("double") / nTok.cast("double")))
       .withColumn("punct_ratio",
-        round(size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double")
-          / length(t).cast("double"), 6))
+        graft.Num.r6(size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double")
+          / length(t).cast("double")))
       .withColumn("stopword_ratio",
-        round(size(filter(toks, tk => array_contains(stop, tk))).cast("double")
-          / nTok.cast("double"), 6))
+        graft.Num.r6(size(filter(toks, tk => array_contains(stop, tk))).cast("double")
+          / nTok.cast("double")))
       .withColumn("quality_score",
-        round(least(lit(1.0), nTok.cast("double") / lit(50.0)) * lit(0.5)
+        graft.Num.r6(least(lit(1.0), nTok.cast("double") / lit(50.0)) * lit(0.5)
           + col("stopword_ratio") * lit(0.3)
-          + (lit(1.0) - col("punct_ratio")) * lit(0.2), 6))
+          + (lit(1.0) - col("punct_ratio")) * lit(0.2)))
   }
 
   /** n-gram-heuristic language ID: count hits against tiny per-language

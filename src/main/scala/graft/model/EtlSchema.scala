@@ -59,7 +59,18 @@ object EtlSchema {
       else c
     leaf.tpe.toLowerCase match {
       case "*"      => c
-      case "number" => nulled.cast(LongType)
+      case "number" =>
+        val casted = nulled.cast(LongType)
+        if (leaf.nullableLeaf) casted
+        else
+          // required leaf: a non-null input that fails the parse must NOT
+          // silently become null (the reference throws 'number expected',
+          // src/main/etl.js:253-255) — the StructField claims
+          // nullable=false, so a silent null would dodge validation
+          when(c.isNotNull && casted.isNull,
+            raise_error(concat(lit("number expected: "), c.cast(StringType)))
+              .cast(LongType))
+            .otherwise(casted)
       case "boolean" =>
         when(nulled.cast(StringType) === lit("false"), lit(false))
           .otherwise(nulled.cast(BooleanType))
@@ -67,6 +78,8 @@ object EtlSchema {
         to_date(when(nulled.cast(StringType) === lit("0000-00-00"), lit(null))
           .otherwise(nulled))
       case "string" => nulled.cast(StringType)
+      case other =>
+        throw new IllegalArgumentException(s"unknown schema type: $other")
     }
   }
 
@@ -82,16 +95,21 @@ object EtlSchema {
       throw new IllegalArgumentException(s"fixed-width render needs size for ${leaf.tpe}"))
     leaf.tpe.toLowerCase match {
       case "boolean" =>
-        when(c.isNull, lpad(lit(""), n, "0"))
+        // null renders as SPACES (reference 'Boolean' null branch,
+        // src/main/etl.js:211-214) — zeros are the encoding of FALSE, so
+        // null-as-zeros would make null and false indistinguishable
+        when(c.isNull, lpad(lit(""), n, " "))
           .when(c.cast(BooleanType), lpad(lit("1"), n, "0"))
           .otherwise(lpad(lit(""), n, "0"))
       case "number" =>
         when(c.isNull, lpad(lit(""), n, " ")).otherwise(lpad(c.cast(StringType), n, "0"))
       case "date" =>
         when(c.isNull, lit("0" * 8)).otherwise(date_format(c, "yyyyMMdd"))
-      case _ =>
+      case "string" | "*" =>
         when(c.isNull, lpad(lit(""), n, " "))
           .otherwise(rpad(substring(c.cast(StringType), 1, n), n, " "))
+      case other =>
+        throw new IllegalArgumentException(s"unknown schema type: $other")
     }
   }
 

@@ -58,23 +58,31 @@ object Badgerfish {
     df.select(attrs.toSeq.map(c => col(s"`$c`").as(c.substring(1))): _*)
   }
 
-  /** values(df) — depth-first flatten of all scalar leaves, omitting `_`
-    * meta keys (T6, src/main/index.js:178-195). Output: one row per input
-    * row per leaf, columns (path, value-as-string).
+  /** values(df) — depth-first flatten of ALL scalar leaves, recursing into
+    * arrays, omitting only the exact key `_` (T6: the reference's
+    * `cpx.values` recurses through arrays and `_.omit(entity, '_')` drops
+    * only that one key, src/main/index.js:178-195). Output: one row per
+    * input row per leaf element, columns (path, value-as-string).
     */
   def values(df: DataFrame): DataFrame = {
-    def leaves(prefix: String, dt: DataType): Seq[(String, Column)] = dt match {
+    val emptyKv = array().cast("array<struct<path:string,value:string>>")
+    // array<struct<path,value>> of every scalar leaf under (c, dt)
+    def kvs(prefix: String, c: Column, dt: DataType): Column = dt match {
       case st: StructType =>
-        st.fields.toSeq.filterNot(f => isMeta(f.name)).flatMap { f =>
+        val parts = st.fields.toSeq.filterNot(_.name == "_").map { f =>
           val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-          leaves(p, f.dataType)
+          kvs(p, c.getField(f.name), f.dataType)
         }
-      case _: ArrayType => Seq.empty // array leaves handled per-element by callers
-      case _ => Seq(prefix -> col(prefix).cast(StringType))
+        if (parts.isEmpty) emptyKv else concat(parts.map(p => coalesce(p, emptyKv)): _*)
+      case ArrayType(et, _) =>
+        coalesce(flatten(transform(c, x => kvs(prefix, x, et))), emptyKv)
+      case _ =>
+        array(struct(lit(prefix).as("path"), c.cast(StringType).as("value")))
     }
-    val ls = leaves("", df.schema)
-    val stacked = ls.map { case (p, c) => struct(lit(p).as("path"), c.as("value")) }
-    df.select(explode(array(stacked: _*)).as("kv"))
+    val top = df.schema.fields.toSeq.filterNot(_.name == "_").map { f =>
+      coalesce(kvs(f.name, col(f.name), f.dataType), emptyKv)
+    }
+    df.select(explode(concat(top: _*)).as("kv"))
       .select(col("kv.path").as("path"), col("kv.value").as("value"))
   }
 }

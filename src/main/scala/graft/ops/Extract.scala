@@ -61,17 +61,20 @@ object Extract {
     toposort(spec).foldLeft(df) {
       case (d, (name, ExprField(_, make))) => d.withColumn(name, make(d))
       case (d, (name, lk: Lookup)) =>
+        // alias the join key to a reserved name FIRST, then the selected
+        // outputs — so a user selecting the join key itself
+        // (select = Seq(rightKey -> out)) can't rename it away from under
+        // the join condition
         var rhs = lk.lookup.select(
-          (lk.rightKey +: lk.select.map(_._1)).distinct.map(col): _*)
+          col(lk.rightKey).as("_gk") +:
+            lk.select.map { case (c, o) => col(c).as(o) }: _*)
         if (lk.unique) {
-          val w = Window.partitionBy(col(lk.rightKey)).orderBy(rhs.columns.map(col): _*)
+          val w = Window.partitionBy(col("_gk")).orderBy(rhs.columns.map(col): _*)
           rhs = rhs.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
         }
-        // rename lookup outputs before the join to avoid ambiguity
-        lk.select.foreach { case (c, o) => rhs = rhs.withColumnRenamed(c, o) }
         val rhsHinted = if (lk.broadcastHint) broadcast(rhs) else rhs
-        d.join(rhsHinted, d(lk.leftKey) === rhsHinted(lk.rightKey), "left_outer")
-          .drop(rhsHinted(lk.rightKey))
+        d.join(rhsHinted, d(lk.leftKey) === rhsHinted("_gk"), "left_outer")
+          .drop("_gk")
     }
 }

@@ -41,8 +41,12 @@ object Transform {
       struct(fs.map { case (k, s) => compile(s, scope).as(k) }: _*)
     case TArrMap(p, elem, unique) =>
       val arr = PathExpr.compile(p, scope)
-      if (unique) { // scalar context: single element, etl.js:368
-        compile(elem, scope.copy(current = element_at(arr, 1), index = Some(lit(0))))
+      if (unique) {
+        // unique:true means the value is NOT an array — scalar
+        // passthrough, the array-map is skipped entirely (the reference's
+        // `if (!options.unique)` guard around the _.map, etl.js:368-379);
+        // no `#` index exists in this context
+        compile(elem, scope.copy(current = arr, index = None))
       } else {
         // `$` root survives into the lambda because `scope.root` is an
         // outer Column; `#` binds to the lambda index (0-based like JS).

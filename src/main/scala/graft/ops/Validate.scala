@@ -89,8 +89,8 @@ object Validate {
     * key->clauses, a boolean column `<key>_failed` (true = NO clause
     * matched), reproducing execMatchValidate's failure map.
     */
-  def matchValidate(df: DataFrame, spec: Spec): DataFrame =
-    df.select(spec.map { case (field, clauses) =>
+  def matchValidate(df: DataFrame, spec: Spec, keep: Seq[String] = Nil): DataFrame =
+    df.select(keep.map(col) ++ spec.map { case (field, clauses) =>
       val ok = clauses.map(cl => clauseCol(col(field), cl)).reduce(_ || _)
       (!ok).as(s"${field}_failed")
     }: _*)

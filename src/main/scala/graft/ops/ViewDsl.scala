@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object ViewDsl {
 
+  /** C10 naming convention: lower-case the FIRST letter only (the
+    * reference's `name.charAt(0).toLowerCase() + name.substring(1)`,
+    * src/main/etl.js:163,479,483) — not the whole string.
+    */
+  def lowerFirst(name: String): String =
+    if (name.isEmpty) name else name.head.toLower +: name.tail
+
   sealed trait AssocKind
   case object BelongsTo extends AssocKind // N:1 — child struct, J4
   case object HasMany   extends AssocKind // 1:N — nested list, J3
@@ -78,14 +85,17 @@ object ViewDsl {
         a.kind match {
           case BelongsTo =>
             val rhs = if (child.broadcast) broadcast(childDf) else childDf
+            // drop the child-side join key after the join: keeping both
+            // copies makes every later col(key) reference ambiguous
             parentDf.join(rhs, parentDf(a.parentKey) === rhs(a.childKey), joinType)
+              .drop(rhs(a.childKey))
           case HasMany if child.nest =>
             // reproduce the nested findAll result shape: one array-of-struct
             // column per parent key; array_sort for deterministic output
             val childCols = childDf.columns.filterNot(_ == a.childKey)
             val nested = childDf.groupBy(col(a.childKey))
               .agg(array_sort(collect_list(struct(childCols.map(col): _*)))
-                .as(child.model.toLowerCase + "s"))
+                .as(lowerFirst(child.model) + "s"))
             parentDf.join(nested, parentDf(a.parentKey) === nested(a.childKey), joinType)
               .drop(nested(a.childKey))
           case HasMany =>

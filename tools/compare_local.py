@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(writes <out>/<query>/ parquet + <out>/oracle_sql.json), then this script
+executes each oracle SQL in DuckDB over the same sf dir and compares
+row count, schema (sorted column names), and values (rows sorted).
+
+Usage: python3 tools/compare_local.py <sfDir> <verifyOutDir> [query ...]
+"""
+import duckdb, glob, json, math, os, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            scols = sorted(spark.columns)
+            srows = spark.fetchall()
+            duck = con.sql(sql)
+            dcols = sorted(duck.columns)
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        # reorder values to sorted-column order, then sort rows
+        sidx = [spark.columns.index(c) for c in scols]
+        didx = [duck.columns.index(c) for c in dcols]
+        sdata = sorted(([norm(r[i]) for i in sidx] for r in srows), key=key)
+        ddata = sorted(([norm(r[i]) for i in didx] for r in drows), key=key)
+        if len(sdata) != len(ddata):
+            print(f"FAIL {name}: rows spark={len(sdata)} duck={len(ddata)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(sdata, ddata)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            i, a, b = bad
+            print(f"FAIL {name}: first diff at sorted row {i} (cols {scols}):")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdata)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
