@@ -41,7 +41,7 @@ object Extract {
   /** Topological sort by declared deps (Kahn); cycles are an error like the
     * reference's unresolvable promise chains.
     */
-  private[ops] def toposort(spec: Seq[(String, Extractor)]): Seq[(String, Extractor)] = {
+  private[graft] def toposort(spec: Seq[(String, Extractor)]): Seq[(String, Extractor)] = {
     val names = spec.map(_._1).toSet
     val remaining = scala.collection.mutable.LinkedHashMap(spec: _*)
     val done = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Unit checks for the LLM-pipeline operators on tiny inline corpora. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: docs shorter than n yield empty sets, no runtime error") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text")
+    val sh = Dedup.docShingles(df, "id", "text", n = 3)
+    val byDoc = sh.groupBy("doc").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(1L)) // too short -> no shingles
+    assert(byDoc(2L) == 2L)     // "a b c", "b c d"
+  }
+
+  test("exact dedup groups identical text, keeps min id") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("same", 2L, 2L), ("other", 9L, 1L)))
+  }
+
+  test("minhashLsh finds identical docs with jaccard 1.0") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("id", "text")
+    val out = Dedup.minhashLsh(df, "id", "text", n = 2, k = 8, rowsPerBand = 2,
+      threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getDouble(2)) == ((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs have hamming 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val out = Dedup.simhashPairs(df, "id", "text", maxHamming = 0).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding near-dup (exact path) finds colinear vectors") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val out = Dedup.embeddingNearDup(df, "id", "v", threshold = 0.9, useLsh = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("brute-force topK ranks by cosine with deterministic ties") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val out = Similarity.topK(df, df.filter(col("id") === 0), "id", "v", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+    assert(out == List((1L, 1), (2L, 2))) // colinear first, orthogonal second
+  }
+
+  test("topK matches single-window reference on a 50-doc corpus") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat, (i % 7).toFloat / 7f)))
+    val df = vecs.toDF("id", "v")
+    val q = df.filter(col("id") < 3)
+    val fast = Similarity.topK(df, q, "id", "v", k = 4, nSalts = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // reference: plain single window (correct but unscalable)
+    val c = df.select(col("id").as("nn_id"), Similarity.normalize(col("v")).as("cv"))
+    val qq = q.select(col("id").as("query_id"), Similarity.normalize(col("v")).as("qv"))
+    val scored = c.crossJoin(qq).filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", Num.r6(Similarity.dot(col("cv"), col("qv"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    val ref = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("nn_id")).toMap
+    assert(fast == ref)
+  }
+
+  test("rolling hash is the documented fold") {
+    val df = Seq(("ab")).toDF("s")
+    val h = df.select(TextAnalysis.rollingHash(col("s"))).collect().head.getLong(0)
+    // (7*131 + 'a')*131 + 'b' mod 1e9+7
+    assert(h == ((7L * 131 + 97) * 131 + 98) % 1000000007L)
+  }
+
+  test("language id argmax follows marker precedence") {
+    val df = Seq((1L, "the cat and the dog is here"), (2L, "der hund und die katze ist da"))
+      .toDF("id", "text")
+    val out = TextAnalysis.langId(df, "text").select("id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("multimodal stub decode is deterministic over the payload bytes") {
+    val df = Seq((1L, "AB")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.attachPayload(df, "doc_id", "text")).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.n_bytes == 2 && f.width == 65 && f.height == 66 && f.mean_byte == 65.5)
+  }
+}
