@@ -376,6 +376,52 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin),
 
+    ("validate_array_elems",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        Validate.validateElements(base, "toks",
+          Seq(Validate.Pred(x => length(x) > 3)))
+          .select(col("doc_id"), col("toks_elem_valid"), col("toks_invalid_idx"),
+            col("toks_valid"))
+      },
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  list_transform(toks, x -> length(x) > 3) AS toks_elem_valid,
+        |  list_filter(list_transform(toks, (x, i) -> CASE WHEN NOT length(x) > 3 THEN CAST(i - 1 AS INT) END), x -> x IS NOT NULL) AS toks_invalid_idx,
+        |  len(list_filter(toks, x -> NOT length(x) > 3)) = 0 AS toks_valid
+        |FROM b""".stripMargin),
+
+    ("pipeline_e2e",
+      (s: SparkSession, dir: String) => {
+        // the full match -> defaults -> validate -> extract -> transform
+        // composition over one registered mapping (reference
+        // orchestration: etl.js:729-756)
+        import Pipeline._
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val m = PipelineMapping("fulfilled",
+          matchSpec = Seq("o_orderstatus" -> "F"),
+          defaults = Seq("channel" -> "batch"),
+          validation = Seq(
+            "o_orderpriority" -> prios.map(p => Validate.EqLit(p): Validate.Clause),
+            "o_totalprice" -> Seq(Validate.Pred(x => x > 0.0))),
+          extract = Seq(
+            "cust_name" -> Extract.Lookup(t(s, dir, "customer"), "o_custkey",
+              "c_custkey", Seq("c_name" -> "cust_name"))),
+          transform = Some(Transform.TObj(Seq(
+            "okey" -> Transform.TPath("o_orderkey"),
+            "cust" -> Transform.TPath("cust_name"),
+            "channel" -> Transform.TPath("channel"),
+            "valid" -> Transform.TPath("_valid")))))
+        val other = PipelineMapping("open", matchSpec = Seq("o_orderstatus" -> "O"))
+        Pipeline.run(t(s, dir, "orders"), Seq(m, other), "fulfilled")
+      },
+      """SELECT o_orderkey AS okey, c_name AS cust, 'batch' AS channel,
+        |  (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+        |    AND COALESCE(o_totalprice > 0.0, false) AS valid
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'""".stripMargin),
+
     // ---- sources ----------------------------------------------------------
     ("source_json_props",
       (s: SparkSession, dir: String) =>

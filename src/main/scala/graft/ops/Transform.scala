@@ -86,6 +86,20 @@ object Transform {
       val leaves  = group.filter(_._1.size == 1)
       val deeper  = group.filter(_._1.size > 1).map { case (p, c) => (p.tail, c) }
       if (deeper.isEmpty) leaves.head._2.as(head)
+      else if (deeper.forall(_._1.head.forall(_.isDigit))) {
+        // T3 numeric segments build ARRAYS by position (the reference's
+        // `apply` creates intermediate arrays for numeric path parts,
+        // src/main/etl.js:683-697); gaps become nulls
+        val byIdx = deeper.map { case (p, c) => p.head.toInt -> (p.tail, c) }
+        val elems = (0 to byIdx.map(_._1).max).map { i =>
+          byIdx.filter(_._1 == i).map(_._2) match {
+            case Seq() => lit(null)
+            case Seq((Nil, c)) => c
+            case sub => struct(buildLevel(sub): _*)
+          }
+        }
+        array(elems: _*).as(head)
+      }
       else struct(buildLevel(deeper): _*).as(head)
     }
   }

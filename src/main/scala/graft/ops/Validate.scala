@@ -52,6 +52,22 @@ object Validate {
     withCols.withColumn("_valid", all)
   }
 
+  /** F2 array-element validation with index trails: each element of the
+    * array column is checked against the clause OR-list; failures are
+    * recorded as the element INDICES (the reference records failures
+    * under dotted `field.<idx>` trails, src/main/etl.js:446-450).
+    * Emits `<field>_elem_valid` (array<boolean>), `<field>_invalid_idx`
+    * (array<int> of failing positions, 0-based) and `<field>_valid`
+    * (forall). Pure higher-order functions — no explode, no shuffle.
+    */
+  def validateElements(df: DataFrame, field: String, clauses: Seq[Clause]): DataFrame = {
+    val ok = (c: Column) => clauses.map(cl => clauseCol(c, cl)).reduce(_ || _)
+    df.withColumn(s"${field}_elem_valid", transform(col(field), x => ok(x)))
+      .withColumn(s"${field}_invalid_idx",
+        filter(transform(col(field), (x, i) => when(!ok(x), i)), x => x.isNotNull))
+      .withColumn(s"${field}_valid", forall(col(field), x => ok(x)))
+  }
+
   /** The observe side-channel: emit a metric counting invalid rows without
     * an extra pass (replaces the reference's per-row logger,
     * src/main/etl.js:651-653).

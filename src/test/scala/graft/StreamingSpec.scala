@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Structured Streaming surface: the windowed aggregate over a memory
+  * stream must agree with the same plan run in batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowed counts over a stream match the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts(0, 5), "click", 1.0), (ts(0, 40), "click", 3.0),
+      (ts(0, 50), "view", 2.0), (ts(1, 10), "click", 5.0))
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(data: _*)
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.startMemorySink(EventStream.windowCounts(stream), "agg_test")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("agg_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val batch = EventStream.windowCounts(data.toDF("ts", "event_type", "value")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      (ts(0, 0), "click", 2L, 1.0, 3.0),
+      (ts(0, 0), "view", 1L, 2.0, 2.0),
+      (ts(1, 0), "click", 1L, 5.0, 5.0)))
+  }
+}
