@@ -91,15 +91,18 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   /** Shared CTE prefix for the shingle family: tokens → distinct doc
-    * bigram shingles → doc-frequency cap (mirrors [[Dedup.docShingles]]
-    * with n = 2 and maxDocFreq = cap).
+    * n-gram shingles → doc-frequency cap (mirrors [[Dedup.docShingles]]
+    * with the given n and maxDocFreq = cap).
     */
-  private def shingleCte(cap: Long): String =
+  private def shingleCte(n: Int, cap: Long): String = {
+    val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
     s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
-       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])) AS sh FROM toks WHERE len(tk) >= 2),
+       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS sh FROM toks WHERE len(tk) >= $n),
        |shf AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh) WHERE c <= $cap),
        |sh1 AS (SELECT doc, sh FROM sh0 WHERE sh IN (SELECT sh FROM shf)),
        |sizes AS (SELECT doc, count(*) AS sz FROM sh1 GROUP BY doc)""".stripMargin
+  }
 
   private def jaccardSql(interRel: String, threshold: Double): String = {
     val j = Num.r6Sql(s"CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
@@ -454,20 +457,24 @@ object SparkEntry {
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-          n = 2, threshold = 0.12, maxDocFreq = Some(400)),
-      s"""WITH ${shingleCte(400)},
+          n = 3, threshold = 0.3, maxDocFreq = Some(20)),
+      s"""WITH ${shingleCte(3, 20)},
          |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
-         |          FROM sh1 a JOIN sh1 b USING (sh) WHERE a.doc < b.doc GROUP BY a.doc, b.doc)
-         |${jaccardSql("inter", 0.12)}""".stripMargin),
+         |          FROM sh1 a JOIN sizes s1 ON a.doc = s1.doc
+         |               JOIN sh1 b ON a.sh = b.sh JOIN sizes s2 ON b.doc = s2.doc
+         |          WHERE a.doc < b.doc
+         |            AND CAST(least(s1.sz, s2.sz) AS DOUBLE) >= 0.3 * CAST(greatest(s1.sz, s2.sz) AS DOUBLE)
+         |          GROUP BY a.doc, b.doc)
+         |${jaccardSql("inter", 0.3)}""".stripMargin),
 
     ("dedup_minhash_lsh",
       (s: SparkSession, dir: String) =>
         Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-          n = 2, k = 16, rowsPerBand = 4, threshold = 0.1, maxDocFreq = Some(400)),
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20)),
       {
         val perms = (0 until 16).map(i =>
           s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
-        s"""WITH ${shingleCte(400)},
+        s"""WITH ${shingleCte(3, 20)},
            |perms(i, a, b) AS (VALUES $perms),
            |hh AS (SELECT doc, ${rhSql("sh")} AS h FROM sh1),
            |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM hh CROSS JOIN perms GROUP BY doc, i),
@@ -479,7 +486,7 @@ object SparkEntry {
            |          FROM sh1 a JOIN sh1 b USING (sh)
            |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
            |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc)
-           |${jaccardSql("inter", 0.1)}""".stripMargin
+           |${jaccardSql("inter", 0.3)}""".stripMargin
       }),
 
     ("dedup_simhash",

@@ -47,7 +47,7 @@ object Dedup {
     */
   def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
                   maxDocFreq: Option[Long] = None): DataFrame = {
-    val base = df
+    val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"),
         explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
       .distinct()
@@ -67,16 +67,25 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Long] = Some(500)): DataFrame = {
-    val ds = docShingles(df, idCol, textCol, n, maxDocFreq).cache()
+    // no .cache(): the shingle relation ends in a shuffle (distinct), and
+    // every reuse below is deduplicated by ReusedExchange — an explicit
+    // columnar cache build costs more than it saves
+    val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+    // attach |doc| to every shingle row (broadcast — one small row per doc)
+    // so the LENGTH FILTER prunes pairs INSIDE the join: J(A,B) >= t
+    // implies min(|A|,|B|) >= t * max(|A|,|B|), so disparate-size pairs
+    // never reach the aggregation. Exact (no false negatives) — the
+    // classic set-similarity-join size bound.
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val a = ds.select(col("doc").as("d1"), col("sh"))
-    val b = ds.select(col("doc").as("d2"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val withSz = ds.join(broadcast(sizes), Seq("doc"))
+    val a = withSz.select(col("doc").as("d1"), col("sz").as("sz1"), col("sh"))
+    val b = withSz.select(col("doc").as("d2"), col("sz").as("sz2"), col("sh"))
+    val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2")
+        && least(col("sz1"), col("sz2")).cast("double")
+          >= lit(threshold) * greatest(col("sz1"), col("sz2")).cast("double"))
+      .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
       .withColumn("jaccard",
         graft.Num.r6(col("inter").cast("double")
           / (col("sz1") + col("sz2") - col("inter")).cast("double")))
@@ -105,15 +114,24 @@ object Dedup {
     (z & 0x7FFFFFFFL) % (MinhashP - 1) + 1
   }
 
-  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    val perms = (0 until k).map(i => struct(lit(i).as("i"),
-      lit(mixConstant(2L * i)).as("a"), lit(mixConstant(2L * i + 1)).as("b")))
-    shingled
-      .withColumn("h", TextAnalysis.rollingHash(col("sh")))
-      .withColumn("p", explode(array(perms: _*)))
-      .groupBy(col("doc"), col("p.i").as("i"))
-      .agg(min((col("p.a") * col("h") + col("p.b")) % lit(MinhashP)).as("mh"))
+  /** Wide signature: one row per doc with columns mh0..mh{k-1}. All k
+    * mins are partial aggregates of ONE groupBy(doc) — no k-way explode,
+    * so the shuffle carries |docs| rows, not k * |doc-shingle| rows.
+    */
+  def minhashSignaturesWide(shingled: DataFrame, k: Int): DataFrame = {
+    val withH = shingled.withColumn("h", TextAnalysis.rollingHash(col("sh")))
+    val mins = (0 until k).map(i =>
+      min((lit(mixConstant(2L * i)) * col("h") + lit(mixConstant(2L * i + 1)))
+        % lit(MinhashP)).as(s"mh$i"))
+    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
+
+  /** Long-format signature (doc, i, mh) — a thin unpivot of the wide form. */
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame =
+    minhashSignaturesWide(shingled, k)
+      .select(col("doc"), explode(array((0 until k).map(i =>
+        struct(lit(i).as("i"), col(s"mh$i").as("mh"))): _*)).as("s"))
+      .select(col("doc"), col("s.i").as("i"), col("s.mh").as("mh"))
 
   /** MinHash + LSH banding: k minhashes in bands of `rowsPerBand`; docs
     * sharing a band signature become candidates; candidates are verified
@@ -122,13 +140,20 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, rowsPerBand: Int, threshold: Double,
                  maxDocFreq: Option[Long] = Some(500)): DataFrame = {
-    val ds = docShingles(df, idCol, textCol, n, maxDocFreq).cache()
-    val sig = minhashSignatures(ds, k)
-    val bands = sig
-      .withColumn("band", (col("i") / lit(rowsPerBand)).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",").as("bkey"))
+    // uncached on purpose — see ngramJaccard; ReusedExchange dedups the
+    // distinct's shuffle across the band/size/verify subplans
+    val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+    // band keys straight off the wide signature row — no collect_list
+    // regroup, just a per-doc explode of nBands tiny structs
+    val wide = minhashSignaturesWide(ds, k)
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i").cast("string")): _*).as("bkey"))
+    }
+    val bands = wide
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val l = bands.select(col("doc").as("d1"), col("band"), col("bkey"))
     val r = bands.select(col("doc").as("d2"), col("band"), col("bkey"))
     val cand = l.join(r, Seq("band", "bkey"))
@@ -162,7 +187,7 @@ object Dedup {
     * count of tokens with bit b set exceeds half the token count.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
+    val toks = graft.Partitioning.spread(df).select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextAnalysis.rollingHash(col("tok")))
     val bits = (0 until 32).map { b =>
@@ -204,15 +229,18 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, useLsh: Boolean = true): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = graft.Partitioning.spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
     val normed = base.withColumn("nv", Similarity.normalize(col("v")))
     val joined = if (useLsh) {
       val b = normed.withColumn("bucket", Similarity.hyperplaneBucket(col("nv"), 8))
       b.select(col("id").as("d1"), col("nv").as("v1"), col("bucket"))
         .join(b.select(col("id").as("d2"), col("nv").as("v2"), col("bucket")), Seq("bucket"))
     } else {
-      normed.select(col("id").as("d1"), col("nv").as("v1"))
-        .crossJoin(normed.select(col("id").as("d2"), col("nv").as("v2")))
+      // d1 < d2 as the JOIN condition (not a post-filter) so the nested-
+      // loop join emits N^2/2 rows instead of N^2-then-filter
+      val l = normed.select(col("id").as("d1"), col("nv").as("v1"))
+      val r = normed.select(col("id").as("d2"), col("nv").as("v2"))
+      l.join(r, col("d1") < col("d2"))
     }
     joined.filter(col("d1") < col("d2"))
       .withColumn("cos", graft.Num.r6(Similarity.dot(col("v1"), col("v2"))))

@@ -26,7 +26,7 @@ object Multimodal {
     * `spark.read.format("binaryFile")`).
     */
   def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    graft.Partitioning.spread(df).select(
       col(idCol).as("id"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(

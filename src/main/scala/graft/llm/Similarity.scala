@@ -89,7 +89,8 @@ object Similarity {
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nSalts: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
@@ -103,7 +104,8 @@ object Similarity {
     */
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, nSalts: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
