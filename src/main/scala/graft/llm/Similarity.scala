@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise dot product of two double arrays — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (numerically identical to
+    * the HOF fold, one primitive loop inside whole-stage codegen).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** The pure higher-order-function formulation (kept as the reference
+    * implementation; [[dot]] must always agree with it bit-for-bit).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -77,6 +77,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("native dot agrees bit-for-bit with the HOF fold and SQL name") {
+    val df = (0L until 200L).map(i =>
+      (i, (0 until 64).map(j => (math.sin(i * 7 + j) * 3).toFloat))).toDF("id", "v")
+    val d = df.select(col("id"),
+      Similarity.dot(Similarity.normalize(col("v")), Similarity.normalize(col("v"))).as("a"),
+      Similarity.dotHof(Similarity.normalize(col("v")), Similarity.normalize(col("v"))).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0)
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("rolling hash is the documented fold") {
     val df = Seq(("ab")).toDF("s")
     val h = df.select(TextAnalysis.rollingHash(col("s"))).collect().head.getLong(0)
