@@ -567,6 +567,31 @@ object SparkEntry {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_topk_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.topKIvf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4)
+      },
+      {
+        val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |cent AS (SELECT id AS cid, v AS cv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT 16)),
+           |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
+           |  SELECT nn.id, nn.v, c.cid,
+           |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
+           |  FROM nv nn CROSS JOIN cent c) WHERE rn = 1),
+           |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
+           |  SELECT q.id, q.v, c.cid,
+           |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+           |  FROM nv q CROSS JOIN cent c WHERE q.id < 20) WHERE rn <= 4),
+           |sc AS (SELECT p.query_id, a.nn_id, $score AS score
+           |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>

@@ -110,6 +110,46 @@ object Similarity {
     * top-k within candidates. Approximate (recall < 1) but the candidate
     * join is an equi-join on the bucket key — the 100 TB path.
     */
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    * centroids are the `nCentroids` lowest-id corpus vectors, normalized —
+    * partitions the corpus into inverted lists (each vector assigned to
+    * its max-cosine centroid, ties to the lowest centroid id); a query
+    * probes its `nProbe` nearest centroids and ranks only those lists.
+    *
+    * Scale shape: assignment is one broadcast of C tiny centroid rows +
+    * a single groupBy with map-side partial max (no window over the
+    * corpus); candidate generation is an equi-join on the cluster id.
+    * Recall < 1 like any IVF; raise nProbe to trade cost for recall.
+    * (A production quantizer would k-means the centroids; the fixed
+    * lowest-id choice keeps results byte-reproducible for the oracle.)
+    */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 64): DataFrame = {
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), normalize(col(vecCol)).as("centv"))
+    // assign each corpus vector to its best centroid: partial-aggregated
+    // max over struct(sim, -cid) — never a per-vector window
+    val assign = c.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("cv"), col("centv")))
+      .groupBy(col("nn_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"),
+        first(col("cv")).as("cv"))
+      .select(col("nn_id"), col("cv"), (-col("best.negcid")).as("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+    val scored = assign.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, nSalts)
+  }
+
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, nSalts: Int = 64): DataFrame = {
     val c = graft.Partitioning.spread(corpus)

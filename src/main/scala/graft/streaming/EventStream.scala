@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming over the `events` shape. The reference is purely
@@ -47,4 +49,63 @@ object EventStream {
       .queryName(queryName)
       .outputMode("complete")
       .start()
+
+  // --------------------------------------------------- custom state: sessions
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Int)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): per user, consecutive events closer than
+    * `gap` belong to one session; a session closes when the gap passes or
+    * the event-time watermark moves beyond `last + gap` (timeout).
+    *
+    * State per key is ONE open session (three longs) — bounded regardless
+    * of stream length; completed sessions are emitted append-mode, so the
+    * sink never rewrites history. This is the §2.8 capability the
+    * reference lacks entirely.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(uid: Long, s: SessionState): Session =
+      Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{EtlLeaf, EtlObj}
+import graft.ops.Load
+
+/** S8/S9: relational load split + parent-then-child ordering + the
+  * fixed-width flat-file sink (reference: src/main/etl.js:758-829).
+  */
+class LoadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splitRelated separates @-scalars from related child tables") {
+    val df = Seq((1L, "Isaac")).toDF("@ID", "@name")
+      .withColumn("belongings", array(
+        struct(lit("Isaac").as("minorID"), lit("Isaac").as("majorID"), lit(0).as("rank"))))
+    val (parent, children) = Load.splitRelated(df)
+    assert(parent.columns.toSeq == Seq("ID", "name"))
+    assert(children.keySet == Set("belongings"))
+    assert(children("belongings").columns.toSeq == Seq("minorID", "majorID", "rank"))
+    assert(children("belongings").count() == 1)
+  }
+
+  test("loadOrdered writes parent before children") {
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val p = Seq((1)).toDF("a")
+    Load.loadOrdered("parent" -> p, Seq("c1" -> p, "c2" -> p),
+      (name, _) => order += name)
+    assert(order.toList == List("parent", "c1", "c2"))
+  }
+
+  test("fixed-width sink writes golden lines to text files") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "fw").toString + "/out"
+    val df = Seq(("42", "AB")).toDF("n", "s")
+    Load.writeFixedWidth(df, EtlObj(Seq(
+      "n" -> EtlLeaf("Number", Some(6)), "s" -> EtlLeaf("String", Some(4)))), dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).toSeq
+    assert(lines == Seq("000042AB  "))
+  }
+
+  test("filterExisting is a left anti-join on the key") {
+    val incoming = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val existing = Seq((2L)).toDF("k")
+    val out = Load.filterExisting(incoming, existing, "k")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}

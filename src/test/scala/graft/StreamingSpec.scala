@@ -39,4 +39,37 @@ class StreamingSpec extends AnyFunSuite {
       (ts(0, 0), "view", 1L, 2.0, 2.0),
       (ts(1, 0), "click", 1L, 5.0, 5.0)))
   }
+
+  test("gap sessionization with custom state emits closed sessions append-mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.SessionEvent
+
+    val mem = MemoryStream[SessionEvent]
+    val sessions = EventStream.sessionize(mem.toDS(), gapMinutes = 10)
+    val q = sessions.writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions in one batch (gap 00:05 -> 00:30 exceeds 10m);
+      // the second stays open until the watermark passes its timeout
+      mem.addData(SessionEvent(1L, ts(0, 0)), SessionEvent(1L, ts(0, 5)),
+        SessionEvent(1L, ts(0, 30)))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions_test").as[graft.streaming.EventStream.Session]
+        .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(afterBatch1 == Set((1L, ts(0, 0), ts(0, 5), 2)))
+
+      // a much later event from another user pushes the watermark past
+      // 00:30 + 10m -> user 1's open session times out and closes
+      mem.addData(SessionEvent(2L, ts(2, 0)))
+      q.processAllAvailable()
+      // one more microbatch so the timeout (evaluated against the NEW
+      // watermark) fires
+      mem.addData(SessionEvent(2L, ts(2, 1)))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions_test").as[graft.streaming.EventStream.Session]
+        .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(afterTimeout.contains((1L, ts(0, 30), ts(0, 30), 1)), afterTimeout.toString)
+    } finally q.stop()
+  }
 }
