@@ -49,4 +49,16 @@ object Load {
     */
   def writeFixedWidth(df: DataFrame, schema: EtlObj, path: String): Unit =
     EtlSchema.applyFixedWidth(df, schema).write.mode("overwrite").text(path)
+
+  /** S8 RDBMS sink: append a DataFrame to a JDBC table (bind-parameter
+    * writes — no hand-escaped SQL, unlike the reference's string-built
+    * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]
+    * for parent-then-child FK ordering and [[filterExisting]] for the F7
+    * pre-insert filter. Untestable in this offline environment (no
+    * database); the sink-agnostic path is covered via the `write`
+    * callback of loadOrdered.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("append").jdbc(url, table, props)
 }
