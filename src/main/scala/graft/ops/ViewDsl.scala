@@ -58,7 +58,16 @@ object ViewDsl {
     def model(name: String): DataFrame = models.getOrElse(name,
       throw new IllegalArgumentException(s"unregistered model: $name"))
 
-    def applyView(node: ViewNode): DataFrame = compile(node)
+    /** Top-level `unique` is the reference's findOne — at most ONE row
+      * for the whole query (src/main/etl.js:477-480); child-level
+      * `unique` is per-join-key (handled in compile). The reference
+      * takes whatever row the DB returns first; `limit(1)` preserves
+      * that contract (callers needing determinism should order first).
+      */
+    def applyView(node: ViewNode): DataFrame = {
+      val out = compile(node)
+      if (node.unique) out.limit(1) else out
+    }
 
     private def scan(node: ViewNode): DataFrame = {
       var df = model(node.model)
