@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd polynomial rolling hash:
+  * h = fold over code points (h0 = 7)((h, cp) => (h*131 + cp) mod 1e9+7).
+  *
+  * Replaces the HOF formulation `aggregate(split(s, ""), 7, ...)`, which
+  * allocates one single-character UTF8String per input character and
+  * interprets a lambda per fold step — the dominant cost of the
+  * minhash/simhash/fingerprint family (millions of folds per corpus
+  * pass). Values are identical: per-code-point iteration matches both
+  * Spark's `split("")`+`ascii` and DuckDB's `string_split_regex(s, '')`
+  * +`ascii` for all BMP text, including the empty-string case (one empty
+  * token of codepoint 0).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rolling_hash expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val P = 1000000007L
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    // split("") on an empty string yields one empty token whose ascii()
+    // is 0 — reproduce that so hashes agree with the HOF/oracle forms
+    if (str.isEmpty) return (7L * 131) % P
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def hash(c: Column): Column =
+    GraftBridge.column(RollingHash(GraftBridge.expression(c)))
+}

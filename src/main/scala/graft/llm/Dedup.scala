@@ -60,17 +60,31 @@ object Dedup {
     }
   }
 
+  /** The shingle relation, optionally materialized with `localCheckpoint`:
+    * the set-similarity operators reuse it 3-4x (sizes, both join sides,
+    * signatures), and measured on local[32] the recompute costs ~3x the
+    * one-time materialization. Trade-off: localCheckpoint pins blocks to
+    * executors (an executor loss fails the job instead of recomputing) —
+    * pass materialize=false on unreliable clusters to fall back to
+    * ReusedExchange-only sharing. A columnar .cache() is strictly worse
+    * here (string-heavy columnar encode costs more than it saves).
+    */
+  private def shingleRelation(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, maxDocFreq: Option[Long],
+                              materialize: Boolean): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+    if (materialize) ds.localCheckpoint() else ds
+  }
+
   /** n-gram Jaccard near-dup: candidate pairs share >=1 shingle (equi-join
     * on the shingle), then J = |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
     * No cross join anywhere: the shingle join IS the candidate generator.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Option[Long] = Some(500)): DataFrame = {
-    // no .cache(): the shingle relation ends in a shuffle (distinct), and
-    // every reuse below is deduplicated by ReusedExchange — an explicit
-    // columnar cache build costs more than it saves
-    val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+                   maxDocFreq: Option[Long] = Some(500),
+                   materializeShingles: Boolean = true): DataFrame = {
+    val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
     // attach |doc| to every shingle row (broadcast — one small row per doc)
     // so the LENGTH FILTER prunes pairs INSIDE the join: J(A,B) >= t
     // implies min(|A|,|B|) >= t * max(|A|,|B|), so disparate-size pairs
@@ -139,10 +153,9 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, rowsPerBand: Int, threshold: Double,
-                 maxDocFreq: Option[Long] = Some(500)): DataFrame = {
-    // uncached on purpose — see ngramJaccard; ReusedExchange dedups the
-    // distinct's shuffle across the band/size/verify subplans
-    val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+                 maxDocFreq: Option[Long] = Some(500),
+                 materializeShingles: Boolean = true): DataFrame = {
+    val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
     // band keys straight off the wide signature row — no collect_list
     // regroup, just a per-doc explode of nBands tiny structs
     val wide = minhashSignaturesWide(ds, k)

@@ -18,7 +18,10 @@ object TextAnalysis {
     * 64-bit long (no overflow divergence between engines) — the same fold
     * is expressible in the DuckDB oracle via `list_reduce`.
     */
-  def rollingHash(c: Column): Column =
+  def rollingHash(c: Column): Column = graft.functions.RollingHash.hash(c)
+
+  /** HOF reference formulation; [[rollingHash]] must agree exactly. */
+  def rollingHashHof(c: Column): Column =
     aggregate(
       split(c, ""),
       lit(7L),

@@ -97,6 +97,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(h == ((7L * 131 + 97) * 131 + 98) % 1000000007L)
   }
 
+  test("native rolling hash agrees with the HOF fold, incl. unicode + empty") {
+    val df = Seq("ab", "the quick brown fox", "für", "汉字 test", "", "a b c d")
+      .toDF("s")
+    val d = df.select(TextAnalysis.rollingHash(col("s")).as("a"),
+      TextAnalysis.rollingHashHof(col("s")).as("b"))
+    assert(d.filter(col("a") =!= col("b")).count() == 0, d.collect().mkString(","))
+  }
+
   test("language id argmax follows marker precedence") {
     val df = Seq((1L, "the cat and the dog is here"), (2L, "der hund und die katze ist da"))
       .toDF("id", "text")
