@@ -59,10 +59,10 @@ object SparkEntry {
     * (h0=7; h = (h*131 + codepoint) mod 1e9+7). list_reduce has no init
     * parameter, so the seed is prepended to the codepoint list.
     */
-  private def rhSql(expr: String): String =
+  private def rhSql(expr: String, mult: Long = 131L): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, b) -> (a * 131 + b) % 1000000007)"
+      s"(a, b) -> (a * $mult + b) % 1000000007)"
 
   /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
     * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
@@ -494,13 +494,18 @@ object SparkEntry {
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 4)
           .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming")),
       {
-        val sums = (0 until 32).map(b =>
-          s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+        // bits < 30 sample the base-131 hash; 30..31 the base-137 hash
+        // (the rolling hash is < 2^30, so higher bits of one hash would
+        // be dead zeros) — mirrors Dedup.simhash exactly
+        val sums = (0 until 32).map { b =>
+          val src = if (b < 30) s"(h1 >> $b)" else s"(h2 >> ${b - 30})"
+          s"sum(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(", ")
         val sig = (0 until 32).map(b =>
           s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
           .mkString(" + ")
         s"""WITH tk AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
-           |hh AS (SELECT doc, ${rhSql("tok")} AS h FROM tk),
+           |hh AS (SELECT doc, ${rhSql("tok")} AS h1, ${rhSql("tok", 137L)} AS h2 FROM tk),
            |sums AS (SELECT doc, $sums FROM hh GROUP BY doc),
            |sig AS (SELECT doc, $sig AS simhash FROM sums),
            |ch AS (SELECT doc, simhash, c, (simhash >> (c * 8)) % 256 AS ck

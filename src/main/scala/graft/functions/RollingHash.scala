@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * +`ascii` for all BMP text, including the empty-string case (one empty
   * token of codepoint 0).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression, mult: Long = 131L) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -29,10 +29,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_rolling_hash"
 
   override def nullSafeEval(input: Any): Any =
-    RollingHash.hash(input.asInstanceOf[UTF8String])
+    RollingHash.hash(input.asInstanceOf[UTF8String], mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c, ${mult}L)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -41,22 +41,29 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   val P = 1000000007L
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def hash(s: UTF8String): Long = {
+  /** Static entry point shared by interpreted eval and generated code.
+    * `mult` selects the polynomial base — independent hash families come
+    * from different bases (131 default, 137 for the simhash high bits).
+    */
+  def hash(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     // split("") on an empty string yields one empty token whose ascii()
     // is 0 — reproduce that so hashes agree with the HOF/oracle forms
-    if (str.isEmpty) return (7L * 131) % P
+    if (str.isEmpty) return (7L * mult) % P
     var h = 7L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 131 + cp) % P
+      h = (h * mult + cp) % P
       i += Character.charCount(cp)
     }
     h
   }
 
-  def hash(c: Column): Column =
-    GraftBridge.column(RollingHash(GraftBridge.expression(c)))
+  def hash(s: UTF8String): Long = hash(s, 131L)
+
+  def hash(c: Column): Column = hash(c, 131L)
+
+  def hash(c: Column, mult: Long): Column =
+    GraftBridge.column(RollingHash(GraftBridge.expression(c), mult))
 }

@@ -196,32 +196,43 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over token hashes: bit b of the signature is 1 iff the
-    * count of tokens with bit b set exceeds half the token count.
+  /** SimHash over token hashes: bit b of the signature is 1 iff the count
+    * of tokens with bit b set exceeds half the token count. The rolling
+    * hash is < 2^30, so bits above 29 come from a SECOND hash family
+    * (base 137) — without it, a ">30-bit" simhash silently carries dead
+    * always-zero bits. nBits up to 60.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1,60], got $nBits")
     val toks = graft.Partitioning.spread(df).select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", TextAnalysis.rollingHash(col("tok")))
-    val bits = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+      .withColumn("h1", TextAnalysis.rollingHash(col("tok")))
+      .withColumn("h2", graft.functions.RollingHash.hash(col("tok"), 137L))
+    val bits = (0 until nBits).map { b =>
+      val src = if (b < 30) shiftright(col("h1"), b) else shiftright(col("h2"), b - 30)
+      sum(when(src % 2 === 1, 1).otherwise(-1)).as(s"s$b")
     }
     toks.groupBy(col("doc")).agg(bits.head, bits.tail: _*)
       .select(col("doc"),
-        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L) * lit(1L << b)).otherwise(0L))
+        (0 until nBits).map(b => when(col(s"s$b") > 0, lit(1L) * lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup: band the 32-bit signature into four 8-bit chunks;
-    * pairs sharing a chunk (guaranteed for hamming<=3 by pigeonhole over
-    * 4 chunks) are verified with exact hamming distance.
+  /** SimHash near-dup: band the signature into `nChunks` equal-width
+    * chunks; pairs sharing a chunk (guaranteed complete for
+    * hamming <= nChunks-1 by pigeonhole) are verified with exact hamming
+    * distance. Larger nBits/nChunks sharpen chunk selectivity — the knob
+    * that keeps per-chunk buckets small as the corpus grows.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    val sig = simhash(df, idCol, textCol).cache()
+                   maxHamming: Int, nBits: Int = 32, nChunks: Int = 4): DataFrame = {
+    val w = (nBits + nChunks - 1) / nChunks
+    val sig = simhash(df, idCol, textCol, nBits).cache()
     val chunked = sig.select(col("doc"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), (shiftright(col("simhash"), c * 8) % 256).as("ck"))): _*))
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("c"),
+          (shiftright(col("simhash"), c * w) % lit(1L << w)).as("ck"))): _*))
         .as("ch"))
       .select(col("doc"), col("simhash"), col("ch.c"), col("ch.ck"))
     val l = chunked.select(col("doc").as("d1"), col("simhash").as("h1"), col("c"), col("ck"))

@@ -114,16 +114,34 @@ object EtlSchema {
   }
 
   /** Closed-world structural check (driver-side, schema-vs-schema — free):
-    * unknown input columns and missing spec columns are errors, matching
-    * src/main/etl.js:313-318.
+    * unknown input columns and missing spec columns are errors at EVERY
+    * nesting level, matching src/main/etl.js:313-318 (the reference
+    * recurses the spec over the object tree). Trails are dotted paths.
     */
-  def checkClosedWorld(df: DataFrame, obj: EtlObj): Unit = {
-    val have = df.columns.toSet
+  def checkClosedWorld(df: DataFrame, obj: EtlObj): Unit =
+    checkLevel(df.schema, obj, prefix = "")
+
+  private def checkLevel(st: StructType, obj: EtlObj, prefix: String): Unit = {
+    def at(n: String) = if (prefix.isEmpty) n else s"$prefix.$n"
+    val have = st.fieldNames.toSet
     val want = obj.fields.map(_._1).toSet
-    val unknown = have -- want
-    val missing = want -- have
+    val unknown = (have -- want).map(at)
+    val missing = (want -- have).map(at)
     require(unknown.isEmpty, s"applySchema: unknown properties $unknown")
     require(missing.isEmpty, s"applySchema: missing properties $missing")
+    obj.fields.foreach {
+      case (name, o: EtlObj) => st(name).dataType match {
+        case nested: StructType => checkLevel(nested, o, at(name))
+        case other => throw new IllegalArgumentException(
+          s"applySchema: ${at(name)} declared as object but input is $other")
+      }
+      case (name, EtlArr(o: EtlObj)) => st(name).dataType match {
+        case ArrayType(nested: StructType, _) => checkLevel(nested, o, at(name))
+        case other => throw new IllegalArgumentException(
+          s"applySchema: ${at(name)} declared as object array but input is $other")
+      }
+      case _ => ()
+    }
   }
 
   /** applySchema over a flat DataFrame: coerce every column per the spec.

@@ -75,6 +75,16 @@ class EtlSchemaSpec extends AnyFunSuite {
         "a" -> EtlLeaf("number"), "zz" -> EtlLeaf("number"), "q" -> EtlLeaf("number")))))
   }
 
+  test("closed world recurses into nested objects with dotted trails") {
+    val df = Seq((1)).toDF("a")
+      .withColumn("s", struct(lit(2).as("x"), lit(3).as("zz")))
+    val e = intercept[IllegalArgumentException](
+      EtlSchema.checkClosedWorld(df, EtlObj(Seq(
+        "a" -> EtlLeaf("number"),
+        "s" -> EtlObj(Seq("x" -> EtlLeaf("number")))))))
+    assert(e.getMessage.contains("s.zz"))
+  }
+
   test("unknown schema type errors eagerly") {
     intercept[IllegalArgumentException](
       EtlSchema.applySchema(Seq((1)).toDF("a"), EtlObj(Seq("a" -> EtlLeaf("blob")))))
