@@ -669,7 +669,40 @@ object SparkEntry {
            |  CAST(ascii(substr(text, 2, 1)) AS INT) AS height,
            |  $mean AS mean_byte
            |FROM documents""".stripMargin
-      }))
+      }),
+
+    ("multimodal_frames",
+      (s: SparkSession, dir: String) =>
+        Multimodal.frameFeatures(Multimodal.sampleFrames(s,
+          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, stride = 2)).toDF(),
+      {
+        val mean = Num.r6Sql(
+          "CAST(list_reduce(list_transform(string_split_regex(b, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b2) -> a + b2) AS DOUBLE) / CAST(strlen(b) AS DOUBLE)")
+        s"""WITH f AS (SELECT doc_id, text,
+           |             unnest(generate_series(0, CAST((strlen(text) - 1) // 64 AS INT))) AS fi
+           |           FROM documents),
+           |blk AS (SELECT doc_id, fi, substr(text, fi * 64 + 1, 64) AS b FROM f WHERE fi % 2 = 0)
+           |SELECT doc_id AS id, CAST(fi AS INT) AS frame_idx,
+           |       CAST(strlen(b) AS BIGINT) AS n_bytes, $mean AS mean_byte
+           |FROM blk""".stripMargin
+      }),
+
+    ("multimodal_resize",
+      (s: SparkSession, dir: String) =>
+        Multimodal.resizeDims(Multimodal.extractFeatures(s,
+          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")),
+          maxW = 100, maxH = 80).toDF(),
+      """WITH d AS (SELECT doc_id AS id,
+        |             greatest(CAST(ascii(substr(text, 1, 1)) AS BIGINT), 1) AS w,
+        |             greatest(CAST(ascii(substr(text, 2, 1)) AS BIGINT), 1) AS h,
+        |             CAST(ascii(substr(text, 1, 1)) AS INT) AS width,
+        |             CAST(ascii(substr(text, 2, 1)) AS INT) AS height
+        |           FROM documents),
+        |sc AS (SELECT *, least(1000, least(100 * 1000 // w, 80 * 1000 // h)) AS s FROM d)
+        |SELECT id, width, height,
+        |       CAST(w * s // 1000 AS INT) AS out_w, CAST(h * s // 1000 AS INT) AS out_h
+        |FROM sc""".stripMargin))
 
   // ------------------------------------------------------------ driver API
 

@@ -60,4 +60,50 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(decodeStub)
   }
+
+  final case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
+  final case class FrameFeatures(id: Long, frame_idx: Int, n_bytes: Long, mean_byte: Double)
+
+  /** Frame-sampling stage (the video-pipeline shape: decode → sample →
+    * per-frame features): split the payload into fixed `frameBytes`
+    * blocks and keep every `stride`-th one. Payloads never leave
+    * executors; output is one row per kept frame — a flatMap, no shuffle.
+    * The "codec" is the honest stub (byte blocks as frames).
+    */
+  def sampleFrames(spark: SparkSession, withPayload: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 2): Dataset[FrameRow] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        p.grouped(frameBytes).zipWithIndex.collect {
+          case (blk, i) if i % stride == 0 => FrameRow(id, i, blk)
+        }
+      }
+  }
+
+  def frameFeatures(frames: Dataset[FrameRow]): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      val mean = if (f.frame.isEmpty) 0.0
+                 else f.frame.map(b => (b & 0xff).toLong).sum.toDouble / f.frame.length
+      FrameFeatures(f.id, f.frame_idx, f.frame.length.toLong, graft.Num.r6(mean))
+    }
+  }
+
+  final case class ResizedDims(id: Long, width: Int, height: Int, out_w: Int, out_h: Int)
+
+  /** Resize stage (dimension arithmetic only — the pixel work is behind
+    * the stubbed codec): fit (width, height) into (maxW, maxH) preserving
+    * aspect ratio, never upscaling. Pure integer math (permille scale)
+    * so results are byte-reproducible in any engine.
+    */
+  def resizeDims(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[ResizedDims] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val w = math.max(f.width, 1)
+      val h = math.max(f.height, 1)
+      val s = math.min(1000L, math.min(maxW * 1000L / w, maxH * 1000L / h))
+      ResizedDims(f.id, f.width, f.height, (w * s / 1000L).toInt, (h * s / 1000L).toInt)
+    }
+  }
 }

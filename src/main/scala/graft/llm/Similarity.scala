@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * becomes an equi-join on the bucket, turning O(N*Q) into
   * O(N*Q/2^planes) per bucket.
   *
-  * Dot products use the built-in higher-order functions `zip_with` +
-  * `aggregate` — columnar, no UDF.
+  * Dot products use the native codegen'd [[graft.functions.DotProduct]]
+  * expression (one primitive loop in whole-stage codegen; `dotHof` keeps
+  * the built-in `zip_with`+`aggregate` reference formulation).
   */
 object Similarity {
 
