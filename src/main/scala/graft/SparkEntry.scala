@@ -443,6 +443,23 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin),
 
+    ("events_sessionize",
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStream.sessionizeBatch(
+          events(s, dir).select(col("user_id"), col("ts")), gapMinutes = 10),
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000000 > 600
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
     // ---- dedup family -----------------------------------------------------
     ("dedup_exact",
       (s: SparkSession, dir: String) => {

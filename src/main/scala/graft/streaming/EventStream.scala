@@ -50,6 +50,29 @@ object EventStream {
       .outputMode("complete")
       .start()
 
+  /** Batch sessionization — the window formulation of the same gap
+    * semantics as [[sessionize]]: a session break is an event more than
+    * `gap` after its predecessor; session id = running count of breaks.
+    * Two windows + one groupBy, all partitioned by the natural user key
+    * (map-side partial agg on the final count/min/max). Use this for
+    * bounded data; [[sessionize]] for unbounded streams.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(w)
+    val brk = when(prev.isNull ||
+      col("ts").cast("long") - prev.cast("long") > gapMinutes * 60L, 1).otherwise(0)
+    events
+      .withColumn("_sid", sum(brk).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("_sid")
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)
