@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 
 /** Partitioning hygiene helpers.
   *
@@ -9,12 +9,29 @@ import org.apache.spark.sql.DataFrame
   * products, nested-loop self-joins). A small dimension-sized input read
   * from a single parquet file arrives as ONE partition — and every
   * downstream narrow transformation then runs in one task regardless of
-  * cluster size. At 100 TB scans have thousands of splits and this is a
-  * no-op; the check costs only plan metadata, no job.
+  * cluster size.
+  *
+  * The check is gated to narrow-over-file-scan plans and uses only scan
+  * metadata ([[GraftBridge.narrowScanSizeBytes]]): estimated scan
+  * partitions = ceil(bytes / maxPartitionBytes). Wider plans pass
+  * through untouched — their upstream shuffle already redistributed to
+  * `spark.sql.shuffle.partitions` — and so do in-memory relations.
+  * (Deliberately NOT `df.rdd.getNumPartitions`: with AQE on, accessing
+  * `.rdd` materializes every upstream query stage at plan-build time
+  * and those results are not reused by the real execution.)
+  *
+  * At 100 TB scans have thousands of splits and this is a no-op; the
+  * estimate costs only catalog metadata, no job.
   */
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    GraftBridge.narrowScanSizeBytes(df) match {
+      case Some(bytes) =>
+        val est = math.max(1L, (bytes + GraftBridge.maxPartitionBytes(df) - 1)
+          / GraftBridge.maxPartitionBytes(df))
+        if (est < target) df.repartition(target) else df
+      case None => df
+    }
   }
 }

@@ -508,7 +508,10 @@ object SparkEntry {
 
     ("dedup_simhash",
       (s: SparkSession, dir: String) =>
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 4)
+        // nChunks = maxHamming + 1: the pigeonhole guarantee needs 5
+        // chunks for hamming <= 4 (enforced by simhashPairs' require)
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 4, nChunks = 5)
           .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming")),
       {
         // bits < 30 sample the base-131 hash; 30..31 the base-137 hash
@@ -521,12 +524,13 @@ object SparkEntry {
         val sig = (0 until 32).map(b =>
           s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
           .mkString(" + ")
+        // 5 chunks of width ceil(32/5)=7 — mirrors simhashPairs(nChunks=5)
         s"""WITH tk AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
            |hh AS (SELECT doc, ${rhSql("tok")} AS h1, ${rhSql("tok", 137L)} AS h2 FROM tk),
            |sums AS (SELECT doc, $sums FROM hh GROUP BY doc),
            |sig AS (SELECT doc, $sig AS simhash FROM sums),
-           |ch AS (SELECT doc, simhash, c, (simhash >> (c * 8)) % 256 AS ck
-           |       FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(c)),
+           |ch AS (SELECT doc, simhash, c, (simhash >> (c * 7)) % 128 AS ck
+           |       FROM sig CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(c)),
            |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2, l.simhash AS h1, r.simhash AS h2
            |         FROM ch l JOIN ch r ON l.c = r.c AND l.ck = r.ck WHERE l.doc < r.doc)
            |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming

@@ -79,19 +79,29 @@ object Dedup {
   /** n-gram Jaccard near-dup: candidate pairs share >=1 shingle (equi-join
     * on the shingle), then J = |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
     * No cross join anywhere: the shingle join IS the candidate generator.
+    *
+    * `maxDocFreq = None` (the default) computes EXACT Jaccard. Passing a
+    * cap computes FILTERED Jaccard: shingles appearing in more than that
+    * many docs are dropped before sizes and intersections, so both the
+    * candidate pairs and the J values reflect the filtered sets. At
+    * corpus scale a cap is all but mandatory (one stopword shingle makes
+    * the self-join quadratic on a hot partition) — name it explicitly at
+    * the call site so the semantics change is visible.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Option[Long] = Some(500),
+                   maxDocFreq: Option[Long] = None,
                    materializeShingles: Boolean = true): DataFrame = {
     val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
-    // attach |doc| to every shingle row (broadcast — one small row per doc)
-    // so the LENGTH FILTER prunes pairs INSIDE the join: J(A,B) >= t
-    // implies min(|A|,|B|) >= t * max(|A|,|B|), so disparate-size pairs
-    // never reach the aggregation. Exact (no false negatives) — the
-    // classic set-similarity-join size bound.
+    // attach |doc| to every shingle row so the LENGTH FILTER prunes pairs
+    // INSIDE the join: J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|),
+    // so disparate-size pairs never reach the aggregation. Exact (no false
+    // negatives) — the classic set-similarity-join size bound. No forced
+    // broadcast: `sizes` is one row per DOCUMENT (corpus-cardinality, not
+    // dimension-sized), so AQE decides broadcast-vs-shuffle from measured
+    // stage stats.
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val withSz = ds.join(broadcast(sizes), Seq("doc"))
+    val withSz = ds.join(sizes, Seq("doc"))
     val a = withSz.select(col("doc").as("d1"), col("sz").as("sz1"), col("sh"))
     val b = withSz.select(col("doc").as("d2"), col("sz").as("sz2"), col("sh"))
     val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2")
@@ -153,7 +163,7 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, rowsPerBand: Int, threshold: Double,
-                 maxDocFreq: Option[Long] = Some(500),
+                 maxDocFreq: Option[Long] = None,
                  materializeShingles: Boolean = true): DataFrame = {
     val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
     // band keys straight off the wide signature row — no collect_list
@@ -227,6 +237,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, nBits: Int = 32, nChunks: Int = 4): DataFrame = {
+    // pigeonhole completeness: a pair at hamming h can disagree in at most
+    // h chunks, so h <= nChunks-1 guarantees one shared chunk. Beyond that
+    // the banding silently loses pairs — refuse instead.
+    require(maxHamming <= nChunks - 1,
+      s"maxHamming=$maxHamming needs nChunks >= ${maxHamming + 1} (got $nChunks) for complete candidate recall")
     val w = (nBits + nChunks - 1) / nChunks
     val sig = simhash(df, idCol, textCol, nBits).cache()
     val chunked = sig.select(col("doc"), col("simhash"),

@@ -76,12 +76,18 @@ object XlsxSource {
     }
   }
 
-  /** Dense row matrix from sheetData (missing cells become ""). */
+  /** Dense row matrix from sheetData (missing cells become ""). The `r`
+    * cell reference is OPTIONAL in SpreadsheetML (streaming writers omit
+    * it); a cell without one sits immediately after the previous cell,
+    * so track a running column counter as the fallback.
+    */
   private def parseSheet(sheet: Node, shared: IndexedSeq[String]): Seq[Seq[String]] =
     (sheet \ "sheetData" \ "row").map { row =>
+      var nextCol = 0
       val cells = (row \ "c").map { c =>
-        val ref = c \@ "r"
-        val idx = colIndex(ref.takeWhile(_.isLetter))
+        val letters = (c \@ "r").takeWhile(_.isLetter)
+        val idx = if (letters.nonEmpty) colIndex(letters) else nextCol
+        nextCol = idx + 1
         idx -> cellValue(c, shared)
       }
       if (cells.isEmpty) Seq.empty

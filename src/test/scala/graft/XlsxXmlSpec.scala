@@ -63,6 +63,38 @@ class XlsxXmlSpec extends AnyFunSuite {
     assert(rows == Set(("Sarah", "42", "true"), ("Terah", null, "false")))
   }
 
+  test("cells without the optional r reference fall back to sequential position") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "xlsxnr")
+    val path = dir.resolve("wb.xlsx").toString
+    // streaming writers legally omit r=; second row mixes explicit C with
+    // two unreferenced leading cells
+    val parts = Seq(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <sheetData>
+          |    <row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c><c t="inlineStr"><is><t>c</t></is></c></row>
+          |    <row><c><v>1</v></c><c><v>2</v></c><c r="C2"><v>3</v></c></row>
+          |  </sheetData>
+          |</worksheet>""".stripMargin)
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    try parts.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    } finally zos.close()
+    val df = XlsxSource.readWorkbook(spark, path)("S")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val row = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(row == Set(("1", "2", "3")))
+  }
+
   test("column letters map to 0-based indices") {
     assert(XlsxSource.colIndex("A") == 0)
     assert(XlsxSource.colIndex("Z") == 25)
