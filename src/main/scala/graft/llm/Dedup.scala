@@ -47,10 +47,13 @@ object Dedup {
     */
   def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
                   maxDocFreq: Option[Long] = None): DataFrame = {
+    // per-doc dedup happens NARROWLY (array_distinct on the shingle array
+    // before the explode) — a corpus-wide `.distinct()` would shuffle the
+    // full (doc, shingle) relation just to remove within-doc repeats that
+    // never cross partition boundaries in the first place
     val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
-      .distinct()
+        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n))).as("sh"))
     maxDocFreq match {
       case None => base
       case Some(cap) =>
