@@ -111,6 +111,29 @@ object SparkEntry {
        |WHERE $j >= $threshold""".stripMargin
   }
 
+  /** The full MinHash+LSH pair pipeline as reusable DuckDB CTEs ending in
+    * `mh_pairs(d1, d2, jaccard)` — shared by the pair query and the
+    * cluster query (mirrors [[Dedup.minhashLsh]] with n=3, k=16,
+    * rowsPerBand=4, threshold=0.3, maxDocFreq=20).
+    */
+  private lazy val minhashCtes: String = {
+    val perms = (0 until 16).map(i =>
+      s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
+    s"""${shingleCte(3, 20)},
+       |perms(i, a, b) AS (VALUES $perms),
+       |hh AS (SELECT doc, ${rhSql("sh")} AS h FROM sh1),
+       |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM hh CROSS JOIN perms GROUP BY doc, i),
+       |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |          FROM mh GROUP BY doc, i // 4),
+       |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2 FROM bands l
+       |         JOIN bands r ON l.band = r.band AND l.bkey = r.bkey WHERE l.doc < r.doc),
+       |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+       |          FROM sh1 a JOIN sh1 b USING (sh)
+       |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
+       |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc),
+       |mh_pairs AS (${jaccardSql("inter", 0.3)})""".stripMargin
+  }
+
   // ------------------------------------------------------------- the registry
 
   /** One entry per operator: (name, spark fn, oracle SQL). */
@@ -460,6 +483,25 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("events_asof_join",
+      (s: SparkSession, dir: String) => {
+        val e = events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("cid"), col("value").as("cval"))
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          Seq("cid" -> "click_id", "cval" -> "click_value"))
+      },
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |                  event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |      FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+
     // ---- dedup family -----------------------------------------------------
     ("dedup_exact",
       (s: SparkSession, dir: String) => {
@@ -488,23 +530,28 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20)),
-      {
-        val perms = (0 until 16).map(i =>
-          s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
-        s"""WITH ${shingleCte(3, 20)},
-           |perms(i, a, b) AS (VALUES $perms),
-           |hh AS (SELECT doc, ${rhSql("sh")} AS h FROM sh1),
-           |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM hh CROSS JOIN perms GROUP BY doc, i),
-           |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
-           |          FROM mh GROUP BY doc, i // 4),
-           |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2 FROM bands l
-           |         JOIN bands r ON l.band = r.band AND l.bkey = r.bkey WHERE l.doc < r.doc),
-           |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
-           |          FROM sh1 a JOIN sh1 b USING (sh)
-           |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
-           |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc)
-           |${jaccardSql("inter", 0.3)}""".stripMargin
-      }),
+      s"WITH $minhashCtes SELECT d1, d2, jaccard FROM mh_pairs"),
+
+    ("dedup_clusters",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+        Dedup.clusterAssignments(docs, "doc_id", pairs)
+      },
+      // recursive min-reachable-label walk == the fixpoint the Spark
+      // label propagation converges to
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+         |          UNION SELECT d2, d1 FROM mh_pairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+         |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+         |SELECT doc_id AS doc, COALESCE(cc.label, doc_id) AS cluster,
+         |       COALESCE(cc.label, doc_id) = doc_id AS is_canonical
+         |FROM documents LEFT JOIN cc ON doc_id = cc.node""".stripMargin),
 
     ("dedup_simhash",
       (s: SparkSession, dir: String) =>

@@ -262,6 +262,62 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each round, label(v) <- min(label(v), neighbors'
+    * labels), until a fixpoint. Convergence takes O(component diameter)
+    * rounds — near-dup components produced by LSH banding are
+    * clique-dense (diameter 1-2 in practice), so 2-3 rounds end it.
+    * Each round is one equi-join + one groupBy(src) shuffle with
+    * map-side partial min; lineage is truncated per round with
+    * localCheckpoint so the plan never grows with the iteration count.
+    * For adversarial long-chain graphs the alternating
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) converges in
+    * O(log^2 n) rounds with the same per-round shape and drops in here.
+    *
+    * Output: (node, label) for every node appearing in a pair, where
+    * label = the smallest node id in its component.
+    */
+  def connectedComponents(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
+      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint()
+      converged = next.filter(col("next") < col("label")).isEmpty
+      labels = next.select(col("node"), col("next").as("label"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Dedup cluster assignment for EVERY document: docs in a near-dup
+    * component get the component's min id as `cluster`; untouched docs
+    * are their own cluster. `is_canonical` marks the representative row
+    * to keep — filtering on it IS the dedup. The join against the
+    * component labels is dimension-vs-corpus shaped (components are the
+    * tiny side), so AQE broadcasts it.
+    */
+  def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("node", "doc")
+    docs.select(col(idCol).as("doc"))
+      .join(cc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("label"), col("doc")).as("cluster"),
+        (coalesce(col("label"), col("doc")) === col("doc")).as("is_canonical"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine >= threshold. The
     * DEFAULT is the scale path — hyperplane-sign LSH bucketing
     * ([[Similarity.hyperplaneBucket]]) so candidate generation is an

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Dedup
+import graft.ops.AsOfJoin
+
+/** Connected-components dedup clustering and the as-of join. */
+class ClusterAsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents: path graph converges to min label across the chain") {
+    // 1-2, 2-3, 3-4 is the worst case for min propagation (diameter 3);
+    // 9-10 a separate component
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 10L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
+  }
+
+  test("clusterAssignments: singletons are their own canonical cluster") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 3L)).toDF("d1", "d2")
+    val out = Dedup.clusterAssignments(docs, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (3L, 1L, false), (2L, 2L, true), (7L, 7L, true)))
+  }
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("asOf: latest right row at-or-before each left row, per key") {
+    val left = Seq((1L, 100L, ts(10)), (2L, 100L, ts(30)), (3L, 200L, ts(5)))
+      .toDF("lid", "k", "t")
+    val right = Seq((100L, ts(10), "a"), (100L, ts(20), "b"), (200L, ts(50), "z"))
+      .toDF("k", "t", "tag")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("tag" -> "rtag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    // lid=1: right at the SAME instant matches (<=); lid=2: latest of a,b;
+    // lid=3: no right row at or before -> null
+    assert(out == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+  }
+
+  test("asOf: payload fields stay row-consistent when a right field is null") {
+    val left = Seq((1L, 5L, ts(30))).toDF("lid", "k", "t")
+    val right = Seq((5L, ts(10), Some("old"), Some(7L)), (5L, ts(20), None, Some(9L)))
+      .toDF("k", "t", "tag", "n")
+    val row = AsOfJoin.asOf(left, right, "k", "t",
+      Seq("tag" -> "rtag", "n" -> "rn")).collect().head
+    // the ts(20) row matched: its tag is genuinely null — must NOT fall
+    // back to the older row's "old"
+    assert(row.isNullAt(row.fieldIndex("rtag")))
+    assert(row.getLong(row.fieldIndex("rn")) == 9L)
+  }
+
+  test("asOf: no shuffle beyond one exchange per side and no cartesian") {
+    val left = Seq((1L, 5L, ts(1))).toDF("lid", "k", "t")
+    val right = Seq((5L, ts(1), "x")).toDF("k", "t", "tag")
+    val plan = AsOfJoin.asOf(left, right, "k", "t", Seq("tag" -> "rtag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in plan:\n$plan")
+  }
+}
