@@ -134,6 +134,46 @@ object SparkEntry {
        |mh_pairs AS (${jaccardSql("inter", 0.3)})""".stripMargin
   }
 
+  /** Tokenized-documents base CTE shared by the text-analysis family. */
+  private lazy val textBCte: String =
+    s"""b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents)"""
+
+  /** Quality-metric CTEs ending in `qual` (mirrors
+    * [[TextAnalysis.quality]]; ratios r6-rounded BEFORE the composite
+    * score, exactly like the Spark columns).
+    */
+  private lazy val qualityCtes: String = {
+    val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val avg = Num.r6Sql("CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+    val punct = Num.r6Sql(raw"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
+    val stopr = Num.r6Sql(s"CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+    val score = Num.r6Sql("least(1.0, CAST(nt AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")
+    s"""qm AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
+       |             CAST(len(toks) AS INT) AS n_tokens,
+       |             $avg AS avg_token_len, $punct AS punct_ratio, $stopr AS stopword_ratio,
+       |             len(toks) AS nt FROM b),
+       |qual AS (SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
+       |                stopword_ratio, $score AS quality_score FROM qm)""".stripMargin
+  }
+
+  /** Language-ID CTEs ending in `lang` (mirrors [[TextAnalysis.langId]]'s
+    * fixed-precedence integer argmax).
+    */
+  private lazy val langCtes: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS INT) AS score_$l"
+    }.mkString(", ")
+    val cases = langs.map { l =>
+      val beats = (s"score_$l > 0" +: langs.filterNot(_ == l)
+        .map(o => s"score_$l >= score_$o")).mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString(" ")
+    s"""lsc AS (SELECT doc_id, $scores FROM b),
+       |lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lsc)""".stripMargin
+  }
+
   // ------------------------------------------------------------- the registry
 
   /** One entry per operator: (name, spark fn, oracle SQL). */
@@ -672,41 +712,18 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
             col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
             col("quality_score")),
-      {
-        val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
-        val avg = Num.r6Sql("CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
-        val punct = Num.r6Sql(raw"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
-        val stopr = Num.r6Sql(s"CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
-        val score = Num.r6Sql("least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")
-        s"""WITH b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-           |m AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
-           |             CAST(len(toks) AS INT) AS n_tokens,
-           |             $avg AS avg_token_len, $punct AS punct_ratio, $stopr AS stopword_ratio,
-           |             len(toks) AS nt FROM b)
-           |SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-           |       ${Num.r6Sql("least(1.0, CAST(nt AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")} AS quality_score
-           |FROM m""".stripMargin
-      }),
+      s"""WITH $textBCte,
+         |$qualityCtes
+         |SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
+         |       stopword_ratio, quality_score FROM qual""".stripMargin),
 
     ("text_langid",
       (s: SparkSession, dir: String) =>
         TextAnalysis.langId(t(s, dir, "documents"), "text")
           .select(col("doc_id"), col("lang_pred")),
-      {
-        val langs = TextAnalysis.langMarkers.map(_._1)
-        val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
-          val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS INT) AS score_$l"
-        }.mkString(", ")
-        val cases = langs.map { l =>
-          val beats = (s"score_$l > 0" +: langs.filterNot(_ == l)
-            .map(o => s"score_$l >= score_$o")).mkString(" AND ")
-          s"WHEN $beats THEN '$l'"
-        }.mkString(" ")
-        s"""WITH b AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-           |sc AS (SELECT doc_id, $scores FROM b)
-           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM sc""".stripMargin
-      }),
+      s"""WITH $textBCte,
+         |$langCtes
+         |SELECT doc_id, lang_pred FROM lang""".stripMargin),
 
     ("text_tokenstats",
       (s: SparkSession, dir: String) =>
@@ -723,6 +740,42 @@ object SparkEntry {
         TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
           .select(col("doc_id"), col("fingerprint")),
       s"SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents"),
+
+    ("text_vocab",
+      (s: SparkSession, dir: String) =>
+        Corpus.vocab(t(s, dir, "documents"), "text", topN = 20),
+      s"""WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+         |SELECT token, cnt FROM v ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
+
+    ("text_tfidf",
+      (s: SparkSession, dir: String) =>
+        Corpus.tfIdf(t(s, dir, "documents"), "doc_id", "text"),
+      {
+        val w = Num.r6Sql(
+          "(CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE)) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))")
+        s"""WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents),
+           |tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY doc, token),
+           |dl AS (SELECT doc, sum(cnt) AS dlen FROM tf GROUP BY doc),
+           |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+           |SELECT doc, token, cnt, $w AS tf_idf
+           |FROM tf JOIN dl USING (doc) JOIN dfr USING (token) CROSS JOIN nn""".stripMargin
+      }),
+
+    ("corpus_filter",
+      (s: SparkSession, dir: String) =>
+        Corpus.trainingFilter(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, lang = "en"),
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |$langCtes,
+         |k AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |             CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text)
+         |SELECT d.doc_id, lang_pred, quality_score, n_dups
+         |FROM documents d JOIN k ON d.text = k.text AND d.doc_id = k.keep_id
+         |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+         |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
 
     // ---- multimodal plumbing ---------------------------------------------
     ("multimodal_features",

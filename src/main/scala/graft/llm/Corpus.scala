@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text operators — the aggregating counterparts of the
+  * per-document maps in [[TextAnalysis]]: global vocabulary /
+  * heavy-hitters, TF-IDF weighting, and the composed training-data
+  * admission filter.
+  */
+object Corpus {
+
+  /** Global vocabulary: token -> corpus-wide occurrence count, top
+    * `topN` by count (ties broken by token for determinism).
+    *
+    * Scale shape: explode is narrow; the groupBy(token) shuffles ONCE
+    * with map-side partial counts (hot stopword tokens are pre-summed
+    * per partition, so no skewed reducer); `orderBy.limit` compiles to
+    * `TakeOrderedAndProject` — each partition keeps its local top-N and
+    * the driver merges nParts*N rows. No global sort shuffle anywhere.
+    */
+  def vocab(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    graft.Partitioning.spread(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+
+  /** TF-IDF per (doc, token): tf = cnt / doc_len, idf = ln(N / df).
+    * Three partial-aggregated shuffles (doc+token, doc, token); the
+    * corpus size N travels as a broadcast 1-row aggregate, never a
+    * driver-side `.count()` action baked into the plan.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("cnt"))
+    val docLen = tf.groupBy(col("doc")).agg(sum(col("cnt")).as("dlen"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, Seq("doc")).join(docFreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        graft.Num.r6((col("cnt").cast("double") / col("dlen").cast("double"))
+          * log(col("n_docs").cast("double") / col("df").cast("double"))))
+      .select(col("doc"), col("token"), col("cnt"), col("tf_idf"))
+  }
+
+  /** Training-corpus admission filter — the composed pipeline a
+    * pretraining data run applies per shard: language gate + quality
+    * gate + exact-dedup canonical gate, in ONE DataFrame DAG.
+    * Quality and language-ID are narrow column adds (no shuffle); the
+    * dedup gate reuses [[Dedup.exact]]'s single groupBy(text) and joins
+    * back on the text key — the same shuffle key, so no extra exchange
+    * shape beyond the dedup itself.
+    *
+    * Output: the admitted docs with the metrics that admitted them.
+    */
+  def trainingFilter(df: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double, lang: String): DataFrame = {
+    val spread = graft.Partitioning.spread(df)
+    val scored = TextAnalysis.langId(TextAnalysis.quality(spread, textCol), textCol)
+    val keep = Dedup.exact(spread, idCol, textCol)
+      .withColumnRenamed(textCol, "_kt")
+    scored.join(keep,
+        scored(textCol) === keep("_kt") && col(idCol) === col("keep_id"))
+      .filter(col("lang_pred") === lang && col("quality_score") >= minQuality)
+      .select(col(idCol), col("lang_pred"), col("quality_score"), col("n_dups"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Corpus
+
+/** Corpus-level text operators: vocabulary, TF-IDF, training filter. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the dog sat"),
+    (3L, "the the the")).toDF("doc_id", "text")
+
+  test("vocab: global counts, ties broken by token, limit applied") {
+    val out = Corpus.vocab(docs, "text", topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the=5; sat=2; then cat/dog tie at 1 -> cat wins alphabetically
+    assert(out.toSeq == Seq(("the", 5L), ("sat", 2L), ("cat", 1L)))
+  }
+
+  test("vocab: plan is TakeOrderedAndProject, not a global sort") {
+    val plan = Corpus.vocab(docs, "text", topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("tfIdf: corpus-wide tokens get idf 0, rare tokens weigh more") {
+    val out = Corpus.tfIdf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // "the" appears in all 3 docs -> ln(3/3) = 0
+    assert(out((1L, "the"))._2 == 0.0)
+    // doc 1 "cat": tf = 1/3, idf = ln(3/1)
+    val expected = math.floor((1.0 / 3.0) * math.log(3.0) * 1e6 + 0.5) / 1e6
+    assert(out((1L, "cat"))._2 == expected)
+    assert(out((3L, "the"))._1 == 3L) // count within doc
+  }
+
+  test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
+    val d = Seq(
+      (1L, "the cat sat on the mat with a hat for the win"),
+      (5L, "the cat sat on the mat with a hat for the win"), // exact dup, higher id
+      (7L, "zz qq")) // no stopwords -> lang und
+      .toDF("doc_id", "text")
+    val out = Corpus.trainingFilter(d, "doc_id", "text",
+      minQuality = 0.0, lang = "en").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "en", 2L))) // canonical only; dup count carried
+  }
+}
