@@ -50,6 +50,22 @@ object EventStream {
       .outputMode("complete")
       .start()
 
+  /** Streaming exact dedup — the unbounded twin of
+    * [[graft.llm.Dedup.exact]]: drop rows whose `keyCols` already
+    * appeared within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). State holds one entry per
+    * distinct key seen inside the horizon and is evicted as the
+    * watermark advances — bounded regardless of stream length, unlike a
+    * plain `dropDuplicates` whose state grows forever. Dedup keys are
+    * typically a content fingerprint ([[graft.llm.TextAnalysis
+    * .fingerprint]]) rather than raw payload, so state entries stay
+    * small at 100 TB/day ingest.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization — the window formulation of the same gap
     * semantics as [[sessionize]]: a session break is an event more than
     * `gap` after its predecessor; session id = running count of breaks.

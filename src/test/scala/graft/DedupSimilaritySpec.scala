@@ -25,6 +25,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set(("same", 2L, 2L), ("other", 9L, 1L)))
   }
 
+  test("ngramJaccard computes the exact set Jaccard on a known fixture") {
+    // bigrams: A={a b, b c, c d}, B={b c, c d, d e} -> |inter|=2, |union|=4
+    val df = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "q r s t"))
+      .toDF("id", "text")
+    val out = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 0.5)))
+  }
+
+  test("ngramJaccard maxDocFreq computes filtered Jaccard (capped shingles dropped)") {
+    // "x y" appears in all three docs; cap 2 removes it everywhere, so
+    // docs 1/2 share nothing else and produce NO pair
+    val df = Seq((1L, "x y p q"), (2L, "x y r s"), (3L, "x y t u"))
+      .toDF("id", "text")
+    val exact = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.1)
+    val filtered = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.1,
+      maxDocFreq = Some(2))
+    assert(exact.count() == 3)    // every pair shares "x y"
+    assert(filtered.count() == 0) // the hot shingle is gone
+  }
+
+  test("LSH and IVF top-k are consistent subsets of brute force") {
+    // deterministic 8-dim corpus
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val brute = Similarity.topK(df, queries, "id", "vec", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (approx <- Seq(
+      Similarity.topKLsh(df, queries, "id", "vec", k = 5, nPlanes = 4),
+      Similarity.topKIvf(df, queries, "id", "vec", k = 5, nCentroids = 8, nProbe = 4))) {
+      val rows = approx.collect()
+      val perQuery = rows.groupBy(_.getLong(0))
+      assert(perQuery.values.forall(_.length <= 5))
+      // every reported score equals the true cosine (scores are exact,
+      // only the candidate set is approximate)
+      val exactScores = Similarity.topK(df, queries, "id", "vec", k = 60).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      rows.foreach { r =>
+        assert(exactScores((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+      }
+      // ranks are 1..n without gaps per query
+      perQuery.values.foreach { rs =>
+        assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length).toSeq)
+      }
+    }
+    // IVF with nProbe = all centroids degenerates to exact: full recall
+    val full = Similarity.topKIvf(df, queries, "id", "vec", k = 5,
+      nCentroids = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute)
+  }
+
   test("minhashLsh finds identical docs with jaccard 1.0") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

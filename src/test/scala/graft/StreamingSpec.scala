@@ -72,4 +72,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterTimeout.contains((1L, ts(0, 30), ts(0, 30), 1)), afterTimeout.toString)
     } finally q.stop()
   }
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventStream.dedupStream(
+      mem.toDF().toDF("ts", "fingerprint", "text"), "ts", "1 hour",
+      Seq("fingerprint"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // fp 10 twice in one batch, again in the next batch (still inside
+      // the horizon) -> emitted once; fp 20 is distinct
+      mem.addData((ts(0, 0), 10L, "a"), (ts(0, 5), 10L, "a"), (ts(0, 10), 20L, "b"))
+      q.processAllAvailable()
+      mem.addData((ts(0, 20), 10L, "a"))
+      q.processAllAvailable()
+      val fps = spark.table("dedup_test").collect()
+        .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(fps == Map(10L -> 1, 20L -> 1))
+    } finally q.stop()
+  }
 }
