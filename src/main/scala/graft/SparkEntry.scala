@@ -523,6 +523,63 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("events_pivot",
+      (s: SparkSession, dir: String) =>
+        Reshape.pivotCounts(events(s, dir), "user_id", "event_type",
+          Seq("click", "view", "purchase", "signup", "error")),
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin),
+
+    ("orders_rollup",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total")),
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
+
+    ("join_salted",
+      (s: SparkSession, dir: String) =>
+        // the oracle is the UNSALTED join: salting must be invisible in
+        // the results, only in the physical distribution
+        Reshape.saltedJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+            "l_orderkey", "o_orderkey", nSalts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty")),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    ("load_merge",
+      (s: SparkSession, dir: String) => {
+        val existing = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        // updates: every 10th customer rebalanced, plus brand-new rows
+        val updates = existing.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+          .unionByName(existing.filter(col("c_custkey") <= 3)
+            .select((col("c_custkey") + 900000).as("c_custkey"),
+              concat(lit("New#"), col("c_name")).as("c_name"), col("c_acctbal")))
+        Load.merge(existing, updates, "c_custkey")
+      },
+      """WITH existing AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+        |  FROM existing WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, 'New#' || c_name, c_acctbal
+        |  FROM existing WHERE c_custkey <= 3)
+        |SELECT * FROM existing e
+        |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = e.c_custkey)
+        |UNION ALL SELECT * FROM updates""".stripMargin),
+
     ("events_asof_join",
       (s: SparkSession, dir: String) => {
         val e = events(s, dir)

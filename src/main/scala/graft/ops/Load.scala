@@ -50,6 +50,17 @@ object Load {
   def writeFixedWidth(df: DataFrame, schema: EtlObj, path: String): Unit =
     EtlSchema.applyFixedWidth(df, schema).write.mode("overwrite").text(path)
 
+  /** Merge/upsert (SCD-1): rows in `updates` replace same-key rows in
+    * `existing`; unmatched update rows insert; everything else is kept.
+    * One LEFT ANTI join (shuffled on the key, partial-agg-free) + a
+    * union — the set-oriented formulation of the reference's
+    * insert-or-update row loop. Schemas must match by name
+    * (`unionByName`).
+    */
+  def merge(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    existing.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** S8 RDBMS sink: append a DataFrame to a JDBC table (bind-parameter
     * writes — no hand-escaped SQL, unlike the reference's string-built
     * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]

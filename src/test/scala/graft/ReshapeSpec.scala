@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Load, Reshape}
+
+/** Pivot, salted join, and merge/upsert. */
+class ReshapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pivotCounts fills absent combinations with 0 and keeps one agg pass") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "v")
+    val out = Reshape.pivotCounts(df, "k", "v", Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> ((2L, 1L, 0L)), 2L -> ((0L, 1L, 0L))))
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val left = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("lk", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "rv")
+    val salted = Reshape.saltedJoin(left, right, "lk", "rk", nSalts = 4)
+      .select(col("lk"), col("lv"), col("rv")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select(col("lk"), col("lv"), col("rv")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("saltedJoin outer variant keeps unmatched left rows once") {
+    val left = Seq((1L, "x"), (9L, "n")).toDF("lk", "lv")
+    val right = Seq((1L, 10.0)).toDF("rk", "rv")
+    val out = Reshape.saltedJoin(left, right, "lk", "rk", nSalts = 4, joinType = "left")
+      .select(col("lk"), col("rv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(out == Set((1L, Some(10.0)), (9L, None)))
+  }
+
+  test("merge: updates replace, inserts append, untouched rows survive") {
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val updates = Seq((2L, "b", 99.0), (5L, "new", 1.0)).toDF("k", "name", "bal")
+    val out = Load.merge(existing, updates, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b", 99.0), (5L, "new", 1.0)))
+  }
+}
