@@ -523,6 +523,24 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("events_quantiles",
+      (s: SparkSession, dir: String) =>
+        // exact sort-based percentiles (linear interpolation at
+        // (n-1)*p, the quantile_cont definition both engines share);
+        // approx_percentile/t-digest sketches are NOT cross-engine
+        // reproducible, so the exact form is the oracle-checkable one
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            graft.Num.r6(percentile(col("value"), lit(0.5))).as("p50"),
+            graft.Num.r6(percentile(col("value"), lit(0.95))).as("p95"),
+            count(lit(1)).as("n")),
+      s"""SELECT event_type,
+         |  ${Num.r6Sql("quantile_cont(value, 0.5)")} AS p50,
+         |  ${Num.r6Sql("quantile_cont(value, 0.95)")} AS p95,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM events GROUP BY event_type""".stripMargin),
+
     ("events_pivot",
       (s: SparkSession, dir: String) =>
         Reshape.pivotCounts(events(s, dir), "user_id", "event_type",

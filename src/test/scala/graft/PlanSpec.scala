@@ -51,4 +51,35 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_exact")
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(400))
   }
+
+  test("as-of join is one window pass, never a range/cartesian join") {
+    val p = plan("events_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not expand into a range join:\n${p.take(800)}")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
+  }
+
+  test("vocab top-N compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("salted join spreads the key space — no broadcast of the replicated side needed") {
+    val p = plan("join_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pivot with explicit values is a single aggregation (no distinct-scan job)") {
+    val p = plan("events_pivot")
+    // one pivot aggregate pair (partial+final); a pivot without values
+    // would have planned an extra collect job before this plan existed
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("tf-idf: corpus size is a broadcast one-row aggregate, not a driver count") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row N must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
