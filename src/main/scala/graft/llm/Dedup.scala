@@ -280,8 +280,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
-      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // bidirectional union references it twice — without this the whole
+    // upstream candidate-generation DAG runs double
+    val p = pairs.select(col(d1).as("a"), col(d2).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("label", col("node")).localCheckpoint()
