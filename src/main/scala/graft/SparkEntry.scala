@@ -523,6 +523,35 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("events_range_join",
+      (s: SparkSession, dir: String) => {
+        // points-in-intervals with NO equi key: all events against the
+        // session windows of users 1-3, via the bucketed range join
+        val e = events(s, dir)
+        val intervals = graft.streaming.EventStream.sessionizeBatch(
+          e.filter(col("user_id") <= 3).select(col("user_id"), col("ts")),
+          gapMinutes = 10)
+          .select(col("session_start"), col("session_end"))
+        RangeJoin.bucketed(e.select(col("event_id"), col("ts")), intervals,
+            "ts", "session_start", "session_end", bucketSecs = 600)
+          .groupBy(col("session_start"), col("session_end"))
+          .agg(count(lit(1)).as("n_in_window"))
+      },
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000000 > 600
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WHERE user_id <= 3),
+        |st AS (SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM x),
+        |iv AS (SELECT min(ts) AS session_start, max(ts) AS session_end
+        |       FROM st GROUP BY user_id, sid)
+        |SELECT iv.session_start, iv.session_end, CAST(count(*) AS BIGINT) AS n_in_window
+        |FROM e JOIN iv ON e.ts BETWEEN iv.session_start AND iv.session_end
+        |GROUP BY 1, 2""".stripMargin),
+
     ("events_quantiles",
       (s: SparkSession, dir: String) =>
         // exact sort-based percentiles (linear interpolation at

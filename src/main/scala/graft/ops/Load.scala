@@ -61,6 +61,17 @@ object Load {
     existing.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** Partition-pruned parquet sink: write with `partitionBy(cols)` so
+    * downstream equality/range filters on those columns prune whole
+    * directories at PLANNING time (the scan's `PartitionFilters`, zero
+    * I/O for excluded partitions) — the physical layout decision that
+    * matters most at 100 TB. Partition columns must be low-cardinality
+    * (date, region, event_type); partitioning by a high-cardinality key
+    * creates millions of tiny files.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** S8 RDBMS sink: append a DataFrame to a JDBC table (bind-parameter
     * writes — no hand-escaped SQL, unlike the reference's string-built
     * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]

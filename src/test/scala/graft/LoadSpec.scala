@@ -24,6 +24,19 @@ class LoadSpec extends AnyFunSuite {
     assert(children("belongings").count() == 1)
   }
 
+  test("writePartitioned: reading back with a filter prunes partitions at plan time") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "part").toString
+    val df = Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
+      .toDF("event_id", "event_type", "value")
+    Load.writePartitioned(df, dir, Seq("event_type"))
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      s"partition filter must prune at the scan:\n${plan.take(800)}")
+    assert(back.count() == 2)
+  }
+
   test("loadOrdered writes parent before children") {
     val order = scala.collection.mutable.ListBuffer.empty[String]
     val p = Seq((1)).toDF("a")
