@@ -306,6 +306,60 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log^2 n)-round algorithm for graphs whose
+    * diameter is NOT small (long chains), where plain min-propagation
+    * ([[connectedComponents]]) needs O(diameter) rounds.
+    *
+    * Per round: large-star hangs every larger neighbor of u onto u's
+    * minimum neighbor; small-star re-hangs the smaller neighbors.
+    * Both are one groupBy(min) + one join over the edge list — the
+    * same per-round shuffle shape as min-propagation — and the edge
+    * list provably never grows beyond 2|E|. Converged when the edge
+    * set reaches the star fixpoint (every node points at its
+    * component minimum).
+    *
+    * Same output contract as [[connectedComponents]]: (node, label).
+    */
+  def connectedComponentsStars(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+                               maxIter: Int = 20): DataFrame = {
+    var edges = pairs.select(col(d1).as("u"), col(d2).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for
+      // strictly larger neighbors v (the reverse direction of each
+      // edge is covered by v's own group)
+      val both = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = both.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: orient edges large->small, hang every neighbor
+      // (and u itself) onto the group minimum
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val ssMin = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = dir.join(ssMin, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .union(ssMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+        .localCheckpoint()
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      i += 1
+    }
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+  }
+
   /** Dedup cluster assignment for EVERY document: docs in a near-dup
     * component get the component's min id as `cluster`; untouched docs
     * are their own cluster. `is_canonical` marks the representative row

@@ -20,6 +20,27 @@ class ClusterAsOfSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("large-star/small-star agrees with min-propagation on a long chain") {
+    // a 40-node path is min-propagation's worst case; stars must close
+    // it within the 20-round bound and produce identical labels
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val stars = Dedup.connectedComponentsStars(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("large-star/small-star matches min-propagation on a random-ish multigraph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    val a = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("clusterAssignments: singletons are their own canonical cluster") {
     val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 3L)).toDF("d1", "d2")
