@@ -59,9 +59,16 @@ object Similarity {
   }
 
   /** Sign-bit bucket over `nPlanes` hyperplanes: bucket = sum over planes
-    * of (dot(v, plane_p) >= 0) << p.
+    * of (dot(v, plane_p) >= 0) << p — the native codegen'd
+    * [[graft.functions.HyperplaneBucket]] expression (one fused loop;
+    * [[hyperplaneBucketHof]] is the reference formulation it must match
+    * bit-for-bit).
     */
   def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    graft.functions.HyperplaneBucket.bucket(v, nPlanes)
+
+  /** HOF reference formulation of [[hyperplaneBucket]]. */
+  def hyperplaneBucketHof(v: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

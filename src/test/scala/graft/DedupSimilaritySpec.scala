@@ -46,6 +46,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(filtered.count() == 0) // the hot shingle is gone
   }
 
+  test("native hyperplane bucket agrees bit-for-bit with the HOF formulation") {
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 2.3 + d * 1.1))))
+    val df = vecs.toDF("id", "v")
+    for (nPlanes <- Seq(1, 8, 16)) {
+      val mismatches = df.select(
+        Similarity.hyperplaneBucket(col("v"), nPlanes).as("native"),
+        Similarity.hyperplaneBucketHof(col("v"), nPlanes).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(mismatches == 0, s"nPlanes=$nPlanes")
+    }
+  }
+
   test("LSH and IVF top-k are consistent subsets of brute force") {
     // deterministic 8-dim corpus
     val vecs = (0L until 60L).map(i =>
