@@ -164,9 +164,19 @@ object Dedup {
     * sharing a band signature become candidates; candidates are verified
     * with true Jaccard over their shingle sets.
     */
+  /** `maxBandFreq`: drop band buckets shared by more than that many docs
+    * before the candidate self-join. A flood of IDENTICAL documents
+    * shares every band key, making the band join quadratic in the flood
+    * size — the one skew the shingle-frequency cap cannot catch (the
+    * flood's shingles are each rare corpus-wide only when the flood is
+    * small). Capping trades recall for those oversized groups; the
+    * robust pipeline runs [[exact]] dedup first so identical docs never
+    * reach the near-dup stage, and leaves this None.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, rowsPerBand: Int, threshold: Double,
                  maxDocFreq: Option[Long] = None,
+                 maxBandFreq: Option[Long] = None,
                  materializeShingles: Boolean = true): DataFrame = {
     val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
     // band keys straight off the wide signature row — no collect_list
@@ -177,9 +187,17 @@ object Dedup {
         concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"mh$i").cast("string")): _*).as("bkey"))
     }
-    val bands = wide
+    val bandsAll = wide
       .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bands = maxBandFreq match {
+      case None => bandsAll
+      case Some(cap) =>
+        val freq = bandsAll.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bf")).filter(col("bf") <= cap)
+          .select(col("band"), col("bkey"))
+        bandsAll.join(freq, Seq("band", "bkey"), "left_semi")
+    }
     val l = bands.select(col("doc").as("d1"), col("band"), col("bkey"))
     val r = bands.select(col("doc").as("d2"), col("band"), col("bkey"))
     val cand = l.join(r, Seq("band", "bkey"))

@@ -46,6 +46,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(filtered.count() == 0) // the hot shingle is gone
   }
 
+  test("graft_hyperplane_bucket is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
+      .collect().head.getLong(0)
+    val expected = Seq(Array(0.5, -0.2)).toDF("v")
+      .select(Similarity.hyperplaneBucketHof(col("v"), 8)).collect().head.getLong(0)
+    assert(r == expected)
+  }
+
+  test("minhashLsh band-frequency cap suppresses identical-doc floods") {
+    val flood = (1L to 6L).map(i => (i, "the same exact document body repeated many times over"))
+    val df = (flood :+ (9L, "a completely different unrelated text payload here"))
+      .toDF("id", "text")
+    val uncapped = Dedup.minhashLsh(df, "id", "text", n = 2, k = 8,
+      rowsPerBand = 2, threshold = 0.5)
+    assert(uncapped.count() == 15) // C(6,2) identical pairs
+    val capped = Dedup.minhashLsh(df, "id", "text", n = 2, k = 8,
+      rowsPerBand = 2, threshold = 0.5, maxBandFreq = Some(3))
+    assert(capped.count() == 0) // flood buckets dropped before the join
+  }
+
   test("native hyperplane bucket agrees bit-for-bit with the HOF formulation") {
     val vecs = (0L until 100L).map(i =>
       (i, Array.tabulate(16)(d => math.sin(i * 2.3 + d * 1.1))))

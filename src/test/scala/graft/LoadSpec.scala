@@ -37,6 +37,29 @@ class LoadSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("writeBucketed: joining two co-bucketed tables needs no shuffle") {
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "av")
+    val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "bv")
+    Load.writeBucketed(a, "bkt_a", Seq("k"), nBuckets = 4)
+    Load.writeBucketed(b, "bkt_b", Seq("k"), nBuckets = 4)
+    // force the sort-merge path (at real fact-table sizes broadcast is
+    // off the table anyway) so the bucketed layout is what's under test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n${plan.take(1200)}")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("loadOrdered writes parent before children") {
     val order = scala.collection.mutable.ListBuffer.empty[String]
     val p = Seq((1)).toDF("a")
