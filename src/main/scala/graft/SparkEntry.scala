@@ -845,6 +845,43 @@ object SparkEntry {
           .select(col("doc_id"), col("fingerprint")),
       s"SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents"),
 
+    ("text_chunk",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 16, stride = 8),
+      s"""WITH b AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+         |c AS (SELECT doc, unnest(generate_series(0, greatest((len(tk) - 1) // 8, 0))) AS chunk_idx, tk FROM b),
+         |sl AS (SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |              tk[chunk_idx * 8 + 1 : chunk_idx * 8 + 16] AS ck FROM c)
+         |SELECT doc, chunk_idx, array_to_string(ck, ' ') AS chunk_text,
+         |       CAST(len(ck) AS BIGINT) AS n_tokens
+         |FROM sl""".stripMargin),
+
+    ("text_scrub",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.scrub(
+          // synthesize pii-shaped content deterministically from real rows
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or https://ex.com/p?id="), col("doc_id"),
+              lit(" ref "), col("doc_id")).as("text")), "text")
+          .select(col("doc_id"), col("scrubbed")),
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com or https://ex.com/p?id=' || doc_id || ' ref ' || doc_id,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin),
+
+    ("corpus_sample",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.hashSample(t(s, dir, "documents"), "text", pct = 30)
+          .select(col("doc_id")),
+      s"SELECT doc_id FROM documents WHERE ${rhSql("text")} % 100 < 30"),
+
     ("text_vocab",
       (s: SparkSession, dir: String) =>
         Corpus.vocab(t(s, dir, "documents"), "text", topN = 20),

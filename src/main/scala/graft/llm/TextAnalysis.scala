@@ -103,4 +103,54 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
+
+  /** Split documents into fixed-size token windows with a stride —
+    * context-length chunking for training-sequence packing. Chunk i
+    * covers tokens [i*stride, i*stride + chunkTokens); the last window
+    * may be short; overlapping windows (stride < chunkTokens) are the
+    * standard long-document treatment. Pure narrow explode — output
+    * rows ≈ tokens/stride per doc, no shuffle.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("doc"), toks.as("_tk"))
+      .select(col("doc"), col("_tk"),
+        explode(sequence(lit(0),
+          greatest(floor((size(col("_tk")) - 1) / lit(stride)).cast("int"), lit(0)))).as("chunk_idx"))
+      .select(col("doc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_tk"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("_c"))
+      .select(col("doc"), col("chunk_idx"),
+        array_join(col("_c"), " ").as("chunk_text"),
+        size(col("_c")).cast("long").as("n_tokens"))
+  }
+
+  /** PII-shaped masking: emails, URLs, then digit runs become typed
+    * placeholder tokens. Patterns use only constructs with identical
+    * semantics in Java regex and RE2 (character classes, `+`, literal
+    * anchors) so the same text scrubs identically in any engine.
+    * Application ORDER matters (URL before NUM, or port numbers leak) —
+    * keep it in sync with the oracle SQL.
+    */
+  def scrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("scrubbed",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "https?://[^\\s]+", "<URL>"),
+        "[0-9]+", "<NUM>"))
+
+  /** Deterministic hash sampling: keep rows whose content hash lands
+    * under `pct` of the modulus. Unlike seeded RNG sampling this is
+    * reproducible across engines, runs, AND growing datasets (a doc's
+    * membership never changes as the corpus grows) — the property that
+    * makes train/eval splits stable over re-ingestion. One narrow
+    * filter, no shuffle.
+    */
+  def hashSample(df: DataFrame, textCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(pmod(rollingHash(col(textCol)), lit(100L)) < pct)
+  }
 }

@@ -38,6 +38,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((3L, "the"))._1 == 3L) // count within doc
   }
 
+  test("chunk: overlapping windows with stride, short tail window kept") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.chunk(df, "doc_id", "text",
+      chunkTokens = 3, stride = 2).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(out == Seq((0L, "a b c", 3L), (1L, "c d e", 3L), (2L, "e", 1L)))
+  }
+
+  test("scrub masks emails, urls, digit runs — in that order") {
+    val df = Seq((1L, "mail a.b@x.io or visit https://h.com:8080/p then call 555 12"))
+      .toDF("doc_id", "text")
+    val s = graft.llm.TextAnalysis.scrub(df, "text").collect().head.getString(2)
+    assert(s == "mail <EMAIL> or visit <URL> then call <NUM> <NUM>")
+  }
+
+  test("hashSample is deterministic and membership-stable under corpus growth") {
+    val small = (1L to 100L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val big = (1L to 200L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val a = graft.llm.TextAnalysis.hashSample(small, "text", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.llm.TextAnalysis.hashSample(big, "text", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b)) // growing the corpus never changes prior membership
+    assert(a.nonEmpty && a.size < 100)
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),
