@@ -488,6 +488,105 @@ object SparkEntry {
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'""".stripMargin),
 
+    // ---- OLAP composites over the TPC-H-shaped tables --------------------
+    // float-sum discipline: l_quantity is integral (exact in float, any
+    // order); prices are NOT — they aggregate as deterministic integer
+    // cents via floor(x*100 + 0.5), the Num.r6 trick at cent scale
+    ("tpch_q1",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("sum_price_cents"),
+            count(lit(1)).as("n"))
+          .withColumn("avg_qty",
+            Num.r6(col("sum_qty") / col("n").cast("double"))),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((sum(l_quantity) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    ("tpch_q3",
+      (s: SparkSession, dir: String) =>
+        // shipping-priority shape: revenue cents per BUILDING order,
+        // top 10 (TakeOrderedAndProject, ties by orderkey)
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+          .limit(10),
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    ("tpch_q5",
+      (s: SparkSession, dir: String) =>
+        // local-supplier-volume shape: a 6-way join through region
+        t(s, dir, "region").filter(col("r_name") === "ASIA")
+          .join(broadcast(t(s, dir, "nation")), col("r_regionkey") === col("n_regionkey"))
+          .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey")
+              && col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents")),
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |            JOIN customer ON n_nationkey = c_nationkey
+        |            JOIN orders ON c_custkey = o_custkey
+        |            JOIN lineitem ON o_orderkey = l_orderkey
+        |            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+
+    ("orders_window",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            row_number().over(w).as("rk"),
+            sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).over(run)
+              .as("run_cents"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rk,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+        |  lag(o_orderkey, 1) OVER w AS prev_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+
+    ("profile_orders",
+      (s: SparkSession, dir: String) =>
+        Profile.summarize(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM orders""".stripMargin
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(one).mkString("\nUNION ALL\n")
+      }),
+
     // ---- sources ----------------------------------------------------------
     ("source_json_props",
       (s: SparkSession, dir: String) =>

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling summary: one output row per profiled column with
+  * non-null count, exact distinct count, and min/max (string-rendered).
+  * The whole profile is ONE aggregation pass; the per-column layout
+  * comes from a `stack` unpivot of the single wide result row, so the
+  * input is scanned once no matter how many columns are profiled.
+  *
+  * Scale note: each exact `count_distinct` adds an expand+shuffle leg
+  * to the aggregate. That is the price of exactness — swap in
+  * `approx_count_distinct` (HLL) for exploratory profiling at 100 TB,
+  * but note sketches are not cross-engine reproducible, so the exact
+  * form is what the oracle checks. Min/max of DOUBLE columns is
+  * deliberately unsupported here: float-to-string rendering differs
+  * between engines.
+  */
+object Profile {
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nonnull`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n_nonnull, n_distinct, min_value, max_value)",
+      "__total AS n_rows")
+  }
+}
