@@ -573,6 +573,37 @@ object SparkEntry {
         |  lag(o_orderkey, 1) OVER w AS prev_order
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
 
+    ("orders_top_per_cust",
+      (s: SparkSession, dir: String) =>
+        Reshape.topNPerGroup(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", n = 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk")),
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin),
+
+    ("dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        // incremental ingest: the "new batch" (doc_id > 250) is admitted
+        // only if its content fingerprint is unseen in the existing
+        // corpus — fingerprint anti-join, the streaming-adjacent batch
+        // formulation of dedupStream
+        val d = t(s, dir, "documents")
+        val existing = TextAnalysis.fingerprint(
+          d.filter(col("doc_id") <= 250), "text").select(col("fingerprint"))
+        TextAnalysis.fingerprint(d.filter(col("doc_id") > 250), "text")
+          .join(existing, Seq("fingerprint"), "left_anti")
+          .select(col("doc_id"), col("fingerprint"))
+      },
+      s"""WITH fp AS (SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint FROM fp
+         |WHERE doc_id > 250 AND fingerprint NOT IN
+         |  (SELECT fingerprint FROM fp WHERE doc_id <= 250)""".stripMargin),
+
     ("profile_orders",
       (s: SparkSession, dir: String) =>
         Profile.summarize(t(s, dir, "orders"),

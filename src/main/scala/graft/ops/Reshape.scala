@@ -30,6 +30,27 @@ object Reshape {
       d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
   }
 
+  /** Per-group top-N rows by `orderCol` descending (ties by `tieCol`
+    * ascending): the two-stage salted formulation — stage 1 takes the
+    * local top-N inside each (group, salt) slice so no task ever sorts
+    * a whole hot group; stage 2 merges the <= nSalts*N survivors.
+    * A single `Window.partitionBy(group)` would funnel every row of the
+    * biggest group through one task — the skew this replaces (same
+    * design as the similarity top-k merge).
+    */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   tieCol: String, n: Int, nSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("_salt", pmod(hash(col(tieCol)), lit(nSalts)))
+    val w1 = Window.partitionBy((groupCols.map(col) :+ col("_salt")): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    val partial = salted.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= n).drop("_r", "_salt")
+    val w2 = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    partial.withColumn("rk", row_number().over(w2)).filter(col("rk") <= n)
+  }
+
   /** Skew-defeating salted equi-join: the LEFT side gets a
     * deterministic salt in [0, nSalts) from a hash of its key + row
     * content, the RIGHT side is replicated once per salt, and the join

@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("tpch_q1: scan prunes to the four referenced lineitem columns") {
+    val p = plan("tpch_q1")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_extendedprice")
+      && read.contains("l_returnflag") && read.contains("l_linestatus"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_discount"),
+      s"unpruned columns in scan: $read")
+  }
+
+  test("tpch_q3: top-10 is TakeOrderedAndProject, not a global sort") {
+    assert(plan("tpch_q3").contains("TakeOrderedAndProject"))
+  }
+
+  test("tpch_q5: six-way join plans without cartesian products") {
+    val p = plan("tpch_q5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tf-idf: corpus size is a broadcast one-row aggregate, not a driver count") {
     val p = plan("text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

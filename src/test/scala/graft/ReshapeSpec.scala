@@ -38,6 +38,20 @@ class ReshapeSpec extends AnyFunSuite {
     assert(out == Set((1L, Some(10.0)), (9L, None)))
   }
 
+  test("topNPerGroup equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i % 7, i, (i * 13 % 50).toDouble))
+      .toDF("g", "id", "score")
+    val salted = Reshape.topNPerGroup(df, Seq("g"), "score", "id", n = 4)
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val plain = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == plain && salted.size == 28)
+  }
+
   test("merge: updates replace, inserts append, untouched rows survive") {
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val updates = Seq((2L, "b", 99.0), (5L, "new", 1.0)).toDF("k", "name", "bal")
