@@ -50,6 +50,25 @@ object EventStream {
       .outputMode("complete")
       .start()
 
+  /** Stream-stream inner join: left rows to same-key right rows that
+    * occurred within `withinMinutes` BEFORE (or at) the left row's
+    * time. Both sides carry watermarks and the join condition bounds
+    * the allowed time skew, so Spark evicts both state stores as the
+    * watermark advances — bounded memory on unbounded streams. An
+    * unbounded join condition would buffer one side forever; the time
+    * bound is what makes stream-stream joins deployable.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: String, rightTs: String,
+                       withinMinutes: Int): DataFrame = {
+    val l = left.withWatermark(leftTs, s"$withinMinutes minutes")
+    val r = right.withWatermark(rightTs, s"$withinMinutes minutes")
+    l.join(r, l(keyCol) === r(keyCol)
+      && r(rightTs) <= l(leftTs)
+      && r(rightTs) >= l(leftTs) - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop(r(keyCol))
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.llm.Dedup.exact]]: drop rows whose `keyCols` already
     * appeared within the watermark horizon

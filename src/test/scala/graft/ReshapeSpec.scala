@@ -52,6 +52,26 @@ class ReshapeSpec extends AnyFunSuite {
     assert(salted == plain && salted.size == 28)
   }
 
+  test("guards: colliding payload names, zero salts, empty pivot values all refuse") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val r = Seq((1L, 1L, 2.0)).toDF("k", "t", "p")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOf(df.withColumn("t", lit(1L)), r, "k", "t", Seq("p" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      Reshape.saltedJoin(df, df, "k", "k", nSalts = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Reshape.pivotCounts(df, "k", "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.bucketed(df.withColumn("t", lit(1L)), r, "t", "t", "t", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.hashSample(Seq((1L, "a")).toDF("id", "text"), "text", 101)
+    }
+  }
+
   test("merge: updates replace, inserts append, untouched rows survive") {
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val updates = Seq((2L, "b", 99.0), (5L, "new", 1.0)).toDF("k", "name", "bal")

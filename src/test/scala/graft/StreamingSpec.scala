@@ -73,6 +73,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches right rows within the bounded window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.streamStreamJoin(
+      purchases.toDF().toDF("user_id", "pts", "amount"),
+      clicks.toDF().toDF("user_id", "cts", "click_id"),
+      "user_id", "pts", "cts", withinMinutes = 15)
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0, 0), 100L), (1L, ts(0, 50), 101L), (2L, ts(0, 5), 200L))
+      purchases.addData((1L, ts(0, 10), 9.99)) // within 15m of click 100 only
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getLong(4))).toSet
+      // click 101 is AFTER the purchase; click 200 is another user
+      assert(rows == Set((1L, 9.99, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
