@@ -1063,6 +1063,23 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }),
 
+    ("multimodal_dispatch",
+      (s: SparkSession, dir: String) =>
+        Multimodal.dispatchFeatures(s,
+          Multimodal.attachMixedPayload(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+      {
+        val mean = Num.r6Sql(
+          "CAST(list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
+        s"""SELECT doc_id AS id,
+           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CASE doc_id % 3
+           |    WHEN 0 THEN CAST(ascii(substr(text, 1, 1)) * ascii(substr(text, 2, 1)) AS DOUBLE)
+           |    WHEN 1 THEN $mean
+           |    ELSE CAST(strlen(text) AS DOUBLE) END AS feature
+           |FROM documents""".stripMargin
+      }),
+
     ("multimodal_frames",
       (s: SparkSession, dir: String) =>
         Multimodal.frameFeatures(Multimodal.sampleFrames(s,

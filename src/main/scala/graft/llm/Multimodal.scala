@@ -61,6 +61,53 @@ object Multimodal {
       .mapPartitions(decodeStub)
   }
 
+  /** Mixed-modality payload attachment: modality assigned
+    * deterministically from the id (stand-in for real mime sniffing on
+    * `binaryFile` reads).
+    */
+  def attachMixedPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Partitioning.spread(df).select(
+      col(idCol).as("id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        when(col(idCol) % 3 === 0, "image/png")
+          .when(col(idCol) % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("format")).as("meta"))
+
+  final case class ModalFeatures(id: Long, modality: String, n_bytes: Long,
+                                 feature: Double)
+
+  /** Modality dispatch: ONE pass over a mixed-media corpus, routing each
+    * row to its modality's decoder inside the partition iterator. The
+    * alternative — a filtered scan per modality — reads the corpus M
+    * times; dispatch reads it once and keeps every decoder co-resident
+    * per executor. Decoders are the honest stubs (real ones sit behind
+    * the same `MediaRow => feature` boundary):
+    * image → first-two-byte dimension product, audio → mean amplitude,
+    * video → payload size.
+    */
+  def dispatchFeatures(spark: SparkSession, withPayload: DataFrame): Dataset[ModalFeatures] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val bytes = r.payload
+        val modality = r.format.takeWhile(_ != '/')
+        val feature = modality match {
+          case "image" =>
+            val w = if (bytes.length > 0) (bytes(0) & 0xff) else 0
+            val h = if (bytes.length > 1) (bytes(1) & 0xff) else 0
+            (w * h).toDouble
+          case "audio" =>
+            if (bytes.isEmpty) 0.0
+            else graft.Num.r6(bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length)
+          case _ => bytes.length.toDouble
+        }
+        ModalFeatures(r.id, modality, bytes.length.toLong, feature)
+      })
+  }
+
   final case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
   final case class FrameFeatures(id: Long, frame_idx: Int, n_bytes: Long, mean_byte: Double)
 

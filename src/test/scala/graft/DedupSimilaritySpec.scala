@@ -46,6 +46,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(filtered.count() == 0) // the hot shingle is gone
   }
 
+  test("modality dispatch routes each row to its decoder in one pass") {
+    val df = Seq((0L, "ab"), (1L, "xyz"), (2L, "pq")).toDF("doc_id", "text")
+    val out = Multimodal.dispatchFeatures(spark,
+      Multimodal.attachMixedPayload(df, "doc_id", "text")).collect()
+      .map(f => f.id -> ((f.modality, f.feature))).toMap
+    assert(out(0L) == (("image", ('a'.toInt * 'b'.toInt).toDouble)))
+    assert(out(1L)._1 == "audio")
+    assert(out(1L)._2 == graft.Num.r6(('x'.toInt + 'y'.toInt + 'z'.toInt) / 3.0))
+    assert(out(2L) == (("video", 2.0)))
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
