@@ -721,6 +721,14 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
 
+    ("orders_cube",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")),
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+
     ("join_salted",
       (s: SparkSession, dir: String) =>
         // the oracle is the UNSALTED join: salting must be invisible in
@@ -1005,6 +1013,16 @@ object SparkEntry {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin),
+
+    ("corpus_split",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.hashSplit(t(s, dir, "documents"), "text",
+          trainPct = 80, valPct = 10)
+          .groupBy(col("split")).agg(count(lit(1)).as("n")),
+      s"""SELECT CASE WHEN ${rhSql("text")} % 100 < 80 THEN 'train'
+         |            WHEN ${rhSql("text")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1""".stripMargin),
 
     ("corpus_sample",
       (s: SparkSession, dir: String) =>

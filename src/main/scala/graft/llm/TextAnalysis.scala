@@ -142,6 +142,24 @@ object TextAnalysis {
           "https?://[^\\s]+", "<URL>"),
         "[0-9]+", "<NUM>"))
 
+  /** Deterministic train/val/test split: label each row by where its
+    * content hash lands in [0,100) — `train` below `trainPct`, `val`
+    * below `trainPct + valPct`, `test` otherwise. Same stability
+    * properties as [[hashSample]]: assignments survive re-ingestion and
+    * corpus growth, and a document can never migrate between splits —
+    * the property that prevents train/test leakage across dataset
+    * versions.
+    */
+  def hashSplit(df: DataFrame, textCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val h = pmod(rollingHash(col(textCol)), lit(100L))
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic hash sampling: keep rows whose content hash lands
     * under `pct` of the modulus. Unlike seeded RNG sampling this is
     * reproducible across engines, runs, AND growing datasets (a doc's

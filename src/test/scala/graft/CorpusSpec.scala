@@ -64,6 +64,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < 100)
   }
 
+  test("hashSplit partitions rows into stable disjoint splits") {
+    val df = (1L to 300L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.hashSplit(df, "text", trainPct = 80, valPct = 10)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 300)
+    // sample(pct) must be a subset of the hash range the split uses
+    val sampled = graft.llm.TextAnalysis.hashSample(df, "text", 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = out.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == train)
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),
