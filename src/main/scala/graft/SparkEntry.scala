@@ -85,7 +85,7 @@ object SparkEntry {
     */
   private def bucketSql(v: String, nPlanes: Int): String =
     (0 until nPlanes).map { p =>
-      val comp = s"(((($p * 64 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+      val comp = s"(((($p * 4096 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
       s"CASE WHEN list_reduce(list_transform($v, (x, i) -> x * $comp), (p_, q_) -> p_ + q_) >= 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
@@ -714,11 +714,15 @@ object SparkEntry {
 
     ("orders_rollup",
       (s: SparkSession, dir: String) =>
+        // price totals as deterministic integer cents — a raw double sum
+        // is partition-order dependent (same discipline as tpch_q1)
         t(s, dir, "orders")
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total")),
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("total_cents")),
       """SELECT o_orderstatus, o_orderpriority,
-        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
 
     ("orders_cube",
@@ -770,17 +774,23 @@ object SparkEntry {
         val e = events(s, dir)
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // enforce AsOfJoin's unique-(key,time) right-side precondition:
+        // same-instant click ties resolve to the max event id (max_by
+        // keeps the payload from that same row) — deterministic in both
+        // engines regardless of partition order
         val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"),
-            col("event_id").as("cid"), col("value").as("cval"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("cid"),
+            max_by(col("value"), col("event_id")).as("cval"))
         AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
           Seq("cid" -> "click_id", "cval" -> "click_value"))
       },
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
         |                  event_type, value FROM events),
         |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
-        |      FROM e WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id,
+        |             arg_max(value, event_id) AS click_value
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
 

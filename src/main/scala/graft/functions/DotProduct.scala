@@ -81,12 +81,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
-      (children: Seq[Expression]) => HyperplaneBucket(children.head,
-        children(1).eval(null) match {
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_hyperplane_bucket(vector, nPlanes) takes 2 arguments, got ${children.size}")
+        require(children(1).foldable,
+          "graft_hyperplane_bucket nPlanes must be an integer literal (it shapes the plan)")
+        HyperplaneBucket(children.head, children(1).eval(null) match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
             s"graft_hyperplane_bucket nPlanes must be an integer literal, got $other")
-        })))
+        })
+      }))
   }
 }

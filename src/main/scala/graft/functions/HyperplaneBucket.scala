@@ -38,13 +38,15 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    require(n < 4096,
+      s"hyperplane bucket supports vectors under 4096 dims (stride bound), got $n")
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val seed = (p.toLong * 64L + i) * 1103515245L + 12345L
+        val seed = (p.toLong * 4096L + i) * 1103515245L + 12345L
         acc += v.getDouble(i) * ((seed % 2147483648L).toDouble / 2147483648.0d - 0.5d)
         i += 1
       }
@@ -64,11 +66,15 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
       val bucket = ctx.freshName("bucket")
       s"""
          |int $n = $v.numElements();
+         |if ($n >= 4096) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane bucket supports vectors under 4096 dims (stride bound), got " + $n);
+         |}
          |long $bucket = 0L;
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $seed = ((long) $p * 64L + $i) * 1103515245L + 12345L;
+         |    long $seed = ((long) $p * 4096L + $i) * 1103515245L + 12345L;
          |    $acc += $v.getDouble($i) * (((double) ($seed % 2147483648L)) / 2147483648.0D - 0.5D);
          |  }
          |  if ($acc >= 0) $bucket |= (1L << $p);

@@ -321,6 +321,12 @@ object Dedup {
       labels = next.select(col("node"), col("next").as("label"))
       i += 1
     }
+    // an unconverged exit would silently under-merge components (labels
+    // mid-propagation look plausible) — refuse instead
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        s"component diameter exceeds the bound; raise maxIter or use " +
+        s"connectedComponentsStars (O(log^2 n) rounds) for long-chain graphs")
     labels
   }
 
@@ -373,6 +379,9 @@ object Dedup {
       edges = ss
       i += 1
     }
+    require(converged,
+      s"connectedComponentsStars did not converge within $maxIter rounds " +
+        s"(needs O(log^2 n)); raise maxIter")
     edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))
       .distinct()

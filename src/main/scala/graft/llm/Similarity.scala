@@ -51,10 +51,14 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * an LCG step mapped to [-0.5, 0.5). Fixed arithmetic — reproducible
-    * anywhere, no RNG state.
+    * anywhere, no RNG state. The plane stride (4096) bounds the
+    * supported vector dimension: dims >= stride would alias into the
+    * next plane's seeds and correlate adjacent hyperplanes.
     */
+  val PlaneStride = 4096L
+
   def planeComponent(plane: Int, dim: Column): Column = {
-    val seed = (lit(plane.toLong) * lit(64L) + dim) * lit(1103515245L) + lit(12345L)
+    val seed = (lit(plane.toLong) * lit(PlaneStride) + dim) * lit(1103515245L) + lit(12345L)
     (pmod(seed, lit(2147483648L)).cast("double") / lit(2147483648.0d)) - lit(0.5d)
   }
 

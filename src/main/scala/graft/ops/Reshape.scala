@@ -70,6 +70,14 @@ object Reshape {
                  leftKey: String, rightKey: String, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // right/full outer would null-extend each unmatched REPLICATED right
+    // row — nSalts spurious output rows per unmatched right key. Only
+    // join types where unmatched right copies silently drop are sound.
+    val ok = Set("inner", "left", "left_outer", "leftouter", "semi",
+      "left_semi", "leftsemi", "anti", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/semi/anti join types, got '$joinType' " +
+        "(right/full would duplicate unmatched right rows once per salt)")
     val l = left.withColumn("_salt",
       pmod(hash(left.columns.map(col).toSeq: _*), lit(nSalts)))
     val r = right.withColumn("_salt",
