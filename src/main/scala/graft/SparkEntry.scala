@@ -805,6 +805,20 @@ object SparkEntry {
         |SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM dup GROUP BY text""".stripMargin),
 
+    ("dedup_exact_hash",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // duplicate the corpus under shifted ids so dup groups exist
+        Dedup.exactByFingerprint(
+          d.union(d.select(col("doc_id") + 10000, col("text"))), "doc_id", "text")
+      },
+      """WITH dup AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |             CAST(count(*) AS BIGINT) AS n_dups FROM dup GROUP BY text)
+        |SELECT d.doc_id AS doc, g.keep_id, g.n_dups
+        |FROM dup d JOIN g ON d.text = g.text""".stripMargin),
+
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",

@@ -40,6 +40,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col(textCol), col("keep_id"), col("n_dups"))
 
+  /** Exact dedup at 100 TB scale: shuffle CONTENT FINGERPRINTS (8-byte
+    * longs), not document bodies. [[exact]]'s groupBy(text) ships the
+    * full corpus text through the exchange; here only (fingerprint, id)
+    * pairs shuffle, and document text is re-read ONLY for the (tiny)
+    * fingerprint groups with more than one member, where true text
+    * equality is verified — so hash collisions can never merge distinct
+    * documents. Output: every doc with its canonical keeper
+    * (doc, keep_id, n_dups); `doc == keep_id` marks the row to keep.
+    */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .withColumn("fp", TextAnalysis.rollingHash(col("txt")))
+    // column pruning keeps txt out of this exchange — only (fp, doc) ships
+    val groups = fp.select(col("fp"), col("doc"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val dupFp = groups.filter(col("n") > 1).select(col("fp"))
+    // candidate groups are tiny: pull their texts back via semi-join and
+    // verify true equality inside the group
+    val verified = fp.join(dupFp, Seq("fp"), "left_semi")
+      .groupBy(col("fp"), col("txt"))
+      .agg(min(col("doc")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val dups = fp.join(dupFp, Seq("fp"), "left_semi")
+      .join(verified, Seq("fp", "txt"))
+      .select(col("doc"), col("keep_id"), col("n_dups"))
+    val singletons = fp.join(dupFp, Seq("fp"), "left_anti")
+      .select(col("doc"), col("doc").as("keep_id"), lit(1L).as("n_dups"))
+    dups.unionByName(singletons)
+  }
+
   /** Distinct (id, shingle) pairs — the base relation for the set-similarity
     * family. `maxDocFreq` drops shingles appearing in more than that many
     * docs (skew guard; at 100 TB this bound is what keeps the self-join

@@ -25,6 +25,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set(("same", 2L, 2L), ("other", 9L, 1L)))
   }
 
+  test("exactByFingerprint agrees with text-group dedup and survives hash collisions") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other"), (1L, "third"))
+      .toDF("id", "text")
+    val out = Dedup.exactByFingerprint(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((5L, 2L, 2L), (2L, 2L, 2L), (9L, 9L, 1L), (1L, 1L, 1L)))
+    // the fingerprint exchange must not carry the text column
+    val planStr = Dedup.exactByFingerprint(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("Exchange") || planStr.contains("partial_count"))
+  }
+
   test("ngramJaccard computes the exact set Jaccard on a known fixture") {
     // bigrams: A={a b, b c, c d}, B={b c, c d, d e} -> |inter|=2, |union|=4
     val df = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "q r s t"))
