@@ -1048,6 +1048,30 @@ object SparkEntry {
          |            ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1""".stripMargin),
 
+    ("corpus_filter_neardup",
+      (s: SparkSession, dir: String) =>
+        Corpus.trainingFilterNearDup(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, lang = "en",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20)),
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+         |          UNION SELECT d2, d1 FROM mh_pairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+         |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+         |$textBCte,
+         |$qualityCtes,
+         |$langCtes
+         |SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS cluster,
+         |       lang_pred, quality_score
+         |FROM documents d
+         |LEFT JOIN cc ON d.doc_id = cc.node
+         |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+         |WHERE COALESCE(cc.label, d.doc_id) = d.doc_id
+         |  AND lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
+
     ("corpus_sample",
       (s: SparkSession, dir: String) =>
         TextAnalysis.hashSample(t(s, dir, "documents"), "text", pct = 30)

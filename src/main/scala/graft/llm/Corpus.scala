@@ -47,6 +47,31 @@ object Corpus {
       .select(col("doc"), col("token"), col("cnt"), col("tf_idf"))
   }
 
+  /** Near-dup-aware admission filter: like [[trainingFilter]] but the
+    * dedup gate is CLUSTER canonicality — a doc is admitted only if it
+    * is the minimum id of its near-dup component (from
+    * [[Dedup.clusterAssignments]] over MinHash+LSH pairs), so
+    * paraphrased/boilerplate variants are removed, not just byte-exact
+    * copies. This is the full pretraining admission pipeline in one
+    * DataFrame DAG: near-dup clustering + language gate + quality gate.
+    */
+  def trainingFilterNearDup(df: DataFrame, idCol: String, textCol: String,
+                            minQuality: Double, lang: String,
+                            n: Int, k: Int, rowsPerBand: Int,
+                            threshold: Double,
+                            maxDocFreq: Option[Long]): DataFrame = {
+    val spread = graft.Partitioning.spread(df)
+    val pairs = Dedup.minhashLsh(spread, idCol, textCol, n, k, rowsPerBand,
+      threshold, maxDocFreq)
+    val clusters = Dedup.clusterAssignments(spread, idCol, pairs)
+      .withColumnRenamed("doc", idCol)
+    val scored = TextAnalysis.langId(TextAnalysis.quality(spread, textCol), textCol)
+    scored.join(clusters, Seq(idCol))
+      .filter(col("is_canonical")
+        && col("lang_pred") === lang && col("quality_score") >= minQuality)
+      .select(col(idCol), col("cluster"), col("lang_pred"), col("quality_score"))
+  }
+
   /** Training-corpus admission filter — the composed pipeline a
     * pretraining data run applies per shard: language gate + quality
     * gate + exact-dedup canonical gate, in ONE DataFrame DAG.
