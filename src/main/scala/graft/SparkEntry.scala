@@ -94,15 +94,19 @@ object SparkEntry {
     * n-gram shingles → doc-frequency cap (mirrors [[Dedup.docShingles]]
     * with the given n and maxDocFreq = cap).
     */
-  private def shingleCte(n: Int, cap: Long): String = {
+  /** toks + sh0: distinct (doc, n-gram shingle) pairs. */
+  private def tokenShingleCte(n: Int): String = {
     val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
       .mkString(" || ' ' || ")
     s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
-       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS sh FROM toks WHERE len(tk) >= $n),
+       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS sh FROM toks WHERE len(tk) >= $n)""".stripMargin
+  }
+
+  private def shingleCte(n: Int, cap: Long): String =
+    s"""${tokenShingleCte(n)},
        |shf AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh) WHERE c <= $cap),
        |sh1 AS (SELECT doc, sh FROM sh0 WHERE sh IN (SELECT sh FROM shf)),
        |sizes AS (SELECT doc, count(*) AS sz FROM sh1 GROUP BY doc)""".stripMargin
-  }
 
   private def jaccardSql(interRel: String, threshold: Double): String = {
     val j = Num.r6Sql(s"CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
@@ -119,16 +123,21 @@ object SparkEntry {
   private lazy val minhashCtes: String = {
     val perms = (0 until 16).map(i =>
       s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
-    s"""${shingleCte(3, 20)},
+    // hashed-shingle formulation (mirrors Dedup.docShinglesHashed): the
+    // cap, sizes, and verify intersection all operate on h = rh(sh)
+    s"""${tokenShingleCte(3)},
+       |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+       |hf AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0 GROUP BY h) WHERE c <= 20),
+       |h1 AS (SELECT doc, h FROM h0 WHERE h IN (SELECT h FROM hf)),
+       |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
        |perms(i, a, b) AS (VALUES $perms),
-       |hh AS (SELECT doc, ${rhSql("sh")} AS h FROM sh1),
-       |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM hh CROSS JOIN perms GROUP BY doc, i),
+       |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM h1 CROSS JOIN perms GROUP BY doc, i),
        |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
        |          FROM mh GROUP BY doc, i // 4),
        |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2 FROM bands l
        |         JOIN bands r ON l.band = r.band AND l.bkey = r.bkey WHERE l.doc < r.doc),
        |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
-       |          FROM sh1 a JOIN sh1 b USING (sh)
+       |          FROM h1 a JOIN h1 b USING (h)
        |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
        |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc),
        |mh_pairs AS (${jaccardSql("inter", 0.3)})""".stripMargin

@@ -93,6 +93,32 @@ object Dedup {
     }
   }
 
+  /** HASHED shingle relation: distinct (doc, h) where h is the rolling
+    * hash of the shingle — the representation the MinHash family works
+    * over. Every downstream exchange (doc-frequency cap, signature
+    * aggregation, verify self-join) then carries 8-byte longs instead of
+    * shingle strings: at 100 TB that is the difference between shuffling
+    * the corpus's n-gram text and shuffling fixed-width keys. Jaccard
+    * verification over hashed shingles is the standard MinHash
+    * formulation (the signature is already hash-based); the oracle
+    * mirrors the identical hash, so parity is exact.
+    */
+  def docShinglesHashed(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val base = graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(transform(
+          shingles(TextAnalysis.tokens(col(textCol)), n),
+          s => graft.functions.RollingHash.hash(s, 131L)))).as("h"))
+    maxDocFreq match {
+      case None => base
+      case Some(cap) =>
+        val freq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("h")
+        base.join(freq, Seq("h"), "left_semi")
+    }
+  }
+
   /** The shingle relation, optionally materialized with `localCheckpoint`:
     * the set-similarity operators reuse it 3-4x (sizes, both join sides,
     * signatures), and measured on local[32] the recompute costs ~3x the
@@ -175,12 +201,19 @@ object Dedup {
     * mins are partial aggregates of ONE groupBy(doc) — no k-way explode,
     * so the shuffle carries |docs| rows, not k * |doc-shingle| rows.
     */
-  def minhashSignaturesWide(shingled: DataFrame, k: Int): DataFrame = {
-    val withH = shingled.withColumn("h", TextAnalysis.rollingHash(col("sh")))
+  def minhashSignaturesWide(shingled: DataFrame, k: Int): DataFrame =
+    minhashSignaturesWideHashed(
+      shingled.withColumn("h", TextAnalysis.rollingHash(col("sh")))
+        .select(col("doc"), col("h")), k)
+
+  /** Same, over an already-hashed (doc, h) relation
+    * ([[docShinglesHashed]]).
+    */
+  def minhashSignaturesWideHashed(hashed: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((lit(mixConstant(2L * i)) * col("h") + lit(mixConstant(2L * i + 1)))
         % lit(MinhashP)).as(s"mh$i"))
-    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
   /** Long-format signature (doc, i, mh) — a thin unpivot of the wide form. */
@@ -208,10 +241,13 @@ object Dedup {
                  maxDocFreq: Option[Long] = None,
                  maxBandFreq: Option[Long] = None,
                  materializeShingles: Boolean = true): DataFrame = {
-    val ds = shingleRelation(df, idCol, textCol, n, maxDocFreq, materializeShingles)
+    // the minhash family works over HASHED shingles end-to-end
+    // ([[docShinglesHashed]]): every exchange below carries longs
+    val ds0 = docShinglesHashed(df, idCol, textCol, n, maxDocFreq)
+    val ds = if (materializeShingles) ds0.localCheckpoint() else ds0
     // band keys straight off the wide signature row — no collect_list
     // regroup, just a per-doc explode of nBands tiny structs
-    val wide = minhashSignaturesWide(ds, k)
+    val wide = minhashSignaturesWideHashed(ds, k)
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -242,9 +278,9 @@ object Dedup {
       .union(cand.select(col("d2").as("doc"))).distinct()
     val dsc = ds.join(candDocs, Seq("doc"), "left_semi")
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val a = dsc.select(col("doc").as("d1"), col("sh"))
-    val b = dsc.select(col("doc").as("d2"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+    val a = dsc.select(col("doc").as("d1"), col("h"))
+    val b = dsc.select(col("doc").as("d2"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("d1") < col("d2"))
       .join(cand, Seq("d1", "d2"), "left_semi")
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
