@@ -90,11 +90,10 @@ object SparkEntry {
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
-  /** Shared CTE prefix for the shingle family: tokens → distinct doc
-    * n-gram shingles → doc-frequency cap (mirrors [[Dedup.docShingles]]
-    * with the given n and maxDocFreq = cap).
+  /** toks + sh0: distinct (doc, n-gram shingle) pairs — the uncapped
+    * prefix shared by the string-shingle ([[shingleCte]]) and
+    * hashed-shingle ([[minhashCtes]]) families.
     */
-  /** toks + sh0: distinct (doc, n-gram shingle) pairs. */
   private def tokenShingleCte(n: Int): String = {
     val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
       .mkString(" || ' ' || ")

@@ -50,24 +50,35 @@ object Dedup {
     * (doc, keep_id, n_dups); `doc == keep_id` marks the row to keep.
     */
   def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = graft.Partitioning.spread(df)
+    val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), col(textCol).as("txt"))
+    // NULL text cannot ride the fingerprint path (NULL hash never
+    // equi-joins); group all null-text docs together explicitly — the
+    // same semantics as exact()'s groupBy(text), where NULLs form one
+    // group
+    val nulls = base.filter(col("txt").isNull)
+    val nullGroup = nulls.agg(min(col("doc")).as("keep_id"),
+      count(lit(1)).as("n_dups"))
+    val nullOut = nulls.select(col("doc")).crossJoin(broadcast(nullGroup))
+    val fpFull = base.filter(col("txt").isNotNull)
       .withColumn("fp", TextAnalysis.rollingHash(col("txt")))
-    // column pruning keeps txt out of this exchange — only (fp, doc) ships
-    val groups = fp.select(col("fp"), col("doc"))
-      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
-    val dupFp = groups.filter(col("n") > 1).select(col("fp"))
-    // candidate groups are tiny: pull their texts back via semi-join and
-    // verify true equality inside the group
-    val verified = fp.join(dupFp, Seq("fp"), "left_semi")
-      .groupBy(col("fp"), col("txt"))
+    // the materialized key relation is 16 bytes/row — ONE text scan
+    // computes it, and the frequency count + singleton branch reuse it
+    // without rescanning the corpus
+    val fpKeys = fpFull.select(col("doc"), col("fp")).localCheckpoint()
+    val dupFp = fpKeys.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("fp"))
+    // one more text scan, semi-restricted to candidate fingerprints;
+    // candidates are proportional to the DUP RATE, so text bytes only
+    // travel for rows that actually need equality verification
+    val candidates = fpFull.join(dupFp, Seq("fp"), "left_semi").localCheckpoint()
+    val verified = candidates.groupBy(col("fp"), col("txt"))
       .agg(min(col("doc")).as("keep_id"), count(lit(1)).as("n_dups"))
-    val dups = fp.join(dupFp, Seq("fp"), "left_semi")
-      .join(verified, Seq("fp", "txt"))
+    val dups = candidates.join(verified, Seq("fp", "txt"))
       .select(col("doc"), col("keep_id"), col("n_dups"))
-    val singletons = fp.join(dupFp, Seq("fp"), "left_anti")
+    val singletons = fpKeys.join(dupFp, Seq("fp"), "left_anti")
       .select(col("doc"), col("doc").as("keep_id"), lit(1L).as("n_dups"))
-    dups.unionByName(singletons)
+    dups.unionByName(singletons).unionByName(nullOut)
   }
 
   /** Distinct (id, shingle) pairs — the base relation for the set-similarity
@@ -215,13 +226,6 @@ object Dedup {
         % lit(MinhashP)).as(s"mh$i"))
     hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
-
-  /** Long-format signature (doc, i, mh) — a thin unpivot of the wide form. */
-  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame =
-    minhashSignaturesWide(shingled, k)
-      .select(col("doc"), explode(array((0 until k).map(i =>
-        struct(lit(i).as("i"), col(s"mh$i").as("mh"))): _*)).as("s"))
-      .select(col("doc"), col("s.i").as("i"), col("s.mh").as("mh"))
 
   /** MinHash + LSH banding: k minhashes in bands of `rowsPerBand`; docs
     * sharing a band signature become candidates; candidates are verified

@@ -25,16 +25,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set(("same", 2L, 2L), ("other", 9L, 1L)))
   }
 
-  test("exactByFingerprint agrees with text-group dedup and survives hash collisions") {
-    val df = Seq((5L, "same"), (2L, "same"), (9L, "other"), (1L, "third"))
+  test("exactByFingerprint agrees with text-group dedup, incl. null texts") {
+    val df = Seq((5L, Some("same")), (2L, Some("same")), (9L, Some("other")),
+      (1L, Some("third")), (7L, None), (3L, None))
       .toDF("id", "text")
     val out = Dedup.exactByFingerprint(df, "id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(out == Set((5L, 2L, 2L), (2L, 2L, 2L), (9L, 9L, 1L), (1L, 1L, 1L)))
-    // the fingerprint exchange must not carry the text column
-    val planStr = Dedup.exactByFingerprint(df, "id", "text")
-      .queryExecution.executedPlan.toString
-    assert(planStr.contains("Exchange") || planStr.contains("partial_count"))
+    // null texts form ONE group (groupBy-text semantics), keeper = min id
+    assert(out == Set((5L, 2L, 2L), (2L, 2L, 2L), (9L, 9L, 1L), (1L, 1L, 1L),
+      (7L, 3L, 2L), (3L, 3L, 2L)))
+  }
+
+  test("exactByFingerprint does NOT merge a genuine hash collision") {
+    // these two strings really collide under the rolling hash
+    // (h = 822899051 for both) — found by offline search; the verify
+    // stage must separate them by true text equality
+    val a = "mgepuaguis"
+    val b = "vbncrelerf"
+    val hashes = Seq(a, b).toDF("text")
+      .select(graft.llm.TextAnalysis.rollingHash(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(hashes(0) == hashes(1), "fixture must be a real collision")
+    val out = Dedup.exactByFingerprint(
+      Seq((1L, a), (2L, b), (3L, a)).toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1 and 3 share text -> one group; 2 collides on hash but stays alone
+    assert(out == Set((1L, 1L, 2L), (3L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("string-shingle and hashed-shingle signatures agree") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"))
+      .toDF("id", "text")
+    val a = Dedup.minhashSignaturesWide(Dedup.docShingles(df, "id", "text", 2), 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = Dedup.minhashSignaturesWideHashed(
+      Dedup.docShinglesHashed(df, "id", "text", 2), 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b)
   }
 
   test("ngramJaccard computes the exact set Jaccard on a known fixture") {
