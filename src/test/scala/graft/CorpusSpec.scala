@@ -38,6 +38,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((3L, "the"))._1 == 3L) // count within doc
   }
 
+  test("trainingFilterNearDup drops near-duplicate non-canonical docs") {
+    val phrase = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val docs = Seq(
+      (1L, phrase + "alpha beta"),
+      (6L, phrase + "alpha gamma"), // near-dup of 1 (high shingle overlap)
+      (3L, "the and of is with for " * 10)) // english but distinct
+      .toDF("doc_id", "text")
+    val out = graft.llm.Corpus.trainingFilterNearDup(docs, "doc_id", "text",
+      minQuality = 0.0, lang = "en",
+      n = 2, k = 8, rowsPerBand = 2, threshold = 0.5, maxDocFreq = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L) && !out.contains(6L), s"got $out") // canonical kept, near-dup dropped
+    assert(out.contains(3L))
+  }
+
   test("chunk: overlapping windows with stride, short tail window kept") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.chunk(df, "doc_id", "text",
