@@ -21,8 +21,15 @@ object Bench {
     // into the timings and make them non-comparable)
     val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
     val warmDir = if (sibling.isDirectory) sibling.getPath else sfDir
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (warmDir == sfDir)
+      System.err.println(s"[bench] WARN: no sf0.001 sibling — warming against " +
+        s"the TIMED dir $sfDir (wall time roughly doubles; timings stay valid)")
+    else System.err.println(s"[bench] warm-up dir: $warmDir")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARN: warm-up for $name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -454,15 +454,21 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // array columns are joined to strings: the driver's pandas comparator
+        // cannot hash numpy arrays (CORRECTNESS_r03 validate_array_elems err)
         Validate.validateElements(base, "toks",
           Seq(Validate.Pred(x => length(x) > 3)))
-          .select(col("doc_id"), col("toks_elem_valid"), col("toks_invalid_idx"),
+          .select(col("doc_id"),
+            array_join(col("toks_elem_valid").cast("array<string>"), ",")
+              .as("toks_elem_valid"),
+            array_join(col("toks_invalid_idx").cast("array<string>"), ",")
+              .as("toks_invalid_idx"),
             col("toks_valid"))
       },
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
-        |  list_transform(toks, x -> length(x) > 3) AS toks_elem_valid,
-        |  list_filter(list_transform(toks, (x, i) -> CASE WHEN NOT length(x) > 3 THEN CAST(i - 1 AS INT) END), x -> x IS NOT NULL) AS toks_invalid_idx,
+        |  COALESCE(array_to_string(list_transform(toks, x -> CAST(length(x) > 3 AS VARCHAR)), ','), '') AS toks_elem_valid,
+        |  COALESCE(array_to_string(list_filter(list_transform(toks, (x, i) -> CASE WHEN NOT length(x) > 3 THEN CAST(i - 1 AS INT) END), x -> x IS NOT NULL), ','), '') AS toks_invalid_idx,
         |  len(list_filter(toks, x -> NOT length(x) > 3)) = 0 AS toks_valid
         |FROM b""".stripMargin),
 
@@ -607,10 +613,13 @@ object SparkEntry {
           .join(existing, Seq("fingerprint"), "left_anti")
           .select(col("doc_id"), col("fingerprint"))
       },
+      // NOT EXISTS with `=`, not NOT IN: a NULL fingerprint (null text)
+      // never equi-joins, so Spark's left_anti ADMITS it — NOT IN would
+      // return NULL and silently drop the row instead
       s"""WITH fp AS (SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents)
          |SELECT doc_id, fingerprint FROM fp
-         |WHERE doc_id > 250 AND fingerprint NOT IN
-         |  (SELECT fingerprint FROM fp WHERE doc_id <= 250)""".stripMargin),
+         |WHERE doc_id > 250 AND NOT EXISTS
+         |  (SELECT 1 FROM fp f2 WHERE f2.doc_id <= 250 AND f2.fingerprint = fp.fingerprint)""".stripMargin),
 
     ("profile_orders",
       (s: SparkSession, dir: String) =>
@@ -627,6 +636,47 @@ object SparkEntry {
       }),
 
     // ---- sources ----------------------------------------------------------
+    ("source_xlsx",
+      (s: SparkSession, dir: String) => {
+        // fixture synthesis (driver-side, like the reference's in-memory
+        // workbook buffers): nation rows -> real SpreadsheetML zip ->
+        // XlsxSource round-trip; the oracle reads the same rows straight
+        // from parquet. All cells surface as strings by XLSX contract.
+        val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+        val rows = t(s, dir, "nation").orderBy(col("n_nationkey"))
+          .select(cols.map(c => col(c).cast("string")): _*)
+          .collect().toSeq.map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+        graft.sources.XlsxSource.readSheet(s,
+          graft.sources.SyntheticDocs.tempXlsx("nation", cols, rows), "nation")
+      },
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin),
+
+    ("source_xml",
+      (s: SparkSession, dir: String) => {
+        // fixture synthesis: region rows -> XML -> badgerfish JSON ->
+        // struct DataFrame (the working version of the reference's dead
+        // xml2json branch, FileResolver.js:87-91); oracle = parquet rows
+        val rows = t(s, dir, "nation").orderBy(col("n_nationkey"))
+          .select(col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string"))
+          .collect().toSeq.map(r => (
+            Seq("key" -> r.getString(0)),
+            Seq("name" -> r.getString(1), "region" -> r.getString(2))))
+        val json = graft.sources.XmlSource.toBadgerfishJson(
+          graft.sources.SyntheticDocs.xmlDoc("nations", "nation", rows))
+        import s.implicits._
+        s.read.json(Seq(json).toDS())
+          .select(explode(col("nations").getField("nation")).as("r"))
+          .select(col("r").getField("@key").as("n_nationkey"),
+            col("r").getField("name").getField("$").as("n_name"),
+            col("r").getField("region").getField("$").as("n_regionkey"))
+      },
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin),
+
     ("source_json_props",
       (s: SparkSession, dir: String) =>
         events(s, dir).select(col("event_id"),
@@ -820,12 +870,15 @@ object SparkEntry {
         Dedup.exactByFingerprint(
           d.union(d.select(col("doc_id") + 10000, col("text"))), "doc_id", "text")
       },
+      // IS NOT DISTINCT FROM mirrors the Spark side's explicit null-text
+      // group (exactByFingerprint routes NULL texts into one keeper
+      // group; a plain `=` join would silently drop them)
       """WITH dup AS (SELECT doc_id, text FROM documents
         |             UNION ALL SELECT doc_id + 10000, text FROM documents),
         |g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |             CAST(count(*) AS BIGINT) AS n_dups FROM dup GROUP BY text)
         |SELECT d.doc_id AS doc, g.keep_id, g.n_dups
-        |FROM dup d JOIN g ON d.text = g.text""".stripMargin),
+        |FROM dup d JOIN g ON d.text IS NOT DISTINCT FROM g.text""".stripMargin),
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
@@ -869,31 +922,38 @@ object SparkEntry {
 
     ("dedup_simhash",
       (s: SparkSession, dir: String) =>
-        // nChunks = maxHamming + 1: the pigeonhole guarantee needs 5
-        // chunks for hamming <= 4 (enforced by simhashPairs' require)
+        // 60-bit signature, 6 chunks, hamming <= 4: bands key on 2-chunk
+        // combinations (20 bits, Manku-style) so buckets stay tiny at
+        // corpus scale; completeness enforced by simhashPairs' require
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 4, nChunks = 5)
+          maxHamming = 4, nBits = 60, nChunks = 6)
           .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming")),
       {
-        // bits < 30 sample the base-131 hash; 30..31 the base-137 hash
+        // bits < 30 sample the base-131 hash; 30..59 the base-137 hash
         // (the rolling hash is < 2^30, so higher bits of one hash would
         // be dead zeros) — mirrors Dedup.simhash exactly
-        val sums = (0 until 32).map { b =>
+        val sums = (0 until 60).map { b =>
           val src = if (b < 30) s"(h1 >> $b)" else s"(h2 >> ${b - 30})"
           s"sum(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
         }.mkString(", ")
-        val sig = (0 until 32).map(b =>
+        val sig = (0 until 60).map(b =>
           s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
           .mkString(" + ")
-        // 5 chunks of width ceil(32/5)=7 — mirrors simhashPairs(nChunks=5)
+        // bands = 2-chunk combinations of 6 chunks of width ceil(60/6)=10,
+        // enumerated by the SAME function simhashPairs bands with; band
+        // key packs the two 10-bit chunk values into one 20-bit integer
+        val combos = Dedup.simhashBandCombos(nChunks = 6, maxHamming = 4)
+        val comboVals = combos.zipWithIndex
+          .map { case (cs, g) => s"($g, ${cs(0)}, ${cs(1)})" }.mkString(", ")
         s"""WITH tk AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
            |hh AS (SELECT doc, ${rhSql("tok")} AS h1, ${rhSql("tok", 137L)} AS h2 FROM tk),
            |sums AS (SELECT doc, $sums FROM hh GROUP BY doc),
            |sig AS (SELECT doc, $sig AS simhash FROM sums),
-           |ch AS (SELECT doc, simhash, c, (simhash >> (c * 7)) % 128 AS ck
-           |       FROM sig CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(c)),
+           |ch AS (SELECT doc, simhash, g,
+           |         ((simhash >> (c1 * 10)) % 1024) + ((simhash >> (c2 * 10)) % 1024) * 1024 AS ck
+           |       FROM sig CROSS JOIN (VALUES $comboVals) AS t(g, c1, c2)),
            |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2, l.simhash AS h1, r.simhash AS h2
-           |         FROM ch l JOIN ch r ON l.c = r.c AND l.ck = r.ck WHERE l.doc < r.doc)
+           |         FROM ch l JOIN ch r ON l.g = r.g AND l.ck = r.ck WHERE l.doc < r.doc)
            |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin
       }),
@@ -958,12 +1018,33 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")
         Similarity.topKIvf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4)
+          k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
       },
       {
         val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
+        // 2 Lloyd's rounds refining the lowest-id seeds, mirroring
+        // Similarity.kmeansCentroids: assignment = max-cosine centroid
+        // (ties to lowest cid); new centroid = normalized mean with
+        // per-dimension sums as exact integers floor(x*1e6+0.5) — the
+        // associative form both engines reproduce byte-identically
+        val kmeansCtes = (0 until 2).map { i =>
+          s"""a$i AS (SELECT id, v, cid FROM (
+             |  SELECT nn.id, nn.v, c.cid,
+             |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
+             |  FROM nv nn CROSS JOIN c$i c) WHERE rn = 1),
+             |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
+             |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+             |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
+             |m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
+             |        FROM s$i GROUP BY cid),
+             |c${i + 1} AS (SELECT c.cid,
+             |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
+             |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
+        }.mkString(",\n")
         s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-           |cent AS (SELECT id AS cid, v AS cv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT 16)),
+           |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT 16)),
+           |$kmeansCtes,
+           |cent AS (SELECT cid, centv AS cv FROM c2),
            |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
            |  SELECT nn.id, nn.v, c.cid,
            |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
@@ -1019,8 +1100,11 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 16, stride = 8),
+      // the CASE keeps one (doc, 0, NULL, NULL) row for a NULL text,
+      // mirroring TextAnalysis.chunk — generate_series(0, NULL) would
+      // emit nothing and silently drop the document
       s"""WITH b AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
-         |c AS (SELECT doc, unnest(generate_series(0, greatest((len(tk) - 1) // 8, 0))) AS chunk_idx, tk FROM b),
+         |c AS (SELECT doc, unnest(generate_series(0, CASE WHEN tk IS NULL THEN 0 ELSE greatest((len(tk) - 1) // 8, 0) END)) AS chunk_idx, tk FROM b),
          |sl AS (SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |              tk[chunk_idx * 8 + 1 : chunk_idx * 8 + 16] AS ck FROM c)
          |SELECT doc, chunk_idx, array_to_string(ck, ' ') AS chunk_text,
@@ -1118,7 +1202,7 @@ object SparkEntry {
          |k AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
          |             CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text)
          |SELECT d.doc_id, lang_pred, quality_score, n_dups
-         |FROM documents d JOIN k ON d.text = k.text AND d.doc_id = k.keep_id
+         |FROM documents d JOIN k ON d.text IS NOT DISTINCT FROM k.text AND d.doc_id = k.keep_id
          |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
          |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
 
@@ -1142,6 +1226,11 @@ object SparkEntry {
         Multimodal.dispatchFeatures(s,
           Multimodal.attachMixedPayload(t(s, dir, "documents"), "doc_id", "text")).toDF(),
       {
+        // ASCII-testdata assumption (shared with multimodal_features):
+        // Spark reads PAYLOAD BYTES ((b & 0xff), byte length) while the
+        // oracle uses per-character ascii()/strlen() — identical only
+        // while the documents testdata is pure ASCII (it is; a non-ASCII
+        // text would diverge byte-vs-codepoint)
         val mean = Num.r6Sql(
           "CAST(list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
         s"""SELECT doc_id AS id,

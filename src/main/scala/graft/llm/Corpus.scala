@@ -63,6 +63,20 @@ object Corpus {
     val spread = graft.Partitioning.spread(df)
     val pairs = Dedup.minhashLsh(spread, idCol, textCol, n, k, rowsPerBand,
       threshold, maxDocFreq)
+    trainingFilterNearDup(spread, idCol, textCol, minQuality, lang, pairs)
+  }
+
+  /** Precomputed-pairs variant of [[trainingFilterNearDup]]: a real
+    * pipeline computes the (expensive) near-dup pair relation ONCE —
+    * `Dedup.minhashLsh(...).localCheckpoint()` — and feeds the same
+    * materialized pairs to clustering, reporting, and this admission
+    * filter, instead of re-running shingling + signatures per consumer.
+    * `pairs` must have columns (d1, d2) keyed by `idCol` values.
+    */
+  def trainingFilterNearDup(df: DataFrame, idCol: String, textCol: String,
+                            minQuality: Double, lang: String,
+                            pairs: DataFrame): DataFrame = {
+    val spread = graft.Partitioning.spread(df)
     val clusters = Dedup.clusterAssignments(spread, idCol, pairs)
       .withColumnRenamed("doc", idCol)
     val scored = TextAnalysis.langId(TextAnalysis.quality(spread, textCol), textCol)
@@ -76,9 +90,12 @@ object Corpus {
     * pretraining data run applies per shard: language gate + quality
     * gate + exact-dedup canonical gate, in ONE DataFrame DAG.
     * Quality and language-ID are narrow column adds (no shuffle); the
-    * dedup gate reuses [[Dedup.exact]]'s single groupBy(text) and joins
-    * back on the text key — the same shuffle key, so no extra exchange
-    * shape beyond the dedup itself.
+    * dedup gate rides [[Dedup.exactByFingerprint]] so only (fingerprint,
+    * id) longs cross the dedup exchanges and the join back to the scored
+    * relation is on the doc id — corpus TEXT never ships through a
+    * shuffle anywhere in the admission path (text equality is still
+    * verified inside the fingerprint dedup, restricted to dup-candidate
+    * groups).
     *
     * Output: the admitted docs with the metrics that admitted them.
     */
@@ -86,10 +103,10 @@ object Corpus {
                      minQuality: Double, lang: String): DataFrame = {
     val spread = graft.Partitioning.spread(df)
     val scored = TextAnalysis.langId(TextAnalysis.quality(spread, textCol), textCol)
-    val keep = Dedup.exact(spread, idCol, textCol)
-      .withColumnRenamed(textCol, "_kt")
-    scored.join(keep,
-        scored(textCol) === keep("_kt") && col(idCol) === col("keep_id"))
+    val keep = Dedup.exactByFingerprint(spread, idCol, textCol)
+      .filter(col("doc") === col("keep_id"))
+      .select(col("doc").as(idCol), col("n_dups"))
+    scored.join(keep, Seq(idCol))
       .filter(col("lang_pred") === lang && col("quality_score") >= minQuality)
       .select(col(idCol), col("lang_pred"), col("quality_score"), col("n_dups"))
   }

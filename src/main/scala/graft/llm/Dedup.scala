@@ -320,11 +320,49 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup: band the signature into `nChunks` equal-width
-    * chunks; pairs sharing a chunk (guaranteed complete for
-    * hamming <= nChunks-1 by pigeonhole) are verified with exact hamming
-    * distance. Larger nBits/nChunks sharpen chunk selectivity — the knob
-    * that keeps per-chunk buckets small as the corpus grows.
+  /** The band-combination table for [[simhashPairs]]: every
+    * (nChunks - maxHamming)-sized subset of chunk indices, in
+    * `combinations` order. Shared with the oracle-SQL generator so both
+    * engines enumerate identical bands.
+    */
+  def simhashBandCombos(nChunks: Int, maxHamming: Int): Seq[Seq[Int]] =
+    (0 until nChunks).combinations(nChunks - maxHamming).map(_.toSeq).toSeq
+
+  /** Band keys for a simhash signature relation (doc, simhash) ->
+    * (doc, simhash, g, ck): band `g` packs the chunk values of the g-th
+    * (nChunks - maxHamming)-sized chunk combination into one long.
+    *
+    * This is the multi-block banding of Manku, Jain & Sarma (WWW'07):
+    * a pair at hamming <= maxHamming disagrees in at most maxHamming
+    * chunks, so it AGREES on >= nChunks - maxHamming chunks — and some
+    * combination of that size is all-agreeing, giving the pair a shared
+    * (g, ck) key. Candidate recall stays complete while the band-key
+    * width grows from one chunk to (nChunks - maxHamming) chunks: at
+    * nBits=60, nChunks=6, maxHamming=4 each band keys on 20 bits (~1M
+    * buckets) instead of a single 10-bit chunk (1024) — the hierarchy
+    * that keeps per-bucket membership small as the corpus grows. With
+    * maxHamming == nChunks-1 it degenerates to plain one-chunk banding.
+    */
+  private[llm] def simhashBandKeys(sig: DataFrame, nBits: Int, nChunks: Int,
+                                   maxHamming: Int): DataFrame = {
+    val w = (nBits + nChunks - 1) / nChunks
+    val combos = simhashBandCombos(nChunks, maxHamming)
+    sig.select(col("doc"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case (cs, g) =>
+        struct(lit(g).as("g"),
+          cs.zipWithIndex.map { case (c, i) =>
+            (shiftright(col("simhash"), c * w) % lit(1L << w)) * lit(1L << (i * w))
+          }.reduce(_ + _).as("ck"))
+      }: _*)).as("b"))
+      .select(col("doc"), col("simhash"), col("b.g"), col("b.ck"))
+  }
+
+  /** SimHash near-dup: band the signature over chunk COMBINATIONS
+    * (Manku et al. WWW'07, see [[simhashBandKeys]]); pairs sharing a
+    * band key (complete for hamming <= maxHamming by pigeonhole) are
+    * verified with exact hamming distance. Larger nBits/nChunks sharpen
+    * band selectivity — the knob that keeps buckets small as the corpus
+    * grows.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, nBits: Int = 32, nChunks: Int = 4): DataFrame = {
@@ -333,17 +371,13 @@ object Dedup {
     // the banding silently loses pairs — refuse instead.
     require(maxHamming <= nChunks - 1,
       s"maxHamming=$maxHamming needs nChunks >= ${maxHamming + 1} (got $nChunks) for complete candidate recall")
-    val w = (nBits + nChunks - 1) / nChunks
-    val sig = simhash(df, idCol, textCol, nBits).cache()
-    val chunked = sig.select(col("doc"), col("simhash"),
-      explode(array((0 until nChunks).map(c =>
-        struct(lit(c).as("c"),
-          (shiftright(col("simhash"), c * w) % lit(1L << w)).as("ck"))): _*))
-        .as("ch"))
-      .select(col("doc"), col("simhash"), col("ch.c"), col("ch.ck"))
-    val l = chunked.select(col("doc").as("d1"), col("simhash").as("h1"), col("c"), col("ck"))
-    val r = chunked.select(col("doc").as("d2"), col("simhash").as("h2"), col("c"), col("ck"))
-    l.join(r, Seq("c", "ck")).filter(col("d1") < col("d2"))
+    // localCheckpoint, not .cache(): same policy note as the shingle
+    // relation above — this sub-plan is reused by both join sides
+    val sig = simhash(df, idCol, textCol, nBits).localCheckpoint()
+    val keyed = simhashBandKeys(sig, nBits, nChunks, maxHamming)
+    val l = keyed.select(col("doc").as("d1"), col("simhash").as("h1"), col("g"), col("ck"))
+    val r = keyed.select(col("doc").as("d2"), col("simhash").as("h2"), col("g"), col("ck"))
+    l.join(r, Seq("g", "ck")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)

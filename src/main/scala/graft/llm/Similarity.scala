@@ -91,31 +91,51 @@ object Similarity {
     * replaces. Deterministic: ties broken by corpus id.
     */
   private def topKMerge(scored: DataFrame, k: Int, nSalts: Int): DataFrame = {
-    val salted = scored.withColumn("_salt", pmod(col("nn_id"), lit(nSalts)))
-    val w1 = Window.partitionBy(col("query_id"), col("_salt"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    val partial = salted.withColumn("_rank", row_number().over(w1))
-      .filter(col("_rank") <= k).drop("_rank", "_salt")
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nn_id").asc)
+    // nSalts == 1 means the caller established per-query candidates are
+    // already small (e.g. LSH-bucketed): one window, no salted pre-stage
+    val partial = if (nSalts <= 1) scored else {
+      val salted = scored.withColumn("_salt", pmod(col("nn_id"), lit(nSalts)))
+      val w1 = Window.partitionBy(col("query_id"), col("_salt"))
+        .orderBy(col("score").desc, col("nn_id").asc)
+      salted.withColumn("_rank", row_number().over(w1))
+        .filter(col("_rank") <= k).drop("_rank", "_salt")
+    }
     partial.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
   }
+
+  /** Salt count for the two-stage merge when the caller passes
+    * `nSalts = 0` (auto): enough (query, salt) slices to fill the
+    * cluster's shuffle parallelism ~4x over, no more — a fixed wide salt
+    * on a small query set multiplies stage-1 window sorts for nothing
+    * (measured: 64 salts x 20 queries = 1280 sort partitions dominated
+    * the LSH top-k at sf0.1). The one driver-side `count()` is of the
+    * QUERY side only — broadcast-small by contract, never the corpus.
+    */
+  private def resolveSalts(nSalts: Int, queries: DataFrame): Int =
+    if (nSalts > 0) nSalts
+    else {
+      val p = queries.sparkSession.sessionState.conf.numShufflePartitions
+      val nq = math.max(1L, queries.count())
+      math.min(64L, math.max(1L, (4L * p + nq - 1) / nq)).toInt
+    }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Scores rounded to 6
     * decimals; ties broken by corpus id so ordering is deterministic.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nSalts: Int = 64): DataFrame = {
+           k: Int, nSalts: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, nSalts)
+    topKMerge(scored, k, resolveSalts(nSalts, queries))
   }
 
   /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
@@ -135,12 +155,58 @@ object Similarity {
     * (A production quantizer would k-means the centroids; the fixed
     * lowest-id choice keeps results byte-reproducible for the oracle.)
     */
+  /** Deterministic Lloyd's k-means refinement of the coarse quantizer:
+    * seeds are the lowest-id corpus vectors (reproducible, no RNG); each
+    * of `iters` rounds reassigns vectors to their max-cosine centroid
+    * (ties to the lowest centroid id) and recomputes each centroid as
+    * the NORMALIZED MEAN of its members. The per-dimension sums are
+    * carried as exact integers (`floor(x*1e6+0.5)`) so the mean is
+    * associative — byte-reproducible across partitionings and engines;
+    * a raw double sum would be partition-order dependent. Empty clusters
+    * keep their previous centroid.
+    *
+    * Scale shape per round: one broadcast of the tiny centroid table, one
+    * partial-aggregated groupBy per vector (assignment), one
+    * partial-aggregated groupBy over (cluster, dim) longs (sums) — the
+    * corpus is scanned, never shuffled wholesale; centroids exist only
+    * as broadcast sides and a C-row relation (localCheckpoint per round
+    * keeps the plan flat across iterations).
+    */
+  private def kmeansCentroids(c: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cent = seeds
+    for (_ <- 0 until iters) {
+      val assign = c.crossJoin(broadcast(cent))
+        .withColumn("sim", dot(col("cv"), col("centv")))
+        .groupBy(col("nn_id"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"),
+          first(col("cv")).as("cv"))
+        .select((-col("best.negcid")).as("cid"), col("cv"))
+      val sums = assign.select(col("cid"), posexplode(col("cv")))
+        .withColumn("xi", floor(col("col") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
+      val means = sums.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sx").cast("double") / lit(1000000.0d) / col("cnt").cast("double"))
+            .as("m")))).as("ms"))
+        .select(col("cid"), transform(col("ms"), s => s.getField("m")).as("mv"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          when(col("mv").isNotNull, normalize(col("mv")))
+            .otherwise(col("centv")).as("centv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 64): DataFrame = {
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
+              kmeansIters: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), normalize(col(vecCol)).as("centv"))
+    val cent = if (kmeansIters > 0) kmeansCentroids(c, seeds, kmeansIters) else seeds
     // assign each corpus vector to its best centroid: partial-aggregated
     // max over struct(sim, -cid) — never a per-vector window
     val assign = c.crossJoin(broadcast(cent))
@@ -159,11 +225,11 @@ object Similarity {
     val scored = assign.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, nSalts)
+    topKMerge(scored, k, resolveSalts(nSalts, queries))
   }
 
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nPlanes: Int = 8, nSalts: Int = 64): DataFrame = {
+              k: Int, nPlanes: Int = 8, nSalts: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
@@ -172,6 +238,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, nSalts)
+    topKMerge(scored, k, resolveSalts(nSalts, queries))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -26,16 +26,25 @@ import org.apache.spark.sql.types.StructType
   * null).
   *
   * Right rows must be unique per (key, time) — the standard as-of
-  * precondition; pre-aggregate the right side otherwise (ties within
-  * one timestamp have no defined "latest").
+  * precondition; ties within one timestamp have no defined "latest".
+  * Pass `dedupeRight = true` to enforce it deterministically (max
+  * payload struct per (key, time)) instead of letting partition order
+  * pick a winner silently.
+  *
+  * Hot keys: `Window.partitionBy(key)` serializes one key's full
+  * history through one task. When a single key's event count can
+  * exceed a task's memory/time budget, use [[asOfBucketed]] — same
+  * semantics, per-task input bounded by the time-bucket width.
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to carry: (rightCol -> outputCol).
-    *                Output columns must not collide with left columns.
+  /** Tagged union of both sides: left rows carry a null payload struct,
+    * right rows carry null left-only columns; `_side` orders right (0)
+    * before left (1) at equal timestamps.
     */
-  def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-           payload: Seq[(String, String)]): DataFrame = {
+  private def taggedUnion(left: DataFrame, right: DataFrame, keyCol: String,
+                          timeCol: String, payload: Seq[(String, String)])
+      : (DataFrame, DataFrame, StructType) = {
     val leftCols = left.columns.toSeq
     require(!payload.exists { case (_, o) => leftCols.contains(o) },
       s"payload output names collide with left columns: ${payload.map(_._2).mkString(",")}")
@@ -44,10 +53,6 @@ object AsOfJoin {
     val pType = StructType(payload.map { case (r, o) =>
       org.apache.spark.sql.types.StructField(o, rightTypes(r), nullable = true)
     })
-
-    // tagged union: left rows carry a null payload struct, right rows
-    // carry null left-only columns; _side orders right(0) before
-    // left(1) at equal timestamps
     val lU = left.select(
       leftCols.map(col) :+
         lit(null).cast(pType).as("_p") :+
@@ -59,7 +64,31 @@ object AsOfJoin {
       } :+
         struct(payload.map { case (r, o) => col(r).as(o) }: _*).as("_p") :+
         lit(0).as("_side"): _*)
+    (lU, rU, pType)
+  }
 
+  /** Deterministic enforcement of the unique-(key, time) right-side
+    * precondition: one partial-aggregated groupBy keeping the MAX payload
+    * struct per (key, time) — lexicographic over the payload columns, so
+    * the winner is data-determined, never partition-order-determined.
+    * Payload column types must be orderable.
+    */
+  private def dedupe(right: DataFrame, keyCol: String, timeCol: String,
+                     payload: Seq[(String, String)]): DataFrame =
+    right.groupBy(col(keyCol), col(timeCol))
+      .agg(max(struct(payload.map { case (r, _) => col(r) }: _*)).as("_dp"))
+      .select(col(keyCol) +: col(timeCol) +:
+        payload.map { case (r, _) => col("_dp").getField(r).as(r) }: _*)
+
+  /** @param payload right-side columns to carry: (rightCol -> outputCol).
+    *                Output columns must not collide with left columns.
+    * @param dedupeRight enforce the unique-(key,time) precondition with a
+    *                deterministic pre-aggregation (see [[dedupe]]).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+           payload: Seq[(String, String)], dedupeRight: Boolean = false): DataFrame = {
+    val r = if (dedupeRight) dedupe(right, keyCol, timeCol, payload) else right
+    val (lU, rU, _) = taggedUnion(left, r, keyCol, timeCol, payload)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -68,5 +97,72 @@ object AsOfJoin {
     payload.foldLeft(carried.filter(col("_side") === 1)) { case (df, (_, o)) =>
       df.withColumn(o, col("_p").getField(o))
     }.drop("_p", "_side")
+  }
+
+  /** Hot-key-safe as-of join: identical semantics to [[asOf]], but the
+    * carry-forward window partitions by (key, time-bucket) instead of
+    * key alone, so no task ever sorts more than one bucket's rows —
+    * the per-task bound a 100 TB hot key needs.
+    *
+    * Cross-bucket continuity is restored by SEED rows: per (key, bucket),
+    * one partial-aggregated `max_by` keeps the bucket's latest payload;
+    * a window over that tiny per-bucket relation (rows per key = bucket
+    * count, not event count) carries the latest payload of any EARLIER
+    * bucket into a synthetic right row that sorts before everything in
+    * the bucket (null time, side -1). A left row therefore sees either a
+    * real right row earlier in its own bucket or its bucket's seed —
+    * exactly [[asOf]]'s answer.
+    *
+    * @param bucketOf maps the time column to a bucket id; must be
+    *                 monotone non-decreasing in time (e.g.
+    *                 `t => floor(unix_micros(t) / lit(3600000000L))` for
+    *                 hourly buckets over a timestamp column).
+    */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+                   timeCol: String, payload: Seq[(String, String)],
+                   bucketOf: Column => Column,
+                   dedupeRight: Boolean = false): DataFrame = {
+    val r = if (dedupeRight) dedupe(right, keyCol, timeCol, payload) else right
+    val (lU0, rU0, pType) = taggedUnion(left, r, keyCol, timeCol, payload)
+    val lU = lU0.withColumn("_b", bucketOf(col(timeCol)).cast("long"))
+    val rU = rU0.withColumn("_b", bucketOf(col(timeCol)).cast("long"))
+
+    // latest right payload per (key, bucket): partial-aggregated max_by,
+    // never a window over raw events
+    val bucketLast = rU.groupBy(col(keyCol), col("_b"))
+      .agg(max_by(col("_p"), struct(col(timeCol), col("_side"))).as("_bp"))
+    // carry the latest payload of STRICTLY EARLIER buckets into each
+    // bucket's seed; this window's partitions hold one row per bucket
+    val wSeed = Window.partitionBy(col(keyCol)).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // seed every bucket that has LEFT rows (a bucket with only right rows
+    // needs no seed; a left-only bucket still needs one)
+    val leftBuckets = lU.select(col(keyCol), col("_b")).distinct()
+    val seeds = bucketLast
+      .unionByName(leftBuckets
+        .withColumn("_bp", lit(null).cast(pType)), allowMissingColumns = false)
+      .groupBy(col(keyCol), col("_b")).agg(max_by(col("_bp"), col("_bp").isNotNull).as("_bp"))
+      .withColumn("_seed", last(col("_bp"), ignoreNulls = true).over(wSeed))
+      .join(leftBuckets, Seq(keyCol, "_b"), "left_semi")
+      .filter(col("_seed").isNotNull)
+      .select(lU.columns.map {
+        case c if c == keyCol => col(keyCol)
+        case "_p"    => col("_seed").as("_p")
+        case "_side" => lit(-1).as("_side")
+        case "_b"    => col("_b")
+        case c       => lit(null).cast(lU.schema(c).dataType).as(c)
+      }: _*)
+
+    // per-(key, bucket) carry-forward: seed sorts first (null time sorts
+    // first under asc, side -1 breaks same-null ties), right before left
+    // at equal times — the asOf ordering within a bounded partition
+    val w = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col(timeCol).asc_nulls_first, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lU.unionByName(rU).unionByName(seeds)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("_side") === 1)) { case (df, (_, o)) =>
+      df.withColumn(o, col("_p").getField(o))
+    }.drop("_p", "_side", "_b")
   }
 }

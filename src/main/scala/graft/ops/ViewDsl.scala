@@ -47,7 +47,14 @@ object ViewDsl {
       assoc: Option[Assoc] = None,             // edge to the PARENT node
       nest: Boolean = false,                   // hasMany: collect children as array
       columns: Seq[String] = Seq.empty,        // projection (empty = all)
-      children: Seq[ViewNode] = Seq.empty)
+      children: Seq[ViewNode] = Seq.empty,
+      // cap on nested children collected per parent (None = unbounded).
+      // `nest`'s collect_list builds an IN-MEMORY array per parent — a
+      // hot parent with millions of children OOMs the aggregating task
+      // (arrays, unlike sorts, cannot spill). The cap pre-ranks children
+      // per key (row_number, which DOES spill its sort) and keeps the
+      // first maxNest by the child's column order — bounding the array.
+      maxNest: Option[Int] = None)
 
   /** Model registry: name -> DataFrame. Views are `$`-parameterized
     * functions returning a ViewNode tree (registerView,
@@ -102,7 +109,15 @@ object ViewDsl {
             // reproduce the nested findAll result shape: one array-of-struct
             // column per parent key; array_sort for deterministic output
             val childCols = childDf.columns.filterNot(_ == a.childKey)
-            val nested = childDf.groupBy(col(a.childKey))
+            val bounded = child.maxNest match {
+              case None => childDf
+              case Some(cap) =>
+                val wc = Window.partitionBy(col(a.childKey))
+                  .orderBy(childCols.map(col): _*)
+                childDf.withColumn("_nrn", row_number().over(wc))
+                  .filter(col("_nrn") <= cap).drop("_nrn")
+            }
+            val nested = bounded.groupBy(col(a.childKey))
               .agg(array_sort(collect_list(struct(childCols.map(col): _*)))
                 .as(lowerFirst(child.model) + "s"))
             parentDf.join(nested, parentDf(a.parentKey) === nested(a.childKey), joinType)

@@ -28,6 +28,13 @@ object GraftBridge {
       case Filter(_, c)                     => walk(c)
       case SubqueryAlias(_, c)              => walk(c)
       case Generate(_, _, _, _, _, c)       => walk(c)
+      // a Union of narrow scan children is still narrow (each child's
+      // partitions pass through unshuffled): sum the child scan sizes so
+      // e.g. a union of two small scans still gets spread before
+      // CPU-heavy hash/shingle work
+      case Union(children, _, _) =>
+        val sizes = children.map(walk)
+        if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
       case lr: LogicalRelation              => Some(lr.relation.sizeInBytes)
       case _                                => None
     }
