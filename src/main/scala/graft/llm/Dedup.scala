@@ -343,8 +343,8 @@ object Dedup {
     * that keeps per-bucket membership small as the corpus grows. With
     * maxHamming == nChunks-1 it degenerates to plain one-chunk banding.
     */
-  private[llm] def simhashBandKeys(sig: DataFrame, nBits: Int, nChunks: Int,
-                                   maxHamming: Int): DataFrame = {
+  private[graft] def simhashBandKeys(sig: DataFrame, nBits: Int, nChunks: Int,
+                                     maxHamming: Int): DataFrame = {
     val w = (nBits + nChunks - 1) / nChunks
     val combos = simhashBandCombos(nChunks, maxHamming)
     sig.select(col("doc"), col("simhash"),

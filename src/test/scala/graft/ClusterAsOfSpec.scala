@@ -75,6 +75,40 @@ class ClusterAsOfSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("rn")) == 9L)
   }
 
+  test("asOf dedupeRight: (key,time) ties resolve to the max payload, deterministically") {
+    val left = Seq((1L, 5L, ts(30))).toDF("lid", "k", "t")
+    // two right rows at the SAME (key, time) — without dedupeRight the
+    // winner would be partition-order luck
+    val right = Seq((5L, ts(10), "x"), (5L, ts(10), "y")).toDF("k", "t", "tag")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("tag" -> "rtag"),
+      dedupeRight = true).collect().head
+    assert(out.getString(out.fieldIndex("rtag")) == "y")
+  }
+
+  test("asOfBucketed matches asOf on a hot key and splits it across time buckets") {
+    // one hot key with 60 left events across an hour + sparse right rows;
+    // buckets of 10 minutes -> the hot key's window work spreads over 6
+    // (key, bucket) partitions instead of one
+    val left = ((0 until 60).map(m => (m.toLong, 1L, ts(m))) :+ (100L, 2L, ts(30)))
+      .toDF("lid", "k", "t")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(25), "b"), (1L, ts(45), "c"),
+      (2L, ts(10), "z")).toDF("k", "t", "tag")
+    val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_timestamp(t) / lit(600L))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(r.fieldIndex("rtag")))).toMap
+    val base = asMap(AsOfJoin.asOf(left, right, "k", "t", Seq("tag" -> "rtag")))
+    val buck = asMap(AsOfJoin.asOfBucketed(left, right, "k", "t",
+      Seq("tag" -> "rtag"), bucketOf))
+    assert(buck == base)
+    // minute 30-39 bucket has NO right rows: its seed must carry "b"
+    assert(buck(32L).contains("b"))
+    // the hot key genuinely split: >1 bucket, and no bucket holds all rows
+    val perBucket = left.filter(col("k") === 1L)
+      .groupBy(bucketOf(col("t"))).count().collect().map(_.getLong(1))
+    assert(perBucket.length > 1 && perBucket.max < 60)
+  }
+
   test("asOf: no shuffle beyond one exchange per side and no cartesian") {
     val left = Seq((1L, 5L, ts(1))).toDF("lid", "k", "t")
     val right = Seq((5L, ts(1), "x")).toDF("k", "t", "tag")

@@ -94,6 +94,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(sampled == train)
   }
 
+  test("precomputed-pairs filter reuses one MinHash run — no shingle recomputation") {
+    val phrase = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val corpus = Seq(
+      (1L, phrase + "alpha beta"),
+      (6L, phrase + "alpha gamma"),
+      (3L, "the and of is with for " * 10)).toDF("doc_id", "text")
+    // ONE pair computation, materialized; clusters + filter both consume it
+    val pairs = graft.llm.Dedup.minhashLsh(corpus, "doc_id", "text",
+      n = 2, k = 8, rowsPerBand = 2, threshold = 0.5, maxDocFreq = None)
+      .localCheckpoint()
+    val filtered = Corpus.trainingFilterNearDup(corpus, "doc_id", "text",
+      minQuality = 0.0, lang = "en", pairs)
+    // shingling/signatures explode tokens via Generate; with precomputed
+    // pairs the admission plan must contain NONE — proof the MinHash DAG
+    // is not re-run per consumer
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"), s"shingle recomputation in plan:\n$plan")
+    val out = filtered.select("doc_id").collect().map(_.getLong(0)).toSet
+    val composed = Corpus.trainingFilterNearDup(corpus, "doc_id", "text",
+      minQuality = 0.0, lang = "en",
+      n = 2, k = 8, rowsPerBand = 2, threshold = 0.5, maxDocFreq = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == composed && out.contains(1L) && !out.contains(6L))
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),

@@ -180,12 +180,85 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
   }
 
+  test("simhash combination banding is complete: exactly the brute-force hamming pairs") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // overlapping word windows -> a mix of near and far signatures
+    val df = (0 until 14).map { i =>
+      (i.toLong, (0 until 6).map(j => words((i + j * 2) % words.length)).mkString(" "))
+    }.toDF("id", "text")
+    val banded = Dedup.simhashPairs(df, "id", "text",
+      maxHamming = 4, nBits = 60, nChunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhash(df, "id", "text", nBits = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, h1) <- sigs; (d2, h2) <- sigs if d1 < d2
+      ham = java.lang.Long.bitCount(h1 ^ h2) if ham <= 4
+    } yield (d1, d2, ham)).toSet
+    assert(banded == brute)
+  }
+
+  test("2-chunk band keys cut candidate volume vs single-chunk banding") {
+    // 200 docs over a LARGE vocabulary -> near-random signatures: the
+    // banding cost is then accidental 10-bit chunk collisions, which the
+    // 20-bit combination keys are built to kill. (On a near-dup-dense
+    // corpus both schemes surface the same true pairs and the comparison
+    // is meaningless — this measures the false-candidate floor.)
+    val df = (0 until 200).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 131 + j * 257) % 997}").mkString(" "))
+    }.toDF("id", "text")
+    val sig = Dedup.simhash(df, "id", "text", nBits = 60)
+    // cost of a banding scheme = candidate pairs the verify stage sees:
+    // sum over buckets of C(n, 2)
+    def candidatePairs(maxHamming: Int): Long =
+      Dedup.simhashBandKeys(sig, nBits = 60, nChunks = 6, maxHamming = maxHamming)
+        .groupBy(col("g"), col("ck")).count()
+        .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    // maxHamming=5 -> 1-chunk keys (10 bits); maxHamming=4 -> 2-chunk
+    // keys (20 bits): the wider key must strictly shrink candidate volume
+    val two = candidatePairs(4)
+    val one = candidatePairs(5)
+    assert(two < one, s"2-chunk candidates=$two, 1-chunk candidates=$one")
+  }
+
   test("embedding near-dup (exact path) finds colinear vectors") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("id", "v")
     val out = Dedup.embeddingNearDup(df, "id", "v", threshold = 0.9, useLsh = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)))
+  }
+
+  test("k-means-refined IVF beats the lowest-id quantizer on recall@k") {
+    // three well-separated clusters on axes e0/e1/e2 with deterministic
+    // within-cluster noise; ids 0-19 all in cluster 0, so the lowest-id
+    // seeds (nCentroids=4) are DEGENERATE — all four in one cluster —
+    // and probing one list mixes clusters. Two Lloyd's rounds must pull
+    // centroids toward the true clusters and lift recall.
+    val vecs = (0L until 60L).map { i =>
+      val c = (i / 20).toInt
+      val v = Array.fill(8)(0.0f)
+      v(c) = 1.0f
+      (0 until 8).foreach(j => v(j) = v(j) + 0.15f * math.sin(i * 1.7 + j).toFloat)
+      (i, v.toSeq)
+    }.toDF("id", "v")
+    val queries = vecs.filter(col("id").isin(5L, 25L, 45L))
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = hits(Similarity.topK(vecs, queries, "id", "v", k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val h = hits(df)
+      truth.map { case (q, t) => h.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val r0 = recall(Similarity.topKIvf(vecs, queries, "id", "v", k = 5,
+      nCentroids = 4, nProbe = 1, kmeansIters = 0))
+    val r2 = recall(Similarity.topKIvf(vecs, queries, "id", "v", k = 5,
+      nCentroids = 4, nProbe = 1, kmeansIters = 2))
+    assert(r2 > r0, s"recall kmeans=$r2 lowestId=$r0")
+    assert(r2 >= 0.8, s"refined recall too low: $r2")
   }
 
   test("brute-force topK ranks by cosine with deterministic ties") {
