@@ -852,6 +852,32 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
 
+    ("events_asof_bucketed",
+      (s: SparkSession, dir: String) => {
+        // the hot-key-safe variant MUST give byte-identical answers to
+        // asOf — same DuckDB ASOF oracle; ~71-minute power-of-two time
+        // buckets (exact integer shift, no float boundary) bound every
+        // window partition (per-(key,bucket), seeded carry-forward)
+        val e = events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("cid"),
+            max_by(col("value"), col("event_id")).as("cval"))
+        AsOfJoin.asOfBucketed(purchases, clicks, "user_id", "ts",
+          Seq("cid" -> "click_id", "cval" -> "click_value"),
+          bucketOf = ts => shiftright(unix_micros(ts), 32))
+      },
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |                  event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id,
+        |             arg_max(value, event_id) AS click_value
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+
     // ---- dedup family -----------------------------------------------------
     ("dedup_exact",
       (s: SparkSession, dir: String) => {
