@@ -621,6 +621,36 @@ object SparkEntry {
          |WHERE doc_id > 250 AND NOT EXISTS
          |  (SELECT 1 FROM fp f2 WHERE f2.doc_id <= 250 AND f2.fingerprint = fp.fingerprint)""".stripMargin),
 
+    ("dedup_incremental_neardup",
+      (s: SparkSession, dir: String) => {
+        // crawl-ingest near-dup gate: which NEW docs (id > 250) are
+        // near-dups of the EXISTING corpus (id <= 250)? The band join
+        // never self-joins the existing side. Oracle: the batch pipeline
+        // over the union yields the identical cross-side pairs — the
+        // equivalence the operator's scaladoc claims
+        val d = t(s, dir, "documents")
+        Dedup.minhashLshIncremental(
+          d.filter(col("doc_id") <= 250), d.filter(col("doc_id") > 250),
+          "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+      },
+      s"""WITH $minhashCtes
+         |SELECT CASE WHEN d1 > 250 THEN d1 ELSE d2 END AS d_new,
+         |       CASE WHEN d1 > 250 THEN d2 ELSE d1 END AS d_old, jaccard
+         |FROM mh_pairs WHERE (d1 <= 250) <> (d2 <= 250)""".stripMargin),
+
+    ("profile_skew",
+      (s: SparkSession, dir: String) =>
+        Profile.keySkew(t(s, dir, "orders"), "o_custkey", topN = 10),
+      {
+        val share = Num.r6Sql(
+          "CAST(cnt AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE)")
+        s"""WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+           |           FROM orders GROUP BY o_custkey)
+           |SELECT key, cnt, $share AS share FROM c
+           |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+      }),
+
     ("profile_orders",
       (s: SparkSession, dir: String) =>
         Profile.summarize(t(s, dir, "orders"),

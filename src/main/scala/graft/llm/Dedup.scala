@@ -240,6 +240,21 @@ object Dedup {
     * robust pipeline runs [[exact]] dedup first so identical docs never
     * reach the near-dup stage, and leaves this None.
     */
+  /** (doc, band, bkey) band keys straight off the wide signature row —
+    * no collect_list regroup, just a per-doc explode of nBands tiny
+    * structs. Shared by the batch and incremental LSH entry points.
+    */
+  private def bandKeys(hashedShingles: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val wide = minhashSignaturesWideHashed(hashedShingles, k)
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i").cast("string")): _*).as("bkey"))
+    }
+    wide.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, rowsPerBand: Int, threshold: Double,
                  maxDocFreq: Option[Long] = None,
@@ -249,17 +264,7 @@ object Dedup {
     // ([[docShinglesHashed]]): every exchange below carries longs
     val ds0 = docShinglesHashed(df, idCol, textCol, n, maxDocFreq)
     val ds = if (materializeShingles) ds0.localCheckpoint() else ds0
-    // band keys straight off the wide signature row — no collect_list
-    // regroup, just a per-doc explode of nBands tiny structs
-    val wide = minhashSignaturesWideHashed(ds, k)
-    val bandStructs = (0 until k / rowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"mh$i").cast("string")): _*).as("bkey"))
-    }
-    val bandsAll = wide
-      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bandsAll = bandKeys(ds, k, rowsPerBand)
     val bands = maxBandFreq match {
       case None => bandsAll
       case Some(cap) =>
@@ -295,6 +300,59 @@ object Dedup {
           / (col("sz1") + col("sz2") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Incremental near-dup admission: near-duplicate pairs BETWEEN a new
+    * batch and an existing corpus — the crawl-ingest gate ("is this new
+    * document a near-dup of anything already held?"), the MinHash twin
+    * of the fingerprint anti-join in `dedup_incremental`.
+    *
+    * The candidate band join is RESTRICTED to cross-side pairs: the
+    * existing corpus is never self-joined, so per ingest the join cost
+    * is |new bands| ⋈ |existing-band buckets touched| — proportional to
+    * the batch, not corpus². Shingle hashing, signatures, the optional
+    * doc-frequency cap (computed over existing ∪ new, identical to the
+    * batch formulation on the union) and exact-Jaccard verification all
+    * match [[minhashLsh]], so (new, old) pairs here equal the
+    * cross-side subset of the batch run's pairs. Ids must be distinct
+    * across the two inputs.
+    *
+    * Output: (d_new, d_old, jaccard) with jaccard >= threshold.
+    */
+  def minhashLshIncremental(existing: DataFrame, newBatch: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            k: Int, rowsPerBand: Int, threshold: Double,
+                            maxDocFreq: Option[Long] = None): DataFrame = {
+    val union = existing.select(col(idCol), col(textCol))
+      .unionByName(newBatch.select(col(idCol), col(textCol)))
+    val ds = docShinglesHashed(union, idCol, textCol, n, maxDocFreq)
+      .localCheckpoint()
+    val newIds = newBatch.select(col(idCol).as("doc"))
+    val bands = bandKeys(ds, k, rowsPerBand)
+    val bandsNew = bands.join(newIds, Seq("doc"), "left_semi")
+    val bandsOld = bands.join(newIds, Seq("doc"), "left_anti")
+    val cand = bandsNew.select(col("doc").as("d_new"), col("band"), col("bkey"))
+      .join(bandsOld.select(col("doc").as("d_old"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("d_new"), col("d_old")).distinct()
+    // verify with exact Jaccard over the hashed shingles, restricted to
+    // candidate docs on each side before the intersection join
+    val dsNew = ds.join(cand.select(col("d_new").as("doc")).distinct(),
+      Seq("doc"), "left_semi").select(col("doc").as("d_new"), col("h"))
+    val dsOld = ds.join(cand.select(col("d_old").as("doc")).distinct(),
+      Seq("doc"), "left_semi").select(col("doc").as("d_old"), col("h"))
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = dsNew.join(dsOld, Seq("h"))
+      .join(cand, Seq("d_new", "d_old"), "left_semi")
+      .groupBy(col("d_new"), col("d_old")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d_new").withColumnRenamed("sz", "sz1"), Seq("d_new"))
+      .join(sizes.withColumnRenamed("doc", "d_old").withColumnRenamed("sz", "sz2"), Seq("d_old"))
+      .withColumn("jaccard",
+        graft.Num.r6(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d_new"), col("d_old"), col("jaccard"))
   }
 
   /** SimHash over token hashes: bit b of the signature is 1 iff the count

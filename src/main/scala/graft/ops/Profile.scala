@@ -34,4 +34,26 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (column, n_nonnull, n_distinct, min_value, max_value)",
       "__total AS n_rows")
   }
+
+  /** Key-skew diagnostic: the `topN` heaviest keys of `keyCol` with
+    * their share of all rows — the first question before sizing a
+    * shuffle on that key ("does this join need salting?"). One
+    * partial-aggregated groupBy; the top-N compiles to
+    * `TakeOrderedAndProject` (per-partition top-N, driver merge — no
+    * global sort); the row total rides along as a broadcast one-row
+    * aggregate, never a separate driver-side `.count()`. Ties broken by
+    * key for determinism.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    // top-N FIRST (TakeOrderedAndProject over the counts), share after:
+    // the broadcast total joins topN rows, not every distinct key
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        graft.Num.r6(col("cnt").cast("double") / col("__n").cast("double")))
+      .select(col("key"), col("cnt"), col("share"))
+  }
 }

@@ -180,6 +180,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
   }
 
+  test("incremental minhash equals the cross-side subset of the batch run") {
+    val phrase = "the quick brown fox jumps over the lazy dog and runs far away " * 2
+    val corpus = Seq(
+      (1L, phrase + "alpha beta"),
+      (2L, "completely different text about ships and harbors at dawn today"),
+      (11L, phrase + "alpha gamma"), // near-dup of 1
+      (12L, phrase + "alpha beta"), // exact dup of 1
+      (13L, "unrelated fresh content with novel words nothing shared here"))
+      .toDF("id", "text")
+    val existing = corpus.filter(col("id") <= 10)
+    val fresh = corpus.filter(col("id") > 10)
+    val inc = Dedup.minhashLshIncremental(existing, fresh, "id", "text",
+      n = 2, k = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLsh(corpus, "id", "text",
+      n = 2, k = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (d1, d2, _) => (d1 <= 10) != (d2 <= 10) }
+      .map { case (d1, d2, j) => if (d1 > 10) (d1, d2, j) else (d2, d1, j) }.toSet
+    assert(inc == batch && inc.nonEmpty)
+    assert(inc.map(p => (p._1, p._2)).contains((11L, 1L)))
+    assert(inc.map(p => (p._1, p._2)).contains((12L, 1L)))
+    assert(!inc.map(_._1).contains(13L))
+  }
+
   test("simhash combination banding is complete: exactly the brute-force hamming pairs") {
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa")

@@ -2,12 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Load, Reshape}
+import graft.ops.{Load, Profile, Reshape}
 
-/** Pivot, salted join, and merge/upsert. */
+/** Pivot, salted join, merge/upsert, and skew profiling. */
 class ReshapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("keySkew ranks heavy keys with exact shares, ties by key") {
+    val df = (Seq.fill(6)(10L) ++ Seq.fill(3)(20L) ++ Seq.fill(3)(15L))
+      .toDF("k")
+    val out = Profile.keySkew(df, "k", topN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((10L, 6L, 0.5), (15L, 3L, 0.25))) // 15 beats 20 on the tie
+  }
+
+  test("keySkew top-N is TakeOrderedAndProject, not a global sort") {
+    // more keys than topN, or the optimizer proves the limit redundant
+    // (maxRows <= topN) and elides the sort entirely
+    val df = (1L to 40L).map(i => i % 10).toDF("k")
+    val plan = Profile.keySkew(df, "k", topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 
   test("pivotCounts fills absent combinations with 0 and keeps one agg pass") {
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "v")
