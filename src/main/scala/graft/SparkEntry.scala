@@ -467,8 +467,8 @@ object SparkEntry {
       },
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
-        |  COALESCE(array_to_string(list_transform(toks, x -> CAST(length(x) > 3 AS VARCHAR)), ','), '') AS toks_elem_valid,
-        |  COALESCE(array_to_string(list_filter(list_transform(toks, (x, i) -> CASE WHEN NOT length(x) > 3 THEN CAST(i - 1 AS INT) END), x -> x IS NOT NULL), ','), '') AS toks_invalid_idx,
+        |  CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(array_to_string(list_transform(toks, x -> CAST(length(x) > 3 AS VARCHAR)), ','), '') END AS toks_elem_valid,
+        |  CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(array_to_string(list_filter(list_transform(toks, (x, i) -> CASE WHEN NOT length(x) > 3 THEN CAST(i - 1 AS INT) END), x -> x IS NOT NULL), ','), '') END AS toks_invalid_idx,
         |  len(list_filter(toks, x -> NOT length(x) > 3)) = 0 AS toks_valid
         |FROM b""".stripMargin),
 

@@ -278,28 +278,40 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    // verify candidates with exact Jaccard. Restrict the shingle relation
-    // to candidate docs BEFORE the self-join — the candidate set is tiny
-    // relative to the corpus, so the expensive shingle⋈shingle join only
-    // ever sees candidate rows (not the full corpus re-joined and then
-    // semi-filtered after the fact)
-    val candDocs = cand.select(col("d1").as("doc"))
-      .union(cand.select(col("d2").as("doc"))).distinct()
-    val dsc = ds.join(candDocs, Seq("doc"), "left_semi")
+    jaccardVerify(ds, cand, "d1", "d2", threshold, ordered = true)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair relation over a
+    * hashed shingle relation `ds` (doc, h). Restricts the shingle
+    * relation to candidate docs BEFORE the intersection join — the
+    * candidate set is tiny relative to the corpus, so the expensive
+    * shingle⋈shingle join only ever sees candidate rows (not the full
+    * corpus re-joined then semi-filtered after the fact). Shared by the
+    * batch and incremental LSH entry points so their pair semantics can
+    * never drift apart. `ordered = true` adds the `c1 < c2` self-join
+    * guard (batch dedup); cross-side callers (distinct id spaces per
+    * side) pass false.
+    */
+  private def jaccardVerify(ds: DataFrame, cand: DataFrame, c1: String,
+                            c2: String, threshold: Double,
+                            ordered: Boolean): DataFrame = {
+    val dsA = ds.join(cand.select(col(c1).as("doc")).distinct(),
+      Seq("doc"), "left_semi").select(col("doc").as(c1), col("h"))
+    val dsB = ds.join(cand.select(col(c2).as("doc")).distinct(),
+      Seq("doc"), "left_semi").select(col("doc").as(c2), col("h"))
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val a = dsc.select(col("doc").as("d1"), col("h"))
-    val b = dsc.select(col("doc").as("d2"), col("h"))
-    val inter = a.join(b, Seq("h")).filter(col("d1") < col("d2"))
-      .join(cand, Seq("d1", "d2"), "left_semi")
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val joined = dsA.join(dsB, Seq("h"))
+    val inter = (if (ordered) joined.filter(col(c1) < col(c2)) else joined)
+      .join(cand, Seq(c1, c2), "left_semi")
+      .groupBy(col(c1), col(c2)).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .join(sizes.withColumnRenamed("doc", c1).withColumnRenamed("sz", "sz1"), Seq(c1))
+      .join(sizes.withColumnRenamed("doc", c2).withColumnRenamed("sz", "sz2"), Seq(c2))
       .withColumn("jaccard",
         graft.Num.r6(col("inter").cast("double")
           / (col("sz1") + col("sz2") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .select(col(c1), col(c2), col("jaccard"))
   }
 
   /** Incremental near-dup admission: near-duplicate pairs BETWEEN a new
@@ -335,24 +347,7 @@ object Dedup {
       .join(bandsOld.select(col("doc").as("d_old"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("d_new"), col("d_old")).distinct()
-    // verify with exact Jaccard over the hashed shingles, restricted to
-    // candidate docs on each side before the intersection join
-    val dsNew = ds.join(cand.select(col("d_new").as("doc")).distinct(),
-      Seq("doc"), "left_semi").select(col("doc").as("d_new"), col("h"))
-    val dsOld = ds.join(cand.select(col("d_old").as("doc")).distinct(),
-      Seq("doc"), "left_semi").select(col("doc").as("d_old"), col("h"))
-    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = dsNew.join(dsOld, Seq("h"))
-      .join(cand, Seq("d_new", "d_old"), "left_semi")
-      .groupBy(col("d_new"), col("d_old")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "d_new").withColumnRenamed("sz", "sz1"), Seq("d_new"))
-      .join(sizes.withColumnRenamed("doc", "d_old").withColumnRenamed("sz", "sz2"), Seq("d_old"))
-      .withColumn("jaccard",
-        graft.Num.r6(col("inter").cast("double")
-          / (col("sz1") + col("sz2") - col("inter")).cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d_new"), col("d_old"), col("jaccard"))
+    jaccardVerify(ds, cand, "d_new", "d_old", threshold, ordered = false)
   }
 
   /** SimHash over token hashes: bit b of the signature is 1 iff the count

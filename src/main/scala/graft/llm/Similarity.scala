@@ -120,7 +120,12 @@ object Similarity {
     else {
       val p = queries.sparkSession.sessionState.conf.numShufflePartitions
       val nq = math.max(1L, queries.count())
-      math.min(64L, math.max(1L, (4L * p + nq - 1) / nq)).toInt
+      // floor of 4: with MANY queries the parallelism term collapses to 1,
+      // but the salted pre-stage's other job — bounding how many candidate
+      // rows a single (query) task must sort — still applies; keep a 4x
+      // pre-reduction rather than funneling a query's whole candidate
+      // list through one stage-2 task
+      math.min(64L, math.max(4L, (4L * p + nq - 1) / nq)).toInt
     }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -155,6 +160,24 @@ object Similarity {
     * (A production quantizer would k-means the centroids; the fixed
     * lowest-id choice keeps results byte-reproducible for the oracle.)
     */
+  /** (nn_id, cv, cluster) assignment via a NARROW argmax: the centroid
+    * table collapses into ONE broadcast array row and each corpus vector
+    * folds over it in place — `array_max` over struct(sim, -cid) is the
+    * same max-cosine/lowest-cid-tie ordering as an aggregate would give,
+    * and it is order-independent, so the nondeterministic collect_list
+    * order cannot change the winner. NO per-vector shuffle: the previous
+    * crossJoin+groupBy(nn_id) shape shipped every vector (id + full
+    * embedding) through an exchange just to pick its centroid.
+    */
+  private def assignClusters(c: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(collect_list(struct(col("cid"), col("centv"))).as("cs"))
+    c.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cs"),
+        x => struct(dot(col("cv"), x.getField("centv")).as("sim"),
+          (-x.getField("cid").cast("long")).as("negcid")))))
+      .select(col("nn_id"), col("cv"), (-col("best.negcid")).as("cluster"))
+  }
+
   /** Deterministic Lloyd's k-means refinement of the coarse quantizer:
     * seeds are the lowest-id corpus vectors (reproducible, no RNG); each
     * of `iters` rounds reassigns vectors to their max-cosine centroid
@@ -165,22 +188,19 @@ object Similarity {
     * a raw double sum would be partition-order dependent. Empty clusters
     * keep their previous centroid.
     *
-    * Scale shape per round: one broadcast of the tiny centroid table, one
-    * partial-aggregated groupBy per vector (assignment), one
+    * Scale shape per round: one broadcast of the tiny centroid table, a
+    * NARROW per-vector argmax ([[assignClusters]] — no shuffle), then one
     * partial-aggregated groupBy over (cluster, dim) longs (sums) — the
-    * corpus is scanned, never shuffled wholesale; centroids exist only
-    * as broadcast sides and a C-row relation (localCheckpoint per round
-    * keeps the plan flat across iterations).
+    * corpus is scanned, never shuffled wholesale; the only exchange per
+    * round carries per-partition (cid, dim, sum) partials. Centroids
+    * exist only as broadcast sides and a C-row relation (localCheckpoint
+    * per round keeps the plan flat across iterations).
     */
   private def kmeansCentroids(c: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     var cent = seeds
     for (_ <- 0 until iters) {
-      val assign = c.crossJoin(broadcast(cent))
-        .withColumn("sim", dot(col("cv"), col("centv")))
-        .groupBy(col("nn_id"))
-        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"),
-          first(col("cv")).as("cv"))
-        .select((-col("best.negcid")).as("cid"), col("cv"))
+      val assign = assignClusters(c, cent)
+        .select(col("cluster").as("cid"), col("cv"))
       val sums = assign.select(col("cid"), posexplode(col("cv")))
         .withColumn("xi", floor(col("col") * lit(1000000.0d) + lit(0.5d)).cast("long"))
         .groupBy(col("cid"), col("pos"))
@@ -207,14 +227,9 @@ object Similarity {
     val seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), normalize(col(vecCol)).as("centv"))
     val cent = if (kmeansIters > 0) kmeansCentroids(c, seeds, kmeansIters) else seeds
-    // assign each corpus vector to its best centroid: partial-aggregated
-    // max over struct(sim, -cid) — never a per-vector window
-    val assign = c.crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("cv"), col("centv")))
-      .groupBy(col("nn_id"))
-      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"),
-        first(col("cv")).as("cv"))
-      .select(col("nn_id"), col("cv"), (-col("best.negcid")).as("cluster"))
+    // assign each corpus vector to its best centroid: narrow fold over
+    // the broadcast centroid array — never a per-vector shuffle or window
+    val assign = assignClusters(c, cent)
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cid").asc)

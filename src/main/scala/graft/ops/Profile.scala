@@ -47,7 +47,10 @@ object Profile {
   def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("__n"))
+    // the row total is sum(cnt) over the counts relation (every row lands
+    // in exactly one key group, NULL keys included) — NOT a second scan
+    // of the raw table
+    val total = counts.agg(sum(col("cnt")).as("__n"))
     // top-N FIRST (TakeOrderedAndProject over the counts), share after:
     // the broadcast total joins topN rows, not every distinct key
     counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
