@@ -108,6 +108,59 @@ object EventStream {
       .drop("_sid")
   }
 
+  // ------------------------------------------- custom state: streaming as-of
+
+  /** One tick of the merged as-of input: right rows (`isRight = true`)
+    * publish `value` at `ts`; left rows ask "latest right value at or
+    * before my ts" — [[graft.ops.AsOfJoin.asOf]]'s tagged-union shape as
+    * a stream.
+    */
+  final case class TickEvent(key: Long, ts: Timestamp, isRight: Boolean,
+                             id: Long, value: Double)
+  final case class CarryState(ts: Long, value: Double)
+  final case class Enriched(key: Long, id: Long, ts: Timestamp,
+                            asof_value: Option[Double], asof_ts: Option[Timestamp])
+
+  /** Streaming as-of enrichment (`flatMapGroupsWithState`): per key, the
+    * state is the LATEST right (ts, value) — one entry of two longs per
+    * key, bounded by key cardinality regardless of stream length, no
+    * watermark-sized buffer. Within each micro-batch the group's events
+    * are processed in (ts, right-before-left, id) order, so same-batch
+    * ordering matches the batch join exactly.
+    *
+    * Contract: exact under per-key event-time-ordered delivery (the
+    * keyed-Kafka-partition case) — equivalence with the batch
+    * [[graft.ops.AsOfJoin.asOf]] is asserted in StreamingSpec. A LEFT
+    * row arriving in a later micro-batch than a right row with LATER
+    * event time answers from the newest state (single-value state
+    * cannot rewind); full out-of-order exactness needs the batch join
+    * over a watermark-complete window instead.
+    */
+  def asOfStream(events: Dataset[TickEvent]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[TickEvent], state: GroupState[CarryState]) =>
+          val sorted = it.toArray
+            .sortBy(e => (e.ts.getTime, if (e.isRight) 0 else 1, e.id))
+          var cur = state.getOption
+          val out = List.newBuilder[Enriched]
+          sorted.foreach { e =>
+            if (e.isRight) {
+              if (cur.forall(_.ts <= e.ts.getTime))
+                cur = Some(CarryState(e.ts.getTime, e.value))
+            } else {
+              val m = cur.filter(_.ts <= e.ts.getTime)
+              out += Enriched(key, e.id, e.ts,
+                m.map(_.value), m.map(s => new Timestamp(s.ts)))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -73,6 +73,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of equals the batch as-of join under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Enriched, TickEvent}
+
+    def tick(key: Long, m: Int, right: Boolean, id: Long, v: Double) =
+      TickEvent(key, ts(0, m), right, id, v)
+    // per-key event-time-ordered delivery across two micro-batches;
+    // includes a same-instant right/left pair (right must win) and a
+    // left with no prior right (None)
+    val batch1 = Seq(tick(1L, 0, right = true, 100L, 1.0),
+      tick(1L, 5, right = false, 1L, 0), tick(2L, 3, right = false, 2L, 0))
+    val batch2 = Seq(tick(1L, 10, right = true, 101L, 2.0),
+      tick(1L, 10, right = false, 3L, 0), tick(1L, 20, right = false, 4L, 0),
+      tick(2L, 30, right = true, 102L, 9.0), tick(2L, 31, right = false, 5L, 0))
+
+    val mem = MemoryStream[TickEvent]
+    val q = EventStream.asOfStream(mem.toDS()).writeStream.format("memory")
+      .queryName("asof_stream_test").outputMode("append").start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("asof_stream_test").as[Enriched].collect()
+        .map(e => e.id -> e.asof_value).toMap
+    } finally q.stop()
+
+    val all = (batch1 ++ batch2).toDS()
+    val left = all.filter(!_.isRight).toDF().select(col("key"), col("id"), col("ts"))
+    val right = all.filter(_.isRight).toDF().select(col("key"), col("ts"), col("value"))
+    val batch = graft.ops.AsOfJoin.asOf(left, right, "key", "ts",
+      Seq("value" -> "asof_value")).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_value"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_value"))))).toMap
+    assert(streamed == batch)
+    assert(streamed(3L).contains(2.0)) // same-instant right visible (<=)
+    assert(streamed(2L).isEmpty)       // no prior right -> None
+  }
+
   test("stream-stream join matches right rows within the bounded window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
