@@ -299,14 +299,18 @@ object Dedup {
       Seq("doc"), "left_semi").select(col("doc").as(c1), col("h"))
     val dsB = ds.join(cand.select(col(c2).as("doc")).distinct(),
       Seq("doc"), "left_semi").select(col("doc").as(c2), col("h"))
-    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // set sizes come from the ALREADY-candidate-restricted relations
+    // (they hold every shingle of their docs) — never a corpus-wide
+    // aggregation for a candidate-sized answer
+    val sz1 = dsA.groupBy(col(c1)).agg(count(lit(1)).as("sz1"))
+    val sz2 = dsB.groupBy(col(c2)).agg(count(lit(1)).as("sz2"))
     val joined = dsA.join(dsB, Seq("h"))
     val inter = (if (ordered) joined.filter(col(c1) < col(c2)) else joined)
       .join(cand, Seq(c1, c2), "left_semi")
       .groupBy(col(c1), col(c2)).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", c1).withColumnRenamed("sz", "sz1"), Seq(c1))
-      .join(sizes.withColumnRenamed("doc", c2).withColumnRenamed("sz", "sz2"), Seq(c2))
+      .join(sz1, Seq(c1))
+      .join(sz2, Seq(c2))
       .withColumn("jaccard",
         graft.Num.r6(col("inter").cast("double")
           / (col("sz1") + col("sz2") - col("inter")).cast("double")))

@@ -115,17 +115,18 @@ object Similarity {
     * the LSH top-k at sf0.1). The one driver-side `count()` is of the
     * QUERY side only — broadcast-small by contract, never the corpus.
     */
-  private def resolveSalts(nSalts: Int, queries: DataFrame): Int =
+  private def resolveSalts(nSalts: Int, queries: DataFrame, floor: Long = 4L): Int =
     if (nSalts > 0) nSalts
     else {
       val p = queries.sparkSession.sessionState.conf.numShufflePartitions
       val nq = math.max(1L, queries.count())
-      // floor of 4: with MANY queries the parallelism term collapses to 1,
-      // but the salted pre-stage's other job — bounding how many candidate
-      // rows a single (query) task must sort — still applies; keep a 4x
-      // pre-reduction rather than funneling a query's whole candidate
-      // list through one stage-2 task
-      math.min(64L, math.max(4L, (4L * p + nq - 1) / nq)).toInt
+      // `floor` is the caller's statement about per-query candidate size:
+      // brute/IVF paths score corpus-sized candidate lists, so even with
+      // MANY queries (where the parallelism term collapses to 1) they
+      // keep a 4x salted pre-reduction per task; the LSH path's
+      // candidates are already bucket-bounded, so it floors at 1 and the
+      // pre-stage disappears when query count covers the cluster
+      math.min(64L, math.max(floor, (4L * p + nq - 1) / nq)).toInt
     }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -147,18 +148,21 @@ object Similarity {
     * top-k within candidates. Approximate (recall < 1) but the candidate
     * join is an equi-join on the bucket key — the 100 TB path.
     */
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
-    * centroids are the `nCentroids` lowest-id corpus vectors, normalized —
-    * partitions the corpus into inverted lists (each vector assigned to
-    * its max-cosine centroid, ties to the lowest centroid id); a query
-    * probes its `nProbe` nearest centroids and ranks only those lists.
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — seeds
+    * are the `nCentroids` lowest-id corpus vectors, optionally refined by
+    * `kmeansIters` rounds of deterministic Lloyd's k-means
+    * ([[kmeansCentroids]]) — partitions the corpus into inverted lists
+    * (each vector assigned to its max-cosine centroid, ties to the
+    * lowest centroid id); a query probes its `nProbe` nearest centroids
+    * and ranks only those lists.
     *
-    * Scale shape: assignment is one broadcast of C tiny centroid rows +
-    * a single groupBy with map-side partial max (no window over the
-    * corpus); candidate generation is an equi-join on the cluster id.
-    * Recall < 1 like any IVF; raise nProbe to trade cost for recall.
-    * (A production quantizer would k-means the centroids; the fixed
-    * lowest-id choice keeps results byte-reproducible for the oracle.)
+    * Scale shape: assignment is a NARROW fold over a one-row broadcast
+    * centroid array ([[assignClusters]] — no per-vector exchange, no
+    * window); candidate generation is an equi-join on the cluster id
+    * with the (tiny) probe side broadcast. Recall < 1 like any IVF;
+    * raise nProbe — or kmeansIters, see the recall@k spec — to trade
+    * cost for recall. Corpus ids must be unique: each row is assigned
+    * independently (the id is the output key).
     */
   /** (nn_id, cv, cluster) assignment via a NARROW argmax: the centroid
     * table collapses into ONE broadcast array row and each corpus vector
@@ -167,7 +171,12 @@ object Similarity {
     * and it is order-independent, so the nondeterministic collect_list
     * order cannot change the winner. NO per-vector shuffle: the previous
     * crossJoin+groupBy(nn_id) shape shipped every vector (id + full
-    * embedding) through an exchange just to pick its centroid.
+    * embedding) through an exchange just to pick its centroid. The HOF
+    * lambda is interpreted (not codegen'd) — a measured constant factor
+    * at tiny SF, traded for eliminating an N×dim exchange per call.
+    * Assumes unique ids (duplicate-id rows assign independently; the old
+    * groupBy shape silently picked a partition-order-dependent winner,
+    * which was worse).
     */
   private def assignClusters(c: DataFrame, cent: DataFrame): DataFrame = {
     val centArr = cent.agg(collect_list(struct(col("cid"), col("centv"))).as("cs"))
@@ -253,6 +262,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, resolveSalts(nSalts, queries))
+    topKMerge(scored, k, resolveSalts(nSalts, queries, floor = 1L))
   }
 }

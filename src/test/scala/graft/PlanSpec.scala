@@ -28,7 +28,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("scale-path similarity/dedup plans contain no cartesian product") {
     for (q <- Seq("dedup_embedding_lsh", "similarity_topk_lsh",
-      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash")) {
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_incremental_neardup", "events_asof_bucketed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
