@@ -1038,6 +1038,23 @@ object SparkEntry {
       }),
 
     // ---- similarity search ------------------------------------------------
+    ("embedding_quantize",
+      (s: SparkSession, dir: String) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("id"), col("scale"),
+            array_join(col("q").cast("array<string>"), ",").as("q"),
+            col("max_err")),
+      {
+        val scale = "(ma / 127.0)"
+        s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
+           |m AS (SELECT id, d, list_reduce(list_prepend(0.0, list_transform(d, x -> abs(x))), (a, b) -> greatest(a, b)) AS ma FROM v),
+           |qv AS (SELECT id, d, ma, CASE WHEN ma = 0 THEN list_transform(d, x -> CAST(0 AS BIGINT))
+           |         ELSE list_transform(d, x -> CAST(greatest(-127, least(127, floor(x / $scale + 0.5))) AS BIGINT)) END AS q FROM m)
+           |SELECT id, ${Num.r6Sql(scale)} AS scale, array_to_string(q, ',') AS q,
+           |       ${Num.r6Sql(s"list_reduce(list_prepend(0.0, list_transform(d, (x, i) -> abs(x - q[i] * $scale))), (a, b) -> greatest(a, b))")} AS max_err
+           |FROM qv""".stripMargin
+      }),
+
     ("similarity_topk",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -49,6 +49,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(normalize(a), normalize(b))
 
+  /** Symmetric per-vector int8 scalar quantization — the storage path a
+    * 100 TB embedding store runs before anything else (float32 -> int8 is
+    * 4x fewer bytes scanned by every ANN pass; recall loss is bounded by
+    * the returned reconstruction error). scale = max|x|/127;
+    * q_i = clamp(floor(x_i/scale + 0.5), -127, 127); all-zero vectors
+    * quantize to zeros with scale 0. Entirely narrow (per-row folds, no
+    * shuffle), and every step is deterministic arithmetic the oracle
+    * reproduces exactly — floor-based rounding, fixed operand order.
+    *
+    * Output: (id, scale, q array<long>, max_err = max_i |x_i - q_i*scale|).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = transform(col(vecCol), x => x.cast("double"))
+    val base = graft.Partitioning.spread(df)
+      .select(col(idCol).as("id"), d.as("d"))
+      .withColumn("ma", aggregate(transform(col("d"), x => abs(x)),
+        lit(0.0d), (a, x) => greatest(a, x)))
+    val scale = col("ma") / lit(127.0d)
+    val q = when(col("ma") === 0.0d, transform(col("d"), _ => lit(0L)))
+      .otherwise(transform(col("d"), x =>
+        greatest(lit(-127L), least(lit(127L), floor(x / scale + lit(0.5d))))))
+    base.withColumn("q", q)
+      .withColumn("max_err", aggregate(
+        zip_with(col("d"), col("q"), (x, qi) => abs(x - qi.cast("double") * scale)),
+        lit(0.0d), (a, x) => greatest(a, x)))
+      .select(col("id"), graft.Num.r6(scale).as("scale"), col("q"),
+        graft.Num.r6(col("max_err")).as("max_err"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * an LCG step mapped to [-0.5, 0.5). Fixed arithmetic — reproducible
     * anywhere, no RNG state. The plane stride (4096) bounds the

@@ -286,6 +286,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.8, s"refined recall too low: $r2")
   }
 
+  test("int8 quantization bounds reconstruction error by scale/2; zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val out = Similarity.quantizeInt8(df, "vec_id", "v").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))).toMap
+    val (scale, q, err) = out(1L)
+    assert(q.forall(x => x >= -127 && x <= 127))
+    assert(q(1) == -127)                      // max-magnitude element saturates
+    assert(err <= scale / 2 + 1e-9)           // round-to-nearest bound
+    assert(math.abs(q(0) * scale - 0.5) <= scale / 2 + 1e-9) // dequant close
+    val (s0, q0, e0) = out(2L)
+    assert(s0 == 0.0 && q0.forall(_ == 0L) && e0 == 0.0) // zero vector: no NaN
+  }
+
   test("brute-force topK ranks by cosine with deterministic ties") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("id", "v")
