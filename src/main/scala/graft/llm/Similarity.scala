@@ -198,14 +198,16 @@ object Similarity {
     * folds over it in place — `array_max` over struct(sim, -cid) is the
     * same max-cosine/lowest-cid-tie ordering as an aggregate would give,
     * and it is order-independent, so the nondeterministic collect_list
-    * order cannot change the winner. NO per-vector shuffle: the previous
-    * crossJoin+groupBy(nn_id) shape shipped every vector (id + full
+    * order cannot change the winner. NO per-vector shuffle: a
+    * crossJoin+groupBy(nn_id) shape would ship every vector (id + full
     * embedding) through an exchange just to pick its centroid. The HOF
-    * lambda is interpreted (not codegen'd) — a measured constant factor
-    * at tiny SF, traded for eliminating an N×dim exchange per call.
-    * Assumes unique ids (duplicate-id rows assign independently; the old
-    * groupBy shape silently picked a partition-order-dependent winner,
-    * which was worse).
+    * is interpreted per element — a measured ~1.3 s on the IVF query at
+    * sf0.1, the disclosed price of the shuffle-free shape (an unrolled
+    * `greatest` over plan-time nCentroids codegen'd [[dot]] calls was
+    * TRIED and measured SLOWER still: struct comparisons in `greatest`
+    * do not codegen). Assumes unique ids (duplicate-id rows assign
+    * independently; a groupBy shape would silently pick a
+    * partition-order-dependent winner, which is worse).
     */
   private def assignClusters(c: DataFrame, cent: DataFrame): DataFrame = {
     val centArr = cent.agg(collect_list(struct(col("cid"), col("centv"))).as("cs"))
