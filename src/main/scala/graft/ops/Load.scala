@@ -89,6 +89,23 @@ object Load {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-sorted parquet sink: `repartitionByRange(n, cols)` +
+    * `sortWithinPartitions(cols)` so every output file covers a DISJOINT
+    * range of the sort key and row-group min/max statistics prune at
+    * READ time (parquet predicate pushdown skips whole files/row-groups
+    * whose [min,max] misses the filter). This is the layout for
+    * range-heavy access (time-series scans, id lookups) where
+    * directory partitioning is too coarse and bucketing hashes away the
+    * order. One range shuffle at write time buys data-skipping on every
+    * subsequent read; the range exchange samples the key distribution,
+    * so skew in the sort key balances across files automatically.
+    */
+  def writeSorted(df: DataFrame, path: String, cols: Seq[String],
+                  nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S8 RDBMS sink: append a DataFrame to a JDBC table (bind-parameter
     * writes — no hand-escaped SQL, unlike the reference's string-built
     * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]

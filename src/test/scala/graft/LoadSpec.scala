@@ -37,6 +37,28 @@ class LoadSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("writeSorted: output files cover disjoint key ranges (min/max skipping works)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "sorted").toString
+    val df = (1L to 400L).map(i => (i, s"row$i")).toDF("k", "v")
+      .repartition(8) // scramble first so the range shuffle has work to do
+    Load.writeSorted(df, dir, Seq("k"), nFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    // per-file [min,max] of the sort key must be pairwise disjoint —
+    // that disjointness IS the data-skipping property parquet row-group
+    // stats give the reader
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 400)
+  }
+
   test("writeBucketed: joining two co-bucketed tables needs no shuffle") {
     val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "av")
     val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "bv")
