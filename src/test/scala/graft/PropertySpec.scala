@@ -13,8 +13,13 @@ class PropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+  private def check(p: Prop): Unit = checkN(30, p)
+
+  /** Reduced-trial variant for properties whose single trial runs a full
+    * multi-stage Spark pipeline (localCheckpoint jobs per trial).
+    */
+  private def checkN(n: Int, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -45,6 +50,48 @@ class PropertySpec extends AnyFunSuite {
       val df = Seq((v)).toDF("src")
       val out = Transform.scatter(df, Seq("src" -> Seq(path)))
       out.select(col(path)).collect().head.getLong(0) == v
+    })
+  }
+
+  test("property: incremental minhash equals the batch cross-side subset on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    checkN(6, Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("id", "text")
+      val existing = corpus.filter(col("id") <= 4)
+      val fresh = corpus.filter(col("id") > 4)
+      val inc = graft.llm.Dedup.minhashLshIncremental(existing, fresh,
+        "id", "text", n = 2, k = 8, rowsPerBand = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.llm.Dedup.minhashLsh(corpus, "id", "text",
+        n = 2, k = 8, rowsPerBand = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (d1, d2, _) => (d1 <= 4) != (d2 <= 4) }
+        .map { case (d1, d2, j) => if (d1 > 4) (d1, d2, j) else (d2, d1, j) }.toSet
+      inc == batch
+    })
+  }
+
+  test("property: simhash combination banding is complete on random corpora") {
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val docGen = Gen.listOfN(5, word).map(_.mkString(" "))
+    // maxHamming=3 with nChunks=5 -> 2-chunk band keys: the multi-chunk
+    // path must never lose a pair the brute-force hamming scan finds
+    checkN(6, Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("id", "text")
+      val banded = graft.llm.Dedup.simhashPairs(corpus, "id", "text",
+        maxHamming = 3, nBits = 32, nChunks = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigs = graft.llm.Dedup.simhash(corpus, "id", "text", nBits = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (d1, h1) <- sigs; (d2, h2) <- sigs
+        if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+      } yield (d1, d2)).toSet
+      banded == brute
     })
   }
 
