@@ -567,6 +567,52 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin),
 
+    ("tpch_q6",
+      (s: SparkSession, dir: String) =>
+        // q6 forecasting-revenue shape: pure scan + filter + one global
+        // agg — zero joins, the pushdown showcase. revenue is summed in
+        // integer basis points (floor(p*d*1e4+0.5)): the per-row product
+        // is deterministic, the integer sum is order-independent
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 10000.0 + 0.5)
+            .cast("long")).as("revenue_bp")),
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_bp
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    ("tpch_q10",
+      (s: SparkSession, dir: String) => {
+        // q10 returned-item reporting: per-customer revenue from 'R'
+        // lineitems, top 20 — broadcast dim join + cents aggregation +
+        // TakeOrderedAndProject, ties to the lowest custkey
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long").as("cents"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin),
+
     ("orders_window",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window

@@ -90,6 +90,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("tpch_q3").contains("TakeOrderedAndProject"))
   }
 
+  test("tpch_q6: filters reach the lineitem parquet scan") {
+    val p = plan("tpch_q6")
+    // the rendered filter list truncates, so assert on the leading
+    // pushed predicate rather than the full set
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q6 filters must push to the scan:\n${p.take(800)}")
+  }
+
+  test("tpch_q10: top-20 is TakeOrderedAndProject; no cartesian in the 4-way join") {
+    val p = plan("tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tpch_q5: six-way join plans without cartesian products") {
     val p = plan("tpch_q5")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
