@@ -25,13 +25,19 @@ object Bench {
       System.err.println(s"[bench] WARN: no sf0.001 sibling — warming against " +
         s"the TIMED dir $sfDir (wall time roughly doubles; timings stay valid)")
     else System.err.println(s"[bench] warm-up dir: $warmDir")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated subset for local iteration; default = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    var warmFailures = 0
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).count() catch {
         case e: Throwable =>
+          warmFailures += 1
           System.err.println(s"[bench] WARN: warm-up for $name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -39,7 +45,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures}""")
     spark.stop()
   }
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/** Native codegen'd IVF cluster assignment: the id of the max-cosine
+  * centroid (ties to the lowest id) for one vector against a broadcast
+  * centroid array — `argmax_j dot(vec, centv_j)`.
+  *
+  * Replaces the `array_max(transform(cs, struct(dot, -cid)))` fold, whose
+  * lambda is interpreted PER CENTROID PER ROW: at 1B vectors x nCentroids
+  * x dim that constant factor is the whole assignment job. This
+  * expression is one fused primitive loop inside whole-stage codegen —
+  * no struct allocation, no per-element boxing, no comparisons beyond a
+  * running (sim, cid) pair.
+  *
+  * Ordering is IDENTICAL to the struct-max formulation: doubles compare
+  * with NaN greatest (Spark's ordering), sims tie to the lowest cid, and
+  * the result is order-independent, so the nondeterministic collect_list
+  * order of the centroid array cannot change the winner. Dot products
+  * are the same sequential left-to-right sum as [[DotProduct]].
+  *
+  * Input: (vec array<double>, centroids array<struct<cid: long,
+  * centv: array<double>>>). Null vec or null/empty centroid array -> null.
+  */
+case class CentroidArgmax(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(StructType(Array(f0, f1)), _))
+      if f0.dataType == LongType && f1.dataType.isInstanceOf[ArrayType]
+        && f1.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_centroid_argmax expects (array<double>, array<struct<long, array<double>>>), got $l and $r")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_centroid_argmax"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val m = cs.numElements()
+    if (m == 0) return null
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var found = false
+    var j = 0
+    while (j < m) {
+      val row = cs.getStruct(j, 2)
+      val cid = row.getLong(0)
+      val cv = row.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var sim = 0.0
+      var i = 0
+      while (i < n) { sim += v.getDouble(i) * cv.getDouble(i); i += 1 }
+      // Spark double ordering: NaN greatest; ties -> lowest cid
+      val better = !found ||
+        (java.lang.Double.isNaN(sim) && !java.lang.Double.isNaN(bestSim)) ||
+        (java.lang.Double.isNaN(sim) == java.lang.Double.isNaN(bestSim) &&
+          (sim > bestSim || (sim == bestSim && cid < bestCid)))
+      if (better) { bestSim = sim; bestCid = cid; found = true }
+      j += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sim = ctx.freshName("sim")
+      val row = ctx.freshName("row")
+      val cv = ctx.freshName("cv")
+      val cid = ctx.freshName("cid")
+      val bestSim = ctx.freshName("bestSim")
+      val bestCid = ctx.freshName("bestCid")
+      val found = ctx.freshName("found")
+      val better = ctx.freshName("better")
+      s"""
+         |int $m = $b.numElements();
+         |if ($m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  long $bestCid = Long.MAX_VALUE;
+         |  boolean $found = false;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($j, 2);
+         |    long $cid = $row.getLong(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
+         |    int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |    double $sim = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $sim += $a.getDouble($i) * $cv.getDouble($i);
+         |    }
+         |    boolean $better = !$found ||
+         |      (Double.isNaN($sim) && !Double.isNaN($bestSim)) ||
+         |      (Double.isNaN($sim) == Double.isNaN($bestSim) &&
+         |        ($sim > $bestSim || ($sim == $bestSim && $cid < $bestCid)));
+         |    if ($better) { $bestSim = $sim; $bestCid = $cid; $found = true; }
+         |  }
+         |  ${ev.value} = $bestCid;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CentroidArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidArgmax {
+  /** Column-level entry point (no session required). */
+  def argmax(vec: Column, centroids: Column): Column =
+    GraftBridge.column(CentroidArgmax(
+      GraftBridge.expression(vec), GraftBridge.expression(centroids)))
+}

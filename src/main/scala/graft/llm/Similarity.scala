@@ -136,27 +136,37 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
   }
 
-  /** Salt count for the two-stage merge when the caller passes
-    * `nSalts = 0` (auto): enough (query, salt) slices to fill the
-    * cluster's shuffle parallelism ~4x over, no more — a fixed wide salt
-    * on a small query set multiplies stage-1 window sorts for nothing
+  /** Normalized (query_id, qv) side plus the salt count for the
+    * two-stage merge. With explicit `nSalts > 0` construction stays
+    * fully lazy. With `nSalts = 0` (auto) the query side is
+    * localCheckpoint'ed FIRST and the count reads the checkpoint — one
+    * scan of the (broadcast-small by contract) query plan total, where
+    * counting the raw plan and then joining it again would evaluate a
+    * derived query side (e.g. a filter over the corpus) twice.
+    *
+    * Auto salt count: enough (query, salt) slices to fill the cluster's
+    * shuffle parallelism ~4x over, no more — a fixed wide salt on a
+    * small query set multiplies stage-1 window sorts for nothing
     * (measured: 64 salts x 20 queries = 1280 sort partitions dominated
-    * the LSH top-k at sf0.1). The one driver-side `count()` is of the
-    * QUERY side only — broadcast-small by contract, never the corpus.
+    * the LSH top-k at sf0.1). `floor` is the caller's statement about
+    * per-query candidate size: brute/IVF paths score corpus-sized
+    * candidate lists, so even with MANY queries (where the parallelism
+    * term collapses to 1) they keep a 4x salted pre-reduction per task;
+    * the LSH path's candidates are already bucket-bounded, so it floors
+    * at 1 and the pre-stage disappears when query count covers the
+    * cluster.
     */
-  private def resolveSalts(nSalts: Int, queries: DataFrame, floor: Long = 4L): Int =
-    if (nSalts > 0) nSalts
+  private def prepQueries(queries: DataFrame, idCol: String, vecCol: String,
+                          nSalts: Int, floor: Long = 4L): (DataFrame, Int) = {
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    if (nSalts > 0) (q, nSalts)
     else {
+      val qc = q.localCheckpoint()
       val p = queries.sparkSession.sessionState.conf.numShufflePartitions
-      val nq = math.max(1L, queries.count())
-      // `floor` is the caller's statement about per-query candidate size:
-      // brute/IVF paths score corpus-sized candidate lists, so even with
-      // MANY queries (where the parallelism term collapses to 1) they
-      // keep a 4x salted pre-reduction per task; the LSH path's
-      // candidates are already bucket-bounded, so it floors at 1 and the
-      // pre-stage disappears when query count covers the cluster
-      math.min(64L, math.max(floor, (4L * p + nq - 1) / nq)).toInt
+      val nq = math.max(1L, qc.count())
+      (qc, math.min(64L, math.max(floor, (4L * p + nq - 1) / nq)).toInt)
     }
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Scores rounded to 6
@@ -166,11 +176,11 @@ object Similarity {
            k: Int, nSalts: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, resolveSalts(nSalts, queries))
+    topKMerge(scored, k, salts)
   }
 
   /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
@@ -193,30 +203,37 @@ object Similarity {
     * cost for recall. Corpus ids must be unique: each row is assigned
     * independently (the id is the output key).
     */
-  /** (nn_id, cv, cluster) assignment via a NARROW argmax: the centroid
-    * table collapses into ONE broadcast array row and each corpus vector
-    * folds over it in place — `array_max` over struct(sim, -cid) is the
-    * same max-cosine/lowest-cid-tie ordering as an aggregate would give,
-    * and it is order-independent, so the nondeterministic collect_list
-    * order cannot change the winner. NO per-vector shuffle: a
+  /** (nn_id, cv, cluster) assignment via a NARROW argmax: the centroids
+    * travel as a PLAN LITERAL (they are O(nCentroids x dim) by
+    * definition — broadcast-scale) and each corpus vector scans them in
+    * place with the native codegen'd [[graft.functions.CentroidArgmax]]
+    * — one fused primitive loop (max-cosine, ties to the lowest cid).
+    * NO per-vector shuffle, no broadcast-build job, no exchange of any
+    * kind: the ONLY distributed work is the corpus scan itself. A
     * crossJoin+groupBy(nn_id) shape would ship every vector (id + full
-    * embedding) through an exchange just to pick its centroid. The HOF
-    * is interpreted per element — a measured ~1.3 s on the IVF query at
-    * sf0.1, the disclosed price of the shuffle-free shape (an unrolled
-    * `greatest` over plan-time nCentroids codegen'd [[dot]] calls was
-    * TRIED and measured SLOWER still: struct comparisons in `greatest`
-    * do not codegen). Assumes unique ids (duplicate-id rows assign
-    * independently; a groupBy shape would silently pick a
-    * partition-order-dependent winner, which is worse).
+    * embedding) through an exchange just to pick its centroid.
+    * [[assignClustersHof]] keeps the interpreted `array_max`-over-struct
+    * reference formulation the expression must match bit-for-bit (the
+    * HOF lambda is evaluated per centroid per row — linear in
+    * corpus x centroids x dim at 1B vectors). Assumes unique ids
+    * (duplicate-id rows assign independently; a groupBy shape would
+    * silently pick a partition-order-dependent winner, which is worse).
     */
-  private def assignClusters(c: DataFrame, cent: DataFrame): DataFrame = {
-    val centArr = cent.agg(collect_list(struct(col("cid"), col("centv"))).as("cs"))
-    c.crossJoin(broadcast(centArr))
-      .withColumn("best", array_max(transform(col("cs"),
-        x => struct(dot(col("cv"), x.getField("centv")).as("sim"),
-          (-x.getField("cid").cast("long")).as("negcid")))))
+  private[graft] def assignClusters(c: DataFrame,
+                                    cent: Seq[(Long, Seq[Double])]): DataFrame =
+    c.select(col("nn_id"), col("cv"),
+      graft.functions.CentroidArgmax.argmax(col("cv"), typedLit(cent)).as("cluster"))
+
+  /** HOF reference formulation of [[assignClusters]] — `array_max` over
+    * struct(sim, -cid) is the same max-cosine/lowest-cid-tie ordering;
+    * kept only as the bit-parity oracle for the codegen expression.
+    */
+  private[graft] def assignClustersHof(c: DataFrame,
+                                       cent: Seq[(Long, Seq[Double])]): DataFrame =
+    c.withColumn("best", array_max(transform(typedLit(cent),
+        x => struct(dot(col("cv"), x.getField("_2")).as("sim"),
+          (-x.getField("_1")).as("negcid")))))
       .select(col("nn_id"), col("cv"), (-col("best.negcid")).as("cluster"))
-  }
 
   /** Deterministic Lloyd's k-means refinement of the coarse quantizer:
     * seeds are the lowest-id corpus vectors (reproducible, no RNG); each
@@ -228,33 +245,43 @@ object Similarity {
     * a raw double sum would be partition-order dependent. Empty clusters
     * keep their previous centroid.
     *
-    * Scale shape per round: one broadcast of the tiny centroid table, a
-    * NARROW per-vector argmax ([[assignClusters]] — no shuffle), then one
-    * partial-aggregated groupBy over (cluster, dim) longs (sums) — the
-    * corpus is scanned, never shuffled wholesale; the only exchange per
-    * round carries per-partition (cid, dim, sum) partials. Centroids
-    * exist only as broadcast sides and a C-row relation (localCheckpoint
-    * per round keeps the plan flat across iterations).
+    * Scale shape per round: EXACTLY ONE job — a narrow corpus scan
+    * (literal-centroid argmax, [[assignClusters]]) feeding one
+    * partial-aggregated groupBy(cluster) with (count, dim) integer-sum
+    * columns, whose <= nCentroids-row result is collected and the new
+    * centroids computed in driver scalar code (bit-identical arithmetic:
+    * (sx/1e6)/cnt then a sequential-fold L2 normalize). This is the
+    * canonical distributed Lloyd's shape — Spark MLlib's KMeans likewise
+    * collects per-round centroid sums to the driver — and collecting
+    * O(nCentroids x dim) aggregated longs per round is the entire
+    * driver-side footprint: the corpus is scanned, never shuffled, and
+    * the round's output re-enters the next plan as a literal (no
+    * localCheckpoint, no broadcast-build, no join against a centroid
+    * relation — measured ~1.7 s/round of pure orchestration overhead
+    * saved at sf0.1).
     */
-  private def kmeansCentroids(c: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  private def kmeansRefine(c: DataFrame, seeds: Seq[(Long, Seq[Double])],
+                           iters: Int): Seq[(Long, Seq[Double])] = {
     var cent = seeds
+    val dim = if (seeds.nonEmpty) seeds.head._2.length else 0
     for (_ <- 0 until iters) {
-      val assign = assignClusters(c, cent)
-        .select(col("cluster").as("cid"), col("cv"))
-      val sums = assign.select(col("cid"), posexplode(col("cv")))
-        .withColumn("xi", floor(col("col") * lit(1000000.0d) + lit(0.5d)).cast("long"))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
-      val means = sums.groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"),
-          (col("sx").cast("double") / lit(1000000.0d) / col("cnt").cast("double"))
-            .as("m")))).as("ms"))
-        .select(col("cid"), transform(col("ms"), s => s.getField("m")).as("mv"))
-      cent = cent.join(means, Seq("cid"), "left")
-        .select(col("cid"),
-          when(col("mv").isNotNull, normalize(col("mv")))
-            .otherwise(col("centv")).as("centv"))
-        .localCheckpoint()
+      val sumCols = count(lit(1)).as("cnt") +: (0 until dim).map(d =>
+        sum(floor(element_at(col("cv"), d + 1) * lit(1000000.0d) + lit(0.5d))
+          .cast("long")).as(s"s$d"))
+      val rows = assignClusters(c, cent)
+        .groupBy(col("cluster")).agg(sumCols.head, sumCols.tail: _*)
+        .collect()
+      val byCid = rows.map(r => r.getLong(0) -> r).toMap
+      cent = cent.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(r) =>
+            val cnt = r.getLong(1).toDouble
+            val mv = Array.tabulate(dim)(d => r.getLong(2 + d).toDouble / 1000000.0d / cnt)
+            val n = math.sqrt(mv.foldLeft(0.0d)((a, x) => a + x * x))
+            cid -> mv.map(_ / n).toSeq
+          case None => cid -> old
+        }
+      }
     }
     cent
   }
@@ -264,23 +291,31 @@ object Similarity {
               kmeansIters: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    val seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), normalize(col(vecCol)).as("centv"))
-    val cent = if (kmeansIters > 0) kmeansCentroids(c, seeds, kmeansIters) else seeds
-    // assign each corpus vector to its best centroid: narrow fold over
-    // the broadcast centroid array — never a per-vector shuffle or window
+    // the coarse quantizer is dimension-sized BY DEFINITION
+    // (nCentroids x dim): collect it once (TakeOrdered job) and let it
+    // ride every later plan as a literal
+    val seeds: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long").as("cid"), normalize(col(vecCol)).as("centv"))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val cent = if (kmeansIters > 0) kmeansRefine(c, seeds, kmeansIters) else seeds
+    // assign each corpus vector to its best centroid: narrow map against
+    // the literal centroid array — never a per-vector shuffle or window
     val assign = assignClusters(c, cent)
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(cent))
+    // probe selection: explode the literal centroids per query row —
+    // narrow, then a window over (queries x nCentroids) rows only
+    val probes = q.select(col("query_id"), col("qv"), explode(typedLit(cent)).as("ct"))
+      .select(col("query_id"), col("qv"),
+        col("ct").getField("_1").as("cid"), col("ct").getField("_2").as("centv"))
       .withColumn("sim", dot(col("qv"), col("centv")))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("cluster"))
     val scored = assign.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, resolveSalts(nSalts, queries))
+    topKMerge(scored, k, salts)
   }
 
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
@@ -288,11 +323,11 @@ object Similarity {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
+    val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
+    val q = q0.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, resolveSalts(nSalts, queries, floor = 1L))
+    topKMerge(scored, k, salts)
   }
 }

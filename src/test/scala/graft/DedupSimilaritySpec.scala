@@ -130,6 +130,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native centroid argmax agrees bit-for-bit with the HOF struct-max formulation") {
+    // 200 deterministic 16-dim vectors vs 13 centroids (odd count, ties
+    // possible via duplicated centroid vectors under distinct cids)
+    val c = (0L until 200L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 2.3 + d * 1.1))))
+      .toDF("nn_id", "cv")
+    val centBase = (0L until 12L).map(j =>
+      (j, Seq.tabulate(16)(d => math.cos(j * 1.9 + d * 0.7))))
+    // cid 12 duplicates cid 3's vector: equal sims must tie to cid 3
+    val cent = centBase :+ ((12L, centBase(3)._2))
+    val native = Similarity.assignClusters(c, cent)
+      .select(col("nn_id"), col("cluster").as("native"))
+    val hof = Similarity.assignClustersHof(c, cent)
+      .select(col("nn_id"), col("cluster").as("hof"))
+    val joined = native.join(hof, Seq("nn_id")).collect()
+    assert(joined.length == 200)
+    assert(joined.forall(r => r.getLong(1) == r.getLong(2)),
+      joined.filter(r => r.getLong(1) != r.getLong(2)).take(3).mkString(", "))
+    // the tie case actually occurs and lands on the lower cid
+    assert(joined.forall(r => r.getLong(1) != 12L))
+  }
+
   test("LSH and IVF top-k are consistent subsets of brute force") {
     // deterministic 8-dim corpus
     val vecs = (0L until 60L).map(i =>
