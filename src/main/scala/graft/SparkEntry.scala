@@ -721,7 +721,14 @@ object SparkEntry {
         val cols = Seq("n_nationkey", "n_name", "n_regionkey")
         val rows = t(s, dir, "nation").orderBy(col("n_nationkey"))
           .select(cols.map(c => col(c).cast("string")): _*)
-          .collect().toSeq.map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+          .collect().toSeq.map(r => cols.indices.map { i =>
+            // a NULL cell would silently become the literal string "null"
+            // while the oracle yields SQL NULL — fail loudly instead
+            // (XLSX inline strings cannot represent SQL NULL)
+            val v = r.get(i)
+            require(v != null, s"xlsx fixture: NULL in ${cols(i)} — not representable")
+            v.toString
+          })
         graft.sources.XlsxSource.readSheet(s,
           graft.sources.SyntheticDocs.tempXlsx("nation", cols, rows), "nation")
       },

@@ -25,11 +25,16 @@ import org.apache.spark.sql.types.StructType
   * carry-forward would mix rows when a right field is legitimately
   * null).
   *
-  * Right rows must be unique per (key, time) — the standard as-of
+  * Right rows SHOULD be unique per (key, time) — the standard as-of
   * precondition; ties within one timestamp have no defined "latest".
-  * Pass `dedupeRight = true` to enforce it deterministically (max
-  * payload struct per (key, time)) instead of letting partition order
-  * pick a winner silently.
+  * When the precondition is violated the result is still DETERMINISTIC:
+  * the carry-forward window orders ties by the payload struct, so the
+  * winner is the MAX payload (data-determined, never partition-order-
+  * determined) — the same row `dedupeRight = true` would keep. Passing
+  * `dedupeRight = true` additionally drops the losers before the
+  * shuffle (cheaper when duplicates are plentiful). Payload columns
+  * must be orderable either way (a map-typed payload fails loudly at
+  * analysis time rather than flapping at runtime).
   *
   * Hot keys: `Window.partitionBy(key)` serializes one key's full
   * history through one task. When a single key's event count can
@@ -89,8 +94,14 @@ object AsOfJoin {
            payload: Seq[(String, String)], dedupeRight: Boolean = false): DataFrame = {
     val r = if (dedupeRight) dedupe(right, keyCol, timeCol, payload) else right
     val (lU, rU, _) = taggedUnion(left, r, keyCol, timeCol, payload)
+    // `_p` as the FINAL sort key makes duplicate-(key, time) right rows
+    // deterministic: the last right row before any left row is then the
+    // MAX payload struct — exactly what [[dedupe]] keeps — instead of
+    // whichever row the shuffle happened to order last. Left rows carry
+    // a null `_p`, inert in the ordering (they compare within the
+    // _side=1 group only, where `_p` is uniformly null).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc, col("_side").asc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
@@ -127,10 +138,14 @@ object AsOfJoin {
     val lU = lU0.withColumn("_b", bucketOf(col(timeCol)).cast("long"))
     val rU = rU0.withColumn("_b", bucketOf(col(timeCol)).cast("long"))
 
-    // latest right payload per (key, bucket): partial-aggregated max_by,
-    // never a window over raw events
+    // latest right payload per (key, bucket): partial-aggregated struct
+    // max, never a window over raw events. max over struct(time, _p) —
+    // not max_by(_p, time) — so duplicate-(key, time) right rows resolve
+    // to the MAX payload deterministically (max_by picks an arbitrary
+    // row on ties), matching the main window's tie-break
     val bucketLast = rU.groupBy(col(keyCol), col("_b"))
-      .agg(max_by(col("_p"), struct(col(timeCol), col("_side"))).as("_bp"))
+      .agg(max(struct(col(timeCol).as("t"), col("_p").as("p"))).as("_tp"))
+      .select(col(keyCol), col("_b"), col("_tp").getField("p").as("_bp"))
     // carry the latest payload of STRICTLY EARLIER buckets into each
     // bucket's seed; this window's partitions hold one row per bucket
     val wSeed = Window.partitionBy(col(keyCol)).orderBy(col("_b").asc)
@@ -155,9 +170,11 @@ object AsOfJoin {
 
     // per-(key, bucket) carry-forward: seed sorts first (null time sorts
     // first under asc, side -1 breaks same-null ties), right before left
-    // at equal times — the asOf ordering within a bounded partition
+    // at equal times — the asOf ordering within a bounded partition.
+    // `_p` last makes duplicate-(key, time) right rows deterministic
+    // (max payload wins), mirroring [[asOf]]
     val w = Window.partitionBy(col(keyCol), col("_b"))
-      .orderBy(col(timeCol).asc_nulls_first, col("_side").asc)
+      .orderBy(col(timeCol).asc_nulls_first, col("_side").asc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU).unionByName(seeds)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))

@@ -53,7 +53,10 @@ object Profile {
     val total = counts.agg(sum(col("cnt")).as("__n"))
     // top-N FIRST (TakeOrderedAndProject over the counts), share after:
     // the broadcast total joins topN rows, not every distinct key
-    counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    // nulls LAST on the key tie-break: Spark `asc` sorts nulls first but
+    // SQL engines' ORDER BY default (the oracle) sorts them last — a
+    // null-key group on a cnt tie at the top-N boundary must not diverge
+    counts.orderBy(col("cnt").desc, col("key").asc_nulls_last).limit(topN)
       .crossJoin(broadcast(total))
       .withColumn("share",
         graft.Num.r6(col("cnt").cast("double") / col("__n").cast("double")))

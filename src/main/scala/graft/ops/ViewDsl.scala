@@ -112,6 +112,19 @@ object ViewDsl {
             val bounded = child.maxNest match {
               case None => childDf
               case Some(cap) =>
+                // the pre-rank orders by every non-key child column; fail
+                // with a clear message instead of an opaque analysis error
+                // when that ordering is impossible (key-only projection ->
+                // empty ORDER BY; map-typed columns are not orderable)
+                require(childCols.nonEmpty,
+                  s"maxNest on ${child.model}: child projects only the join key — " +
+                    "keep at least one non-key column to order the capped rows by")
+                val unorderable = childCols.filter(c =>
+                  !org.apache.spark.sql.catalyst.expressions.RowOrdering
+                    .isOrderable(childDf.schema(c).dataType))
+                require(unorderable.isEmpty,
+                  s"maxNest on ${child.model}: column(s) ${unorderable.mkString(", ")} " +
+                    "are not orderable (e.g. map type) — project them out or drop maxNest")
                 val wc = Window.partitionBy(col(a.childKey))
                   .orderBy(childCols.map(col): _*)
                 childDf.withColumn("_nrn", row_number().over(wc))

@@ -85,6 +85,29 @@ class ClusterAsOfSpec extends AnyFunSuite {
     assert(out.getString(out.fieldIndex("rtag")) == "y")
   }
 
+  test("asOf WITHOUT dedupeRight is still deterministic on duplicate (key,time) right rows") {
+    val left = Seq((1L, 5L, ts(30))).toDF("lid", "k", "t")
+    // shuffle the duplicates across many partitions so a partition-order
+    // tie-break would flap; the payload-ordered window must still pick
+    // the max payload ("y") — identical to dedupeRight's answer
+    val right = Seq((5L, ts(10), "x"), (5L, ts(10), "y"), (5L, ts(10), "m"))
+      .toDF("k", "t", "tag").repartition(7)
+    for (_ <- 1 to 3) {
+      val out = AsOfJoin.asOf(left, right, "k", "t", Seq("tag" -> "rtag"))
+        .collect().head
+      assert(out.getString(out.fieldIndex("rtag")) == "y")
+      val buck = AsOfJoin.asOfBucketed(left, right, "k", "t", Seq("tag" -> "rtag"),
+        t => floor(unix_timestamp(t) / lit(600L))).collect().head
+      assert(buck.getString(buck.fieldIndex("rtag")) == "y")
+    }
+    // seed path: left row in a LATER bucket than the duplicated right
+    // rows — the bucket-last aggregation must also pick "y"
+    val farLeft = Seq((2L, 5L, ts(45))).toDF("lid", "k", "t")
+    val seeded = AsOfJoin.asOfBucketed(farLeft, right, "k", "t", Seq("tag" -> "rtag"),
+      t => floor(unix_timestamp(t) / lit(600L))).collect().head
+    assert(seeded.getString(seeded.fieldIndex("rtag")) == "y")
+  }
+
   test("asOfBucketed matches asOf on a hot key and splits it across time buckets") {
     // one hot key with 60 left events across an hour + sparse right rows;
     // buckets of 10 minutes -> the hot key's window work spreads over 6

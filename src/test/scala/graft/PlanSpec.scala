@@ -109,6 +109,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("spread sees through a union of narrow scans and restores parallelism") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val u = d.union(d.select(col("doc_id") + 10000, col("text")))
+    // narrowScanSizeBytes must sum the child scans instead of bailing
+    assert(org.apache.spark.sql.GraftBridge.narrowScanSizeBytes(u).exists(_ > 0),
+      "union of narrow scans should still report a scan size")
+    // tiny union of tiny scans -> spread repartitions to defaultParallelism
+    val p = Partitioning.spread(u).queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p.take(600))
+    // a shuffled plan must pass through untouched (upstream exchange
+    // already redistributed)
+    val agged = d.groupBy(col("doc_id")).count()
+    assert(org.apache.spark.sql.GraftBridge.narrowScanSizeBytes(agged).isEmpty)
+  }
+
   test("tf-idf: corpus size is a broadcast one-row aggregate, not a driver count") {
     val p = plan("text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -36,6 +36,25 @@ class ViewShapeSpec extends AnyFunSuite {
     assert(byAuthor("carol").isEmpty || byAuthor("carol") == Some(Seq()))
   }
 
+  test("maxNest caps children per parent and validates the ordering columns") {
+    val capped = ViewNode("Author",
+      children = Seq(ViewNode("Book", nest = true, maxNest = Some(1),
+        assoc = Some(Assoc("a_id", "b_author", HasMany)))))
+    val out = registry.applyView(capped).collect()
+      .map(r => r.getAs[String]("a_name") ->
+        Option(r.getAs[scala.collection.Seq[Row]]("books")).map(_.length).getOrElse(0))
+      .toMap
+    assert(out("anne") == 1 && out("bram") == 1)
+    // a key-only child projection cannot order the cap — loud error, not
+    // an opaque AnalysisException from an empty window ORDER BY
+    val keyOnly = ViewNode("Author",
+      children = Seq(ViewNode("Book", nest = true, maxNest = Some(1),
+        columns = Seq("b_author"),
+        assoc = Some(Assoc("a_id", "b_author", HasMany)))))
+    val e = intercept[IllegalArgumentException](registry.applyView(keyOnly))
+    assert(e.getMessage.contains("only the join key"))
+  }
+
   test("J5: many-to-many through the junction model") {
     val out = registry.manyToMany("Author", "Book", "Tag",
       "a_id", "b_author", "b_id", "t_book")
