@@ -60,9 +60,13 @@ object SparkEntry {
     * parameter, so the seed is prepended to the codepoint list.
     */
   private def rhSql(expr: String, mult: Long = 131L): String =
-    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+    // NULL input must stay NULL: DuckDB's list_prepend(7, NULL) yields
+    // [7], which would fingerprint a NULL text as the seed value while
+    // Spark's rolling hash (null-safe expression) returns NULL
+    s"CASE WHEN $expr IS NULL THEN NULL ELSE " +
+      s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, b) -> (a * $mult + b) % 1000000007)"
+      s"(a, b) -> (a * $mult + b) % 1000000007) END"
 
   /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
     * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
@@ -652,7 +656,11 @@ object SparkEntry {
         // only if its content fingerprint is unseen in the existing
         // corpus — fingerprint anti-join, the streaming-adjacent batch
         // formulation of dedupStream
-        val d = t(s, dir, "documents")
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          // a NULL-text row in the NEW batch: its NULL fingerprint must
+          // be ADMITTED (never equi-joins the existing side)
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
         val existing = TextAnalysis.fingerprint(
           d.filter(col("doc_id") <= 250), "text").select(col("fingerprint"))
         TextAnalysis.fingerprint(d.filter(col("doc_id") > 250), "text")
@@ -662,7 +670,9 @@ object SparkEntry {
       // NOT EXISTS with `=`, not NOT IN: a NULL fingerprint (null text)
       // never equi-joins, so Spark's left_anti ADMITS it — NOT IN would
       // return NULL and silently drop the row instead
-      s"""WITH fp AS (SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents)
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |fp AS (SELECT doc_id, ${rhSql("text")} AS fingerprint FROM docs)
          |SELECT doc_id, fingerprint FROM fp
          |WHERE doc_id > 250 AND NOT EXISTS
          |  (SELECT 1 FROM fp f2 WHERE f2.doc_id <= 250 AND f2.fingerprint = fp.fingerprint)""".stripMargin),
@@ -974,16 +984,24 @@ object SparkEntry {
 
     ("dedup_exact_hash",
       (s: SparkSession, dir: String) => {
+        import s.implicits._
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        // duplicate the corpus under shifted ids so dup groups exist
+        // duplicate the corpus under shifted ids so dup groups exist, and
+        // add two NULL-text rows so the null-handling path is EXERCISED,
+        // not just written: they must land in one keeper group
+        val nulls = Seq((20001L, Option.empty[String]), (20002L, Option.empty[String]))
+          .toDF("doc_id", "text")
         Dedup.exactByFingerprint(
-          d.union(d.select(col("doc_id") + 10000, col("text"))), "doc_id", "text")
+          d.union(d.select(col("doc_id") + 10000, col("text"))).union(nulls),
+          "doc_id", "text")
       },
       // IS NOT DISTINCT FROM mirrors the Spark side's explicit null-text
       // group (exactByFingerprint routes NULL texts into one keeper
       // group; a plain `=` join would silently drop them)
       """WITH dup AS (SELECT doc_id, text FROM documents
-        |             UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |             UNION ALL SELECT doc_id + 10000, text FROM documents
+        |             UNION ALL SELECT 20001, NULL
+        |             UNION ALL SELECT 20002, NULL),
         |g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |             CAST(count(*) AS BIGINT) AS n_dups FROM dup GROUP BY text)
         |SELECT d.doc_id AS doc, g.keep_id, g.n_dups
@@ -1223,13 +1241,20 @@ object SparkEntry {
       s"SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents"),
 
     ("text_chunk",
-      (s: SparkSession, dir: String) =>
-        TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
-          chunkTokens = 16, stride = 8),
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // a NULL-text document must survive chunking as one
+        // (doc, 0, NULL, NULL) row, not silently vanish
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        TextAnalysis.chunk(d, "doc_id", "text", chunkTokens = 16, stride = 8)
+      },
       // the CASE keeps one (doc, 0, NULL, NULL) row for a NULL text,
       // mirroring TextAnalysis.chunk — generate_series(0, NULL) would
       // emit nothing and silently drop the document
-      s"""WITH b AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |b AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM docs),
          |c AS (SELECT doc, unnest(generate_series(0, CASE WHEN tk IS NULL THEN 0 ELSE greatest((len(tk) - 1) // 8, 0) END)) AS chunk_idx, tk FROM b),
          |sl AS (SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |              tk[chunk_idx * 8 + 1 : chunk_idx * 8 + 16] AS ck FROM c)

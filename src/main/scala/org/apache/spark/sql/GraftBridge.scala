@@ -36,6 +36,9 @@ object GraftBridge {
         val sizes = children.map(walk)
         if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
       case lr: LogicalRelation              => Some(lr.relation.sizeInBytes)
+      // an in-memory literal relation (fixture rows unioned onto a scan)
+      // must not make the whole union opaque — its size is known exactly
+      case loc: LocalRelation               => Some(loc.stats.sizeInBytes.toLong)
       case _                                => None
     }
     walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
