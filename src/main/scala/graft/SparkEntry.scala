@@ -68,6 +68,50 @@ object SparkEntry {
       s"list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * $mult + b) % 1000000007) END"
 
+  /** DuckDB BIGINT list of the UTF-8 bytes of a VARCHAR expression —
+    * the oracle-side mirror of Spark's `encode(text, 'UTF-8')` payload.
+    * DuckDB exposes characters (codepoints), not bytes, so each
+    * codepoint expands to its UTF-8 encoding arithmetically (1-4 byte
+    * classes). This keeps the multimodal oracles byte-accurate on
+    * non-ASCII text, where per-character ascii()/substr() formulations
+    * silently diverge from the payload bytes Spark processes.
+    */
+  private def utf8BytesSql(e: String): String =
+    s"""CASE WHEN $e IS NULL THEN NULL
+       |     WHEN $e = '' THEN CAST([] AS BIGINT[])
+       |     ELSE flatten(list_transform(string_split_regex($e, ''), c ->
+       |       CASE WHEN unicode(c) < 128 THEN [CAST(unicode(c) AS BIGINT)]
+       |            WHEN unicode(c) < 2048 THEN [
+       |              CAST(192 + unicode(c) // 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+       |            WHEN unicode(c) < 65536 THEN [
+       |              CAST(224 + unicode(c) // 4096 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+       |            ELSE [
+       |              CAST(240 + unicode(c) // 262144 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 4096) % 64 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)] END)) END""".stripMargin
+
+  /** Non-ASCII fixture rows for the multimodal byte-parity gates: the
+    * 2-byte (Latin-1 supplement), 3-byte (CJK) and 4-byte (emoji) UTF-8
+    * classes all present, so byte-vs-codepoint divergence cannot hide.
+    * Unioned literally on BOTH sides (Spark input and oracle SQL).
+    */
+  private val nonAsciiDocs = Seq(
+    99992L -> "héllo wörld — 日本語テキスト 😀",
+    99993L -> "Größenmaßstäbe: čeština, русский, ελληνικά")
+
+  private def withNonAsciiDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .union(nonAsciiDocs.toDF("doc_id", "text"))
+  }
+
+  private def nonAsciiUnionSql: String =
+    nonAsciiDocs.map { case (i, txt) => s"UNION ALL SELECT $i, '$txt'" }.mkString(" ")
+
   /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
     * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
     * squares, per-element divide).
@@ -1361,71 +1405,85 @@ object SparkEntry {
     ("multimodal_features",
       (s: SparkSession, dir: String) =>
         Multimodal.extractFeatures(s,
-          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text")).toDF(),
       {
+        // all features read the UTF-8 BYTE list (utf8BytesSql), exactly
+        // what Spark's payload holds — ascii()/substr() per CHARACTER
+        // would diverge on the non-ASCII fixture rows
         val mean = Num.r6Sql(
-          "CAST(list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
-        s"""SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-           |  CAST(ascii(substr(text, 1, 1)) AS INT) AS width,
-           |  CAST(ascii(substr(text, 2, 1)) AS INT) AS height,
+          "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(list_reduce(b, (a, x) -> a + x) AS DOUBLE) / CAST(len(b) AS DOUBLE) END")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs)
+           |SELECT doc_id AS id, CAST(len(b) AS BIGINT) AS n_bytes,
+           |  CAST(CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END AS INT) AS width,
+           |  CAST(CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END AS INT) AS height,
            |  $mean AS mean_byte
-           |FROM documents""".stripMargin
+           |FROM bd""".stripMargin
       }),
 
     ("multimodal_dispatch",
       (s: SparkSession, dir: String) =>
         Multimodal.dispatchFeatures(s,
-          Multimodal.attachMixedPayload(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+          Multimodal.attachMixedPayload(withNonAsciiDocs(s, dir), "doc_id", "text")).toDF(),
       {
-        // ASCII-testdata assumption (shared with multimodal_features):
-        // Spark reads PAYLOAD BYTES ((b & 0xff), byte length) while the
-        // oracle uses per-character ascii()/strlen() — identical only
-        // while the documents testdata is pure ASCII (it is; a non-ASCII
-        // text would diverge byte-vs-codepoint)
+        // byte-list formulation (utf8BytesSql): Spark reads PAYLOAD
+        // BYTES, and the non-ASCII fixture rows would expose any
+        // per-character ascii()/strlen() shortcut
         val mean = Num.r6Sql(
-          "CAST(list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
-        s"""SELECT doc_id AS id,
+          "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(list_reduce(b, (a, x) -> a + x) AS DOUBLE) / CAST(len(b) AS DOUBLE) END")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs)
+           |SELECT doc_id AS id,
            |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-           |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CAST(len(b) AS BIGINT) AS n_bytes,
            |  CASE doc_id % 3
-           |    WHEN 0 THEN CAST(ascii(substr(text, 1, 1)) * ascii(substr(text, 2, 1)) AS DOUBLE)
+           |    WHEN 0 THEN CAST((CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END)
+           |                   * (CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END) AS DOUBLE)
            |    WHEN 1 THEN $mean
-           |    ELSE CAST(strlen(text) AS DOUBLE) END AS feature
-           |FROM documents""".stripMargin
+           |    ELSE CAST(len(b) AS DOUBLE) END AS feature
+           |FROM bd""".stripMargin
       }),
 
     ("multimodal_frames",
       (s: SparkSession, dir: String) =>
         Multimodal.frameFeatures(Multimodal.sampleFrames(s,
-          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text"),
           frameBytes = 64, stride = 2)).toDF(),
       {
+        // frames slice the BYTE list, not the character string: a
+        // multi-byte char on a 64-byte boundary splits across frames on
+        // the Spark side, and the oracle must split it identically
         val mean = Num.r6Sql(
-          "CAST(list_reduce(list_transform(string_split_regex(b, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b2) -> a + b2) AS DOUBLE) / CAST(strlen(b) AS DOUBLE)")
-        s"""WITH f AS (SELECT doc_id, text,
-           |             unnest(generate_series(0, CAST((strlen(text) - 1) // 64 AS INT))) AS fi
-           |           FROM documents),
-           |blk AS (SELECT doc_id, fi, substr(text, fi * 64 + 1, 64) AS b FROM f WHERE fi % 2 = 0)
+          "CAST(list_reduce(blk, (a, x) -> a + x) AS DOUBLE) / CAST(len(blk) AS DOUBLE)")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs),
+           |f AS (SELECT doc_id, b,
+           |        unnest(generate_series(0, CAST((len(b) - 1) // 64 AS INT))) AS fi
+           |      FROM bd),
+           |blks AS (SELECT doc_id, fi, list_slice(b, fi * 64 + 1, fi * 64 + 64) AS blk
+           |         FROM f WHERE fi % 2 = 0)
            |SELECT doc_id AS id, CAST(fi AS INT) AS frame_idx,
-           |       CAST(strlen(b) AS BIGINT) AS n_bytes, $mean AS mean_byte
-           |FROM blk""".stripMargin
+           |       CAST(len(blk) AS BIGINT) AS n_bytes, $mean AS mean_byte
+           |FROM blks""".stripMargin
       }),
 
     ("multimodal_resize",
       (s: SparkSession, dir: String) =>
         Multimodal.resizeDims(Multimodal.extractFeatures(s,
-          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")),
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text")),
           maxW = 100, maxH = 80).toDF(),
-      """WITH d AS (SELECT doc_id AS id,
-        |             greatest(CAST(ascii(substr(text, 1, 1)) AS BIGINT), 1) AS w,
-        |             greatest(CAST(ascii(substr(text, 2, 1)) AS BIGINT), 1) AS h,
-        |             CAST(ascii(substr(text, 1, 1)) AS INT) AS width,
-        |             CAST(ascii(substr(text, 2, 1)) AS INT) AS height
-        |           FROM documents),
-        |sc AS (SELECT *, least(1000, least(100 * 1000 // w, 80 * 1000 // h)) AS s FROM d)
-        |SELECT id, width, height,
-        |       CAST(w * s // 1000 AS INT) AS out_w, CAST(h * s // 1000 AS INT) AS out_h
-        |FROM sc""".stripMargin))
+      s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+         |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs),
+         |d AS (SELECT doc_id AS id,
+         |        CAST(CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END AS INT) AS width,
+         |        CAST(CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END AS INT) AS height
+         |      FROM bd),
+         |g AS (SELECT *, greatest(CAST(width AS BIGINT), 1) AS w,
+         |        greatest(CAST(height AS BIGINT), 1) AS h FROM d),
+         |sc AS (SELECT *, least(1000, least(100 * 1000 // w, 80 * 1000 // h)) AS s FROM g)
+         |SELECT id, width, height,
+         |       CAST(w * s // 1000 AS INT) AS out_w, CAST(h * s // 1000 AS INT) AS out_h
+         |FROM sc""".stripMargin))
 
   // ------------------------------------------------------------ driver API
 
