@@ -1467,6 +1467,28 @@ object SparkEntry {
            |FROM blks""".stripMargin
       }),
 
+    ("multimodal_decode_png",
+      (s: SparkSession, dir: String) => {
+        // REAL compressed PNGs (encoded in executors from the id) decoded
+        // back through javax.imageio at the codec boundary: width/height
+        // come from the actual header, mean_pixel from the actual raster.
+        // n_bytes is dropped from the gate (PNG encoder output size is
+        // implementation-defined); a spec asserts it is > 0
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachPngPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"),
+            col("mean_byte").as("mean_pixel"))
+      },
+      // closed form of the synthesized raster: w=1+id%7, h=1+id%5, one
+      // black pixel, the rest gray id%251 -> mean = g*(wh-1)/wh
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         |             doc_id % 251 AS g
+         |           FROM documents WHERE doc_id <= 30)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  ${Num.r6Sql("CAST(g * (w * h - 1) AS DOUBLE) / CAST(w * h AS DOUBLE)")} AS mean_pixel
+         |FROM d""".stripMargin),
+
     ("multimodal_resize",
       (s: SparkSession, dir: String) =>
         Multimodal.resizeDims(Multimodal.extractFeatures(s,

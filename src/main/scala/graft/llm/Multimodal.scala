@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * The decode step itself is STUBBED (no media libraries in this
-  * environment — see `decodeStub`): it derives deterministic fake
-  * "features" from the raw bytes. Everything around it — the binary
-  * column, the metadata struct, the typed Dataset batch shape, the
-  * mapPartitions batching, the partitioning — is the real 100 TB design:
-  * payloads never leave executors, the decode UDF processes one partition
-  * (= one file split) at a time, and feature extraction is a narrow map.
+  * Image decode is REAL for PNG/BMP (pure-JDK `javax.imageio`, actual
+  * pixel raster — see [[decodeMedia]]); formats without a codec in this
+  * container (audio/video) fall back to a deterministic fake
+  * ([[decodeStub]]) behind the same `MediaRow => MediaFeatures`
+  * boundary. Everything around the codec — the binary column, the
+  * metadata struct, the typed Dataset batch shape, the mapPartitions
+  * batching, the partitioning — is the real 100 TB design: payloads
+  * never leave executors, the decode processes one partition (= one
+  * file split) at a time, and feature extraction is a narrow map.
   */
 object Multimodal {
 
@@ -33,32 +35,121 @@ object Multimodal {
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
         lit("fake/raw").as("format")).as("meta"))
 
-  /** STUB decode: in production this calls the image/audio codec on each
-    * payload batch (??? boundary). The fake derives (width, height) from
-    * the first two bytes and a mean over all bytes — deterministic, so the
-    * plumbing is testable end-to-end.
+  /** Decode dispatcher at the codec boundary: payloads whose declared
+    * format is an image AND whose magic bytes are PNG/BMP get a REAL
+    * `javax.imageio` decode (pure JDK — actual pixel raster: width,
+    * height, mean channel value); everything else falls through to the
+    * deterministic fake ([[decodeStub]]) standing in for codecs this
+    * container lacks (audio/video). Magic bytes are checked, not just
+    * the declared mime — a text payload mislabeled image/png must not
+    * reach ImageIO (and a null return from ImageIO falls back too).
     */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+  def decodeMedia(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      // real implementation: ImageIO/ffmpeg decode of r.payload — ??? in
-      // this offline container; deterministic fake below.
       val bytes = r.payload
-      val w = if (bytes.length > 0) (bytes(0) & 0xff) else 0
-      val h = if (bytes.length > 1) (bytes(1) & 0xff) else 0
-      val mean = if (bytes.isEmpty) 0.0
-                 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
-      MediaFeatures(r.id, bytes.length.toLong, w, h, graft.Num.r6(mean))
+      if (r.format != null && r.format.startsWith("image/") && bytes != null
+          && (isPng(bytes) || isBmp(bytes))) {
+        // a corrupt/truncated payload throws inside the codec (EOF etc.)
+        // or returns null — either way fall back to the fake features
+        // instead of killing the scan task: at corpus scale one bad blob
+        // must not fail the job
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) decodeFake(r)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          MediaFeatures(r.id, bytes.length.toLong, w, h,
+            graft.Num.r6(sum.toDouble / (w.toLong * h.toLong).toDouble))
+        }
+      } else decodeFake(r)
     }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
+  /** Deterministic fake decode for formats without a codec in this
+    * container: (width, height) from the first two bytes and a mean over
+    * all bytes — so the distributed plumbing is testable end-to-end.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = rows.map(decodeFake)
+
+  private def decodeFake(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    val w = if (bytes.length > 0) (bytes(0) & 0xff) else 0
+    val h = if (bytes.length > 1) (bytes(1) & 0xff) else 0
+    val mean = if (bytes.isEmpty) 0.0
+               else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+    MediaFeatures(r.id, bytes.length.toLong, w, h, graft.Num.r6(mean))
+  }
+
+  /** Deterministic tiny RGB image for the real-decode gate: w x h from
+    * the id, pixel (0,0) black, every other pixel gray g = id % 251 —
+    * so a correct decode must read the actual raster, not just the
+    * header (mean = g*(w*h-1)/(w*h), closed-form for the oracle).
+    */
+  private[graft] def syntheticImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (1 + id % 7).toInt
+    val h = (1 + id % 5).toInt
+    val g = (id % 251).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (x == 0 && y == 0) 0 else g
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodeImage(img: java.awt.image.BufferedImage,
+                                 format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Attach REAL compressed PNG payloads derived deterministically from
+    * the id column. The encode runs IN EXECUTORS (a narrow typed map) —
+    * payload bytes never exist on the driver, same as a production
+    * `binaryFile` read.
+    */
+  def attachPngPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRow(id, encodeImage(syntheticImage(id), "png"), "image/png"))
+      .toDF()
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("format")).as("meta"))
+  }
 
   /** Partition-batched feature extraction over the payload column: the
     * Scala analogue of `mapInPandas` — one decode call per partition batch,
-    * typed Dataset in/out.
+    * typed Dataset in/out. Routes through [[decodeMedia]]: real ImageIO
+    * decode for PNG/BMP payloads, deterministic fake for the rest.
     */
   def extractFeatures(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
       .as[MediaRow]
-      .mapPartitions(decodeStub)
+      .mapPartitions(decodeMedia)
   }
 
   /** Mixed-modality payload attachment: modality assigned

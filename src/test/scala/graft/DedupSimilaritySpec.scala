@@ -96,6 +96,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2L) == (("video", 2.0)))
   }
 
+  test("real PNG/BMP payloads decode through ImageIO; mislabeled text falls back") {
+    import Multimodal._
+    // id=7 -> w=1, h=3, g=7: raster mean (0 + 7 + 7)/3
+    val png = encodeImage(syntheticImage(7L), "png")
+    val bmp = encodeImage(syntheticImage(7L), "bmp")
+    assert(png.length > 0 && bmp.length > 0)
+    for ((payload, fmt) <- Seq((png, "image/png"), (bmp, "image/bmp"))) {
+      val f = decodeMedia(Iterator(MediaRow(7L, payload, fmt))).next()
+      assert(f.width == 1 && f.height == 3, fmt)
+      assert(f.mean_byte == graft.Num.r6(14.0 / 3.0), fmt)
+      assert(f.n_bytes == payload.length.toLong)
+    }
+    // a text payload mislabeled image/* must hit the fake path, not
+    // crash: "BM…" passes the BMP magic sniff but ImageIO returns null
+    // (not a real bitmap) -> null-fallback; a plain text format skips
+    // the decode attempt entirely
+    val text = "BMnot really a bitmap".getBytes("UTF-8")
+    for (fmt <- Seq("image/png", "text/plain")) {
+      val fake = decodeMedia(Iterator(MediaRow(1L, text, fmt))).next()
+      assert(fake.width == 'B'.toInt && fake.height == 'M'.toInt, fmt)
+    }
+    // distributed round-trip: encode in executors, decode in executors
+    val spark2 = spark
+    import spark2.implicits._
+    val df = attachPngPayload(spark, (0L until 20L).toDF("doc_id"), "doc_id")
+    val out = extractFeatures(spark, df).collect().map(f => f.id -> f).toMap
+    assert(out.size == 20)
+    for (id <- 0L until 20L) {
+      assert(out(id).width == (1 + id % 7).toInt && out(id).height == (1 + id % 5).toInt)
+      assert(out(id).n_bytes > 0)
+    }
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
