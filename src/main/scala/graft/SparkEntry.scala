@@ -661,6 +661,43 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin),
 
+    ("tpch_q18",
+      (s: SparkSession, dir: String) => {
+        // large-quantity-order report (q18 shape): the HAVING aggregation
+        // over lineitem produces a SMALL key set (top ~1% of orders) that
+        // broadcast-SEMI-joins orders, and the filtered orders side (now
+        // tiny) broadcasts into customer and back into lineitem — the
+        // fact table is scanned, never shuffled beyond the first
+        // partial-agg; the global top-100 is TakeOrderedAndProject with a
+        // deterministic orderkey tiebreak
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("big_qty"))
+          .filter(col("big_qty") > 250.0)
+          .select(col("l_orderkey").as("big_orderkey"))
+        val bigOrders = t(s, dir, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("big_orderkey"), "left_semi")
+        val withCust = broadcast(bigOrders)
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        broadcast(withCust)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      // integral-valued quantity sums are order-independent-exact, so
+      // both the HAVING cut and sum_qty hash-match across engines
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
     ("orders_window",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window

@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tpch_q18: broadcast semi-join + TakeOrderedAndProject, no cartesian") {
+    val p = plan("tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the HAVING key set must broadcast-semi-join the fact side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tpch_q5: six-way join plans without cartesian products") {
     val p = plan("tpch_q5")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
