@@ -34,4 +34,26 @@ object Partitioning {
       case None => df
     }
   }
+
+  /** For MULTI-PASS consumers (e.g. Lloyd's k-means rounds, which scan
+    * their input once per round): materialize the input across passes
+    * when — and only when — its scan is provably small. The signal is
+    * the same catalog metadata [[spread]] uses: a narrow scan under
+    * `maxBytes` (default 1 GiB) localCheckpoints (each later pass reads
+    * executor-local blocks instead of re-running scan + shuffle); a
+    * larger or non-narrow input passes through and re-scans per pass —
+    * you cannot cache 100 TB, and at that size the re-scan IS the
+    * algorithm's honest cost. Spark MLlib's KMeans likewise insists on
+    * a cached input for its iterations.
+    *
+    * @param sizeProbe the raw input whose narrow-scan size is measurable
+    *                  (pre-spread: a Repartition node hides the scan)
+    * @param built     the derived plan (spread + projection) to pin
+    */
+  def pinForReuse(sizeProbe: DataFrame, built: DataFrame,
+                  maxBytes: Long = 1L << 30): DataFrame =
+    GraftBridge.narrowScanSizeBytes(sizeProbe) match {
+      case Some(bytes) if bytes <= maxBytes => built.localCheckpoint()
+      case _ => built
+    }
 }

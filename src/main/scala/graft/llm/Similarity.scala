@@ -289,13 +289,18 @@ object Similarity {
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
               kmeansIters: Int = 0): DataFrame = {
-    val c = graft.Partitioning.spread(corpus)
+    val c0 = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    // k-means rounds scan the corpus once per round: pin a provably-small
+    // corpus across the passes (scan+shuffle+normalize run once); a large
+    // corpus re-scans — the honest per-round cost at 100 TB
+    val c = if (kmeansIters > 0) graft.Partitioning.pinForReuse(corpus, c0) else c0
     // the coarse quantizer is dimension-sized BY DEFINITION
-    // (nCentroids x dim): collect it once (TakeOrdered job) and let it
-    // ride every later plan as a literal
-    val seeds: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long").as("cid"), normalize(col(vecCol)).as("centv"))
+    // (nCentroids x dim): collect it once (TakeOrdered job, reading the
+    // pinned corpus when present) and let it ride every later plan as a
+    // literal
+    val seeds: Seq[(Long, Seq[Double])] = c.orderBy(col("nn_id")).limit(nCentroids)
+      .select(col("nn_id").cast("long").as("cid"), col("cv").as("centv"))
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
     val cent = if (kmeansIters > 0) kmeansRefine(c, seeds, kmeansIters) else seeds
     // assign each corpus vector to its best centroid: narrow map against
