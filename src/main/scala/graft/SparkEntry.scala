@@ -1297,6 +1297,34 @@ object SparkEntry {
          |SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
          |       stopword_ratio, quality_score FROM qual""".stripMargin),
 
+    ("text_repetition",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // a null-text row rides along: metrics must be NULL, not 0
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        TextAnalysis.repetitionStats(d, "doc_id", "text")
+      },
+      {
+        val topWord = Num.r6Sql(
+          "CAST(list_max(list_transform(list_distinct(tk), w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+        val topBigram = Num.r6Sql(
+          "CAST(list_max(list_transform(list_distinct(bg), w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE)")
+        val distinctFrac = Num.r6Sql(
+          "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents
+           |              UNION ALL SELECT 99991, NULL),
+           |b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS tk FROM docs),
+           |g AS (SELECT *, list_transform(generate_series(1, len(tk) - 1),
+           |                               i -> tk[i] || ' ' || tk[i + 1]) AS bg FROM b)
+           |SELECT doc_id,
+           |  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END AS n_tokens,
+           |  CASE WHEN len(tk) > 0 THEN $topWord END AS top_word_frac,
+           |  CASE WHEN len(bg) > 0 THEN $topBigram END AS top_bigram_frac,
+           |  CASE WHEN len(tk) > 0 THEN $distinctFrac END AS distinct_frac
+           |FROM g""".stripMargin
+      }),
+
     ("text_langid",
       (s: SparkSession, dir: String) =>
         TextAnalysis.langId(t(s, dir, "documents"), "text")
@@ -1423,6 +1451,27 @@ object SparkEntry {
            |SELECT doc, token, cnt, $w AS tf_idf
            |FROM tf JOIN dl USING (doc) JOIN dfr USING (token) CROSS JOIN nn""".stripMargin
       }),
+
+    ("corpus_domain_cap",
+      (s: SparkSession, dir: String) => {
+        // deterministic URLs synthesized from the id (37 domains) — the
+        // web-corpus "no site dominates" admission rule over a salted
+        // two-stage rank
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(37)),
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+        Corpus.domainCap(d, "doc_id", "url", maxPerDomain = 5)
+          .select(col("doc_id"), col("domain"), col("rank_in_domain"))
+      },
+      """WITH u AS (SELECT doc_id,
+        |             'https://site' || (doc_id % 37) || '.example.com/p/' || doc_id AS url
+        |           FROM documents),
+        |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u),
+        |r AS (SELECT doc_id, domain,
+        |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank_in_domain
+        |      FROM d)
+        |SELECT doc_id, domain, CAST(rank_in_domain AS INT) AS rank_in_domain
+        |FROM r WHERE rank_in_domain <= 5""".stripMargin),
 
     ("corpus_filter",
       (s: SparkSession, dir: String) =>

@@ -110,4 +110,31 @@ object Corpus {
       .filter(col("lang_pred") === lang && col("quality_score") >= minQuality)
       .select(col(idCol), col("lang_pred"), col("quality_score"), col("n_dups"))
   }
+
+  /** Per-domain admission cap — the web-corpus balance rule ("no single
+    * site dominates the training mix"): keep at most `maxPerDomain`
+    * documents per URL domain, admitted in deterministic id order.
+    *
+    * Scale shape: domains are the textbook skewed key (one crawler-trap
+    * site can hold millions of pages), so the rank runs as a SALTED
+    * two-stage row_number — stage 1 caps each (domain, salt) slice to
+    * `maxPerDomain`, so no task ever sorts more than one slice; stage 2
+    * ranks the <= nSalts*maxPerDomain survivors exactly. Same design as
+    * the similarity top-k merge. Output adds `domain` and
+    * `rank_in_domain` (1-based).
+    */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                maxPerDomain: Int, nSalts: Int = 16): DataFrame = {
+    require(maxPerDomain > 0 && nSalts > 0, "maxPerDomain and nSalts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Partitioning.spread(df)
+      .withColumn("domain", regexp_extract(col(urlCol), "^https?://([^/]+)", 1))
+    val salted = d.withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
+    val w1 = Window.partitionBy(col("domain"), col("_salt")).orderBy(col(idCol).asc)
+    val partial = salted.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= maxPerDomain).drop("_r", "_salt")
+    val w2 = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
+    partial.withColumn("rank_in_domain", row_number().over(w2))
+      .filter(col("rank_in_domain") <= maxPerDomain)
+  }
 }

@@ -171,4 +171,42 @@ object TextAnalysis {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
     df.filter(pmod(rollingHash(col(textCol)), lit(100L)) < pct)
   }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use these
+    * as removal rules for machine-generated/boilerplate text): per
+    * document, the fraction of tokens taken by the single most frequent
+    * word (`top_word_frac`), by the most frequent word bigram
+    * (`top_bigram_frac`), and the distinct-token ratio
+    * (`distinct_frac`). High top-fractions / low distinct ratios mark
+    * repetitive junk a training corpus should drop.
+    *
+    * Entirely narrow per-row array arithmetic — no shuffle, no
+    * tokenizer state; the inner frequency count is O(v*n) per doc over
+    * the doc's own (small) vocabulary, which stays cache-resident. NULL
+    * or empty text yields NULL metrics (nothing to measure ≠ score 0).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = split(lower(col(textCol)), "\\s+")
+    def topFrac(arr: Column): Column = {
+      val n = size(arr)
+      val topCnt = array_max(transform(array_distinct(arr),
+        w => size(filter(arr, x => x === w))))
+      when(n > 0, graft.Num.r6(topCnt.cast("double") / n.cast("double")))
+    }
+    graft.Partitioning.spread(df)
+      .select(col(idCol), col(textCol))
+      .withColumn("tk0", tk)
+      .withColumn("n_tokens", when(col(textCol).isNotNull,
+        size(col("tk0")).cast("long")))
+      .withColumn("top_word_frac", topFrac(col("tk0")))
+      .withColumn("top_bigram_frac", topFrac(
+        zip_with(slice(col("tk0"), lit(1), size(col("tk0")) - 1),
+          slice(col("tk0"), lit(2), size(col("tk0")) - 1),
+          (a, b) => concat_ws(" ", a, b))))
+      .withColumn("distinct_frac", when(size(col("tk0")) > 0,
+        graft.Num.r6(size(array_distinct(col("tk0"))).cast("double")
+          / size(col("tk0")).cast("double"))))
+      .select(col(idCol), col("n_tokens"), col("top_word_frac"),
+        col("top_bigram_frac"), col("distinct_frac"))
+  }
 }

@@ -119,6 +119,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == composed && out.contains(1L) && !out.contains(6L))
   }
 
+  test("repetitionStats: repetitive text scores high top-fractions, nulls stay null") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (1L, Some("spam spam spam spam")),              // one word repeated
+      (2L, Some("a b c d")),                          // fully diverse
+      (3L, Some("go stop go stop go stop")),          // dominant bigram pair
+      (4L, Some("solo")),                             // single token: no bigrams
+      (5L, Option.empty[String]))                     // null text: null metrics
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = {
+      val r = out(id); if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    }
+    assert(f(1L, "top_word_frac").contains(1.0))
+    assert(f(1L, "top_bigram_frac").contains(1.0)) // "spam spam" x3 of 3
+    assert(f(1L, "distinct_frac").contains(graft.Num.r6(0.25)))
+    assert(f(2L, "top_word_frac").contains(0.25) && f(2L, "distinct_frac").contains(1.0))
+    // "go stop" appears 3x of 5 bigrams
+    assert(f(3L, "top_bigram_frac").contains(graft.Num.r6(3.0 / 5.0)))
+    assert(f(4L, "top_word_frac").contains(1.0) && f(4L, "top_bigram_frac").isEmpty)
+    assert(f(5L, "top_word_frac").isEmpty && f(5L, "distinct_frac").isEmpty
+      && out(5L).isNullAt(out(5L).fieldIndex("n_tokens")))
+  }
+
+  test("domainCap keeps at most N per domain in id order, salted-deterministic") {
+    // domain A: 20 docs (hot), domain B: 3 docs
+    val rows = (1L to 20L).map(i => (i, "https://a.example.com/p/" + i)) ++
+      Seq((100L, "https://b.example.com/x"), (101L, "https://b.example.com/y"),
+        (102L, "https://b.example.com/z"))
+    val d = rows.toDF("doc_id", "url").repartition(7)
+    val out = Corpus.domainCap(d, "doc_id", "url", maxPerDomain = 5, nSalts = 4)
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank_in_domain")))
+    val byDomain = out.groupBy(_._1)
+    // hot domain capped to exactly the 5 LOWEST ids, ranked 1..5
+    assert(byDomain("a.example.com").sortBy(_._3).map(_._2).toSeq == (1L to 5L))
+    // small domain passes through whole
+    assert(byDomain("b.example.com").map(_._2).toSet == Set(100L, 101L, 102L))
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),
