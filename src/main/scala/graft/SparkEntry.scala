@@ -1430,6 +1430,23 @@ object SparkEntry {
           .select(col("doc_id")),
       s"SELECT doc_id FROM documents WHERE ${rhSql("text")} % 100 < 30"),
 
+    ("corpus_stratified_sample",
+      (s: SparkSession, dir: String) => {
+        // class-balancing: downsample the dominant language hard (20%),
+        // keep unidentified docs at 80% — membership is content-hash
+        // stable, never re-rolled
+        val lang = TextAnalysis.langId(t(s, dir, "documents"), "text")
+        TextAnalysis.stratifiedSample(lang, "lang_pred", "text",
+          pcts = Map("en" -> 20, "und" -> 80), defaultPct = 50)
+          .select(col("doc_id"), col("lang_pred"))
+      },
+      s"""WITH $textBCte,
+         |$langCtes
+         |SELECT l.doc_id, l.lang_pred
+         |FROM lang l JOIN documents d ON l.doc_id = d.doc_id
+         |WHERE ${rhSql("d.text")} % 100 <
+         |  CASE l.lang_pred WHEN 'en' THEN 20 WHEN 'und' THEN 80 ELSE 50 END""".stripMargin),
+
     ("text_vocab",
       (s: SparkSession, dir: String) =>
         Corpus.vocab(t(s, dir, "documents"), "text", topN = 20),

@@ -172,6 +172,25 @@ object TextAnalysis {
     df.filter(pmod(rollingHash(col(textCol)), lit(100L)) < pct)
   }
 
+  /** Deterministic STRATIFIED sampling: per-group keep percentages
+    * (e.g. downsample boilerplate-heavy languages, keep all of a rare
+    * one) with the same content-hash stability as [[hashSample]] — a
+    * document's membership never flips across runs or corpus growth,
+    * and is independent of which group table partition it lands in.
+    * Groups absent from `pcts` keep `defaultPct`. One narrow filter —
+    * no shuffle, no per-group scan (a seeded `sampleBy` re-rolls
+    * membership every run; this never does).
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, textCol: String,
+                       pcts: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((pcts.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0,100]")
+    val pct = pcts.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(rollingHash(col(textCol)), lit(100L)) < pct)
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use these
     * as removal rules for machine-generated/boilerplate text): per
     * document, the fraction of tokens taken by the single most frequent

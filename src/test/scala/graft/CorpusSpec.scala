@@ -144,6 +144,28 @@ class CorpusSpec extends AnyFunSuite {
       && out(5L).isNullAt(out(5L).fieldIndex("n_tokens")))
   }
 
+  test("stratifiedSample: per-group rates, content-stable, monotone in pct") {
+    import graft.llm.TextAnalysis
+    val d = (1L to 400L).map(i => (i, if (i % 2 == 0) "g1" else "g2",
+      s"document body number $i with words")).toDF("doc_id", "grp", "text")
+    def ids(p1: Int, p2: Int) = TextAnalysis.stratifiedSample(d, "grp", "text",
+      Map("g1" -> p1, "g2" -> p2), defaultPct = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(30, 80)
+    // rates land near the targets per group (hash-uniform, n=200 each)
+    val g1 = s1.count(_ % 2 == 0); val g2 = s1.count(_ % 2 == 1)
+    assert(g1 > 200 * 0.15 && g1 < 200 * 0.45, s"g1=$g1")
+    assert(g2 > 200 * 0.65 && g2 < 200 * 0.95, s"g2=$g2")
+    // stability: identical second run
+    assert(ids(30, 80) == s1)
+    // monotone: a lower pct selects a SUBSET (membership never re-rolls)
+    assert(ids(10, 40).subsetOf(s1))
+    // unknown group honors defaultPct=0
+    val d2 = d.withColumn("grp", lit("other"))
+    assert(TextAnalysis.stratifiedSample(d2, "grp", "text",
+      Map("g1" -> 100), defaultPct = 0).count() == 0)
+  }
+
   test("domainCap keeps at most N per domain in id order, salted-deterministic") {
     // domain A: 20 docs (hot), domain B: 3 docs
     val rows = (1L to 20L).map(i => (i, "https://a.example.com/p/" + i)) ++
