@@ -29,7 +29,9 @@ class PlanSpec extends AnyFunSuite {
   test("scale-path similarity/dedup plans contain no cartesian product") {
     for (q <- Seq("dedup_embedding_lsh", "similarity_topk_lsh",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_incremental_neardup", "events_asof_bucketed")) {
+      "dedup_incremental_neardup", "events_asof_bucketed",
+      "corpus_domain_cap", "text_repetition", "corpus_stratified_sample",
+      "multimodal_decode_png")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
