@@ -37,15 +37,30 @@ object Bench {
           System.err.println(s"[bench] WARN: warm-up for $name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val results = selected.map { case (name, fn) =>
+    // a timed-pass failure must NOT masquerade as a normal timing: the
+    // per-query value would read as a plausible elapsed time while
+    // actually measuring time-to-exception, silently corrupting pinned
+    // medians. Failures are counted, named on stderr, and excluded from
+    // the queries map.
+    var timedFailures = List.empty[String]
+    val results = selected.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          timedFailures ::= name
+          System.err.println(s"[bench] ERROR: timed run of $name threw " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures}""")
+    val failed = timedFailures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"timed_failures":$failed}""")
     spark.stop()
   }
 }

@@ -1248,7 +1248,7 @@ object SparkEntry {
       {
         val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
         // 2 Lloyd's rounds refining the lowest-id seeds, mirroring
-        // Similarity.kmeansCentroids: assignment = max-cosine centroid
+        // Similarity.kmeansRefine: assignment = max-cosine centroid
         // (ties to lowest cid); new centroid = normalized mean with
         // per-dimension sums as exact integers floor(x*1e6+0.5) — the
         // associative form both engines reproduce byte-identically

@@ -60,12 +60,15 @@ case class CentroidArgmax(left: Expression, right: Expression)
       var sim = 0.0
       var i = 0
       while (i < n) { sim += v.getDouble(i) * cv.getDouble(i); i += 1 }
-      // Spark double ordering: NaN greatest; ties -> lowest cid
-      val better = !found ||
-        (java.lang.Double.isNaN(sim) && !java.lang.Double.isNaN(bestSim)) ||
-        (java.lang.Double.isNaN(sim) == java.lang.Double.isNaN(bestSim) &&
-          (sim > bestSim || (sim == bestSim && cid < bestCid)))
-      if (better) { bestSim = sim; bestCid = cid; found = true }
+      // Spark double ordering via Double.compare (NaN greatest, NaN ==
+      // NaN so two NaN sims fall through to the cid tiebreak); `+ 0.0`
+      // canonicalizes -0.0 to +0.0 first, since Spark treats them equal
+      // where Double.compare does not. Ties -> lowest cid.
+      val s2 = sim + 0.0d
+      val cmp = if (found) java.lang.Double.compare(s2, bestSim) else 1
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestSim = s2; bestCid = cid; found = true
+      }
       j += 1
     }
     bestCid
@@ -84,7 +87,8 @@ case class CentroidArgmax(left: Expression, right: Expression)
       val bestSim = ctx.freshName("bestSim")
       val bestCid = ctx.freshName("bestCid")
       val found = ctx.freshName("found")
-      val better = ctx.freshName("better")
+      val s2 = ctx.freshName("s2")
+      val cmp = ctx.freshName("cmp")
       s"""
          |int $m = $b.numElements();
          |if ($m == 0) {
@@ -102,11 +106,13 @@ case class CentroidArgmax(left: Expression, right: Expression)
          |    for (int $i = 0; $i < $n; $i++) {
          |      $sim += $a.getDouble($i) * $cv.getDouble($i);
          |    }
-         |    boolean $better = !$found ||
-         |      (Double.isNaN($sim) && !Double.isNaN($bestSim)) ||
-         |      (Double.isNaN($sim) == Double.isNaN($bestSim) &&
-         |        ($sim > $bestSim || ($sim == $bestSim && $cid < $bestCid)));
-         |    if ($better) { $bestSim = $sim; $bestCid = $cid; $found = true; }
+         |    // Double.compare: NaN greatest, NaN == NaN -> cid tiebreak;
+         |    // + 0.0 canonicalizes -0.0 (Spark treats -0.0 == 0.0)
+         |    double $s2 = $sim + 0.0;
+         |    int $cmp = $found ? Double.compare($s2, $bestSim) : 1;
+         |    if ($cmp > 0 || ($cmp == 0 && $cid < $bestCid)) {
+         |      $bestSim = $s2; $bestCid = $cid; $found = true;
+         |    }
          |  }
          |  ${ev.value} = $bestCid;
          |}

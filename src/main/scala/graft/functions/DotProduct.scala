@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_centroid_argmax"),
+      new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_centroid_argmax"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_centroid_argmax(vector, centroids) takes 2 arguments, got ${children.size}")
+        CentroidArgmax(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
       (children: Seq[Expression]) => {

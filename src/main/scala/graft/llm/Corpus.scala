@@ -127,14 +127,23 @@ object Corpus {
                 maxPerDomain: Int, nSalts: Int = 16): DataFrame = {
     require(maxPerDomain > 0 && nSalts > 0, "maxPerDomain and nSalts must be positive")
     import org.apache.spark.sql.expressions.Window
+    // unparseable URLs (ftp://, protocol-relative, junk) get a NULL
+    // domain and are ADMITTED uncapped with rank NULL: collapsing every
+    // non-http(s) URL into one "" pseudo-domain would silently drop all
+    // but maxPerDomain of them — an admission filter must never
+    // mass-discard on a parse miss
+    val ext = regexp_extract(col(urlCol), "^https?://([^/]+)", 1)
     val d = graft.Partitioning.spread(df)
-      .withColumn("domain", regexp_extract(col(urlCol), "^https?://([^/]+)", 1))
-    val salted = d.withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
+      .withColumn("domain", when(ext =!= "", ext))
+    val (capped, passthrough) =
+      (d.filter(col("domain").isNotNull), d.filter(col("domain").isNull))
+    val salted = capped.withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
     val w1 = Window.partitionBy(col("domain"), col("_salt")).orderBy(col(idCol).asc)
     val partial = salted.withColumn("_r", row_number().over(w1))
       .filter(col("_r") <= maxPerDomain).drop("_r", "_salt")
     val w2 = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
     partial.withColumn("rank_in_domain", row_number().over(w2))
       .filter(col("rank_in_domain") <= maxPerDomain)
+      .unionByName(passthrough.withColumn("rank_in_domain", lit(null).cast("int")))
   }
 }

@@ -190,7 +190,7 @@ object Similarity {
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — seeds
     * are the `nCentroids` lowest-id corpus vectors, optionally refined by
     * `kmeansIters` rounds of deterministic Lloyd's k-means
-    * ([[kmeansCentroids]]) — partitions the corpus into inverted lists
+    * ([[kmeansRefine]]) — partitions the corpus into inverted lists
     * (each vector assigned to its max-cosine centroid, ties to the
     * lowest centroid id); a query probes its `nProbe` nearest centroids
     * and ranks only those lists.
@@ -265,18 +265,29 @@ object Similarity {
     var cent = seeds
     val dim = if (seeds.nonEmpty) seeds.head._2.length else 0
     for (_ <- 0 until iters) {
-      val sumCols = count(lit(1)).as("cnt") +: (0 until dim).map(d =>
-        sum(floor(element_at(col("cv"), d + 1) * lit(1000000.0d) + lit(0.5d))
-          .cast("long")).as(s"s$d"))
+      // min/max vector length ride the same aggregate so ragged input
+      // fails LOUDLY in one round trip: a vector shorter/longer than the
+      // seed dim would silently skew the single per-cluster count (the
+      // exact-integer mean assumes every member contributes every dim)
+      val sumCols = Seq(count(lit(1)).as("cnt"),
+        min(size(col("cv"))).as("mindim"), max(size(col("cv"))).as("maxdim")) ++
+        (0 until dim).map(d =>
+          sum(floor(element_at(col("cv"), d + 1) * lit(1000000.0d) + lit(0.5d))
+            .cast("long")).as(s"s$d"))
       val rows = assignClusters(c, cent)
         .groupBy(col("cluster")).agg(sumCols.head, sumCols.tail: _*)
         .collect()
+      rows.foreach { r =>
+        require(r.getInt(2) == dim && r.getInt(3) == dim,
+          s"kmeansRefine requires uniform $dim-dim vectors; found lengths " +
+            s"${r.getInt(2)}..${r.getInt(3)} in cluster ${r.getLong(0)}")
+      }
       val byCid = rows.map(r => r.getLong(0) -> r).toMap
       cent = cent.map { case (cid, old) =>
         byCid.get(cid) match {
           case Some(r) =>
             val cnt = r.getLong(1).toDouble
-            val mv = Array.tabulate(dim)(d => r.getLong(2 + d).toDouble / 1000000.0d / cnt)
+            val mv = Array.tabulate(dim)(d => r.getLong(4 + d).toDouble / 1000000.0d / cnt)
             val n = math.sqrt(mv.foldLeft(0.0d)((a, x) => a + x * x))
             cid -> mv.map(_ / n).toSeq
           case None => cid -> old
@@ -289,7 +300,11 @@ object Similarity {
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
               kmeansIters: Int = 0): DataFrame = {
+    // null vectors cannot participate in ANN (no similarity is defined):
+    // filter them EXPLICITLY rather than letting a null seed or a
+    // null-cluster aggregation row crash the literal-centroid path
     val c0 = graft.Partitioning.spread(corpus)
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     // k-means rounds scan the corpus once per round: pin a provably-small
     // corpus across the passes (scan+shuffle+normalize run once); a large

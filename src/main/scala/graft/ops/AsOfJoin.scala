@@ -27,14 +27,17 @@ import org.apache.spark.sql.types.StructType
   *
   * Right rows SHOULD be unique per (key, time) — the standard as-of
   * precondition; ties within one timestamp have no defined "latest".
-  * When the precondition is violated the result is still DETERMINISTIC:
-  * the carry-forward window orders ties by the payload struct, so the
-  * winner is the MAX payload (data-determined, never partition-order-
-  * determined) — the same row `dedupeRight = true` would keep. Passing
-  * `dedupeRight = true` additionally drops the losers before the
-  * shuffle (cheaper when duplicates are plentiful). Payload columns
-  * must be orderable either way (a map-typed payload fails loudly at
-  * analysis time rather than flapping at runtime).
+  * When the precondition is violated the result is still DETERMINISTIC
+  * for orderable payloads: the carry-forward window orders ties by the
+  * payload struct, so the winner is the MAX payload (data-determined,
+  * never partition-order-determined) — the same row `dedupeRight = true`
+  * would keep. Passing `dedupeRight = true` additionally drops the
+  * losers before the shuffle (cheaper when duplicates are plentiful).
+  * A payload with a non-orderable column (map type) keeps the legacy
+  * behavior — no payload tie-break, duplicate-(key,time) winners are
+  * partition-order-dependent — rather than breaking existing callers at
+  * analysis time; use `dedupeRight` with orderable columns when the
+  * precondition can be violated.
   *
   * Hot keys: `Window.partitionBy(key)` serializes one key's full
   * history through one task. When a single key's event count can
@@ -42,6 +45,9 @@ import org.apache.spark.sql.types.StructType
   * semantics, per-task input bounded by the time-bucket width.
   */
 object AsOfJoin {
+
+  private def orderablePayload(pType: StructType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(pType)
 
   /** Tagged union of both sides: left rows carry a null payload struct,
     * right rows carry null left-only columns; `_side` orders right (0)
@@ -93,15 +99,18 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
            payload: Seq[(String, String)], dedupeRight: Boolean = false): DataFrame = {
     val r = if (dedupeRight) dedupe(right, keyCol, timeCol, payload) else right
-    val (lU, rU, _) = taggedUnion(left, r, keyCol, timeCol, payload)
+    val (lU, rU, pType) = taggedUnion(left, r, keyCol, timeCol, payload)
     // `_p` as the FINAL sort key makes duplicate-(key, time) right rows
     // deterministic: the last right row before any left row is then the
     // MAX payload struct — exactly what [[dedupe]] keeps — instead of
     // whichever row the shuffle happened to order last. Left rows carry
     // a null `_p`, inert in the ordering (they compare within the
-    // _side=1 group only, where `_p` is uniformly null).
+    // _side=1 group only, where `_p` is uniformly null). Skipped when a
+    // payload column is not orderable (see the precondition note above).
+    val ord = Seq(col(timeCol).asc, col("_side").asc) ++
+      (if (orderablePayload(pType)) Seq(col("_p").asc_nulls_first) else Nil)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("_side").asc, col("_p").asc_nulls_first)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
@@ -142,10 +151,17 @@ object AsOfJoin {
     // max, never a window over raw events. max over struct(time, _p) —
     // not max_by(_p, time) — so duplicate-(key, time) right rows resolve
     // to the MAX payload deterministically (max_by picks an arbitrary
-    // row on ties), matching the main window's tie-break
-    val bucketLast = rU.groupBy(col(keyCol), col("_b"))
-      .agg(max(struct(col(timeCol).as("t"), col("_p").as("p"))).as("_tp"))
-      .select(col(keyCol), col("_b"), col("_tp").getField("p").as("_bp"))
+    // row on ties), matching the main window's tie-break. Non-orderable
+    // payloads keep the legacy max_by (arbitrary on exact-time ties)
+    val orderable = orderablePayload(pType)
+    val bucketLast =
+      if (orderable)
+        rU.groupBy(col(keyCol), col("_b"))
+          .agg(max(struct(col(timeCol).as("t"), col("_p").as("p"))).as("_tp"))
+          .select(col(keyCol), col("_b"), col("_tp").getField("p").as("_bp"))
+      else
+        rU.groupBy(col(keyCol), col("_b"))
+          .agg(max_by(col("_p"), struct(col(timeCol), col("_side"))).as("_bp"))
     // carry the latest payload of STRICTLY EARLIER buckets into each
     // bucket's seed; this window's partitions hold one row per bucket
     val wSeed = Window.partitionBy(col(keyCol)).orderBy(col("_b").asc)
@@ -173,8 +189,10 @@ object AsOfJoin {
     // at equal times — the asOf ordering within a bounded partition.
     // `_p` last makes duplicate-(key, time) right rows deterministic
     // (max payload wins), mirroring [[asOf]]
+    val ord = Seq(col(timeCol).asc_nulls_first, col("_side").asc) ++
+      (if (orderable) Seq(col("_p").asc_nulls_first) else Nil)
     val w = Window.partitionBy(col(keyCol), col("_b"))
-      .orderBy(col(timeCol).asc_nulls_first, col("_side").asc, col("_p").asc_nulls_first)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU).unionByName(seeds)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))

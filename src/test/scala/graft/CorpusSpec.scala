@@ -182,6 +182,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(byDomain("b.example.com").map(_._2).toSet == Set(100L, 101L, 102L))
   }
 
+  test("domainCap admits unparseable URLs uncapped instead of pooling them") {
+    // 8 non-http(s) URLs with cap 2: ALL must be admitted (null domain,
+    // null rank) — pooling them into one '' pseudo-domain would drop 6
+    val rows = (1L to 8L).map(i => (i, s"ftp://host$i/file")) :+
+      ((9L, "https://ok.example.com/x"))
+    val out = Corpus.domainCap(rows.toDF("doc_id", "url"), "doc_id", "url",
+      maxPerDomain = 2).collect()
+    assert(out.length == 9)
+    val ftp = out.filter(r => r.getAs[String]("url").startsWith("ftp"))
+    assert(ftp.length == 8 && ftp.forall(r => r.isNullAt(r.fieldIndex("domain"))
+      && r.isNullAt(r.fieldIndex("rank_in_domain"))))
+    val ok = out.find(r => r.getAs[Long]("doc_id") == 9L).get
+    assert(ok.getAs[String]("domain") == "ok.example.com"
+      && ok.getAs[Int]("rank_in_domain") == 1)
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),

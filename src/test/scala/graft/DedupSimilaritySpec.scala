@@ -185,6 +185,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joined.forall(r => r.getLong(1) != 12L))
   }
 
+  test("centroid argmax NaN ties resolve to the lowest cid regardless of array order") {
+    // two all-NaN centroids (a zero-norm centroid normalizes to NaN),
+    // HIGHER cid first in the array: NaN sims compare equal (Spark
+    // ordering) so the LOWEST cid must win, and NaN beats any finite sim
+    val nan = Seq.fill(4)(Double.NaN)
+    val fin = Seq.tabulate(4)(_.toDouble + 1.0)
+    val cent = Seq((14L, nan), (13L, nan), (1L, fin))
+    val c = Seq((100L, Array(1.0, 0.5, 0.25, 0.125))).toDF("nn_id", "cv")
+    val native = Similarity.assignClusters(c, cent).collect().head.getLong(2)
+    val hof = Similarity.assignClustersHof(c, cent).collect().head.getLong(2)
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native == 13L)
+  }
+
   test("LSH and IVF top-k are consistent subsets of brute force") {
     // deterministic 8-dim corpus
     val vecs = (0L until 60L).map(i =>
