@@ -161,6 +161,45 @@ object EventStream {
       }
   }
 
+  // ---------------------------------------------- custom state: domain quota
+
+  final case class DocEvent(doc_id: Long, domain: String)
+  final case class QuotaState(n: Int)
+  final case class Admitted(doc_id: Long, domain: String, rank_in_domain: Int)
+
+  /** Streaming per-domain admission quota — the crawl-ingest twin of
+    * [[graft.llm.Corpus.domainCap]]: admit at most `maxPerDomain`
+    * documents per domain over the stream's lifetime, assigning each
+    * admitted doc its 1-based rank. State per key is ONE int (admitted
+    * count) — bounded by domain cardinality, not stream length; a
+    * domain at quota costs one counter forever, never a buffer.
+    *
+    * Within a micro-batch a domain's docs admit in doc_id order;
+    * across batches admission is first-arrival. Under per-domain
+    * id-ordered delivery (the keyed-crawl-frontier case) this equals
+    * the batch [[graft.llm.Corpus.domainCap]] — asserted in
+    * StreamingSpec.
+    */
+  def quotaStream(docs: Dataset[DocEvent], maxPerDomain: Int): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    docs
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, it: Iterator[DocEvent], state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0)
+          val out = List.newBuilder[Admitted]
+          it.toArray.sortBy(_.doc_id).foreach { d =>
+            if (n < maxPerDomain) {
+              n += 1
+              out += Admitted(d.doc_id, domain, n)
+            }
+          }
+          state.update(QuotaState(n))
+          out.result().iterator
+      }
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -112,6 +112,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(2L).isEmpty)       // no prior right -> None
   }
 
+  test("streaming domain quota equals batch domainCap under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Admitted, DocEvent}
+
+    // per-domain id-ordered delivery across two micro-batches; domain a
+    // exhausts its quota in batch 1, so batch 2's a-docs must be refused
+    val batch1 = Seq(DocEvent(1L, "a"), DocEvent(2L, "a"), DocEvent(3L, "a"),
+      DocEvent(10L, "b"))
+    val batch2 = Seq(DocEvent(4L, "a"), DocEvent(5L, "a"), DocEvent(11L, "b"))
+
+    val mem = MemoryStream[DocEvent]
+    val q = EventStream.quotaStream(mem.toDS(), maxPerDomain = 2)
+      .writeStream.format("memory").queryName("quota_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("quota_stream_test").as[Admitted].collect()
+        .map(a => a.doc_id -> ((a.domain, a.rank_in_domain))).toMap
+    } finally q.stop()
+
+    assert(streamed == Map(1L -> (("a", 1)), 2L -> (("a", 2)),
+      10L -> (("b", 1)), 11L -> (("b", 2))))
+    // equals the batch twin over the whole delivery (ordered per domain)
+    val urls = (batch1 ++ batch2)
+      .map(d => (d.doc_id, s"https://${d.domain}.example.com/p/${d.doc_id}"))
+      .toDF("doc_id", "url")
+    val batch = graft.llm.Corpus.domainCap(urls, "doc_id", "url", maxPerDomain = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank_in_domain")).toMap
+    assert(streamed.map { case (id, (_, rk)) => id -> rk } == batch)
+  }
+
   test("stream-stream join matches right rows within the bounded window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
