@@ -25,8 +25,16 @@ object Bench {
       System.err.println(s"[bench] WARN: no sf0.001 sibling — warming against " +
         s"the TIMED dir $sfDir (wall time roughly doubles; timings stay valid)")
     else System.err.println(s"[bench] warm-up dir: $warmDir")
-    // optional comma-separated subset for local iteration; default = all
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional comma-separated subset for local iteration; default = all.
+    // Unknown names FAIL instead of silently shrinking the run — a typo
+    // that drops a query would otherwise emit a valid-looking JSON
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     var warmFailures = 0

@@ -39,8 +39,8 @@ object Partitioning {
     * their input once per round): materialize the input across passes
     * when — and only when — its scan is provably small. The signal is
     * the same catalog metadata [[spread]] uses: a narrow scan under
-    * `maxBytes` (default 1 GiB) localCheckpoints (each later pass reads
-    * executor-local blocks instead of re-running scan + shuffle); a
+    * `maxBytes` (default 1 GiB) persists MEMORY_AND_DISK (each later
+    * pass reads cached blocks instead of re-running scan + shuffle); a
     * larger or non-narrow input passes through and re-scans per pass —
     * you cannot cache 100 TB, and at that size the re-scan IS the
     * algorithm's honest cost. Spark MLlib's KMeans likewise insists on
@@ -53,7 +53,10 @@ object Partitioning {
   def pinForReuse(sizeProbe: DataFrame, built: DataFrame,
                   maxBytes: Long = 1L << 30): DataFrame =
     GraftBridge.narrowScanSizeBytes(sizeProbe) match {
-      case Some(bytes) if bytes <= maxBytes => built.localCheckpoint()
+      // persist keeps lineage: a lost executor's blocks recompute, where
+      // localCheckpoint blocks are unrecoverable mid-job
+      case Some(bytes) if bytes <= maxBytes =>
+        built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => built
     }
 }

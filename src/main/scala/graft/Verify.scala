@@ -9,8 +9,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional subset for local iteration (same contract as
-    // tools/compare_local.py); no args = all queries, the driver's mode
+    // tools/compare_local.py); no args = all queries, the driver's mode.
+    // Unknown names fail loudly — a typo would silently verify nothing
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"query names not in the registry: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder("graft-verify", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.ui.enabled", "false")

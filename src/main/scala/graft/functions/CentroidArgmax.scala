@@ -25,7 +25,12 @@ import org.apache.spark.sql.{Column, GraftBridge}
   * are the same sequential left-to-right sum as [[DotProduct]].
   *
   * Input: (vec array<double>, centroids array<struct<cid: long,
-  * centv: array<double>>>). Null vec or null/empty centroid array -> null.
+  * centv: array<double>>>). Null vec or null/empty centroid array ->
+  * null. Degenerate entries (null element, null centv, null cid —
+  * reachable through the SQL registration) resolve exactly as the HOF
+  * does under null-fields-smallest struct ordering: null sims lose to
+  * any computed sim, only-null-sim arrays yield the lowest non-null
+  * cid, and an all-null-field winner yields NULL — never an NPE.
   */
 case class CentroidArgmax(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -48,30 +53,52 @@ case class CentroidArgmax(left: Expression, right: Expression)
     val cs = b.asInstanceOf[ArrayData]
     val m = cs.numElements()
     if (m == 0) return null
-    var bestSim = Double.NegativeInfinity
-    var bestCid = Long.MaxValue
+    // Mirrors array_max over struct(sim, -cid) with Spark's null-fields-
+    // smallest struct ordering, so degenerate SQL inputs (null array
+    // elements, null centv, null cid) return what the HOF reference
+    // returns instead of NPE-ing: a null element or null centv makes a
+    // null sim that loses to ANY computed sim; among only-null-sim
+    // candidates the lowest non-null cid wins; an all-null-field winner
+    // yields NULL.
+    var bestSim = 0.0d
+    var bestCid = 0L
+    var bestCidNull = false
     var found = false
+    var nullSimCid = Long.MaxValue
+    var haveNullSimCid = false
+    var haveNullSimAny = false
     var j = 0
     while (j < m) {
-      val row = cs.getStruct(j, 2)
-      val cid = row.getLong(0)
-      val cv = row.getArray(1)
-      val n = math.min(v.numElements(), cv.numElements())
-      var sim = 0.0
-      var i = 0
-      while (i < n) { sim += v.getDouble(i) * cv.getDouble(i); i += 1 }
-      // Spark double ordering via Double.compare (NaN greatest, NaN ==
-      // NaN so two NaN sims fall through to the cid tiebreak); `+ 0.0`
-      // canonicalizes -0.0 to +0.0 first, since Spark treats them equal
-      // where Double.compare does not. Ties -> lowest cid.
-      val s2 = sim + 0.0d
-      val cmp = if (found) java.lang.Double.compare(s2, bestSim) else 1
-      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
-        bestSim = s2; bestCid = cid; found = true
+      if (cs.isNullAt(j)) haveNullSimAny = true
+      else {
+        val row = cs.getStruct(j, 2)
+        val cidNull = row.isNullAt(0)
+        val cid = if (cidNull) 0L else row.getLong(0)
+        if (row.isNullAt(1)) {
+          haveNullSimAny = true
+          if (!cidNull && cid < nullSimCid) { nullSimCid = cid; haveNullSimCid = true }
+        } else {
+          val cv = row.getArray(1)
+          val n = math.min(v.numElements(), cv.numElements())
+          var sim = 0.0
+          var i = 0
+          while (i < n) { sim += v.getDouble(i) * cv.getDouble(i); i += 1 }
+          // Double.compare: NaN greatest, NaN == NaN -> cid tiebreak;
+          // + 0.0 canonicalizes -0.0 (Spark treats -0.0 == 0.0). On sim
+          // ties a null cid (negcid null = smallest) loses to any
+          // non-null cid.
+          val s2 = sim + 0.0d
+          val cmp = if (found) java.lang.Double.compare(s2, bestSim) else 1
+          val better = cmp > 0 || (cmp == 0 &&
+            ((bestCidNull && !cidNull) || (!bestCidNull && !cidNull && cid < bestCid)))
+          if (better) { bestSim = s2; bestCid = cid; bestCidNull = cidNull; found = true }
+        }
       }
       j += 1
     }
-    bestCid
+    if (found) { if (bestCidNull) null else bestCid }
+    else if (haveNullSimCid) nullSimCid
+    else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,17 +116,31 @@ case class CentroidArgmax(left: Expression, right: Expression)
       val found = ctx.freshName("found")
       val s2 = ctx.freshName("s2")
       val cmp = ctx.freshName("cmp")
+      val nullSimCid = ctx.freshName("nullSimCid")
       s"""
          |int $m = $b.numElements();
          |if ($m == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $bestSim = Double.NEGATIVE_INFINITY;
-         |  long $bestCid = Long.MAX_VALUE;
+         |  double $bestSim = 0.0;
+         |  long $bestCid = 0L;
+         |  boolean ${bestCid}Null = false;
          |  boolean $found = false;
+         |  long ${nullSimCid} = Long.MAX_VALUE;
+         |  boolean ${nullSimCid}Have = false;
          |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($b.isNullAt($j)) continue;
          |    org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($j, 2);
-         |    long $cid = $row.getLong(0);
+         |    boolean ${cid}Null = $row.isNullAt(0);
+         |    long $cid = ${cid}Null ? 0L : $row.getLong(0);
+         |    if ($row.isNullAt(1)) {
+         |      // null centv -> null sim: loses to any computed sim; among
+         |      // only-null-sim candidates the lowest non-null cid wins
+         |      if (!${cid}Null && $cid < $nullSimCid) {
+         |        $nullSimCid = $cid; ${nullSimCid}Have = true;
+         |      }
+         |      continue;
+         |    }
          |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
          |    int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
          |    double $sim = 0.0;
@@ -107,14 +148,23 @@ case class CentroidArgmax(left: Expression, right: Expression)
          |      $sim += $a.getDouble($i) * $cv.getDouble($i);
          |    }
          |    // Double.compare: NaN greatest, NaN == NaN -> cid tiebreak;
-         |    // + 0.0 canonicalizes -0.0 (Spark treats -0.0 == 0.0)
+         |    // + 0.0 canonicalizes -0.0 (Spark treats -0.0 == 0.0); a
+         |    // null cid loses sim-ties to any non-null cid
          |    double $s2 = $sim + 0.0;
          |    int $cmp = $found ? Double.compare($s2, $bestSim) : 1;
-         |    if ($cmp > 0 || ($cmp == 0 && $cid < $bestCid)) {
-         |      $bestSim = $s2; $bestCid = $cid; $found = true;
+         |    if ($cmp > 0 || ($cmp == 0 &&
+         |        ((${bestCid}Null && !${cid}Null) ||
+         |         (!${bestCid}Null && !${cid}Null && $cid < $bestCid)))) {
+         |      $bestSim = $s2; $bestCid = $cid; ${bestCid}Null = ${cid}Null; $found = true;
          |    }
          |  }
-         |  ${ev.value} = $bestCid;
+         |  if ($found) {
+         |    if (${bestCid}Null) { ${ev.isNull} = true; } else { ${ev.value} = $bestCid; }
+         |  } else if (${nullSimCid}Have) {
+         |    ${ev.value} = $nullSimCid;
+         |  } else {
+         |    ${ev.isNull} = true;
+         |  }
          |}
        """.stripMargin
     })

@@ -54,7 +54,7 @@ object Multimodal {
         // instead of killing the scan task: at corpus scale one bad blob
         // must not fail the job
         val img = try {
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          readImageBounded(bytes)
         } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) decodeFake(r)
         else {
@@ -72,6 +72,37 @@ object Multimodal {
         }
       } else decodeFake(r)
     }
+
+  /** Max decoded raster size (pixels) before a payload is rejected as a
+    * decompression bomb: the header of a tiny corrupt/adversarial blob
+    * can declare 100000x100000 pixels and make a naive ImageIO.read
+    * allocate a 40 GB raster — an Error, not an exception, which would
+    * kill the executor JVM past any catch.
+    */
+  val MaxDecodedPixels: Long = 64L * 1024 * 1024
+
+  /** Header-first bounded decode: read (width, height) from the image
+    * HEADER via the reader (no raster allocation), reject oversized
+    * declarations, then decode. Memory-backed image input — the default
+    * ImageIO path spools every payload through a temp FILE, a
+    * create/write/delete per row on the executor hot path.
+    */
+  private def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxDecodedPixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
@@ -121,7 +152,10 @@ object Multimodal {
   private[graft] def encodeImage(img: java.awt.image.BufferedImage,
                                  format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    // write returns false when no writer handles the format — an empty
+    // payload would then quietly decode via the fake path downstream
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
     bos.toByteArray
   }
 

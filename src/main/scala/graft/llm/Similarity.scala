@@ -161,7 +161,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     if (nSalts > 0) (q, nSalts)
     else {
-      val qc = q.localCheckpoint()
+      // persist (lineage kept), NOT localCheckpoint (lineage severed):
+      // losing an executor holding checkpoint blocks mid-way through the
+      // long corpus pass would fail the whole job unrecoverably, where a
+      // persisted plan just recomputes the lost blocks
+      val qc = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val p = queries.sparkSession.sessionState.conf.numShufflePartitions
       val nq = math.max(1L, qc.count())
       (qc, math.min(64L, math.max(floor, (4L * p + nq - 1) / nq)).toInt)
@@ -272,7 +276,10 @@ object Similarity {
       val sumCols = Seq(count(lit(1)).as("cnt"),
         min(size(col("cv"))).as("mindim"), max(size(col("cv"))).as("maxdim")) ++
         (0 until dim).map(d =>
-          sum(floor(element_at(col("cv"), d + 1) * lit(1000000.0d) + lit(0.5d))
+          // try_element_at: a shorter-than-dim vector yields null (summed
+          // as absent) instead of ANSI INVALID_ARRAY_INDEX — so the
+          // ragged-input require below gets to fire with its real message
+          sum(floor(try_element_at(col("cv"), lit(d + 1)) * lit(1000000.0d) + lit(0.5d))
             .cast("long")).as(s"s$d"))
       val rows = assignClusters(c, cent)
         .groupBy(col("cluster")).agg(sumCols.head, sumCols.tail: _*)

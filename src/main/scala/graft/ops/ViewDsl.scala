@@ -84,6 +84,21 @@ object ViewDsl {
       df
     }
 
+    /** Deterministic child orderings (unique, maxNest, nest's array_sort)
+      * sort by the child's columns: fail with a named-column message
+      * instead of an opaque Catalyst analysis error when one is not
+      * orderable (map type).
+      */
+    private def requireOrderable(childDf: DataFrame, cols: Seq[String],
+                                 model: String, feature: String): Unit = {
+      val unorderable = cols.filter(c =>
+        !org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(childDf.schema(c).dataType))
+      require(unorderable.isEmpty,
+        s"$feature on $model: column(s) ${unorderable.mkString(", ")} are not " +
+          s"orderable (e.g. map type) — project them out or drop $feature")
+    }
+
     private def compile(node: ViewNode): DataFrame = {
       val base = scan(node)
       node.children.foldLeft(base) { (parentDf, child) =>
@@ -93,6 +108,7 @@ object ViewDsl {
         if (child.unique) {
           // enforce <=1 match on the child side BEFORE joining (J7):
           // row_number over the join key — cheap, child is the small side
+          requireOrderable(childDf, childDf.columns.toSeq, child.model, "unique")
           val w = Window.partitionBy(col(a.childKey)).orderBy(childDf.columns.map(col): _*)
           childDf = childDf.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
@@ -109,22 +125,19 @@ object ViewDsl {
             // reproduce the nested findAll result shape: one array-of-struct
             // column per parent key; array_sort for deterministic output
             val childCols = childDf.columns.filterNot(_ == a.childKey)
+            // nest's array_sort compares the collected structs — same
+            // orderability requirement as the cap's window sort
+            requireOrderable(childDf, childCols.toSeq, child.model, "nest")
             val bounded = child.maxNest match {
               case None => childDf
               case Some(cap) =>
                 // the pre-rank orders by every non-key child column; fail
                 // with a clear message instead of an opaque analysis error
                 // when that ordering is impossible (key-only projection ->
-                // empty ORDER BY; map-typed columns are not orderable)
+                // empty ORDER BY)
                 require(childCols.nonEmpty,
                   s"maxNest on ${child.model}: child projects only the join key — " +
                     "keep at least one non-key column to order the capped rows by")
-                val unorderable = childCols.filter(c =>
-                  !org.apache.spark.sql.catalyst.expressions.RowOrdering
-                    .isOrderable(childDf.schema(c).dataType))
-                require(unorderable.isEmpty,
-                  s"maxNest on ${child.model}: column(s) ${unorderable.mkString(", ")} " +
-                    "are not orderable (e.g. map type) — project them out or drop maxNest")
                 val wc = Window.partitionBy(col(a.childKey))
                   .orderBy(childCols.map(col): _*)
                 childDf.withColumn("_nrn", row_number().over(wc))

@@ -187,16 +187,28 @@ object EventStream {
       .groupByKey(_.domain)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (domain: String, it: Iterator[DocEvent], state: GroupState[QuotaState]) =>
-          var n = state.getOption.map(_.n).getOrElse(0)
-          val out = List.newBuilder[Admitted]
-          it.toArray.sortBy(_.doc_id).foreach { d =>
-            if (n < maxPerDomain) {
-              n += 1
-              out += Admitted(d.doc_id, domain, n)
+          val n0 = state.getOption.map(_.n).getOrElse(0)
+          val room = maxPerDomain - n0
+          if (room <= 0) {
+            it.foreach(_ => ()) // drain; quota already exhausted
+            Iterator.empty
+          } else {
+            // bounded selection of the `room` smallest ids: a size-capped
+            // max-heap, NOT a buffer-and-sort of the whole group — a
+            // crawler-trap domain can deliver millions of docs in one
+            // micro-batch and this operator's contract is O(maxPerDomain)
+            // memory, never O(batch)
+            val heap = new scala.collection.mutable.PriorityQueue[Long]()(Ordering.Long)
+            it.foreach { d =>
+              if (heap.size < room) heap.enqueue(d.doc_id)
+              else if (d.doc_id < heap.head) { heap.dequeue(); heap.enqueue(d.doc_id) }
+            }
+            val admitted = heap.dequeueAll.reverse // ascending ids
+            state.update(QuotaState(n0 + admitted.size))
+            admitted.iterator.zipWithIndex.map { case (id, i) =>
+              Admitted(id, domain, n0 + i + 1)
             }
           }
-          state.update(QuotaState(n))
-          out.result().iterator
       }
   }
 

@@ -185,6 +185,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joined.forall(r => r.getLong(1) != 12L))
   }
 
+  test("graft_centroid_argmax matches the SQL HOF on degenerate null inputs") {
+    // null element, null centv, null cid — all reachable via SQL; the
+    // native expression must return the HOF's answer, never NPE
+    val cases = Seq(
+      // computed sim beats null-sim entries; lowest cid on ties
+      "array(named_struct('cid', 1L, 'centv', array(1.0d)), CAST(NULL AS struct<cid:bigint,centv:array<double>>))",
+      "array(named_struct('cid', 2L, 'centv', CAST(NULL AS array<double>)), named_struct('cid', 1L, 'centv', array(1.0d)))",
+      // only null-sim candidates: lowest non-null cid
+      "array(named_struct('cid', 7L, 'centv', CAST(NULL AS array<double>)), named_struct('cid', 3L, 'centv', CAST(NULL AS array<double>)))",
+      // all-null winner -> NULL
+      "array(CAST(NULL AS struct<cid:bigint,centv:array<double>>))",
+      // null cid wins on sim -> NULL (HOF: -cid is null)
+      "array(named_struct('cid', CAST(NULL AS BIGINT), 'centv', array(5.0d)), named_struct('cid', 1L, 'centv', array(1.0d)))")
+    for (cs <- cases) {
+      val q = s"""SELECT graft_centroid_argmax(array(1.0d), $cs) AS native,
+                 |(SELECT -array_max(transform($cs,
+                 |   x -> struct(aggregate(zip_with(array(1.0d), x.centv, (p, c) -> p * c),
+                 |                         0.0d, (acc, v) -> acc + v) AS sim,
+                 |               -x.cid AS negcid))).negcid) AS hof""".stripMargin
+      val r = spark.sql(q).collect().head
+      val native = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val hof = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(native == hof, s"case $cs: native=$native hof=$hof")
+    }
+  }
+
   test("centroid argmax NaN ties resolve to the lowest cid regardless of array order") {
     // two all-NaN centroids (a zero-norm centroid normalizes to NaN),
     // HIGHER cid first in the array: NaN sims compare equal (Spark
