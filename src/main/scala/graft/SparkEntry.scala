@@ -312,6 +312,32 @@ object SparkEntry {
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |            LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin),
 
+    ("extract_selfedge_bool",
+      (s: SparkSession, dir: String) => {
+        // C12 under the oracle gate: the reference's motherIsFemale/
+        // fatherIsMale pattern — a nullable reference looked up against
+        // self-edges, folded to a null-tolerant boolean via <=> (null
+        // reference -> vacuously true; missing edge -> false)
+        val cust = t(s, dir, "customer")
+        val d = cust.select(col("c_custkey"),
+          when(col("c_custkey") % 7 =!= 0, col("c_custkey") % 100).as("mentor"))
+        val edges = cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("minorID"), col("c_custkey").as("majorID"))
+        Extract.extract(d, Seq(
+          "mentor_major" -> (Extract.Lookup(edges, "mentor", "minorID",
+            Seq("majorID" -> "mentor_major")): Extract.Extractor),
+          "mentor_self" -> Extract.ExprField(Seq("mentor_major"),
+            _ => col("mentor").isNull || (col("mentor_major") <=> col("mentor")))))
+      },
+      """WITH d AS (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 100 END AS mentor
+        |           FROM customer),
+        |e AS (SELECT c_custkey AS minorID, c_custkey AS majorID
+        |      FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT d.c_custkey, d.mentor, e.majorID AS mentor_major,
+        |       (d.mentor IS NULL OR (e.majorID IS NOT DISTINCT FROM d.mentor)) AS mentor_self
+        |FROM d LEFT JOIN e ON d.mentor = e.minorID""".stripMargin),
+
     ("extract_selfjoin",
       (s: SparkSession, dir: String) => {
         // the mother/father pattern: two lookups into the SAME table by
@@ -840,6 +866,42 @@ object SparkEntry {
             Seq("name" -> r.getString(1), "region" -> r.getString(2))))
         val json = graft.sources.XmlSource.toBadgerfishJson(
           graft.sources.SyntheticDocs.xmlDoc("nations", "nation", rows))
+        import s.implicits._
+        s.read.json(Seq(json).toDS())
+          .select(explode(col("nations").getField("nation")).as("r"))
+          .select(col("r").getField("@key").as("n_nationkey"),
+            col("r").getField("name").getField("$").as("n_name"),
+            col("r").getField("region").getField("$").as("n_regionkey"))
+      },
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin),
+
+    ("source_overlay_xinclude",
+      (s: SparkSession, dir: String) => {
+        // S6 + S4 under the oracle gate: the base root holds the entry
+        // doc and a STALE include target; the overlay root (higher
+        // priority) holds the CORRECT target, which itself includes a
+        // second level — so overlay precedence AND recursive composition
+        // must BOTH work for the round trip to hash-match the parquet
+        // rows (a precedence bug yields the stale empty doc and fails)
+        val rows = t(s, dir, "nation").orderBy(col("n_nationkey"))
+          .select(col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string"))
+          .collect().toSeq.map(r => (
+            Seq("key" -> r.getString(0)),
+            Seq("name" -> r.getString(1), "region" -> r.getString(2))))
+        val correct = graft.sources.SyntheticDocs.xmlDoc("nations", "nation", rows)
+        val stale = graft.sources.SyntheticDocs.xmlDoc("nations", "nation", Seq.empty)
+        val base = graft.sources.SyntheticDocs.tempDir(Seq(
+          "parent.xml" -> """<xi:include href="inner.xml"/>""",
+          "inner.xml" -> stale))
+        val overlay = graft.sources.SyntheticDocs.tempDir(Seq(
+          "inner.xml" -> """<xi:include href="inner2.xml"/>""",
+          "inner2.xml" -> correct))
+        val resolver = new graft.sources.Sources.FileResolver(Seq(overlay, base))
+        val json = graft.sources.XmlSource.toBadgerfishJson(
+          resolver.readWithIncludes("parent.xml"))
         import s.implicits._
         s.read.json(Seq(json).toDS())
           .select(explode(col("nations").getField("nation")).as("r"))

@@ -84,6 +84,22 @@ object SyntheticDocs {
     p.toString
   }
 
+  /** A temp directory populated with string files (relative path ->
+    * content); deleted on JVM exit. Fixture scaffolding for the overlay
+    * resolver / XInclude oracle query.
+    */
+  def tempDir(files: Seq[(String, String)]): String = {
+    val d: Path = Files.createTempDirectory("graft-synth")
+    d.toFile.deleteOnExit()
+    files.foreach { case (rel, content) =>
+      val p = d.resolve(rel)
+      Files.createDirectories(p.getParent)
+      p.toFile.deleteOnExit()
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    d.toString
+  }
+
   /** One XML document: <root><rowTag attr…><field>text</field>…</rowTag>…</root>
     * — each row becomes an element with `attrs` as attributes and
     * `fields` as child elements, ready for badgerfish conversion.
