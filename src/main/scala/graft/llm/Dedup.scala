@@ -564,6 +564,62 @@ object Dedup {
         (coalesce(col("label"), col("doc")) === col("doc")).as("is_canonical"))
   }
 
+  /** Line-level exact dedup (the C4/RefinedWeb boilerplate pass): split
+    * each document on `delim`, keep only the GLOBAL first occurrence of
+    * every line (ordered by (doc id, position)), and reassemble the
+    * surviving lines back into documents. Nav bars, cookie banners and
+    * licence footers repeated across a crawl disappear; each line's
+    * first host keeps it.
+    *
+    * Scale shape mirrors [[exactByFingerprint]]: the keeper decision
+    * shuffles (doc, pos, xxhash64(line)) — fixed-width keys, never line
+    * text — and line text crosses an exchange only (a) inside hash
+    * groups with >1 member, where true equality is verified so a hash
+    * collision can never drop a distinct line, and (b) once per KEPT
+    * line for the final reassembly groupBy(doc), which any reassembly
+    * must pay. Documents whose every line was seen earlier elsewhere are
+    * dropped entirely; NULL-text documents pass through with a NULL
+    * result and `n_lines_kept = 0`.
+    *
+    * Output: (doc, text_dedup, n_lines_kept).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n"): DataFrame = {
+    val base = graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val nullOut = base.filter(col("txt").isNull)
+      .select(col("doc"), lit(null).cast("string").as("text_dedup"),
+        lit(0L).as("n_lines_kept"))
+    val lines = base.filter(col("txt").isNotNull)
+      .select(col("doc"),
+        posexplode(split(col("txt"), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "line")))
+    val hashed = lines.withColumn("lh", xxhash64(col("line")))
+    // 20 bytes/row; one text scan computes it, and the frequency count +
+    // singleton branch reuse it without rescanning the corpus
+    val keys = hashed.select(col("doc"), col("pos"), col("lh")).localCheckpoint()
+    val dupH = keys.groupBy(col("lh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("lh"))
+    // line text ships only for dup-candidate hash groups (proportional to
+    // the boilerplate rate), where exact equality picks the true keeper
+    val firstOcc = hashed.join(dupH, Seq("lh"), "left_semi")
+      .groupBy(col("lh"), col("line"))
+      .agg(min(struct(col("doc"), col("pos"))).as("k"))
+      .select(col("k.doc").as("doc"), col("k.pos").as("pos"))
+    val keepKeys = keys.join(dupH, Seq("lh"), "left_anti")
+      .select(col("doc"), col("pos"))
+      .unionByName(firstOcc)
+    lines.join(keepKeys, Seq("doc", "pos"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          delim).as("text_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+      .unionByName(nullOut)
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine >= threshold. The
     * DEFAULT is the scale path — hyperplane-sign LSH bucketing
     * ([[Similarity.hyperplaneBucket]]) so candidate generation is an
