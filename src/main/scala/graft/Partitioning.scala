@@ -46,6 +46,15 @@ object Partitioning {
     * algorithm's honest cost. Spark MLlib's KMeans likewise insists on
     * a cached input for its iterations.
     *
+    * CACHE LIFETIME IS CALLER-MANAGED: the pinned plan stays in the
+    * CacheManager until session shutdown or [[unpersistPins]], because
+    * the DataFrame the operator RETURNS still reads it lazily — the
+    * library never sees the caller's terminal action, so it cannot
+    * unpersist for you. Long-lived sessions issuing many operator calls
+    * over varying inputs should call [[unpersistPins]] after each
+    * returned DataFrame's terminal action (a later re-read merely
+    * recomputes — lineage is kept).
+    *
     * @param sizeProbe the raw input whose narrow-scan size is measurable
     *                  (pre-spread: a Repartition node hides the scan)
     * @param built     the derived plan (spread + projection) to pin
@@ -56,7 +65,31 @@ object Partitioning {
       // persist keeps lineage: a lost executor's blocks recompute, where
       // localCheckpoint blocks are unrecoverable mid-job
       case Some(bytes) if bytes <= maxBytes =>
-        built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trackPin(built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       case _ => built
     }
+
+  // every plan a graft operator persists internally, so sessions can
+  // release them without holding the intermediate handles themselves
+  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[graft] def trackPin(df: DataFrame): DataFrame = { pins.add(df); df }
+
+  /** Release every plan pinned internally by graft operators
+    * ([[pinForReuse]], the ANN query-side persist). Safe at any time —
+    * unpersist only drops cached blocks; a plan still referenced by an
+    * un-executed result recomputes from lineage. Call it after the
+    * terminal action on an operator's returned DataFrame in long-lived
+    * sessions, where accumulated pins (up to 1 GiB each) otherwise live
+    * until session shutdown.
+    */
+  def unpersistPins(): Unit = {
+    var df = pins.poll()
+    while (df != null) { df.unpersist(blocking = false); df = pins.poll() }
+  }
+
+  /** Number of internally-pinned plans not yet released — observability
+    * for session cache audits (and the unit tests).
+    */
+  def pinnedCount: Int = pins.size()
 }

@@ -1150,6 +1150,47 @@ object SparkEntry {
         |SELECT d.doc_id AS doc, g.keep_id, g.n_dups
         |FROM dup d JOIN g ON d.text IS NOT DISTINCT FROM g.text""".stripMargin),
 
+    ("line_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // words-as-lines (spaces -> newlines) makes cross-document
+        // repeated lines ubiquitous, and a per-doc unique trailing line
+        // keeps every document alive so the gate checks reassembly for
+        // all 500 docs (not just the few with first-occurrence words);
+        // fixture rows pin the within-doc-repeat, fully-deduped-doc and
+        // NULL-text paths
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(translate(col("text"), " ", "\n"),
+              lit("\nuid-"), col("doc_id")).as("text"))
+          .union(Seq(
+            (99991L, Option.empty[String]),
+            (99992L, Some("zz_alpha\nzz_beta\nzz_alpha")),
+            (99993L, Some("zz_alpha\nzz_beta"))).toDF("doc_id", "text"))
+        Dedup.lineDedup(d, "doc_id", "text")
+      },
+      // global first occurrence per line = row_number over (doc, pos);
+      // docs whose every line was seen earlier vanish from the GROUP BY,
+      // NULL-text docs re-enter with 0 lines kept — both mirror Spark
+      """WITH docs AS (SELECT doc_id, replace(text, ' ', chr(10)) || chr(10) || 'uid-' || doc_id AS text
+        |              FROM documents
+        |              UNION ALL SELECT 99991, NULL
+        |              UNION ALL SELECT 99992, 'zz_alpha' || chr(10) || 'zz_beta' || chr(10) || 'zz_alpha'
+        |              UNION ALL SELECT 99993, 'zz_alpha' || chr(10) || 'zz_beta'),
+        |lines AS (SELECT doc_id AS doc,
+        |            unnest(string_split(text, chr(10))) AS line,
+        |            unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |          FROM docs WHERE text IS NOT NULL),
+        |keep AS (SELECT doc, pos, line FROM (
+        |           SELECT doc, pos, line,
+        |                  row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+        |           FROM lines) WHERE rn = 1)
+        |SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |       CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM keep GROUP BY doc
+        |UNION ALL
+        |SELECT doc_id, NULL, CAST(0 AS BIGINT) FROM docs WHERE text IS NULL""".stripMargin),
+
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
@@ -1362,9 +1403,17 @@ object SparkEntry {
     ("text_repetition",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // a null-text row rides along: metrics must be NULL, not 0
+        // degenerate-text fixture rows ride along so the gate PINS their
+        // semantics: NULL text (NULL n_tokens + metrics), empty text and
+        // whitespace-only text (n_tokens = 0, NULL metrics — an
+        // untrimmed split would score them maximally repetitive), and
+        // padded text (trim must not create empty-string tokens)
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .union(Seq(
+            (99991L, Option.empty[String]),
+            (99990L, Some("")),
+            (99989L, Some(" \t  ")),
+            (99988L, Some("  pad pad\t"))).toDF("doc_id", "text"))
         TextAnalysis.repetitionStats(d, "doc_id", "text")
       },
       {
@@ -1375,8 +1424,15 @@ object SparkEntry {
         val distinctFrac = Num.r6Sql(
           "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
         s"""WITH docs AS (SELECT doc_id, text FROM documents
-           |              UNION ALL SELECT 99991, NULL),
-           |b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS tk FROM docs),
+           |              UNION ALL SELECT 99991, NULL
+           |              UNION ALL SELECT 99990, ''
+           |              UNION ALL SELECT 99989, ' ' || chr(9) || '  '
+           |              UNION ALL SELECT 99988, '  pad pad' || chr(9)),
+           |s AS (SELECT doc_id, text,
+           |        regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS st FROM docs),
+           |b AS (SELECT doc_id, text,
+           |        CASE WHEN st = '' THEN CAST([] AS VARCHAR[])
+           |             ELSE string_split_regex(lower(st), '\\s+') END AS tk FROM s),
            |g AS (SELECT *, list_transform(generate_series(1, len(tk) - 1),
            |                               i -> tk[i] || ' ' || tk[i + 1]) AS bg FROM b)
            |SELECT doc_id,
@@ -1645,13 +1701,15 @@ object SparkEntry {
           .select(col("id"), col("width"), col("height"),
             col("mean_byte").as("mean_pixel"))
       },
-      // closed form of the synthesized raster: w=1+id%7, h=1+id%5, one
-      // black pixel, the rest gray id%251 -> mean = g*(wh-1)/wh
+      // closed form of the synthesized raster: w=1+id%7, h=1+id%5, pixel
+      // (0,0) colored (id,2id,3id)%251, the rest gray g=id%251 ->
+      // 3-channel mean = (3g*(wh-1) + r0+g0+b0) / (3wh)
       s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
-         |             doc_id % 251 AS g
+         |             doc_id % 251 AS g,
+         |             doc_id % 251 + (2 * doc_id) % 251 + (3 * doc_id) % 251 AS c0
          |           FROM documents WHERE doc_id <= 30)
          |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-         |  ${Num.r6Sql("CAST(g * (w * h - 1) AS DOUBLE) / CAST(w * h AS DOUBLE)")} AS mean_pixel
+         |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
          |FROM d""".stripMargin),
 
     ("multimodal_resize",

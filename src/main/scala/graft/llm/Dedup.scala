@@ -584,7 +584,16 @@ object Dedup {
     * Output: (doc, text_dedup, n_lines_kept).
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                delim: String = "\n"): DataFrame = {
+                delim: String = "\n"): DataFrame =
+    lineDedupImpl(df, idCol, textCol, delim, xxhash64(_))
+
+  /** [[lineDedup]] with an injectable line-hash — test seam proving the
+    * collision branch: even a DEGENERATE constant hash (every line in
+    * one group) must yield identical output, because true line equality
+    * is verified inside hash groups before any line is dropped.
+    */
+  private[graft] def lineDedupImpl(df: DataFrame, idCol: String, textCol: String,
+                                   delim: String, lineHash: Column => Column): DataFrame = {
     val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), col(textCol).as("txt"))
     val nullOut = base.filter(col("txt").isNull)
@@ -594,7 +603,7 @@ object Dedup {
       .select(col("doc"),
         posexplode(split(col("txt"), java.util.regex.Pattern.quote(delim)))
           .as(Seq("pos", "line")))
-    val hashed = lines.withColumn("lh", xxhash64(col("line")))
+    val hashed = lines.withColumn("lh", lineHash(col("line")))
     // 20 bytes/row; one text scan computes it, and the frequency count +
     // singleton branch reuse it without rescanning the corpus
     val keys = hashed.select(col("doc"), col("pos"), col("lh")).localCheckpoint()

@@ -60,15 +60,21 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
+          // mean over ALL of R, G and B — a single-channel mean reads as
+          // "brightness" but silently tracks only blue on color images
           var sum = 0L
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
             y += 1
           }
           MediaFeatures(r.id, bytes.length.toLong, w, h,
-            graft.Num.r6(sum.toDouble / (w.toLong * h.toLong).toDouble))
+            graft.Num.r6(sum.toDouble / (3L * w * h).toDouble))
         }
       } else decodeFake(r)
     }
@@ -126,9 +132,11 @@ object Multimodal {
   }
 
   /** Deterministic tiny RGB image for the real-decode gate: w x h from
-    * the id, pixel (0,0) black, every other pixel gray g = id % 251 —
-    * so a correct decode must read the actual raster, not just the
-    * header (mean = g*(w*h-1)/(w*h), closed-form for the oracle).
+    * the id, pixel (0,0) COLORED (r,g,b) = (id, 2id, 3id) mod 251 —
+    * unequal channels, so a decode that reads only one channel cannot
+    * match — every other pixel gray g = id % 251. A correct decode must
+    * read the actual raster, not just the header; closed form for the
+    * oracle: mean = (3g*(wh-1) + r0+g0+b0) / (3wh).
     */
   private[graft] def syntheticImage(id: Long): java.awt.image.BufferedImage = {
     val w = (1 + id % 7).toInt
@@ -140,8 +148,11 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = if (x == 0 && y == 0) 0 else g
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        val rgb =
+          if (x == 0 && y == 0)
+            (((id % 251).toInt) << 16) | (((2 * id % 251).toInt) << 8) | (3 * id % 251).toInt
+          else (g << 16) | (g << 8) | g
+        img.setRGB(x, y, rgb)
         x += 1
       }
       y += 1

@@ -164,8 +164,12 @@ object Similarity {
       // persist (lineage kept), NOT localCheckpoint (lineage severed):
       // losing an executor holding checkpoint blocks mid-way through the
       // long corpus pass would fail the whole job unrecoverably, where a
-      // persisted plan just recomputes the lost blocks
-      val qc = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted plan just recomputes the lost blocks. The pin outlives
+      // this call (the returned top-k plan reads it lazily) — it is
+      // tracked, and long-lived sessions release accumulated pins via
+      // [[graft.Partitioning.unpersistPins]] after their terminal action
+      val qc = graft.Partitioning.trackPin(
+        q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val p = queries.sparkSession.sessionState.conf.numShufflePartitions
       val nq = math.max(1L, qc.count())
       (qc, math.min(64L, math.max(floor, (4L * p + nq - 1) / nq)).toInt)

@@ -201,11 +201,21 @@ object TextAnalysis {
     *
     * Entirely narrow per-row array arithmetic — no shuffle, no
     * tokenizer state; the inner frequency count is O(v*n) per doc over
-    * the doc's own (small) vocabulary, which stays cache-resident. NULL
-    * or empty text yields NULL metrics (nothing to measure ≠ score 0).
+    * the doc's own (small) vocabulary, which stays cache-resident.
+    * Text is trimmed before tokenizing (a raw split would count the
+    * empty-string tokens flanking leading/trailing whitespace). NULL
+    * text yields NULL n_tokens and NULL metrics; empty or
+    * whitespace-only text yields n_tokens = 0 and NULL metrics
+    * (nothing to measure ≠ maximally repetitive — an untrimmed split
+    * of "" is [""], which would score top_word_frac = 1.0 and feed an
+    * admission filter exactly backwards).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tk = split(lower(col(textCol)), "\\s+")
+    // regex strip, not trim(): trim only removes ASCII spaces, so a
+    // tab-only document would still tokenize to empty-string tokens
+    val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val tk = when(length(trimmed) > 0, split(lower(trimmed), "\\s+"))
+      .otherwise(array().cast("array<string>"))
     def topFrac(arr: Column): Column = {
       val n = size(arr)
       val topCnt = array_max(transform(array_distinct(arr),
@@ -219,8 +229,10 @@ object TextAnalysis {
         size(col("tk0")).cast("long")))
       .withColumn("top_word_frac", topFrac(col("tk0")))
       .withColumn("top_bigram_frac", topFrac(
-        zip_with(slice(col("tk0"), lit(1), size(col("tk0")) - 1),
-          slice(col("tk0"), lit(2), size(col("tk0")) - 1),
+        // greatest(..., 0): slice() rejects a negative length, and an
+        // empty token array (empty/whitespace-only text) yields size-1 = -1
+        zip_with(slice(col("tk0"), lit(1), greatest(size(col("tk0")) - 1, lit(0))),
+          slice(col("tk0"), lit(2), greatest(size(col("tk0")) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b))))
       .withColumn("distinct_frac", when(size(col("tk0")) > 0,
         graft.Num.r6(size(array_distinct(col("tk0"))).cast("double")

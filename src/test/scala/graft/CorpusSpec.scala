@@ -126,7 +126,10 @@ class CorpusSpec extends AnyFunSuite {
       (2L, Some("a b c d")),                          // fully diverse
       (3L, Some("go stop go stop go stop")),          // dominant bigram pair
       (4L, Some("solo")),                             // single token: no bigrams
-      (5L, Option.empty[String]))                     // null text: null metrics
+      (5L, Option.empty[String]),                     // null text: null metrics
+      (6L, Some("")),                                 // empty: 0 tokens, null metrics
+      (7L, Some(" \t ")),                             // whitespace-only: same
+      (8L, Some("  pad pad\t")))                      // padding must not add tokens
       .toDF("doc_id", "text")
     val out = TextAnalysis.repetitionStats(d, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -142,6 +145,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(f(4L, "top_word_frac").contains(1.0) && f(4L, "top_bigram_frac").isEmpty)
     assert(f(5L, "top_word_frac").isEmpty && f(5L, "distinct_frac").isEmpty
       && out(5L).isNullAt(out(5L).fieldIndex("n_tokens")))
+    // empty / whitespace-only: n_tokens = 0 (text exists, measures to
+    // nothing), every metric NULL — NOT top_word_frac = 1.0
+    for (id <- Seq(6L, 7L)) {
+      assert(out(id).getLong(out(id).fieldIndex("n_tokens")) == 0L, id)
+      assert(f(id, "top_word_frac").isEmpty && f(id, "top_bigram_frac").isEmpty
+        && f(id, "distinct_frac").isEmpty, id)
+    }
+    // leading/trailing whitespace contributes no empty-string tokens
+    assert(out(8L).getLong(out(8L).fieldIndex("n_tokens")) == 2L)
+    assert(f(8L, "top_word_frac").contains(1.0))
   }
 
   test("stratifiedSample: per-group rates, content-stable, monotone in pct") {

@@ -36,6 +36,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (7L, 3L, 2L), (3L, 3L, 2L)))
   }
 
+  test("lineDedup: global first occurrence, within-doc repeats, null passthrough") {
+    val d = Seq(
+      (1L, Some("nav\nunique-a\nnav")),   // within-doc repeat: nav kept once
+      (2L, Some("nav\nunique-b")),        // nav first seen in doc 1
+      (3L, Some("nav")),                  // every line already seen -> doc dropped
+      (4L, Option.empty[String]))         // null text: passthrough, 0 lines
+      .toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    val out = run(Dedup.lineDedup(d, "doc_id", "text"))
+    assert(out(1L) == ((Some("nav\nunique-a"), 2L)))
+    assert(out(2L) == ((Some("unique-b"), 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((None, 0L)))
+    // hash-collision safety: a CONSTANT line hash rams every line into a
+    // single hash group; true-equality verification inside groups must
+    // still produce the identical result — no distinct line ever dropped
+    val forced = run(Dedup.lineDedupImpl(d, "doc_id", "text", "\n", _ => lit(0L)))
+    assert(forced == out)
+  }
+
   test("exactByFingerprint does NOT merge a genuine hash collision") {
     // these two strings really collide under the rolling hash
     // (h = 822899051 for both) — found by offline search; the verify
@@ -98,14 +119,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("real PNG/BMP payloads decode through ImageIO; mislabeled text falls back") {
     import Multimodal._
-    // id=7 -> w=1, h=3, g=7: raster mean (0 + 7 + 7)/3
+    // id=7 -> w=1, h=3, g=7: pixel (0,0) = (7,14,21) [UNEQUAL channels —
+    // a blue-only mean would read 21+7+7, not (7+14+21)/3 + ...], two
+    // gray-7 pixels -> 3-channel mean (42 + 21 + 21) / 9
     val png = encodeImage(syntheticImage(7L), "png")
     val bmp = encodeImage(syntheticImage(7L), "bmp")
     assert(png.length > 0 && bmp.length > 0)
     for ((payload, fmt) <- Seq((png, "image/png"), (bmp, "image/bmp"))) {
       val f = decodeMedia(Iterator(MediaRow(7L, payload, fmt))).next()
       assert(f.width == 1 && f.height == 3, fmt)
-      assert(f.mean_byte == graft.Num.r6(14.0 / 3.0), fmt)
+      assert(f.mean_byte == graft.Num.r6(84.0 / 9.0), fmt)
       assert(f.n_bytes == payload.length.toLong)
     }
     // a text payload mislabeled image/* must hit the fake path, not

@@ -135,6 +135,26 @@ class PlanSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.GraftBridge.narrowScanSizeBytes(agged).isEmpty)
   }
 
+  test("unpersistPins releases every internally-pinned plan") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    Partitioning.unpersistPins() // drain pins left by earlier suites
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val pinned = Partitioning.pinForReuse(d, d)
+    assert(pinned.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    assert(Partitioning.pinnedCount == 1)
+    // the ANN auto-salt path pins its query side through the same registry
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.llm.Similarity.topK(emb, emb.limit(2), "vec_id", "embedding", k = 1)
+      .collect()
+    assert(Partitioning.pinnedCount >= 2)
+    Partitioning.unpersistPins()
+    assert(Partitioning.pinnedCount == 0)
+    assert(pinned.storageLevel == StorageLevel.NONE,
+      "released pins must leave the CacheManager")
+  }
+
   test("tf-idf: corpus size is a broadcast one-row aggregate, not a driver count") {
     val p = plan("text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
