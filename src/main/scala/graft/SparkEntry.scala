@@ -112,6 +112,41 @@ object SparkEntry {
   private def nonAsciiUnionSql: String =
     nonAsciiDocs.map { case (i, txt) => s"UNION ALL SELECT $i, '$txt'" }.mkString(" ")
 
+  /** DuckDB CTE chain `nv -> c0..c{iters} -> cent -> asg` mirroring the
+    * IVF front half over the embeddings table
+    * ([[Similarity.quantizedCorpus]] + [[Similarity.assignClusters]]:
+    * lowest-id seeds refined by `iters` Lloyd's rounds; assignment =
+    * max-cosine centroid, ties to lowest cid; new centroid = normalized
+    * mean with per-dimension sums as exact integers floor(x*1e6+0.5) —
+    * the associative form both engines reproduce byte-identically).
+    * Ends in asg(nn_id, cv, cluster); shared by the IVF-ANN and
+    * SemDeDup oracles.
+    */
+  private def ivfAsgCtes(nCentroids: Int, iters: Int): String = {
+    val kmeansCtes = (0 until iters).map { i =>
+      s"""a$i AS (SELECT id, v, cid FROM (
+         |  SELECT nn.id, nn.v, c.cid,
+         |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
+         |  FROM nv nn CROSS JOIN c$i c) WHERE rn = 1),
+         |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
+         |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
+         |m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
+         |        FROM s$i GROUP BY cid),
+         |c${i + 1} AS (SELECT c.cid,
+         |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
+         |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT $nCentroids)),
+       |$kmeansCtes,
+       |cent AS (SELECT cid, centv AS cv FROM c$iters),
+       |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
+       |  SELECT nn.id, nn.v, c.cid,
+       |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM nv nn CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
     * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
     * squares, per-element divide).
@@ -724,6 +759,203 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
 
+    // The remaining TPC-H shapes, adapted to this star schema's reduced
+    // columns (no commitdate/receiptdate/shipmode/partsupp/phone): each
+    // keeps the ORIGINAL query's plan shape — the thing that matters at
+    // 100 TB — with "late shipment" = shipped > N days after the order
+    // date standing in for the commit/receipt lateness predicates.
+
+    ("tpch_q4",
+      (s: SparkSession, dir: String) =>
+        // order-priority checking: EXISTS(late lineitem) == left-semi
+        // with the lateness predicate INSIDE the join condition, then a
+        // tiny groupBy — orders is never joined 1:N (no fanout+distinct)
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")
+              && datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count")),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    ("tpch_q12",
+      (s: SparkSession, dir: String) =>
+        // shipping-priority split (q12 shape): join + per-group
+        // CASE-conditional counts in ONE aggregation pass
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")
+              && datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count")),
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+        |GROUP BY l_returnflag""".stripMargin),
+
+    ("tpch_q14",
+      (s: SparkSession, dir: String) =>
+        // promo-revenue share: date window pushed to the fact scan,
+        // broadcast part dimension, conditional/total sums in one agg;
+        // revenue as integer cents so the division is the ONLY float op
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-03-01").cast("timestamp"))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+                .cast("long")).otherwise(0L)).as("promo_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long")).as("total_cents"))
+          .withColumn("promo_share",
+            Num.r6(lit(100.0) * col("promo_cents").cast("double")
+              / col("total_cents").cast("double"))),
+      s"""WITH r AS (SELECT p_type,
+         |             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+         |           FROM lineitem JOIN part ON l_partkey = p_partkey
+         |           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |             AND l_shipdate < TIMESTAMP '1997-03-01')
+         |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+         |       CAST(sum(cents) AS BIGINT) AS total_cents,
+         |       ${Num.r6Sql("100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)")} AS promo_share
+         |FROM r""".stripMargin),
+
+    ("tpch_q16",
+      (s: SparkSession, dir: String) => {
+        // supplier-count-by-part-attrs (q16 shape): the part/supplier
+        // relation derives from lineitem (this schema has no partsupp),
+        // excluded suppliers are a broadcast ANTI join (q16's NOT IN),
+        // then count(DISTINCT suppkey) per part attribute triple
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excl = t(s, dir, "supplier")
+          .filter(col("s_name").like("%00003%"))
+          .select(col("s_suppkey"))
+        ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#2" && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00003%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin),
+
+    ("tpch_q19",
+      (s: SparkSession, dir: String) => {
+        // disjunctive-predicate revenue (q19 shape): three brand/size/
+        // quantity conjunctions OR'd INSIDE the join — Catalyst extracts
+        // the common l_partkey = p_partkey equi-key so this plans as a
+        // hash join with the disjunction as a residual filter, never a
+        // nested loop over the fact table
+        val p = broadcast(t(s, dir, "part"))
+        t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey")
+            && ((col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+                  && col("l_quantity").between(1, 11))
+              || (col("p_brand") === "Brand#22" && col("p_size").between(1, 25)
+                  && col("l_quantity").between(10, 20))
+              || (col("p_brand") === "Brand#15" && col("p_size").between(1, 35)
+                  && col("l_quantity").between(20, 30))))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+      },
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    ("tpch_q21",
+      (s: SparkSession, dir: String) => {
+        // suppliers-who-kept-orders-waiting (q21 shape): per lineitem of
+        // a finished order, EXISTS(another supplier in the order) AND
+        // NOT EXISTS(another supplier shipping LATER) — the last
+        // supplier to ship a multi-supplier order. Both correlated
+        // subqueries become one semi + one anti join on the order key
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+        val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        li.join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3")
+            && col("d3") > col("l_shipdate"), "left_anti")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+
+    ("tpch_q22",
+      (s: SparkSession, dir: String) => {
+        // global-sales-opportunity (q22 shape): rich-but-idle customers —
+        // acctbal above the global positive mean (scalar subquery ->
+        // broadcast 1-row agg; the mean is computed from INTEGER cents
+        // so it is partition-order exact) and no RECENT orders (anti
+        // join; this synthetic schema gives every customer at least one
+        // lifetime order, so "idle" = nothing since 2000-06-01 — the
+        // date filter pushes to the orders scan before the anti join)
+        val cust = t(s, dir, "customer")
+          .withColumn("bal_cents", floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+        val avgPos = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("bal_cents")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_cents"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        cust.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents").cast("double") > col("avg_cents"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+      },
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+        |             c_acctbal
+        |           FROM customer),
+        |a AS (SELECT CAST(sum(bal_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+        |      FROM c WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, a
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey""".stripMargin),
+
     ("orders_window",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
@@ -1292,6 +1524,19 @@ object SparkEntry {
            |FROM nv a JOIN nv b ON a.id < b.id WHERE $cos >= 0.25""".stripMargin
       }),
 
+    ("dedup_semantic",
+      (s: SparkSession, dir: String) =>
+        Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, nCentroids = 16, kmeansIters = 2),
+      {
+        val cos = Num.r6Sql(dotSql("a.cv", "b.cv"))
+        // pairs only WITHIN a k-means cell — the SemDeDup candidate rule
+        s"""WITH ${ivfAsgCtes(16, 2)}
+           |SELECT a.nn_id AS d1, b.nn_id AS d2, $cos AS cos
+           |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.nn_id < b.nn_id
+           |WHERE $cos >= 0.25""".stripMargin
+      }),
+
     // ---- similarity search ------------------------------------------------
     ("embedding_quantize",
       (s: SparkSession, dir: String) =>
@@ -1350,33 +1595,7 @@ object SparkEntry {
       },
       {
         val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
-        // 2 Lloyd's rounds refining the lowest-id seeds, mirroring
-        // Similarity.kmeansRefine: assignment = max-cosine centroid
-        // (ties to lowest cid); new centroid = normalized mean with
-        // per-dimension sums as exact integers floor(x*1e6+0.5) — the
-        // associative form both engines reproduce byte-identically
-        val kmeansCtes = (0 until 2).map { i =>
-          s"""a$i AS (SELECT id, v, cid FROM (
-             |  SELECT nn.id, nn.v, c.cid,
-             |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
-             |  FROM nv nn CROSS JOIN c$i c) WHERE rn = 1),
-             |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
-             |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-             |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
-             |m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
-             |        FROM s$i GROUP BY cid),
-             |c${i + 1} AS (SELECT c.cid,
-             |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
-             |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-           |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT 16)),
-           |$kmeansCtes,
-           |cent AS (SELECT cid, centv AS cv FROM c2),
-           |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
-           |  SELECT nn.id, nn.v, c.cid,
-           |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
-           |  FROM nv nn CROSS JOIN cent c) WHERE rn = 1),
+        s"""WITH ${ivfAsgCtes(16, 2)},
            |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
            |  SELECT q.id, q.v, c.cid,
            |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
@@ -1607,6 +1826,43 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, domain, CAST(rank_in_domain AS INT) AS rank_in_domain
         |FROM r WHERE rank_in_domain <= 5""".stripMargin),
+
+    ("corpus_decontaminate",
+      (s: SparkSession, dir: String) => {
+        // the "benchmark" is a corpus subset (every 37th doc), so eval
+        // docs are guaranteed contaminated (they match themselves) and
+        // near-duplicates of them get caught through shared 8-grams —
+        // the standard n range for decontamination is 8-13
+        val docs = t(s, dir, "documents")
+        Corpus.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8)
+      },
+      s"""WITH ${tokenShingleCte(8)},
+         |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+         |ev AS (SELECT DISTINCT h FROM h0 WHERE doc % 37 = 0),
+         |hits AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM h0 JOIN ev USING (h) GROUP BY doc)
+         |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
+         |       COALESCE(n_hits, 0) < 1 AS keep
+         |FROM documents LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
+
+    ("corpus_pack",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+        Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8)
+      },
+      // same rolling-hash stream routing + per-stream running sum; //
+      // is DuckDB integer division (Spark side uses `div`)
+      s"""WITH d AS (SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n FROM documents),
+         |st AS (SELECT doc_id, n, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(n) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
+         |SELECT doc_id AS doc, n AS n_toks, stream, start_offset,
+         |       start_offset // 256 AS seq_first,
+         |       CASE WHEN n > 0 THEN (start_offset + n - 1) // 256
+         |            ELSE start_offset // 256 END AS seq_last
+         |FROM o""".stripMargin),
 
     ("corpus_filter",
       (s: SparkSession, dir: String) =>

@@ -111,6 +111,78 @@ object Corpus {
       .select(col(idCol), col("lang_pred"), col("quality_score"), col("n_dups"))
   }
 
+  /** Test-set decontamination — the eval-overlap gate every serious
+    * pretraining run applies (n-gram overlap against held-out
+    * benchmarks, as popularized by the GPT-3 appendix-C methodology):
+    * a training document is contaminated when it shares at least
+    * `minHits` distinct word `n`-grams with ANY document of the
+    * benchmark/eval set. Output: every training doc with its distinct
+    * shared-n-gram count and the admission verdict
+    * (`doc`, `n_hits`, `keep = n_hits < minHits`).
+    *
+    * Scale shape: both sides reduce to HASHED n-grams
+    * ([[Dedup.docShinglesHashed]]) so nothing exchanges n-gram text.
+    * The eval side is benchmark-sized by definition (thousands of docs
+    * against the corpus's billions): its distinct hash set is
+    * BROADCAST, so the contamination probe is a broadcast semi-join —
+    * the corpus never shuffles for candidate generation. Only the
+    * per-doc hit counts (long, long) and the id-keyed join-back cross
+    * an exchange, and the hits side is contaminated-docs-sized, which
+    * AQE broadcasts in the common low-contamination case.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int, minHits: Long = 1L): DataFrame = {
+    require(n > 0 && minHits > 0, "n and minHits must be positive")
+    val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n)
+    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val hits = trainSh.join(broadcast(evalH), Seq("h"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
+    graft.Partitioning.spread(train).select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
+  }
+
+  /** Sequence packing — the batch-construction step between a cleaned
+    * corpus and the training loop: documents are concatenated and the
+    * token stream is CHUNKED into fixed-`capacity` context windows
+    * (the standard GPT-style pack; a doc may straddle two windows).
+    * Output per doc: its pack stream, its start offset in the stream's
+    * token tape, and the first/last sequence (chunk) it lands in —
+    * enough for a writer to emit the sequences or an auditor to check
+    * boundary effects. Sequence ids are stream-local.
+    *
+    * Deterministic AND parallel: docs hash into `nStreams` independent
+    * pack streams via the engine-reproducible [[TextAnalysis.rollingHash]]
+    * of the id (a doc's stream never changes as the corpus grows), and
+    * the only wide operation is the per-stream running sum — a window
+    * partitioned by stream, so parallelism = nStreams regardless of
+    * corpus size. Size nStreams to the cluster (default 64 is a
+    * local[32] setting; at 100 TB use thousands) — a SINGLE global
+    * running sum would serialize the corpus through one partition.
+    * `idCol` must be unique: it is the within-stream pack order. NULL
+    * token counts pack as 0 tokens (the doc still appears, carrying its
+    * offset).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    capacity: Long, nStreams: Int = 64): DataFrame = {
+    require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stream")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.Partitioning.spread(df)
+      .withColumn("stream",
+        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")), lit(nStreams.toLong)))
+      .withColumn("n_toks", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .withColumn("start_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col(idCol).as("doc"), col("n_toks"), col("stream"), col("start_offset"),
+        expr(s"start_offset div $capacity").as("seq_first"),
+        when(col("n_toks") > 0, expr(s"(start_offset + n_toks - 1) div $capacity"))
+          .otherwise(expr(s"start_offset div $capacity")).as("seq_last"))
+  }
+
   /** Per-domain admission cap — the web-corpus balance rule ("no single
     * site dominates the training mix"): keep at most `maxPerDomain`
     * documents per URL domain, admitted in deterministic id order.

@@ -629,6 +629,44 @@ object Dedup {
       .unionByName(nullOut)
   }
 
+  /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the deterministic
+    * k-means coarse quantizer ([[Similarity.coarseQuantizer]]), then
+    * compare pairs ONLY within a cluster — the candidate join is an
+    * equi-join on the cluster id, never a corpus self-join. Returns
+    * near-dup pairs (d1, d2, cos) with cosine >= `threshold` and
+    * d1 < d2; feed them to [[clusterAssignments]] to pick keepers.
+    *
+    * Unlike [[embeddingNearDup]]'s hyperplane-LSH buckets (random
+    * projections — recall depends on luck of the planes), the k-means
+    * partition adapts to the data's actual density: semantically close
+    * vectors land in the same centroid's cell. The paper's trade-off
+    * applies: pairs STRADDLING a cluster boundary are missed (raise
+    * `kmeansIters` / tune `nCentroids` to reduce boundary loss).
+    *
+    * Scale shape: assignment is a narrow literal-centroid argmax (the
+    * corpus is scanned, never shuffled — [[Similarity.assignClusters]]);
+    * the pair join shuffles on the cluster key once. `nCentroids` must
+    * scale with the corpus (aim for ~constant expected cluster size:
+    * the paper uses 50k clusters for LAION-440M) — intra-cluster work
+    * is sum over clusters of |C|^2/2, so a fixed tiny nCentroids at 1B
+    * vectors is quadratic by another name. The d1 < d2 bound rides IN
+    * the join condition so the join emits half the pairs, not
+    * emit-then-filter.
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nCentroids: Int = 16,
+                      kmeansIters: Int = 2): DataFrame = {
+    val (c, cent) = Similarity.quantizedCorpus(df, idCol, vecCol, nCentroids, kmeansIters)
+    val assign = Similarity.assignClusters(c, cent)
+    val l = assign.select(col("cluster"), col("nn_id").as("d1"), col("cv").as("v1"))
+    val r = assign.select(col("cluster"), col("nn_id").as("d2"), col("cv").as("v2"))
+    l.join(r, l("cluster") === r("cluster") && col("d1") < col("d2"))
+      .withColumn("cos", graft.Num.r6(Similarity.dot(col("v1"), col("v2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine >= threshold. The
     * DEFAULT is the scale path — hyperplane-sign LSH bucketing
     * ([[Similarity.hyperplaneBucket]]) so candidate generation is an

@@ -308,27 +308,52 @@ object Similarity {
     cent
   }
 
-  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
-              kmeansIters: Int = 0): DataFrame = {
-    // null vectors cannot participate in ANN (no similarity is defined):
-    // filter them EXPLICITLY rather than letting a null seed or a
-    // null-cluster aggregation row crash the literal-centroid path
+  /** The normalized-corpus relation (nn_id, cv) every IVF-family
+    * consumer starts from: null vectors cannot participate (no
+    * similarity is defined) — filtered EXPLICITLY rather than letting a
+    * null seed or a null-cluster aggregation row crash the
+    * literal-centroid path. With `kmeansIters > 0` the (provably-small)
+    * corpus is pinned across the per-round scans; a large corpus
+    * re-scans — the honest per-round cost at 100 TB.
+    */
+  private def normalizedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                               kmeansIters: Int): DataFrame = {
     val c0 = graft.Partitioning.spread(corpus)
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    // k-means rounds scan the corpus once per round: pin a provably-small
-    // corpus across the passes (scan+shuffle+normalize run once); a large
-    // corpus re-scans — the honest per-round cost at 100 TB
-    val c = if (kmeansIters > 0) graft.Partitioning.pinForReuse(corpus, c0) else c0
-    // the coarse quantizer is dimension-sized BY DEFINITION
-    // (nCentroids x dim): collect it once (TakeOrdered job, reading the
-    // pinned corpus when present) and let it ride every later plan as a
-    // literal
+    if (kmeansIters > 0) graft.Partitioning.pinForReuse(corpus, c0) else c0
+  }
+
+  /** Deterministic coarse quantizer over a normalized corpus `c`
+    * (columns nn_id, cv): seeds are the `nCentroids` lowest-id vectors,
+    * optionally refined by `kmeansIters` Lloyd's rounds
+    * ([[kmeansRefine]]). The result is dimension-sized BY DEFINITION
+    * (nCentroids x dim): collected once (a TakeOrdered job, reading the
+    * pinned corpus when present) so it rides every later plan as a
+    * literal. Shared by [[topKIvf]] and [[Dedup.semanticNearDup]].
+    */
+  private[graft] def coarseQuantizer(c: DataFrame, nCentroids: Int,
+                                     kmeansIters: Int): Seq[(Long, Seq[Double])] = {
     val seeds: Seq[(Long, Seq[Double])] = c.orderBy(col("nn_id")).limit(nCentroids)
       .select(col("nn_id").cast("long").as("cid"), col("cv").as("centv"))
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val cent = if (kmeansIters > 0) kmeansRefine(c, seeds, kmeansIters) else seeds
+    if (kmeansIters > 0) kmeansRefine(c, seeds, kmeansIters) else seeds
+  }
+
+  /** Normalized corpus + literal quantizer in one call — the shared
+    * front half of the IVF family.
+    */
+  private[graft] def quantizedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                                     nCentroids: Int, kmeansIters: Int)
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    (c, coarseQuantizer(c, nCentroids, kmeansIters))
+  }
+
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
+              kmeansIters: Int = 0): DataFrame = {
+    val (c, cent) = quantizedCorpus(corpus, idCol, vecCol, nCentroids, kmeansIters)
     // assign each corpus vector to its best centroid: narrow map against
     // the literal centroid array — never a per-vector shuffle or window
     val assign = assignClusters(c, cent)

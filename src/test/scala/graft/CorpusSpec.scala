@@ -119,6 +119,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == composed && out.contains(1L) && !out.contains(6L))
   }
 
+  test("decontaminate: shared n-grams flag docs; minHits raises the bar") {
+    import graft.llm.Corpus
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // 2 shared 8-grams
+      (2L, "completely different words nothing shared here at all whatsoever"),
+      (3L, "the quick brown fox jumps over the lazy cat instead")) // 1 shared 8-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def run(minHits: Long) =
+      Corpus.decontaminate(train, bench, "doc_id", "text", n = 8, minHits = minHits)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val out = run(1L)
+    assert(out(1L) == ((2L, false)) && out(3L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)))
+    // raising minHits admits the single-overlap doc, still rejects the double
+    val strict = run(2L)
+    assert(strict(1L)._2 == false && strict(3L)._2 == true && strict(2L)._2 == true)
+  }
+
+  test("packSequences: contiguous stream tape, straddle bounds, stable routing") {
+    import graft.llm.Corpus
+    val d = Seq((1L, Some(100L)), (2L, Some(200L)), (3L, Some(50L)),
+      (4L, Option.empty[Long])).toDF("doc_id", "n")
+    // one stream -> the tape is fully determined: doc1 [0,100), doc2
+    // [100,300) straddles the 256 boundary, doc3 [300,350), doc4 (NULL
+    // tokens -> 0) sits empty at 350
+    val out = Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((100L, 0L, 0L, 0L)))
+    assert(out(2L) == ((200L, 100L, 0L, 1L)), "doc 2 must straddle seqs 0-1")
+    assert(out(3L) == ((50L, 300L, 1L, 1L)))
+    assert(out(4L) == ((0L, 350L, 1L, 1L)))
+    // multi-stream: every doc appears exactly once, and routing is
+    // content-hash stable across runs
+    def streams = Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s1 = streams
+    assert(s1.map(_._1) == Set(1L, 2L, 3L, 4L) && streams == s1)
+  }
+
   test("repetitionStats: repetitive text scores high top-fractions, nulls stay null") {
     import graft.llm.TextAnalysis
     val d = Seq(

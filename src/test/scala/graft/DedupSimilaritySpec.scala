@@ -281,6 +281,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("semanticNearDup: intra-cell pairs only, agrees with exact cosine") {
+    // two well-separated directions; lowest-id seeds (1, 2) sit one per
+    // cluster so even 0 k-means rounds split correctly, and 2 rounds
+    // must not merge them
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.99f, 0.02f)), (4L, Array(0.98f, 0.05f)),
+      (10L, Array(0.01f, 0.99f))).toDF("id", "v")
+    val pairs = Dedup.semanticNearDup(vecs, "id", "v", threshold = 0.9,
+      nCentroids = 2, kmeansIters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 3L), (1L, 4L), (3L, 4L), (2L, 10L)))
+    // reported cosines are the exact scores (only candidates are approximate)
+    val exact = Dedup.embeddingNearDup(vecs, "id", "v", threshold = 0.9,
+      useLsh = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (k, c) => assert(exact(k) == c, k) }
+  }
+
   test("minhashLsh finds identical docs with jaccard 1.0") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

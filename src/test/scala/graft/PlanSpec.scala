@@ -119,6 +119,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tpch_q4/q21: EXISTS shapes plan as semi/anti hash joins, no cartesian") {
+    val p4 = plan("tpch_q4")
+    assert(p4.contains("LeftSemi"), "q4's EXISTS must be a semi join")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
+    val p21 = plan("tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "q21 needs both the EXISTS semi and the NOT-EXISTS anti join")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"))
+    assert(p21.contains("TakeOrderedAndProject"))
+  }
+
+  test("tpch_q14: date window pushes to the lineitem scan; part broadcasts") {
+    val p = plan("tpch_q14")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate window must reach the scan:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tpch_q19: OR-of-ANDs still plans as an equi hash join on partkey") {
+    val p = plan("tpch_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"),
+      "Catalyst must extract the common equi-key from the disjunction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("spread sees through a union of narrow scans and restores parallelism") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
@@ -133,6 +159,13 @@ class PlanSpec extends AnyFunSuite {
     // already redistributed)
     val agged = d.groupBy(col("doc_id")).count()
     assert(org.apache.spark.sql.GraftBridge.narrowScanSizeBytes(agged).isEmpty)
+  }
+
+  test("decontaminate: eval-hash probe broadcasts; no cartesian") {
+    val p = plan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark-sized eval hash set must broadcast to the corpus side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("unpersistPins releases every internally-pinned plan") {
