@@ -212,6 +212,98 @@ object EventStream {
       }
   }
 
+  // -------------------------------------- stateless: decontamination gate
+
+  final case class DocText(doc_id: Long, text: String)
+  final case class Decontaminated(doc_id: Long, n_hits: Long, keep: Boolean)
+
+  /** Streaming decontamination gate — the crawl-ingest twin of
+    * [[graft.llm.Corpus.decontaminate]]: each arriving document is
+    * checked for word n-gram overlap against a STATIC benchmark set.
+    * The benchmark's distinct shingle hashes are collected once and
+    * broadcast (benchmark-sized by definition — the same contract the
+    * batch operator's broadcast join rests on), so the per-batch work
+    * is a NARROW map: tokenize, shingle, hash, count membership. No
+    * state, no shuffle, append-mode friendly — the ideal streaming
+    * operator shape.
+    *
+    * Token/shingle/hash arithmetic is the scalar form of the batch
+    * column pipeline ([[graft.llm.Dedup.docShinglesHashed]]): same
+    * split-lowercase tokens, same n-token space-joined shingles, same
+    * [[graft.functions.RollingHash]] static hash — stream-vs-batch
+    * equality is asserted in StreamingSpec, so the two forms cannot
+    * drift apart silently.
+    */
+  def decontaminateStream(docs: Dataset[DocText], evalSet: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          minHits: Long = 1L): Dataset[Decontaminated] = {
+    import docs.sparkSession.implicits._
+    require(n > 0 && minHits > 0, "n and minHits must be positive")
+    val evalHashes: Set[Long] =
+      graft.llm.Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
+        .select(col("h")).distinct().collect().map(_.getLong(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes)
+    docs.map { d =>
+      val hits = shingleHashes(d.text, n).count(bc.value.contains)
+      Decontaminated(d.doc_id, hits.toLong, hits < minHits)
+    }
+  }
+
+  /** Scalar mirror of the batch shingle-hash pipeline: lowercase,
+    * whitespace-split (limit -1 — Spark's `split` keeps trailing empty
+    * tokens), n-token space-joined windows, DISTINCT, rolling hash.
+    */
+  private def shingleHashes(text: String, n: Int): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = text.toLowerCase.split("\\s+", -1)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(w =>
+      graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w.mkString(" ")), 131L)).toSet
+  }
+
+  // ------------------------------------------ custom state: sequence packing
+
+  final case class PackEvent(doc_id: Long, n_toks: Long)
+  final case class PackedDoc(doc_id: Long, n_toks: Long, stream: Long,
+                             start_offset: Long, seq_first: Long, seq_last: Long)
+
+  /** Streaming sequence packing — the ingest twin of
+    * [[graft.llm.Corpus.packSequences]]: documents route to the same
+    * rolling-hash pack streams and extend each stream's token tape as
+    * they arrive (doc_id order within a micro-batch). State per stream
+    * is ONE long — the tape length — bounded by `nStreams` forever,
+    * never by stream length. Memory per (stream, batch) is the group's
+    * events (needed for the deterministic in-batch doc_id sort); the
+    * micro-batch bounds it.
+    *
+    * Under per-stream id-ordered delivery this equals the batch
+    * [[graft.llm.Corpus.packSequences]] — asserted in StreamingSpec.
+    */
+  def packStream(docs: Dataset[PackEvent], capacity: Long,
+                 nStreams: Int): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
+    docs
+      .groupByKey(d => graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.doc_id.toString), 131L)
+        % nStreams)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: Long, it: Iterator[PackEvent], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val nt = math.max(d.n_toks, 0L) // NULL-as-0 mirror: never pack backwards
+            val first = off / capacity
+            val last = if (nt > 0) (off + nt - 1) / capacity else first
+            val row = PackedDoc(d.doc_id, nt, stream, off, first, last)
+            off += nt
+            row
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

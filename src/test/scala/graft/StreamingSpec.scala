@@ -145,6 +145,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map { case (id, (_, rk)) => id -> rk } == batch)
   }
 
+  test("streaming decontamination gate equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Decontaminated, DocText}
+
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(DocText(1L, "the quick brown fox jumps over the lazy dog today"),
+      DocText(2L, "completely different words nothing shared here at all whatsoever"))
+    val batch2 = Seq(DocText(3L, "the quick brown fox jumps over the lazy cat instead"))
+
+    val mem = MemoryStream[DocText]
+    val q = EventStream.decontaminateStream(mem.toDS(), bench, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName("decon_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("decon_stream_test").as[Decontaminated].collect()
+        .map(d => d.doc_id -> ((d.n_hits, d.keep))).toMap
+    } finally q.stop()
+
+    val batch = graft.llm.Corpus.decontaminate(
+      (batch1 ++ batch2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L)._2 == false && streamed(2L)._2 == true)
+  }
+
+  test("streaming sequence packing equals the batch operator under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{PackEvent, PackedDoc}
+
+    // ids rise across batches, so delivery is id-ordered per stream
+    val batch1 = (1L to 6L).map(i => PackEvent(i, 100L * i))
+    val batch2 = (7L to 12L).map(i => PackEvent(i, 70L * i))
+
+    val mem = MemoryStream[PackEvent]
+    val q = EventStream.packStream(mem.toDS(), capacity = 256, nStreams = 4)
+      .writeStream.format("memory").queryName("pack_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("pack_stream_test").as[PackedDoc].collect()
+        .map(p => p.doc_id -> ((p.stream, p.start_offset, p.seq_first, p.seq_last))).toMap
+    } finally q.stop()
+
+    val batch = graft.llm.Corpus.packSequences(
+      (batch1 ++ batch2).map(p => (p.doc_id, p.n_toks)).toDF("doc_id", "n"),
+      "doc_id", "n", capacity = 256, nStreams = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_._1).toSet.size > 1, "expect several streams in play")
+  }
+
   test("stream-stream join matches right rows within the bounded window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
