@@ -177,10 +177,10 @@ object SparkEntry {
     * prefix shared by the string-shingle ([[shingleCte]]) and
     * hashed-shingle ([[minhashCtes]]) families.
     */
-  private def tokenShingleCte(n: Int): String = {
+  private def tokenShingleCte(n: Int, from: String = "documents"): String = {
     val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
       .mkString(" || ' ' || ")
-    s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM $from),
        |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS sh FROM toks WHERE len(tk) >= $n)""".stripMargin
   }
 
@@ -897,9 +897,11 @@ object SparkEntry {
         val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
         val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
           col("l_shipdate").as("d3"))
+        // NO broadcast hint on fOrders: status 'F' keeps ~half the orders
+        // table — fact-sized, not a dimension. AQE picks the join strategy
         val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"))
-        li.join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        li.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
             "left_semi")
           .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3")
@@ -1832,35 +1834,51 @@ object SparkEntry {
         // the "benchmark" is a corpus subset (every 37th doc), so eval
         // docs are guaranteed contaminated (they match themselves) and
         // near-duplicates of them get caught through shared 8-grams —
-        // the standard n range for decontamination is 8-13
-        val docs = t(s, dir, "documents")
+        // the standard n range for decontamination is 8-13. A NULL-text
+        // row rides along: it must pass the gate with 0 hits, not vanish
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
         Corpus.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0),
           "doc_id", "text", n = 8)
       },
-      s"""WITH ${tokenShingleCte(8)},
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |${tokenShingleCte(8, "docs")},
          |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
          |ev AS (SELECT DISTINCT h FROM h0 WHERE doc % 37 = 0),
          |hits AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
          |         FROM h0 JOIN ev USING (h) GROUP BY doc)
          |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
          |       COALESCE(n_hits, 0) < 1 AS keep
-         |FROM documents LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
+         |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
 
     ("corpus_pack",
       (s: SparkSession, dir: String) => {
-        val d = t(s, dir, "documents").select(col("doc_id"),
-          size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+        import s.implicits._
+        // a NULL-text row rides along: size(split(NULL)) is NULL and the
+        // operator's documented contract is NULL-packs-as-0 — the gate
+        // pins that path, it doesn't just trust the scaladoc
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
         Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8)
       },
-      // same rolling-hash stream routing + per-stream running sum; //
-      // is DuckDB integer division (Spark side uses `div`)
-      s"""WITH d AS (SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n FROM documents),
-         |st AS (SELECT doc_id, n, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
-         |o AS (SELECT *, COALESCE(sum(n) OVER (PARTITION BY stream ORDER BY doc_id
+      // same rolling-hash stream routing + per-stream running sum over
+      // ne = greatest(coalesce(n,0),0) — the operator's NULL/negative
+      // clamp; // is DuckDB integer division (Spark side uses `div`)
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        greatest(COALESCE(CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT), 0), 0) AS ne
+         |      FROM docs),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
-         |SELECT doc_id AS doc, n AS n_toks, stream, start_offset,
+         |SELECT doc_id AS doc, ne AS n_toks, stream, start_offset,
          |       start_offset // 256 AS seq_first,
-         |       CASE WHEN n > 0 THEN (start_offset + n - 1) // 256
+         |       CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
          |            ELSE start_offset // 256 END AS seq_last
          |FROM o""".stripMargin),
 

@@ -115,9 +115,10 @@ object Corpus {
     * pretraining run applies (n-gram overlap against held-out
     * benchmarks, as popularized by the GPT-3 appendix-C methodology):
     * a training document is contaminated when it shares at least
-    * `minHits` distinct word `n`-grams with ANY document of the
-    * benchmark/eval set. Output: every training doc with its distinct
-    * shared-n-gram count and the admission verdict
+    * `minHits` distinct word `n`-grams with the benchmark set's n-gram
+    * UNION (hits against different eval docs accumulate — stricter than
+    * a per-eval-doc rule when minHits > 1). Output: every training doc
+    * with its distinct shared-n-gram count and the admission verdict
     * (`doc`, `n_hits`, `keep = n_hits < minHits`).
     *
     * Scale shape: both sides reduce to HASHED n-grams
@@ -163,8 +164,9 @@ object Corpus {
     * local[32] setting; at 100 TB use thousands) — a SINGLE global
     * running sum would serialize the corpus through one partition.
     * `idCol` must be unique: it is the within-stream pack order. NULL
-    * token counts pack as 0 tokens (the doc still appears, carrying its
-    * offset).
+    * and negative token counts pack as 0 tokens (the doc still appears,
+    * carrying its offset; a negative count must never rewind the tape —
+    * same clamp as [[graft.streaming.EventStream.packStream]]).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     capacity: Long, nStreams: Int = 64): DataFrame = {
@@ -175,7 +177,7 @@ object Corpus {
     graft.Partitioning.spread(df)
       .withColumn("stream",
         pmod(TextAnalysis.rollingHash(col(idCol).cast("string")), lit(nStreams.toLong)))
-      .withColumn("n_toks", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .withColumn("n_toks", greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L)))
       .withColumn("start_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col(idCol).as("doc"), col("n_toks"), col("stream"), col("start_offset"),
         expr(s"start_offset div $capacity").as("seq_first"),

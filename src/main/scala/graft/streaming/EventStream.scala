@@ -255,7 +255,10 @@ object EventStream {
     */
   private def shingleHashes(text: String, n: Int): Set[Long] = {
     if (text == null) return Set.empty
-    val toks = text.toLowerCase.split("\\s+", -1)
+    // Locale.ROOT, not the JVM default: under a Turkish default locale
+    // "I".toLowerCase is dotless 'ı' while Spark's lower() gives 'i' —
+    // the hashes would silently diverge from the batch operator's
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.length < n) Set.empty
     else toks.sliding(n).map(w =>
       graft.functions.RollingHash.hash(
@@ -292,7 +295,9 @@ object EventStream {
         (stream: Long, it: Iterator[PackEvent], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
           val out = it.toArray.sortBy(_.doc_id).map { d =>
-            val nt = math.max(d.n_toks, 0L) // NULL-as-0 mirror: never pack backwards
+            // same clamp as the batch op's greatest(coalesce(n,0),0):
+            // a negative count must never rewind the tape
+            val nt = math.max(d.n_toks, 0L)
             val first = off / capacity
             val last = if (nt > 0) (off + nt - 1) / capacity else first
             val row = PackedDoc(d.doc_id, nt, stream, off, first, last)

@@ -180,9 +180,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStream.{PackEvent, PackedDoc}
 
-    // ids rise across batches, so delivery is id-ordered per stream
+    // ids rise across batches, so delivery is id-ordered per stream;
+    // one NEGATIVE count rides along — both sides must clamp it to 0
     val batch1 = (1L to 6L).map(i => PackEvent(i, 100L * i))
-    val batch2 = (7L to 12L).map(i => PackEvent(i, 70L * i))
+    val batch2 = (7L to 12L).map(i => PackEvent(i, 70L * i)) :+ PackEvent(13L, -40L)
 
     val mem = MemoryStream[PackEvent]
     val q = EventStream.packStream(mem.toDS(), capacity = 256, nStreams = 4)
