@@ -112,6 +112,34 @@ object SparkEntry {
   private def nonAsciiUnionSql: String =
     nonAsciiDocs.map { case (i, txt) => s"UNION ALL SELECT $i, '$txt'" }.mkString(" ")
 
+  /** DuckDB CTE chain ending in `rep(doc_id, rep_n_tokens,
+    * top_word_frac, top_bigram_frac, distinct_frac)` — mirrors
+    * [[TextAnalysis.withRepetitionCols]] (whitespace-strip, tokenize,
+    * Gopher top-word/top-bigram/distinct fractions). Shared by the
+    * repetition gate and the composite Gopher-filter oracle.
+    */
+  private def repetitionCtes(from: String): String = {
+    val topWord = Num.r6Sql(
+      "CAST(list_max(list_transform(list_distinct(tk), w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+    val topBigram = Num.r6Sql(
+      "CAST(list_max(list_transform(list_distinct(bg), w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE)")
+    val distinctFrac = Num.r6Sql(
+      "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+    s"""rs AS (SELECT doc_id, text,
+       |         regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS st FROM $from),
+       |rb AS (SELECT doc_id, text,
+       |         CASE WHEN st = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(st), '\\s+') END AS tk FROM rs),
+       |rg AS (SELECT *, list_transform(generate_series(1, len(tk) - 1),
+       |                                i -> tk[i] || ' ' || tk[i + 1]) AS bg FROM rb),
+       |rep AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END AS rep_n_tokens,
+       |  CASE WHEN len(tk) > 0 THEN $topWord END AS top_word_frac,
+       |  CASE WHEN len(bg) > 0 THEN $topBigram END AS top_bigram_frac,
+       |  CASE WHEN len(tk) > 0 THEN $distinctFrac END AS distinct_frac
+       |FROM rg)""".stripMargin
+  }
+
   /** DuckDB CTE chain `nv -> c0..c{iters} -> cent -> asg` mirroring the
     * IVF front half over the embeddings table
     * ([[Similarity.quantizedCorpus]] + [[Similarity.assignClusters]]:
@@ -1637,32 +1665,15 @@ object SparkEntry {
             (99988L, Some("  pad pad\t"))).toDF("doc_id", "text"))
         TextAnalysis.repetitionStats(d, "doc_id", "text")
       },
-      {
-        val topWord = Num.r6Sql(
-          "CAST(list_max(list_transform(list_distinct(tk), w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
-        val topBigram = Num.r6Sql(
-          "CAST(list_max(list_transform(list_distinct(bg), w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE)")
-        val distinctFrac = Num.r6Sql(
-          "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
-        s"""WITH docs AS (SELECT doc_id, text FROM documents
-           |              UNION ALL SELECT 99991, NULL
-           |              UNION ALL SELECT 99990, ''
-           |              UNION ALL SELECT 99989, ' ' || chr(9) || '  '
-           |              UNION ALL SELECT 99988, '  pad pad' || chr(9)),
-           |s AS (SELECT doc_id, text,
-           |        regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS st FROM docs),
-           |b AS (SELECT doc_id, text,
-           |        CASE WHEN st = '' THEN CAST([] AS VARCHAR[])
-           |             ELSE string_split_regex(lower(st), '\\s+') END AS tk FROM s),
-           |g AS (SELECT *, list_transform(generate_series(1, len(tk) - 1),
-           |                               i -> tk[i] || ' ' || tk[i + 1]) AS bg FROM b)
-           |SELECT doc_id,
-           |  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END AS n_tokens,
-           |  CASE WHEN len(tk) > 0 THEN $topWord END AS top_word_frac,
-           |  CASE WHEN len(bg) > 0 THEN $topBigram END AS top_bigram_frac,
-           |  CASE WHEN len(tk) > 0 THEN $distinctFrac END AS distinct_frac
-           |FROM g""".stripMargin
-      }),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL
+         |              UNION ALL SELECT 99990, ''
+         |              UNION ALL SELECT 99989, ' ' || chr(9) || '  '
+         |              UNION ALL SELECT 99988, '  pad pad' || chr(9)),
+         |${repetitionCtes("docs")}
+         |SELECT doc_id, rep_n_tokens AS n_tokens, top_word_frac,
+         |       top_bigram_frac, distinct_frac
+         |FROM rep""".stripMargin),
 
     ("text_langid",
       (s: SparkSession, dir: String) =>
@@ -1852,6 +1863,79 @@ object SparkEntry {
          |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
          |       COALESCE(n_hits, 0) < 1 AS keep
          |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
+
+    ("corpus_gopher",
+      (s: SparkSession, dir: String) =>
+        Corpus.gopherFilter(t(s, dir, "documents"), "doc_id", "text"),
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |${repetitionCtes("documents")}
+         |SELECT q.doc_id, q.n_tokens, q.avg_token_len, q.stopword_ratio,
+         |       r.top_word_frac, r.distinct_frac
+         |FROM qual q JOIN rep r ON q.doc_id = r.doc_id
+         |WHERE q.n_tokens BETWEEN 40 AND 100000
+         |  AND q.avg_token_len BETWEEN 3.0 AND 10.0
+         |  AND q.stopword_ratio >= 0.05
+         |  AND r.top_word_frac <= 0.2
+         |  AND r.distinct_frac >= 0.3""".stripMargin),
+
+    ("corpus_url_dedup",
+      (s: SparkSession, dir: String) => {
+        // deterministic MESSY urls: mixed-case scheme/host, default
+        // ports, tracking params, fragments, trailing slashes. The
+        // canonical identity is doc_id % 50 (10 domains x 50 paths),
+        // while the NOISE branches key on doc_id % 2/3/4 — so the ~10
+        // docs behind each canonical key carry DIFFERENT noise, and the
+        // group counts are right only if canonicalization collapses all
+        // of it
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, "HTTPS://Site").otherwise("https://site"),
+            pmod(col("doc_id"), lit(10)),
+            when(col("doc_id") % 4 === 0, ".Example.COM:443/p/").otherwise(".example.com/p/"),
+            pmod(col("doc_id"), lit(50)),
+            when(col("doc_id") % 3 === 0, lit("/?utm_source=x&q=1"))
+              .when(col("doc_id") % 3 === 1, lit("?q=1&utm_campaign=z#frag"))
+              .otherwise(lit("?q=1"))).as("url"))
+        Corpus.urlDedup(d, "doc_id", "url")
+      },
+      // the same regexp chain, step for step ('g' = replace ALL — Spark's
+      // regexp_replace default); RE2-compatible patterns only
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END)
+        |  || (doc_id % 10)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '.Example.COM:443/p/' ELSE '.example.com/p/' END)
+        |  || (doc_id % 50)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&q=1'
+        |           WHEN doc_id % 3 = 1 THEN '?q=1&utm_campaign=z#frag'
+        |           ELSE '?q=1' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+        |c2 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*', 0)), ':(80|443)$', '', 'g')
+        |         || regexp_replace(u, '^[a-zA-Z]+://[^/?#]*', '', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c4)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c5 GROUP BY canonical_url""".stripMargin),
+
+    ("corpus_curriculum",
+      (s: SparkSession, dir: String) => {
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score"))
+        Corpus.curriculumBins(scored, "doc_id", "quality_score", nBins = 4)
+      },
+      // quantile_cont == Spark percentile (same (n-1)*p interpolation
+      // over identical r6-rounded scores); bin = 1 + #cuts strictly below
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sc AS (SELECT doc_id, quality_score FROM qual),
+         |cuts AS (SELECT quantile_cont(quality_score, [0.25, 0.5, 0.75]) AS c FROM sc)
+         |SELECT doc_id, quality_score,
+         |  CAST(1 + len(list_filter(c, x -> quality_score > x)) AS INT) AS bin
+         |FROM sc, cuts""".stripMargin),
 
     ("corpus_pack",
       (s: SparkSession, dir: String) => {

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text operators — the aggregating counterparts of the
@@ -144,6 +144,88 @@ object Corpus {
       .select(col("doc"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
+  }
+
+  /** Gopher-style composite admission rules (Rae et al. 2021 §A1.1):
+    * token-count window, mean-word-length window, minimum stopword
+    * ratio (symbol-soup rejection), maximum top-word fraction and
+    * minimum distinct-token fraction (repetition rejection) — the
+    * standard rule battery applied in ONE narrow pass. Both scorers
+    * ([[TextAnalysis.quality]], [[TextAnalysis.withRepetitionCols]])
+    * are per-row column maps, so the whole gate is scan → filter with
+    * zero shuffles; at 100 TB this is a single pass over the corpus.
+    * Output: the admitted docs with the metrics that admitted them.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 40, maxTokens: Int = 100000,
+                   minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                   minStopwordRatio: Double = 0.05,
+                   maxTopWordFrac: Double = 0.2,
+                   minDistinctFrac: Double = 0.3): DataFrame = {
+    val scored = TextAnalysis.withRepetitionCols(
+      TextAnalysis.quality(graft.Partitioning.spread(df), textCol), textCol)
+    scored.filter(col("n_tokens").between(minTokens, maxTokens)
+        && col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen)
+        && col("stopword_ratio") >= minStopwordRatio
+        && col("top_word_frac") <= maxTopWordFrac
+        && col("distinct_frac") >= minDistinctFrac)
+      .select(col(idCol), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("top_word_frac"), col("distinct_frac"))
+  }
+
+  /** URL canonicalization — the normalization every web-corpus dedup
+    * keys on (a crawl sees the same page as `HTTP://X.com/a?utm_s=…#f`
+    * and `http://x.com/a`): strip the fragment, strip tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`), tidy dangling `?`/`&`,
+    * lowercase the scheme+host (NOT the path — paths are
+    * case-sensitive), drop default ports (:80/:443), drop trailing
+    * slashes. Pure narrow regexp arithmetic, RE2-compatible patterns
+    * so the oracle reproduces each step byte-for-byte.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|gclid|fbclid)=[^&]*&?", "")
+    val tidy = regexp_replace(noTrack, "[?&]+$", "")
+    val head = regexp_extract(tidy, "^[a-zA-Z]+://[^/?#]*", 0)
+    val tail = regexp_replace(tidy, "^[a-zA-Z]+://[^/?#]*", "")
+    val canonHead = regexp_replace(lower(head), ":(80|443)$", "")
+    regexp_replace(concat(canonHead, tail), "/+$", "")
+  }
+
+  /** Canonical-URL dedup: canonicalize, then keep the lowest doc id per
+    * canonical URL. One shuffle on the canonical key with map-side
+    * partial agg — the [[Dedup.exact]] shape over URLs instead of text.
+    * Output: (canonical_url, keep_id, n_dups).
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.Partitioning.spread(df)
+      .select(col(idCol).as("id"), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Curriculum binning: exact quantile cutpoints over `scoreCol`
+    * (`nBins`-iles), then a narrow bin assignment — the
+    * easy-to-hard ordering signal a curriculum schedule consumes.
+    *
+    * Scale shape: the cutpoints are ONE exact-percentile aggregation
+    * whose (nBins-1)-row result broadcasts; assignment is a narrow map
+    * comparing each score against the literal cut list. The tempting
+    * alternative — `ntile() OVER (ORDER BY score)` — is a GLOBAL
+    * window: the whole corpus through one task's sort. Ties land in the
+    * lower bin on both engines (bin = 1 + #cuts strictly below), so
+    * bins can be uneven under heavy ties; that is the deterministic
+    * choice, not a defect.
+    */
+  def curriculumBins(df: DataFrame, idCol: String, scoreCol: String,
+                     nBins: Int): DataFrame = {
+    require(nBins > 1, "nBins must be at least 2")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.agg(
+      percentile(col(scoreCol), typedlit(ps)).as("cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("cuts"), c => col(scoreCol) > c))).cast("int"))
+      .select(col(idCol), col(scoreCol), col("bin"))
   }
 
   /** Sequence packing — the batch-construction step between a cleaned

@@ -210,7 +210,21 @@ object TextAnalysis {
     * of "" is [""], which would score top_word_frac = 1.0 and feed an
     * admission filter exactly backwards).
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withRepetitionCols(
+      graft.Partitioning.spread(df).select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("rep_n_tokens").as("n_tokens"), col("top_word_frac"),
+        col("top_bigram_frac"), col("distinct_frac"))
+
+  /** Column-adding form of [[repetitionStats]] — composes NARROWLY with
+    * other per-row scorers (e.g. [[quality]] inside
+    * [[Corpus.gopherFilter]]) without an id-keyed self-join. Adds
+    * `top_word_frac`, `top_bigram_frac`, `distinct_frac` and
+    * `rep_n_tokens` (named to avoid clobbering [[quality]]'s
+    * `n_tokens`, whose untrimmed tokenizer counts differently on
+    * padded text).
+    */
+  private[graft] def withRepetitionCols(df: DataFrame, textCol: String): DataFrame = {
     // regex strip, not trim(): trim only removes ASCII spaces, so a
     // tab-only document would still tokenize to empty-string tokens
     val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
@@ -222,10 +236,8 @@ object TextAnalysis {
         w => size(filter(arr, x => x === w))))
       when(n > 0, graft.Num.r6(topCnt.cast("double") / n.cast("double")))
     }
-    graft.Partitioning.spread(df)
-      .select(col(idCol), col(textCol))
-      .withColumn("tk0", tk)
-      .withColumn("n_tokens", when(col(textCol).isNotNull,
+    df.withColumn("tk0", tk)
+      .withColumn("rep_n_tokens", when(col(textCol).isNotNull,
         size(col("tk0")).cast("long")))
       .withColumn("top_word_frac", topFrac(col("tk0")))
       .withColumn("top_bigram_frac", topFrac(
@@ -237,7 +249,6 @@ object TextAnalysis {
       .withColumn("distinct_frac", when(size(col("tk0")) > 0,
         graft.Num.r6(size(array_distinct(col("tk0"))).cast("double")
           / size(col("tk0")).cast("double"))))
-      .select(col(idCol), col("n_tokens"), col("top_word_frac"),
-        col("top_bigram_frac"), col("distinct_frac"))
+      .drop("tk0")
   }
 }

@@ -139,6 +139,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(strict(1L)._2 == false && strict(3L)._2 == true && strict(2L)._2 == true)
   }
 
+  test("gopherFilter: rejects short, repetitive and stopword-free docs") {
+    import graft.llm.Corpus
+    val good = ("the quick brown fox jumps over the lazy dog and then walks " +
+      "into the nearby forest with some friends of the pack looking for food " +
+      "while the evening light fades over the hills and the river keeps " +
+      "running toward the sea in a slow and steady rhythm")
+    val d = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "tiny doc"),                             // too few tokens
+      (3L, Array.fill(60)("spam").mkString(" ")),   // top_word_frac = 1.0
+      (4L, Array.fill(60)("zxqv").mkString(" ")))   // no stopwords either
+      .toDF("doc_id", "text")
+    val kept = Corpus.gopherFilter(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
+  test("canonicalizeUrl collapses case/port/tracking/fragment noise; urlDedup keeps min id") {
+    import graft.llm.Corpus
+    val io = Seq(
+      "HTTPS://Ex.COM:443/A/b?utm_source=t&x=1#f" -> "https://ex.com/A/b?x=1",
+      "http://x.com:80/" -> "http://x.com",
+      "https://x.com/a?utm_source=1" -> "https://x.com/a",
+      "https://x.com/a?q=1&utm_campaign=z&r=2" -> "https://x.com/a?q=1&r=2",
+      "https://x.com/a?gclid=abc&fbclid=def" -> "https://x.com/a",
+      // path case is PRESERVED (paths are case-sensitive, hosts are not)
+      "HTTP://Host.Org/CaseSensitive/Path" -> "http://host.org/CaseSensitive/Path")
+    val out = io.map(_._1).toDF("u")
+      .select(Corpus.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    io.zip(out).foreach { case ((in, want), got) => assert(got == want, in) }
+    val dup = Seq(
+      (7L, "HTTPS://A.com:443/p?utm_source=x"),
+      (3L, "https://a.com/p"),
+      (9L, "https://b.com/q")).toDF("doc_id", "url")
+    val groups = Corpus.urlDedup(dup, "doc_id", "url").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(groups("https://a.com/p") == ((3L, 2L)))
+    assert(groups("https://b.com/q") == ((9L, 1L)))
+  }
+
+  test("curriculumBins: quartile cutpoints split 1..8 into even bins; ties go low") {
+    import graft.llm.Corpus
+    val d = (1L to 8L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val bins = Corpus.curriculumBins(d, "doc_id", "score", nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(bins == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+    // heavy ties: every equal score lands in ONE deterministic bin
+    val tied = (1L to 6L).map(i => (i, 5.0)).toDF("doc_id", "score")
+    val tb = Corpus.curriculumBins(tied, "doc_id", "score", nBins = 3)
+      .collect().map(_.getInt(2)).toSet
+    assert(tb == Set(1), "equal scores must all take the lowest bin")
+  }
+
   test("packSequences: contiguous stream tape, straddle bounds, stable routing") {
     import graft.llm.Corpus
     val d = Seq((1L, Some(100L)), (2L, Some(200L)), (3L, Some(50L)),
