@@ -161,6 +161,24 @@ class PlanSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.GraftBridge.narrowScanSizeBytes(agged).isEmpty)
   }
 
+  test("gopherFilter is one narrow pass: no key shuffle, filter under the spread") {
+    val p = plan("corpus_gopher")
+    // the only exchange allowed is spread()'s RoundRobin parallelism fix
+    // (a no-op on a many-split 100 TB scan) — never a hash/range shuffle
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"the composite gate must not shuffle on any key:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the two scorers must compose as columns, not a self-join")
+  }
+
+  test("curriculumBins: cutpoints broadcast; no global sort or window") {
+    val p = plan("corpus_curriculum")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row cutpoint aggregate must broadcast")
+    assert(!p.contains("Window"), "bin assignment must not be a global ntile window")
+    assert(!p.contains("Sort ") || !p.contains("global=true"), "no global sort")
+  }
+
   test("decontaminate: eval-hash probe broadcasts; no cartesian") {
     val p = plan("corpus_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
