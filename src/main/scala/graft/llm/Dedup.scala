@@ -629,6 +629,72 @@ object Dedup {
       .unionByName(nullOut)
   }
 
+  /** Verbatim duplicate-passage detection — the exact-substring dedup
+    * mode of Lee et al. 2021 (arXiv:2107.06499) re-expressed
+    * relationally: every MAXIMAL run of >= `k` consecutive tokens
+    * shared verbatim between two documents, reported with its 0-based
+    * token offset in both. This is the dedup mode the shingle/MinHash
+    * family cannot provide (they score whole-document similarity;
+    * this finds the copied paragraph inside two otherwise-unrelated
+    * documents) and [[lineDedup]] only approximates at line
+    * granularity.
+    *
+    * Relational shape instead of a suffix array: hash every k-token
+    * window (narrow posexplode), keep hashes seen in >1 document
+    * (semi-join — the corpus's boilerplate rate bounds the survivors),
+    * equi-join those on (hash, window text) with d1 < d2 — text
+    * equality verified IN the join, so a hash collision can never weld
+    * two different passages — then merge hits lying on the same
+    * alignment diagonal (p1 - p2) into maximal spans with a
+    * gaps-and-islands window (island = consecutive-p1 run per
+    * (d1, d2, diagonal); two occurrences of the same passage at
+    * different alignments stay separate spans by construction).
+    *
+    * Scale: window hashes are 8-byte keys; window TEXT crosses an
+    * exchange only for dup-candidate hashes. `maxOcc` caps flood
+    * windows (a boilerplate header shared by millions of docs would
+    * otherwise go quadratic in the pair join — the same skew guard as
+    * the shingle family; capped windows can split a span that crosses
+    * them, the standard recall trade). The islands window partitions
+    * by (d1, d2, diag) — pair-local, never a global sort.
+    *
+    * Output: (d1, d2, start1, start2, n_tokens), one row per maximal
+    * shared span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                     maxOcc: Option[Long] = Some(100L)): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val winArr = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, k), " ")))
+      .otherwise(array().cast("array<string>"))
+    val wins = graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"), posexplode(winArr).as(Seq("pos", "w")))
+      .withColumn("h", graft.functions.RollingHash.hash(col("w"), 131L))
+    val stats = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("nd"), count(lit(1)).as("n"))
+    val dupH = stats
+      .filter(col("nd") > 1 && maxOcc.map(col("n") <= _).getOrElse(lit(true)))
+      .select(col("h"))
+    val cand = wins.join(dupH, Seq("h"), "left_semi")
+    val l = cand.select(col("h"), col("doc").as("d1"), col("pos").as("p1"), col("w").as("w1"))
+    val r = cand.select(col("h").as("h2"), col("doc").as("d2"), col("pos").as("p2"),
+      col("w").as("w2"))
+    val hits = l.join(r, col("h") === col("h2") && col("d1") < col("d2")
+        && col("w1") === col("w2"))
+      .select(col("d1"), col("p1"), col("d2"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+    val wIsl = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    hits.withColumn("isl", col("p1") - row_number().over(wIsl))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("isl"))
+      .agg(min(col("p1")).cast("long").as("start1"),
+        min(col("p2")).cast("long").as("start2"),
+        (count(lit(1)) + (k - 1)).as("n_tokens"))
+      .select(col("d1"), col("d2"), col("start1"), col("start2"), col("n_tokens"))
+  }
+
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the deterministic
     * k-means coarse quantizer ([[Similarity.coarseQuantizer]]), then
