@@ -668,7 +668,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(col(textCol))
     val winArr = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, k), " ")))
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
     val wins = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), posexplode(winArr).as(Seq("pos", "w")))
