@@ -502,6 +502,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de"))
   }
 
+  test("duplicateSpans: shared passage yields one maximal span with exact offsets") {
+    // 8-token passage at pos 2 of doc 1 and pos 1 of doc 2; k=4 gives 5
+    // matching windows on one diagonal -> ONE island of n_tokens 5+3=8
+    val d = Seq(
+      (1L, "p q alpha beta gamma delta epsilon zeta eta theta r s"),
+      (2L, "w alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1L, 8L)))
+  }
+
+  test("duplicateSpans: same passage at two alignments stays two spans") {
+    val d = Seq(
+      (3L, "alpha beta gamma delta u v alpha beta gamma delta"),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // diag 0 and diag 6 islands never merge; within-doc 3's own repeat is
+    // NOT a pair (d1 < d2 is strict)
+    assert(out == Set((3L, 4L, 0L, 0L, 4L), (3L, 4L, 6L, 0L, 4L)))
+  }
+
+  test("duplicateSpans: maxOcc caps flood windows; None restores them") {
+    val d = (1L to 5L).map(i => (i, "same old boilerplate header row")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", k = 5, maxOcc = Some(4L)).count() == 0L)
+    // 5 docs -> C(5,2)=10 pairs, each one full-width span
+    val open = Dedup.duplicateSpans(d, "doc_id", "text", k = 5, maxOcc = None).collect()
+    assert(open.length == 10 && open.forall(_.getLong(4) == 5L))
+  }
+
+  test("duplicateSpans: docs shorter than k and NULL text yield no rows, no error") {
+    val d = Seq((1L, Some("a b c")), (2L, Some("a b c")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", k = 4).count() == 0L)
+    // at exactly k tokens the single window DOES pair up
+    val eq = Dedup.duplicateSpans(d, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(eq.toSeq == Seq((1L, 2L, 0L, 0L, 3L)))
+  }
+
   test("multimodal stub decode is deterministic over the payload bytes") {
     val df = Seq((1L, "AB")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark,
