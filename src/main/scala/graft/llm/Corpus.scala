@@ -164,13 +164,23 @@ object Corpus {
                    minDistinctFrac: Double = 0.3): DataFrame = {
     val scored = TextAnalysis.withRepetitionCols(
       TextAnalysis.quality(graft.Partitioning.spread(df), textCol), textCol)
-    scored.filter(col("n_tokens").between(minTokens, maxTokens)
+    // Evaluation barrier: filter pushdown would inline the metric
+    // aliases into BOTH the admission predicate and the output
+    // projection, running every scoring HOF twice per row. A
+    // one-element Generate (explode of a single-struct array) pins the
+    // metric projection BELOW the filter — a predicate on generator
+    // output cannot push through a Generate — so each metric evaluates
+    // exactly once. Still a narrow scan → project → filter: zero
+    // shuffles, PlanSpec-asserted.
+    val m = scored.select(explode(array(struct(
+        col(idCol), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("top_word_frac"), col("distinct_frac")))).as("m"))
+      .select(col("m.*"))
+    m.filter(col("n_tokens").between(minTokens, maxTokens)
         && col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen)
         && col("stopword_ratio") >= minStopwordRatio
         && col("top_word_frac") <= maxTopWordFrac
         && col("distinct_frac") >= minDistinctFrac)
-      .select(col(idCol), col("n_tokens"), col("avg_token_len"),
-        col("stopword_ratio"), col("top_word_frac"), col("distinct_frac"))
   }
 
   /** URL canonicalization — the normalization every web-corpus dedup

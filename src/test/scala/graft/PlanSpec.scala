@@ -169,6 +169,12 @@ class PlanSpec extends AnyFunSuite {
       s"the composite gate must not shuffle on any key:\n${p.take(600)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "the two scorers must compose as columns, not a self-join")
+    // the Generate barrier must pin each scoring HOF to ONE evaluation:
+    // without it, filter pushdown inlines the metric expressions into
+    // both the predicate and the projection (array_max appears twice)
+    assert(p.sliding("array_max".length).count(_ == "array_max") == 1,
+      s"repetition HOFs must evaluate exactly once:\n${p.take(1200)}")
+    assert(p.contains("Generate"), "the one-row Generate barrier must survive optimization")
   }
 
   test("curriculumBins: cutpoints broadcast; no global sort or window") {
