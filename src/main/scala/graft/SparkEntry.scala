@@ -888,6 +888,83 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00003%')
         |GROUP BY p_brand, p_type, p_size""".stripMargin),
 
+    ("tpch_q17",
+      (s: SparkSession, dir: String) => {
+        // small-quantity-order revenue (q17 shape): the correlated
+        // scalar aggregate — 0.2 * avg(l_quantity) per part — joined
+        // back to the fact. The brand filter restricts parts FIRST
+        // (broadcast semi-join), so the per-part aggregate runs over
+        // the filtered slice only; the tiny (partkey, threshold)
+        // result broadcasts back into the same slice. The fact table
+        // never shuffles: both joins broadcast the dimension-sized
+        // side, and the quantity sums are integral so the avg is
+        // partition-order exact
+        val pk = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+        val thr = li.groupBy(col("l_partkey"))
+          .agg(((sum(col("l_quantity")) / count(lit(1)).cast("double")) * 0.2).as("thr"))
+          .select(col("l_partkey").as("t_partkey"), col("thr"))
+        li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("thr"))
+          .agg(sum(col("cents")).as("revenue_cents"),
+            Num.r6(sum(col("cents")).cast("double") / 7.0 / 100.0).as("avg_yearly"))
+      },
+      s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         |li AS (SELECT l_partkey, l_quantity,
+         |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |       FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+         |thr AS (SELECT l_partkey, (sum(l_quantity) / count(*)) * 0.2 AS thr
+         |        FROM li GROUP BY l_partkey)
+         |SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         |  ${Num.r6Sql("CAST(sum(cents) AS DOUBLE) / 7.0 / 100.0")} AS avg_yearly
+         |FROM li JOIN thr ON li.l_partkey = thr.l_partkey
+         |WHERE l_quantity < thr""".stripMargin),
+
+    ("tpch_q20",
+      (s: SparkSession, dir: String) => {
+        // excess-stock suppliers (q20 shape): per-(supplier, part)
+        // scalar aggregates compared against each other, then joined
+        // back to the supplier dimension. This schema has no partsupp,
+        // so the stock relation derives from lineitem: a supplier
+        // qualifies when, for some name-filtered part it ships in
+        // volume (total >= 80), over half that lifetime volume shipped
+        // recently. Parts filter first (broadcast semi), ONE
+        // partial-aggregated shuffle on the compound key builds both
+        // sums, and the qualifying suppkey set — supplier-dimension-
+        // sized by construction — broadcasts into the semi-join
+        val pk = t(s, dir, "part").filter(col("p_name").like("b%"))
+          .select(col("p_partkey"))
+        val ps = t(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"),
+            sum(when(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"),
+              col("l_quantity")).otherwise(0.0)).as("recent_qty"))
+        val excess = ps
+          .filter(col("total_qty") >= 80.0 && col("recent_qty") > col("total_qty") * 0.5)
+          .select(col("l_suppkey")).distinct()
+        t(s, dir, "supplier")
+          .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_name").asc)
+      },
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'b%'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+        |             THEN l_quantity ELSE 0.0 END) AS recent_qty
+        |       FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        |       GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+        |                    WHERE total_qty >= 80.0 AND recent_qty > total_qty * 0.5)
+        |ORDER BY s_name""".stripMargin),
+
     ("tpch_q19",
       (s: SparkSession, dir: String) => {
         // disjunctive-predicate revenue (q19 shape): three brand/size/

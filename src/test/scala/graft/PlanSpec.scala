@@ -45,6 +45,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("similarity_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q17/q20 correlated-aggregate shapes: broadcast join-backs, no cartesian") {
+    val p17 = plan("tpch_q17")
+    // part filter and the per-part threshold both broadcast; the fact
+    // table must never sort-merge or cartesian for the join-back
+    assert(p17.contains("BroadcastHashJoin"), p17.take(600))
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"))
+    assert(!p17.contains("SortMergeJoin"), "q17 join-back must broadcast the threshold side")
+    val p20 = plan("tpch_q20")
+    assert(p20.contains("LeftSemi"), p20.take(600))
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("load_filter compiles to a broadcast anti-join, not a per-row probe") {
     val p = plan("load_filter")
     assert(p.contains("LeftAnti"), p.take(400))
