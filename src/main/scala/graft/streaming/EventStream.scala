@@ -265,6 +265,48 @@ object EventStream {
         org.apache.spark.unsafe.types.UTF8String.fromString(w.mkString(" ")), 131L)).toSet
   }
 
+  // ---------------------------------------- custom state: canonical-URL dedup
+
+  final case class UrlKeyed(doc_id: Long, canonical_url: String)
+  final case class UrlAdmitted(doc_id: Long, canonical_url: String)
+
+  /** Streaming canonical-URL dedup — the crawl-ingest twin of
+    * [[graft.llm.Corpus.urlDedup]]: first-seen admission per canonical
+    * URL. Canonicalization reuses the batch operator's COLUMN expression
+    * ([[graft.llm.Corpus.canonicalizeUrl]]) as a narrow map on the
+    * streaming DataFrame — no scalar re-implementation that could drift.
+    *
+    * State per canonical key is ONE boolean (seen) — a crawler revisiting
+    * a page a million times costs one state entry, never a buffer.
+    * Within a micro-batch the keeper is the LOWEST doc id (an O(1)
+    * running min, no sort); across batches admission is first-arrival.
+    * Under per-key id-ordered delivery this equals the batch operator's
+    * min-id keeper rule — asserted in StreamingSpec. The batch
+    * operator's `n_dups` has no append-mode analogue (a keeper row is
+    * emitted once and cannot be re-counted later), so the streaming
+    * output is the admitted (doc_id, canonical_url) rows only.
+    */
+  def urlDedupStream(docs: DataFrame, idCol: String, urlCol: String): Dataset[UrlAdmitted] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.llm.Corpus.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .as[UrlKeyed]
+      .groupByKey(_.canonical_url)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url: String, it: Iterator[UrlKeyed], state: GroupState[Boolean]) =>
+          if (state.exists) {
+            it.foreach(_ => ()) // drain; key already admitted
+            Iterator.empty
+          } else {
+            var keep = Long.MaxValue
+            it.foreach(d => if (d.doc_id < keep) keep = d.doc_id)
+            state.update(true)
+            Iterator.single(UrlAdmitted(keep, url))
+          }
+      }
+  }
+
   // ------------------------------------------ custom state: sequence packing
 
   final case class PackEvent(doc_id: Long, n_toks: Long)

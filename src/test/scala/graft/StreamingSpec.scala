@@ -145,6 +145,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map { case (id, (_, rk)) => id -> rk } == batch)
   }
 
+  test("streaming url dedup equals batch urlDedup keepers under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.UrlAdmitted
+
+    // three canonical pages arriving as five raw spellings (tracking
+    // params, fragment, default port, host case, trailing slash) across
+    // two micro-batches; batch 2's revisits must be refused from state
+    val batch1 = Seq((1L, "HTTP://X.com:80/a?utm_source=z"),
+      (5L, "http://x.com/a#frag"), (10L, "https://Y.com/b/"))
+    val batch2 = Seq((7L, "http://x.com/a"), (11L, "https://y.com/b"),
+      (20L, "https://z.com/c?q=1&utm_campaign=2"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.urlDedupStream(mem.toDF().toDF("doc_id", "url"), "doc_id", "url")
+      .writeStream.format("memory").queryName("url_dedup_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("url_dedup_stream_test").as[UrlAdmitted].collect()
+        .map(a => a.canonical_url -> a.doc_id).toMap
+    } finally q.stop()
+
+    assert(streamed == Map("http://x.com/a" -> 1L, "https://y.com/b" -> 10L,
+      "https://z.com/c?q=1" -> 20L))
+    // equals the batch twin's keeper per canonical key (ordered delivery)
+    val batch = graft.llm.Corpus.urlDedup(
+      (batch1 ++ batch2).toDF("doc_id", "url"), "doc_id", "url")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming decontamination gate equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
