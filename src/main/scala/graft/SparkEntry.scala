@@ -2206,6 +2206,24 @@ object SparkEntry {
          |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
          |FROM d""".stripMargin),
 
+    ("multimodal_decode_jpeg",
+      (s: SparkSession, dir: String) => {
+        // REAL JPEGs (JDK-native codec) round-tripped through ImageIO.
+        // JPEG headers carry exact dims but the raster is LOSSY, so the
+        // hash gate covers id/width/height only — and dims still prove
+        // the real decode path ran: a fall-through to the fake decoder
+        // would read the FFD8 magic as w=255, h=216, never 1..7 x 1..5.
+        // The raster mean is checked with a tolerance bound in
+        // DedupSimilaritySpec
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachJpegPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"))
+      },
+      """SELECT doc_id AS id, CAST(1 + doc_id % 7 AS INT) AS width,
+        |       CAST(1 + doc_id % 5 AS INT) AS height
+        |FROM documents WHERE doc_id <= 30""".stripMargin),
+
     ("multimodal_resize",
       (s: SparkSession, dir: String) =>
         Multimodal.resizeDims(Multimodal.extractFeatures(s,

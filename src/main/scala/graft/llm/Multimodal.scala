@@ -48,7 +48,7 @@ object Multimodal {
     rows.map { r =>
       val bytes = r.payload
       if (r.format != null && r.format.startsWith("image/") && bytes != null
-          && (isPng(bytes) || isBmp(bytes))) {
+          && (isPng(bytes) || isBmp(bytes) || isJpeg(bytes))) {
         // a corrupt/truncated payload throws inside the codec (EOF etc.)
         // or returns null — either way fall back to the fake features
         // instead of killing the scan task: at corpus scale one bad blob
@@ -116,6 +116,9 @@ object Multimodal {
   private def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
 
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
   /** Deterministic fake decode for formats without a codec in this
     * container: (width, height) from the first two bytes and a mean over
     * all bytes — so the distributed plumbing is testable end-to-end.
@@ -170,20 +173,33 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Attach REAL compressed PNG payloads derived deterministically from
+  /** Attach REAL compressed image payloads derived deterministically from
     * the id column. The encode runs IN EXECUTORS (a narrow typed map) —
     * payload bytes never exist on the driver, same as a production
     * `binaryFile` read.
     */
-  def attachPngPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+  private def attachImagePayload(spark: SparkSession, df: DataFrame, idCol: String,
+                                 writerFormat: String, mime: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id")).as[Long]
-      .map(id => MediaRow(id, encodeImage(syntheticImage(id), "png"), "image/png"))
+      .map(id => MediaRow(id, encodeImage(syntheticImage(id), writerFormat), mime))
       .toDF()
       .select(col("id"), col("payload"),
         struct(length(col("payload")).cast("long").as("n_bytes"),
           col("format")).as("meta"))
   }
+
+  def attachPngPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    attachImagePayload(spark, df, idCol, "png", "image/png")
+
+  /** JPEG variant — the JDK ships a native JPEG codec, so decode is real
+    * here too. JPEG is LOSSY: header dims round-trip exactly (they gate
+    * the oracle query) but raster values may shift a little, so the
+    * mean-pixel check lives in a tolerance-bounded spec, not the
+    * hash-exact gate.
+    */
+  def attachJpegPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    attachImagePayload(spark, df, idCol, "jpg", "image/jpeg")
 
   /** Partition-batched feature extraction over the payload column: the
     * Scala analogue of `mapInPandas` — one decode call per partition batch,

@@ -152,6 +152,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("real JPEG payloads decode through ImageIO with exact dims, bounded raster error") {
+    import Multimodal._
+    val jpg = encodeImage(syntheticImage(7L), "jpg")
+    assert(jpg.length > 2 && (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val f = decodeMedia(Iterator(MediaRow(7L, jpg, "image/jpeg"))).next()
+    // dims are header-exact; the raster is lossy but a near-uniform
+    // 1x3 image must land close to the closed-form mean (84/9 ≈ 9.33) —
+    // the FAKE path would read w=255, h=216 from the FFD8 magic instead
+    assert(f.width == 1 && f.height == 3)
+    assert(math.abs(f.mean_byte - 84.0 / 9.0) < 8.0, s"lossy mean too far: ${f.mean_byte}")
+    // distributed round-trip over executors
+    val spark2 = spark
+    import spark2.implicits._
+    val out = extractFeatures(spark,
+      attachJpegPayload(spark, (0L until 20L).toDF("doc_id"), "doc_id"))
+      .collect().map(x => x.id -> x).toMap
+    assert(out.size == 20)
+    for (id <- 0L until 20L) {
+      assert(out(id).width == (1 + id % 7).toInt && out(id).height == (1 + id % 5).toInt)
+      assert(out(id).n_bytes > 0)
+    }
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
