@@ -95,6 +95,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: URL canonicalization is idempotent over 1000 randomized URLs") {
+    import graft.llm.Corpus
+    val scheme = Gen.oneOf("http", "https", "HTTP", "HtTps")
+    val host = Gen.oneOf("Example.COM", "x.com", "sub.Domain.org", "bücher.de", "A-b.c0.net")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":8443")
+    val seg = Gen.oneOf("a", "B", "päth", "文档", "p-1_2", "UPPER")
+    val path = Gen.choose(0, 3).flatMap(Gen.listOfN(_, seg)).map {
+      case Nil => ""
+      case ss  => ss.mkString("/", "/", "")
+    }
+    val slash = Gen.oneOf("", "/", "//")
+    // adversarial params: tracking keys in every position, empty values,
+    // a VALUE containing a tracking pair, an uppercase key the strip
+    // rule deliberately ignores
+    val kv = Gen.oneOf("utm_source=x", "utm_campaign=", "gclid=123", "fbclid=a_b",
+      "q=spark", "id=7", "ref=utm_medium=y", "UTM_TERM=z")
+    val query = Gen.choose(0, 4).flatMap(Gen.listOfN(_, kv)).map {
+      case Nil => ""
+      case ps  => ps.mkString("?", "&", "")
+    }
+    val frag = Gen.oneOf("", "#f", "#sec/tion?utm_source=1")
+    val url = for {
+      s <- scheme; h <- host; po <- port; pa <- path; sl <- slash
+      q <- query; f <- frag
+    } yield s"$s://$h$po$pa$sl$q$f"
+    // 25 trials x 40 URLs = 1000 cases, one Spark job per trial
+    checkN(25, Prop.forAll(Gen.listOfN(40, url)) { urls =>
+      urls.toDF("u")
+        .select(Corpus.canonicalizeUrl(col("u")).as("c1"))
+        .select(col("c1"), Corpus.canonicalizeUrl(col("c1")).as("c2"))
+        .filter(col("c1").isNull || col("c1") =!= col("c2")).count() == 0L
+    })
+  }
+
   test("property: r6 is idempotent and within half-ulp-of-1e-6 of the input") {
     check(Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { x =>
       val Seq(once, twice) = Seq(lit(x)).map(c =>
