@@ -2073,6 +2073,38 @@ object SparkEntry {
          |  CAST(1 + len(list_filter(c, x -> quality_score > x)) AS INT) AS bin
          |FROM sc, cuts""".stripMargin),
 
+    ("corpus_mix_weighted",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // quality bucket from the standard scorer; the weight table
+        // covers a few cells explicitly — including an explicit-zero
+        // drop and a full-admission 1e6 cell — and everything else
+        // falls to the 250000-ppm default, so the hit, miss, zero and
+        // saturate paths are all inside the gate
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("source"),
+            when(col("quality_score") >= 0.5, "high").otherwise("low").as("bucket"))
+        val weights = Seq(
+          ("src1", "high", 900000L), ("src1", "low", 100000L),
+          ("src2", "high", 600000L), ("src3", "low", 0L),
+          ("src4", "high", 1000000L)).toDF("source", "bucket", "weight_ppm")
+        Corpus.mixWeightedSample(scored, "doc_id", "source", "bucket", weights,
+          defaultPpm = 250000L)
+      },
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sc AS (SELECT q.doc_id, d.source,
+         |         CASE WHEN q.quality_score >= 0.5 THEN 'high' ELSE 'low' END AS bucket
+         |       FROM qual q JOIN documents d USING (doc_id)),
+         |w(source, bucket, weight_ppm) AS (VALUES
+         |  ('src1', 'high', 900000), ('src1', 'low', 100000),
+         |  ('src2', 'high', 600000), ('src3', 'low', 0), ('src4', 'high', 1000000)),
+         |m AS (SELECT sc.doc_id, sc.source, sc.bucket,
+         |        CAST(COALESCE(w.weight_ppm, 250000) AS BIGINT) AS weight_ppm
+         |      FROM sc LEFT JOIN w ON sc.source = w.source AND sc.bucket = w.bucket)
+         |SELECT doc_id, source, bucket, weight_ppm FROM m
+         |WHERE ${rhSql("CAST(doc_id AS VARCHAR)")} % 1000000 < weight_ppm""".stripMargin),
+
     ("corpus_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -238,6 +238,38 @@ object Corpus {
       .select(col(idCol), col(scoreCol), col("bin"))
   }
 
+  /** Importance / mix weighting — the data-mixture step of a pretraining
+    * corpus (Pile/DoReMi-style source weights): each (source, quality
+    * bucket) cell carries a target admission rate in PARTS PER MILLION
+    * from a weight table, and a document is admitted when
+    * `rollingHash(id) mod 1e6 < rate_ppm` — deterministic hash
+    * admission, so membership is reproducible row-for-row and STABLE as
+    * the corpus grows (a seeded `sample()` re-rolls membership every
+    * run; this never does). Integer ppm, not a float probability, so
+    * the admission predicate is exact in any engine.
+    *
+    * Scale shape: the weight table is mixture-spec-sized (sources x
+    * buckets — tens of rows) and BROADCASTS; admission is then a narrow
+    * map over the corpus — no shuffle anywhere. Cells absent from the
+    * table fall back to `defaultPpm` (0 = drop unlisted cells, the safe
+    * default for a curated mixture). Output: admitted docs with the
+    * (source, bucket, weight_ppm) that admitted them.
+    */
+  def mixWeightedSample(df: DataFrame, idCol: String, sourceCol: String,
+                        bucketCol: String, weights: DataFrame,
+                        defaultPpm: Long = 0L): DataFrame = {
+    require(defaultPpm >= 0L && defaultPpm <= 1000000L, "defaultPpm must be in [0, 1e6]")
+    val w = broadcast(weights.select(col("source").as("_w_source"),
+      col("bucket").as("_w_bucket"), col("weight_ppm").cast("long").as("_w_ppm")))
+    graft.Partitioning.spread(df)
+      .join(w, col(sourceCol) === col("_w_source")
+        && col(bucketCol) === col("_w_bucket"), "left")
+      .withColumn("weight_ppm", coalesce(col("_w_ppm"), lit(defaultPpm)))
+      .filter(pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
+        lit(1000000L)) < col("weight_ppm"))
+      .drop("_w_source", "_w_bucket", "_w_ppm")
+  }
+
   /** Sequence packing — the batch-construction step between a cleaned
     * corpus and the training loop: documents are concatenated and the
     * token stream is CHUNKED into fixed-`capacity` context windows

@@ -156,6 +156,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("mixWeightedSample: exact cell routing, default fallback, growth-stable admission") {
+    import graft.llm.Corpus
+    val weights = Seq(("a", "high", 1000000L), ("a", "low", 0L))
+      .toDF("source", "bucket", "weight_ppm")
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      if (i % 3 == 0) "high" else "low")).toDF("id", "src", "bkt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.mixWeightedSample(d, "id", "src", "bkt", weights, defaultPpm = 500000L)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+        .toMap
+    val out = run(docs)
+    val aHigh = (1L to 200L).filter(i => i % 2 == 0 && i % 3 == 0).toSet
+    // saturated cell admits every member; explicit-zero cell admits none
+    assert(out.keySet.filter(out(_)._1 == "a").forall(i => aHigh(i)))
+    assert(aHigh.subsetOf(out.keySet) && aHigh.forall(out(_)._3 == 1000000L))
+    // unlisted (b, *) cells fall to the 500000-ppm default: some but not
+    // all admitted, all carrying the default weight
+    val b = out.filter(_._2._1 == "b")
+    assert(b.nonEmpty && b.size < 100 && b.values.forall(_._3 == 500000L))
+    // hash admission is STABLE under corpus growth: the half-corpus run
+    // admits exactly the full run's admissions among those ids
+    val half = run(docs.filter(col("id") <= 100))
+    assert(half == out.filter { case (id, _) => id <= 100 })
+  }
+
   test("canonicalizeUrl collapses case/port/tracking/fragment noise; urlDedup keeps min id") {
     import graft.llm.Corpus
     val io = Seq(

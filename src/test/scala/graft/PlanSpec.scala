@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the one-row Generate barrier must survive optimization")
   }
 
+  test("mixWeightedSample: weight table broadcasts; admission never shuffles the corpus") {
+    val p = plan("corpus_mix_weighted")
+    assert(p.contains("BroadcastHashJoin"),
+      "the mixture-spec-sized weight table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"),
+      s"admission must stay a narrow map over the corpus:\n${p.take(600)}")
+  }
+
   test("curriculumBins: cutpoints broadcast; no global sort or window") {
     val p = plan("corpus_curriculum")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
