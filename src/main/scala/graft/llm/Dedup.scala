@@ -662,7 +662,8 @@ object Dedup {
     * shared span.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
-                     maxOcc: Option[Long] = Some(100L)): DataFrame = {
+                     maxOcc: Option[Long] = Some(100L),
+                     materializeWindows: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.tokens(col(textCol))
@@ -670,15 +671,23 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val wins = graft.Partitioning.spread(df)
+    // the window relation feeds THREE consumers (dup-hash stats + both
+    // pair-join sides) and the dup-candidate slice two — materialize
+    // both, same policy and trade-offs as [[shingleRelation]] (pass
+    // materializeWindows=false on unreliable clusters; at corpus scale
+    // the window relation exceeds executor storage and the honest cost
+    // is the recompute)
+    val wins0 = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), posexplode(winArr).as(Seq("pos", "w")))
       .withColumn("h", graft.functions.RollingHash.hash(col("w"), 131L))
+    val wins = if (materializeWindows) wins0.localCheckpoint() else wins0
     val stats = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("nd"), count(lit(1)).as("n"))
     val dupH = stats
       .filter(col("nd") > 1 && maxOcc.map(col("n") <= _).getOrElse(lit(true)))
       .select(col("h"))
-    val cand = wins.join(dupH, Seq("h"), "left_semi")
+    val cand0 = wins.join(dupH, Seq("h"), "left_semi")
+    val cand = if (materializeWindows) cand0.localCheckpoint() else cand0
     val l = cand.select(col("h"), col("doc").as("d1"), col("pos").as("p1"), col("w").as("w1"))
     val r = cand.select(col("h").as("h2"), col("doc").as("d2"), col("pos").as("p2"),
       col("w").as("w2"))
