@@ -1252,6 +1252,36 @@ object SparkEntry {
         |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation""".stripMargin),
 
+    ("source_xslt",
+      (s: SparkSession, dir: String) => {
+        // S5 under the oracle gate (ref index.js:87-126): a TWO-stage
+        // XSLT chain (XML reshape -> text extract) over a per-row XML
+        // column; stage order is load-bearing — stage 2's /rec template
+        // only matches stage 1's output element, so a mis-ordered or
+        // skipped stage cannot hash-match the parquet rows
+        val reshape =
+          """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+            |<xsl:output method="xml" omit-xml-declaration="yes"/>
+            |<xsl:template match="/n">
+            |  <rec><id><xsl:value-of select="@k"/></id>
+            |  <nm><xsl:value-of select="translate(nm,'ABCDEFGHIJKLMNOPQRSTUVWXYZ','abcdefghijklmnopqrstuvwxyz')"/></nm></rec>
+            |</xsl:template>
+            |</xsl:stylesheet>""".stripMargin
+        val toText =
+          """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+            |<xsl:output method="text"/>
+            |<xsl:template match="/rec"><xsl:value-of select="concat(nm,'|',id)"/></xsl:template>
+            |</xsl:stylesheet>""".stripMargin
+        val xml = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            format_string("<n k=\"%d\"><nm>%s</nm></n>",
+              col("n_nationkey").cast("long"), col("n_name")).as("x"))
+        graft.sources.Xslt.pipeline(xml, "id", "x", Seq(reshape, toText), outCol = "piped")
+          .select(substring_index(col("piped"), "|", 1).as("nm"),
+            substring_index(col("piped"), "|", -1).cast("bigint").as("id"))
+      },
+      "SELECT lower(n_name) AS nm, n_nationkey AS id FROM nation"),
+
     ("source_json_props",
       (s: SparkSession, dir: String) =>
         events(s, dir).select(col("event_id"),
