@@ -587,6 +587,31 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin),
 
+    ("load_jdbc_roundtrip",
+      (s: SparkSession, dir: String) => {
+        // S8 executed for real: parent-then-child load into an embedded
+        // in-memory Derby database through the production writeJdbc
+        // (bind-parameter INSERTs), read back over JDBC (S7 executed),
+        // joined and compared against the parquet oracle. A fresh DB
+        // per invocation keeps the query idempotent across the driver's
+        // repeated runs; dimension tables only — a fact-sized JDBC
+        // write belongs to readJdbcPartitioned/partitioned sinks.
+        val url = s"jdbc:derby:memory:g${java.util.UUID.randomUUID().toString.replace("-", "")};create=true"
+        val region = t(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        val nation = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey"))
+        graft.ops.Load.loadOrdered("region" -> region, Seq("nation" -> nation),
+          (name, df) => graft.ops.Load.writeJdbc(df, url, name))
+        val r = graft.sources.Sources.readJdbc(s, url, "region")
+        val n = graft.sources.Sources.readJdbc(s, url, "nation")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      },
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin),
+
     ("validate_array_elems",
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "documents")

@@ -110,9 +110,10 @@ object Load {
     * writes — no hand-escaped SQL, unlike the reference's string-built
     * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]
     * for parent-then-child FK ordering and [[filterExisting]] for the F7
-    * pre-insert filter. Untestable in this offline environment (no
-    * database); the sink-agnostic path is covered via the `write`
-    * callback of loadOrdered.
+    * pre-insert filter. Executed for real against embedded Derby: the
+    * `load_jdbc_roundtrip` gate query writes parent-then-child and reads
+    * both back over JDBC; LoadSpec proves the FK ordering against a
+    * REFERENCES constraint (child-first raises, parent-first loads).
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties = new java.util.Properties()): Unit =

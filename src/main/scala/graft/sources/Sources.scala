@@ -45,6 +45,25 @@ object Sources {
   private def post(df: DataFrame, badgerfish: Boolean): DataFrame =
     if (badgerfish) Badgerfish.convert(df, toBfish = true) else df
 
+  /** S7 executed over a real JDBC connection: whole-table read. Single
+    * round-trip, one partition — the right shape for DIMENSION tables
+    * (the reference's view sources are exactly that, src/main/etl.js:
+    * 359-418). For fact-sized tables use [[readJdbcPartitioned]].
+    */
+  def readJdbc(s: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    s.read.jdbc(url, table, props)
+
+  /** Partitioned JDBC scan: N concurrent range-predicated queries on
+    * `partCol` — the only way a database read parallelizes across a
+    * cluster. Stride skew follows the key distribution; pick a roughly
+    * uniform numeric key (surrogate id, epoch day).
+    */
+  def readJdbcPartitioned(s: SparkSession, url: String, table: String,
+                          partCol: String, lower: Long, upper: Long, numParts: Int,
+                          props: java.util.Properties = new java.util.Properties()): DataFrame =
+    s.read.jdbc(url, table, partCol, lower, upper, numParts, props)
+
   /** S6: overlay resolver — the reference's `FileResolver` walks
     * longest-matching prefix overlays and falls back outward
     * (src/main/FileResolver.js:25-78). Driver-side utility: overlay

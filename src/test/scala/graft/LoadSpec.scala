@@ -99,6 +99,42 @@ class LoadSpec extends AnyFunSuite {
     assert(lines == Seq("000042AB  "))
   }
 
+  test("writeJdbc + loadOrdered satisfy a real FK constraint (embedded Derby)") {
+    // the parent-then-child ordering is not a convention here — the
+    // database REJECTS the wrong order. Tables are created with a
+    // REFERENCES constraint via raw JDBC, then loaded through the same
+    // writeJdbc the production path uses.
+    val url = s"jdbc:derby:memory:fk${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE parent (id BIGINT PRIMARY KEY, name VARCHAR(32))")
+      st.execute("CREATE TABLE child (id BIGINT PRIMARY KEY, pid BIGINT REFERENCES parent(id))")
+      st.close()
+    } finally conn.close()
+    val parent = Seq((1L, "Terah"), (2L, "Abraham")).toDF("id", "name")
+    val child = Seq((10L, 1L), (11L, 2L)).toDF("id", "pid")
+    // child-first violates the FK and must raise
+    intercept[Exception] { Load.writeJdbc(child, url, "child") }
+    // parent-first loads cleanly through loadOrdered
+    Load.loadOrdered("parent" -> parent, Seq("child" -> child),
+      (name, df) => Load.writeJdbc(df, url, name))
+    val back = graft.sources.Sources.readJdbc(spark, url, "child")
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((10L, 1L), (11L, 2L)))
+  }
+
+  test("jdbc roundtrip preserves values, nulls, and types") {
+    val url = s"jdbc:derby:memory:rt${System.nanoTime()};create=true"
+    val df = Seq((1L, Some("a"), Some(1.5)), (2L, None, None))
+      .toDF("k", "s", "d")
+    Load.writeJdbc(df, url, "t")
+    val back = graft.sources.Sources.readJdbc(spark, url, "t").orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq ==
+      Seq((1L, Some("a"), Some(1.5)), (2L, None, None)))
+  }
+
   test("filterExisting is a left anti-join on the key") {
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val existing = Seq((2L)).toDF("k")
