@@ -2070,6 +2070,50 @@ object SparkEntry {
          |  AND r.top_word_frac <= 0.2
          |  AND r.distinct_frac >= 0.3""".stripMargin),
 
+    ("corpus_perplexity",
+      (s: SparkSession, dir: String) => {
+        // CCNet-style: the clean "reference" slice is doc_id % 10 = 0
+        // (deterministic), the LM is pruned to 100 bigrams so the
+        // backoff path is exercised at every SF, and the whole corpus
+        // is scored against it
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val (bg, uni) = Corpus.bigramLm(docs.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100)
+        Corpus.perplexityScore(docs, "doc_id", "text", bg, uni)
+      },
+      s"""WITH ref AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+         |                    t -> t <> '') AS tk
+         |             FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+         |refbi AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                   i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+         |          FROM ref WHERE len(tk) >= 2),
+         |bigram AS (SELECT a, b, cab FROM (
+         |             SELECT p.a AS a, p.b AS b, count(*) AS cab,
+         |                    row_number() OVER (ORDER BY count(*) DESC, p.a ASC, p.b ASC) AS rn
+         |             FROM refbi GROUP BY p.a, p.b)
+         |           WHERE rn <= 100),
+         |uni AS (SELECT t AS b, count(*) AS cb
+         |        FROM (SELECT unnest(tk) AS t FROM ref) GROUP BY t),
+         |tot AS (SELECT sum(cb) AS t, count(*) AS v FROM uni),
+         |corp AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                  t -> t <> '') AS tk
+         |         FROM documents WHERE text IS NOT NULL),
+         |cpairs AS (SELECT doc_id,
+         |             unnest(list_transform(generate_series(1, len(tk) - 1),
+         |               i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+         |           FROM corp WHERE len(tk) >= 2),
+         |scored AS (SELECT doc_id,
+         |             CASE WHEN bg.cab IS NOT NULL
+         |                  THEN ln(CAST(bg.cab AS DOUBLE) / CAST(ua.cb AS DOUBLE))
+         |                  ELSE ln(0.4) + ln(CAST(coalesce(ub.cb, 0) + 1 AS DOUBLE)
+         |                                    / CAST(tot.t + tot.v AS DOUBLE)) END AS lp
+         |           FROM cpairs
+         |           LEFT JOIN bigram bg ON cpairs.p.a = bg.a AND cpairs.p.b = bg.b
+         |           LEFT JOIN uni ua ON cpairs.p.a = ua.b
+         |           LEFT JOIN uni ub ON cpairs.p.b = ub.b, tot)
+         |SELECT doc_id, ${graft.Num.r6Sql("-avg(lp)")} AS ppl
+         |FROM scored GROUP BY doc_id""".stripMargin),
+
     ("corpus_url_dedup",
       (s: SparkSession, dir: String) => {
         // deterministic MESSY urls: mixed-case scheme/host, default

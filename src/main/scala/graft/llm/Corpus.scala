@@ -183,6 +183,95 @@ object Corpus {
         && col("distinct_frac") >= minDistinctFrac)
   }
 
+  /** CCNet-style language-model training half (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.3): train a bigram LM on a CLEAN REFERENCE
+    * sample (the paper uses Wikipedia; the caller passes any curated
+    * slice) and keep only the top `topM` bigrams by count — ties broken
+    * by (a, b) for determinism — so the model stays BROADCASTABLE no
+    * matter how large the reference grows. Returns (bigrams(a, b, cab),
+    * unigrams(b, cb)). The unigram table is kept whole: the reference
+    * corpus is a curated sample, bounded by definition (same argument
+    * as decontamination's eval-set hashes).
+    *
+    * Scale shape: two partial-aggregated shuffles over the REFERENCE
+    * only (bigram count, unigram count) + one TakeOrderedAndProject for
+    * the prune. The 100 TB corpus is never touched here.
+    */
+  def bigramLm(ref: DataFrame, textCol: String,
+               topM: Int): (DataFrame, DataFrame) = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val pairs = graft.Partitioning.spread(ref.filter(col(textCol).isNotNull))
+      .select(toks.as("tk"))
+    val bigrams = pairs.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+          element_at(col("tk"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .orderBy(col("cab").desc, col("a").asc, col("b").asc)
+      .limit(topM)
+    val unigrams = pairs.select(explode(col("tk")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    (bigrams, unigrams)
+  }
+
+  /** CCNet-style perplexity scoring: the document-quality signal is how
+    * well a clean-reference LM predicts the document. Score = negative
+    * mean log-probability over the doc's bigrams (lower = more fluent
+    * under the reference distribution); per-bigram probability is
+    *   - bigram in the pruned LM:  C(a,b) / C(a)
+    *   - else stupid backoff (Brants et al. 2007): 0.4 * (C(b)+1)/(T+V)
+    *     — add-one-smoothed unigram, OOV-safe (C(b)=0 for unseen b).
+    * Docs with fewer than two tokens have no bigrams and no score —
+    * they are absent from the output ([[perplexityFilter]] therefore
+    * rejects them, the conservative default).
+    *
+    * Scale shape: the corpus explodes to bigrams (narrow), probes THREE
+    * BROADCAST model tables (pruned bigrams + unigrams twice — C(a) and
+    * C(b)) plus a broadcast one-row totals aggregate, then aggregates
+    * once on the doc id — the only corpus-keyed shuffle. The corpus is
+    * never joined to itself and the model never exceeds topM + |ref
+    * vocab| rows.
+    */
+  def perplexityScore(corpus: DataFrame, idCol: String, textCol: String,
+                      bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val totals = unigrams.agg(sum(col("cb")).as("t"), count(lit(1)).as("v"))
+    val pairs = graft.Partitioning.spread(corpus.filter(col(textCol).isNotNull))
+      .select(col(idCol), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+          element_at(col("tk"), i + 2).as("b")))).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+    val lp = when(col("cab").isNotNull,
+        log(col("cab").cast("double") / col("ca").cast("double")))
+      .otherwise(lit(math.log(0.4)) +
+        log((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (col("t") + col("v")).cast("double")))
+    pairs
+      .join(broadcast(bigrams), Seq("a", "b"), "left")
+      .join(broadcast(unigrams.select(col("b").as("a"), col("cb").as("ca"))),
+        Seq("a"), "left")
+      .join(broadcast(unigrams), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(graft.Num.r6(-avg(lp)).as("ppl"))
+  }
+
+  /** The admission gate over [[perplexityScore]]: keep documents the
+    * reference LM finds fluent (score <= maxScore). Wenzek et al. cut
+    * on per-language perplexity terciles; the caller picks the cut.
+    */
+  def perplexityFilter(corpus: DataFrame, idCol: String, textCol: String,
+                       bigrams: DataFrame, unigrams: DataFrame,
+                       maxScore: Double): DataFrame =
+    corpus.join(
+      perplexityScore(corpus, idCol, textCol, bigrams, unigrams)
+        .filter(col("ppl") <= maxScore)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** URL canonicalization — the normalization every web-corpus dedup
     * keys on (a crawl sees the same page as `HTTP://X.com/a?utm_s=…#f`
     * and `http://x.com/a`): strip the fragment, strip tracking

@@ -337,6 +337,56 @@ class CorpusSpec extends AnyFunSuite {
       && ok.getAs[Int]("rank_in_domain") == 1)
   }
 
+  test("bigramLm: counts, deterministic prune, unigrams") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val (bg, uni) = Corpus.bigramLm(ref, "text", topM = 2)
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> top2 keeps (a,b) then the
+    // (b,a)/(b,c) count tie breaks on b asc -> (b,a)
+    assert(bg.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 3L), ("b", "a", 1L)))
+    assert(uni.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq(("a", 3L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("perplexityScore: bigram hit, stupid backoff, OOV — hand-computed") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val (bg, uni) = Corpus.bigramLm(ref, "text", topM = 2)
+    // T = 7 tokens, V = 3 distinct
+    val corpus = Seq(
+      (10L, "a b"),     // bigram hit: ln(3/3)
+      (11L, "b c"),     // pruned bigram -> backoff: ln(.4) + ln((1+1)/10)
+      (12L, "a zz"),    // OOV second token: ln(.4) + ln((0+1)/10)
+      (13L, "solo"),    // < 2 tokens: no score row
+      (14L, null)).toDF("doc_id", "text")
+    val out = Corpus.perplexityScore(corpus, "doc_id", "text", bg, uni)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L) == r6(-math.log(3.0 / 3.0)))
+    assert(out(11L) == r6(-(math.log(0.4) + math.log(2.0 / 10.0))))
+    assert(out(12L) == r6(-(math.log(0.4) + math.log(1.0 / 10.0))))
+  }
+
+  test("perplexityFilter: keeps fluent docs, rejects scoreless docs") {
+    val ref = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val (bg, uni) = Corpus.bigramLm(ref, "text", topM = 10)
+    val corpus = Seq((10L, "a b a b"), (11L, "zz qq ww"), (12L, "x"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.perplexityFilter(corpus, "doc_id", "text", bg, uni,
+      maxScore = 1.0).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(10L)) // 11 is OOV-heavy (high score), 12 has no score
+  }
+
+  test("perplexityScore: model joins broadcast; corpus never sort-merge-joins") {
+    val ref = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val (bg, uni) = Corpus.bigramLm(ref, "text", topM = 10)
+    val corpus = Seq((10L, "a b")).toDF("doc_id", "text")
+    val plan = Corpus.perplexityScore(corpus, "doc_id", "text", bg, uni)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),
