@@ -1088,6 +1088,147 @@ object SparkEntry {
         |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY c_nationkey""".stripMargin),
 
+    ("tpch_q7",
+      (s: SparkSession, dir: String) => {
+        // volume-shipping (q7 shape): revenue between two nations in
+        // both directions — lineitem->supplier->n1 and ->orders->
+        // customer->n2, the pair disjunction rides IN the join-filter so
+        // non-qualifying rows die before the aggregation. Nation is the
+        // only broadcast; fact-fact joins stay honest shuffles.
+        val (na, nb) = ("NATION_3", "NATION_7")
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === na && col("cust_nation") === nb)
+            || (col("supp_nation") === nb && col("cust_nation") === na))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin),
+
+    ("tpch_q8",
+      (s: SparkSession, dir: String) => {
+        // market-share (q8 shape): NATION_2's share of ECONOMY-part
+        // revenue sold into ASIA, by year. Numerator and denominator
+        // are integer-cents sums of the SAME aggregation (conditional
+        // sum, one pass); the share division happens once per year row,
+        // r6-rounded for the cross-engine hash.
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA").select(col("c_custkey"))
+        val suppNation = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val econParts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("cents",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(Num.r6(
+            sum(when(col("supp_nation") === "NATION_2", col("cents")).otherwise(0L))
+              .cast("double")
+              / sum(col("cents")).cast("double")).as("mkt_share"))
+      },
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${graft.Num.r6Sql(
+        "CAST(sum(CASE WHEN n1.n_name = 'NATION_2' THEN cents ELSE 0 END) AS DOUBLE)" +
+          " / CAST(sum(cents) AS DOUBLE)")} AS mkt_share
+         |FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+         |        CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+         |      FROM lineitem) l
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND p_type = 'ECONOMY'
+         |  AND EXISTS (SELECT 1 FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |              JOIN region ON n2.n_regionkey = r_regionkey
+         |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+         |GROUP BY year(o_orderdate)""".stripMargin),
+
+    ("tpch_q13",
+      (s: SparkSession, dir: String) => {
+        // customer-distribution (q13 shape): LEFT join so zero-order
+        // customers survive into the c_count=0 bucket, then a second
+        // (tiny) aggregation over the distribution itself.
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        t(s, dir, "customer").select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |           AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin),
+
+    ("tpch_q15",
+      (s: SparkSession, dir: String) => {
+        // top-supplier (q15 shape): quarterly revenue per supplier,
+        // keep the max. The max is a broadcast one-row aggregate over
+        // the (supplier-sized, already aggregated) revenue relation —
+        // the scalar-subquery idiom, no second scan of lineitem.
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("total_cents"))
+        val top = rev.agg(max(col("total_cents")).as("max_cents"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_cents") === col("max_cents"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
+
     ("orders_window",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window

@@ -57,6 +57,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q7/q8/q13/q15 shapes: nations broadcast, dates pushed, no cartesian") {
+    val p7 = plan("tpch_q7")
+    assert(p7.contains("BroadcastHashJoin"), p7.take(600))
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"))
+    assert(p7.contains("PushedFilters") && p7.contains("GreaterThanOrEqual(l_shipdate"),
+      "q7 ship-date window must reach the lineitem scan")
+    val p8 = plan("tpch_q8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"))
+    assert(p8.contains("LeftSemi"), "ASIA customer restriction must be a semi join")
+    val p13 = plan("tpch_q13")
+    assert(p13.contains("LeftOuter"), "q13 must keep zero-order customers")
+    val p15 = plan("tpch_q15")
+    assert(!p15.contains("CartesianProduct"),
+      "the scalar max must broadcast, not cartesian")
+  }
+
   test("load_filter compiles to a broadcast anti-join, not a per-row probe") {
     val p = plan("load_filter")
     assert(p.contains("LeftAnti"), p.take(400))
