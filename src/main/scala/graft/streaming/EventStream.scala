@@ -249,6 +249,58 @@ object EventStream {
     }
   }
 
+  final case class ScoredDoc(doc_id: Long, ppl: Option[Double], keep: Boolean)
+
+  /** Streaming perplexity gate — the crawl-ingest twin of
+    * [[graft.llm.Corpus.perplexityFilter]]: each arriving document is
+    * scored against a STATIC reference LM (train it in batch with
+    * [[graft.llm.Corpus.bigramLm]]; the model is topM + ref-vocab
+    * bounded by construction, the same broadcastability contract the
+    * batch scorer's broadcast joins rest on). Stateless narrow map —
+    * no shuffle, no state store, append-mode friendly.
+    *
+    * The per-bigram arithmetic is the scalar form of the batch column
+    * pipeline: same tokens, same C(a,b)/C(a) bigram probability, same
+    * ln(0.4) stupid backoff onto the add-one-smoothed unigram, same
+    * r6 rounding — stream-vs-batch equality is asserted in
+    * StreamingSpec. Docs with fewer than two tokens have no score and
+    * are rejected, matching the batch filter's conservative default.
+    */
+  def perplexityStream(docs: Dataset[DocText], bigrams: DataFrame,
+                       unigrams: DataFrame, maxScore: Double): Dataset[ScoredDoc] = {
+    import docs.sparkSession.implicits._
+    val bg: Map[(String, String), Long] = bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uni: Map[String, Long] = unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = uni.values.sum
+    val v = uni.size.toLong
+    val sc = docs.sparkSession.sparkContext
+    val bcB = sc.broadcast(bg)
+    val bcU = sc.broadcast(uni)
+    docs.map { d =>
+      val toks =
+        if (d.text == null) Array.empty[String]
+        else d.text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).filter(_.nonEmpty)
+      if (toks.length < 2) ScoredDoc(d.doc_id, None, keep = false)
+      else {
+        var sum = 0.0
+        var n = 0
+        toks.sliding(2).foreach { w =>
+          val (a, b) = (w(0), w(1))
+          sum += (bcB.value.get((a, b)) match {
+            case Some(cab) => math.log(cab.toDouble / bcU.value(a).toDouble)
+            case None => math.log(0.4) +
+              math.log((bcU.value.getOrElse(b, 0L) + 1).toDouble / (t + v).toDouble)
+          })
+          n += 1
+        }
+        val ppl = graft.Num.r6(-(sum / n))
+        ScoredDoc(d.doc_id, Some(ppl), ppl <= maxScore)
+      }
+    }
+  }
+
   /** Scalar mirror of the batch shingle-hash pipeline: lowercase,
     * whitespace-split (limit -1 — Spark's `split` keeps trailing empty
     * tokens), n-token space-joined windows, DISTINCT, rolling hash.

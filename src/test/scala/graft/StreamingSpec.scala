@@ -208,6 +208,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(1L)._2 == false && streamed(2L)._2 == true)
   }
 
+  test("streaming perplexity gate equals the batch scorer bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{DocText, ScoredDoc}
+
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog the quick end"))
+      .toDF("doc_id", "text")
+    val (bg, uni) = graft.llm.Corpus.bigramLm(ref, "text", topM = 5)
+    val docs = Seq(
+      DocText(1L, "the quick brown fox"),       // mostly LM hits
+      DocText(2L, "unseen words entirely here"), // OOV backoff
+      DocText(3L, "solo"),                       // no bigrams -> rejected
+      DocText(4L, null))                         // null -> rejected
+    val mem = MemoryStream[DocText]
+    val q = EventStream.perplexityStream(mem.toDS(), bg, uni, maxScore = 3.0)
+      .writeStream.format("memory").queryName("ppl_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      spark.table("ppl_stream_test").as[ScoredDoc].collect()
+        .map(d => d.doc_id -> ((d.ppl, d.keep))).toMap
+    } finally q.stop()
+
+    val batchScores = graft.llm.Corpus.perplexityScore(
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", bg, uni)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scored docs: stream ppl equals batch ppl exactly (same JVM libm,
+    // same in-order accumulation, same r6)
+    assert(streamed(1L)._1.contains(batchScores(1L)))
+    assert(streamed(2L)._1.contains(batchScores(2L)))
+    assert(streamed(1L)._2 && !streamed(2L)._2) // fluent kept, OOV-heavy rejected
+    // scoreless docs: absent from batch output, rejected in stream
+    assert(!batchScores.contains(3L) && !batchScores.contains(4L))
+    assert(streamed(3L) == ((None, false)) && streamed(4L) == ((None, false)))
+    // batch filter agrees with the stream's keep decisions
+    val kept = graft.llm.Corpus.perplexityFilter(
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", bg, uni, maxScore = 3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == streamed.filter(_._2._2).keySet)
+  }
+
   test("streaming sequence packing equals the batch operator under ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
