@@ -293,6 +293,46 @@ object SparkEntry {
        |lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lsc)""".stripMargin
   }
 
+  /** CCNet-perplexity CTEs ending in `ppl(doc_id, ppl)` (mirrors
+    * [[Corpus.bigramLm]] with topM=100 on the doc_id%10=0 reference
+    * slice + [[Corpus.perplexityScore]]'s stupid-backoff arithmetic).
+    * CTE names are p-prefixed so the block composes with the shingle /
+    * quality / language families in one WITH.
+    */
+  private lazy val perplexityCtes: String =
+    s"""pref AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+       |                t -> t <> '') AS tk
+       |         FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+       |prefbi AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                    i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+       |           FROM pref WHERE len(tk) >= 2),
+       |pbigram AS (SELECT a, b, cab FROM (
+       |              SELECT p.a AS a, p.b AS b, count(*) AS cab,
+       |                     row_number() OVER (ORDER BY count(*) DESC, p.a ASC, p.b ASC) AS rn
+       |              FROM prefbi GROUP BY p.a, p.b)
+       |            WHERE rn <= 100),
+       |puni AS (SELECT t AS b, count(*) AS cb
+       |         FROM (SELECT unnest(tk) AS t FROM pref) GROUP BY t),
+       |ptot AS (SELECT sum(cb) AS t, count(*) AS v FROM puni),
+       |pcorp AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                   t -> t <> '') AS tk
+       |          FROM documents WHERE text IS NOT NULL),
+       |pcpairs AS (SELECT doc_id,
+       |              unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+       |            FROM pcorp WHERE len(tk) >= 2),
+       |pscored AS (SELECT doc_id,
+       |              CASE WHEN bg.cab IS NOT NULL
+       |                   THEN ln(CAST(bg.cab AS DOUBLE) / CAST(ua.cb AS DOUBLE))
+       |                   ELSE ln(0.4) + ln(CAST(coalesce(ub.cb, 0) + 1 AS DOUBLE)
+       |                                     / CAST(ptot.t + ptot.v AS DOUBLE)) END AS lp
+       |            FROM pcpairs
+       |            LEFT JOIN pbigram bg ON pcpairs.p.a = bg.a AND pcpairs.p.b = bg.b
+       |            LEFT JOIN puni ua ON pcpairs.p.a = ua.b
+       |            LEFT JOIN puni ub ON pcpairs.p.b = ub.b, ptot),
+       |ppl AS (SELECT doc_id, ${Num.r6Sql("-avg(lp)")} AS ppl
+       |        FROM pscored GROUP BY doc_id)""".stripMargin
+
   // ------------------------------------------------------------- the registry
 
   /** One entry per operator: (name, spark fn, oracle SQL). */
@@ -2222,38 +2262,69 @@ object SparkEntry {
           "text", topM = 100)
         Corpus.perplexityScore(docs, "doc_id", "text", bg, uni)
       },
-      s"""WITH ref AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
-         |                    t -> t <> '') AS tk
-         |             FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
-         |refbi AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
-         |                   i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
-         |          FROM ref WHERE len(tk) >= 2),
-         |bigram AS (SELECT a, b, cab FROM (
-         |             SELECT p.a AS a, p.b AS b, count(*) AS cab,
-         |                    row_number() OVER (ORDER BY count(*) DESC, p.a ASC, p.b ASC) AS rn
-         |             FROM refbi GROUP BY p.a, p.b)
-         |           WHERE rn <= 100),
-         |uni AS (SELECT t AS b, count(*) AS cb
-         |        FROM (SELECT unnest(tk) AS t FROM ref) GROUP BY t),
-         |tot AS (SELECT sum(cb) AS t, count(*) AS v FROM uni),
-         |corp AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |                  t -> t <> '') AS tk
-         |         FROM documents WHERE text IS NOT NULL),
-         |cpairs AS (SELECT doc_id,
-         |             unnest(list_transform(generate_series(1, len(tk) - 1),
-         |               i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
-         |           FROM corp WHERE len(tk) >= 2),
-         |scored AS (SELECT doc_id,
-         |             CASE WHEN bg.cab IS NOT NULL
-         |                  THEN ln(CAST(bg.cab AS DOUBLE) / CAST(ua.cb AS DOUBLE))
-         |                  ELSE ln(0.4) + ln(CAST(coalesce(ub.cb, 0) + 1 AS DOUBLE)
-         |                                    / CAST(tot.t + tot.v AS DOUBLE)) END AS lp
-         |           FROM cpairs
-         |           LEFT JOIN bigram bg ON cpairs.p.a = bg.a AND cpairs.p.b = bg.b
-         |           LEFT JOIN uni ua ON cpairs.p.a = ua.b
-         |           LEFT JOIN uni ub ON cpairs.p.b = ub.b, tot)
-         |SELECT doc_id, ${graft.Num.r6Sql("-avg(lp)")} AS ppl
-         |FROM scored GROUP BY doc_id""".stripMargin),
+      s"WITH $perplexityCtes SELECT doc_id, ppl FROM ppl"),
+
+    ("corpus_admission_full",
+      (s: SparkSession, dir: String) => {
+        // the CAPSTONE composite: the full pretraining admission
+        // pipeline in ONE DataFrame DAG — near-dup cluster canonicality
+        // (MinHash+LSH + connected components) + language gate +
+        // quality gate + benchmark decontamination (8-gram overlap vs
+        // the doc_id%37 slice) + CCNet perplexity gate (bigram LM on
+        // the doc_id%10 reference slice, cut at 4.2). Every stage is
+        // individually oracle-gated elsewhere; this query pins their
+        // COMPOSITION — join order, gate precedence, and the fact that
+        // one DAG can express the whole admission path
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val (bg, uni) = Corpus.bigramLm(docs.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100)
+        val admitted = Corpus.trainingFilterNearDup(docs, "doc_id", "text",
+          minQuality = 0.5, lang = "en",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+        val clean = Corpus.decontaminate(docs,
+          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 8)
+          .filter(col("keep")).select(col("doc").as("doc_id"))
+        val scores = Corpus.perplexityScore(docs, "doc_id", "text", bg, uni)
+        admitted.join(clean, Seq("doc_id"), "left_semi")
+          .join(scores, Seq("doc_id"))
+          .filter(col("ppl") <= 4.2)
+          .select(col("doc_id"), col("cluster"), col("lang_pred"),
+            col("quality_score"), col("ppl"))
+      }, {
+        val gram8 = (0 until 8).map(j => if (j == 0) "tk2[i]" else s"tk2[i + $j]")
+          .mkString(" || ' ' || ")
+        s"""WITH RECURSIVE $minhashCtes,
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+           |          UNION SELECT d2, d1 FROM mh_pairs),
+           |walk(node, label) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+           |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+           |$textBCte,
+           |$qualityCtes,
+           |$langCtes,
+           |dtoks AS (SELECT doc_id AS doc,
+           |            string_split_regex(lower(text), '\\s+') AS tk2 FROM documents),
+           |dsh0 AS (SELECT DISTINCT doc,
+           |           unnest(list_transform(generate_series(1, len(tk2) - 7),
+           |             i -> $gram8)) AS sh
+           |         FROM dtoks WHERE len(tk2) >= 8),
+           |dh0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM dsh0),
+           |dev AS (SELECT DISTINCT h FROM dh0 WHERE doc % 37 = 0),
+           |contaminated AS (SELECT DISTINCT doc FROM dh0 JOIN dev USING (h)),
+           |$perplexityCtes
+           |SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS cluster,
+           |       lang_pred, quality_score, ppl
+           |FROM documents d
+           |LEFT JOIN cc ON d.doc_id = cc.node
+           |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+           |JOIN ppl ON ppl.doc_id = d.doc_id
+           |WHERE COALESCE(cc.label, d.doc_id) = d.doc_id
+           |  AND lang_pred = 'en' AND quality_score >= 0.5
+           |  AND d.doc_id NOT IN (SELECT doc FROM contaminated)
+           |  AND ppl <= 4.2""".stripMargin
+      }),
 
     ("corpus_url_dedup",
       (s: SparkSession, dir: String) => {

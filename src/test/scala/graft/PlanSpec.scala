@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite {
       "the scalar max must broadcast, not cartesian")
   }
 
+  test("corpus_admission_full: no cartesian anywhere in the composed DAG") {
+    val p = plan("corpus_admission_full")
+    assert(!p.contains("CartesianProduct"), "capstone must stay bucketed/broadcast")
+    assert(p.contains("LeftSemi"), "decontamination gate must be a semi join")
+  }
+
   test("load_filter compiles to a broadcast anti-join, not a per-row probe") {
     val p = plan("load_filter")
     assert(p.contains("LeftAnti"), p.take(400))
