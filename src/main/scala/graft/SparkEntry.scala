@@ -1522,6 +1522,25 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("events_funnel",
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStream.funnel(events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      """WITH e AS (SELECT user_id, event_type,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS anchor FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS anchor FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE event_type = 'click' AND e.ts > s0.anchor GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS anchor FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'purchase' AND e.ts > s1.anchor GROUP BY e.user_id)
+        |SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx,
+        |       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 'click', 1, (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 'purchase', 2, (SELECT count(*) FROM s2)""".stripMargin),
+
     ("events_range_join",
       (s: SparkSession, dir: String) => {
         // points-in-intervals with NO equi key: all events against the
@@ -1824,6 +1843,28 @@ object SparkEntry {
         |SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1, CAST(min(p2) AS BIGINT) AS start2,
         |       CAST(count(*) + 7 AS BIGINT) AS n_tokens
         |FROM isl GROUP BY d1, d2, diag, g""".stripMargin),
+
+    ("dedup_winnow", {
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4)
+      }, {
+        val gram5 = (0 until 5).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+          .mkString(" || ' ' || ")
+        s"""WITH wt AS (SELECT doc_id AS doc,
+           |              string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |wg AS (SELECT doc,
+           |         list_transform(generate_series(1, len(tk) - 4),
+           |           i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+           |                            h := ${rhSql(s"($gram5)")})) AS gr
+           |       FROM wt WHERE len(tk) >= 5),
+           |wsel AS (SELECT doc,
+           |           unnest(list_transform(generate_series(1, len(gr) - 3),
+           |             j -> list_reduce(gr[j : j + 3],
+           |               (acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS f
+           |         FROM wg WHERE len(gr) >= 4)
+           |SELECT DISTINCT doc, f.pos AS pos, f.h AS h FROM wsel""".stripMargin
+      }),
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>

@@ -704,6 +704,53 @@ object Dedup {
       .select(col("d1"), col("d2"), col("start1"), col("start2"), col("n_tokens"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token gram, slide a window of
+    * `w` consecutive gram hashes, and select each window's MINIMUM hash
+    * (rightmost occurrence on ties — the paper's rule). The selected
+    * (pos, hash) set is a position-robust document fingerprint with the
+    * paper's guarantee: any shared run of at least w+k-1 tokens yields
+    * at least one shared fingerprint, while storage is ~2/(w+1) of the
+    * full gram set. Candidate pairs come from an equi-join on `h` —
+    * bucketed like every other family here, never all-pairs.
+    *
+    * Scale shape: pure narrow per-document HOF arithmetic (grams,
+    * windows, fold, distinct) — zero shuffles in this operator; the
+    * caller's join on `h` is the only exchange and carries (doc, pos,
+    * h) longs, never text. Docs with fewer than w+k-1 tokens produce
+    * no fingerprints (too short for one full window) — the disclosed
+    * short-doc recall edge, same trade as [[duplicateSpans]]'s
+    * k-boundary.
+    *
+    * Output: (doc, pos, h), distinct per doc; `pos` is the selected
+    * gram's 0-based token offset.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val gramT = "array<struct<pos:bigint,h:bigint>>"
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => struct(i.cast("long").as("pos"),
+          graft.functions.RollingHash.hash(
+            array_join(slice(toks, i + 1, lit(k)), " "), 131L).as("h"))))
+      .otherwise(array().cast(gramT))
+    // per window: fold to the rightmost minimal hash (<= keeps later
+    // elements on ties); init is (pos=-1, h=MaxValue) so the first
+    // element always replaces it
+    val sel = when(size(col("gr")) >= w,
+      transform(sequence(lit(0), size(col("gr")) - w),
+        j => aggregate(slice(col("gr"), j + 1, lit(w)),
+          struct(lit(-1L).as("pos"), lit(Long.MaxValue).as("h")),
+          (acc, g) => when(g.getField("h") <= acc.getField("h"), g).otherwise(acc))))
+      .otherwise(array().cast(gramT))
+    graft.Partitioning.spread(df)
+      .select(col(idCol).as("doc"), grams.as("gr"))
+      .select(col("doc"), explode(array_distinct(sel)).as("f"))
+      .select(col("doc"), col("f.pos").as("pos"), col("f.h").as("h"))
+  }
+
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the deterministic
     * k-means coarse quantizer ([[Similarity.coarseQuantizer]]), then

@@ -108,6 +108,42 @@ object EventStream {
       .drop("_sid")
   }
 
+  /** Ordered-funnel analysis — the classic product-analytics shape: how
+    * many users performed step 0, then step 1 STRICTLY AFTER their
+    * first step 0, then step 2 strictly after that, …. Per user, step
+    * i's anchor is the EARLIEST step-i event after the step-(i-1)
+    * anchor (min-over-valid, the standard greedy semantics — greedy
+    * earliest anchors are optimal here: taking any later valid anchor
+    * can only shrink the remaining window for later steps).
+    *
+    * Scale shape: one user-keyed shuffle per step, each over a relation
+    * FILTERED to that step's event type first (the type filter pushes
+    * to the scan), and the per-user anchor relation shrinks
+    * monotonically down the funnel. No windows over all events, no
+    * self-join of the full stream. Steps are config-sized, so the final
+    * per-step counts are a union of one-row aggregates.
+    *
+    * Output: (step, step_idx, n_users) — one row per funnel step.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val anchors = steps.zipWithIndex.tail.scanLeft(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))) {
+      case (prev, (step, _)) =>
+        events.filter(col(typeCol) === step)
+          .join(prev.withColumnRenamed("anchor", "prev_anchor"), Seq(userCol))
+          .filter(col(tsCol) > col("prev_anchor"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))
+    }
+    anchors.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(i.toLong).as("step_idx"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------- custom state: streaming as-of
 
   /** One tick of the merged as-of input: right rows (`isRight = true`)

@@ -525,6 +525,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de"))
   }
 
+  test("winnowFingerprints: guarantee — a shared run of w+k-1 tokens shares a fingerprint") {
+    // k=3, w=3: any shared run of >= 5 tokens must yield a shared
+    // (h) fingerprint in both docs (the MOSS correctness property)
+    val d = Seq(
+      (1L, "aa bb one two three four five cc dd"),
+      (2L, "xx one two three four five yy zz ww")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 intersect h2).nonEmpty, s"no shared fingerprint: $h1 vs $h2")
+  }
+
+  test("winnowFingerprints: rightmost minimal hash wins ties") {
+    // the same gram repeated inside one window ties on hash; the
+    // selected pos must be the RIGHTMOST occurrence
+    val d = Seq((1L, "z z z z z z")).toDF("doc_id", "text")
+    // k=2 -> 5 identical grams "z z"; w=3 -> windows all tie; rightmost
+    // of each window is selected: positions 2, 3, 4
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 2, w = 3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(fp == Seq(2L, 3L, 4L))
+  }
+
+  test("winnowFingerprints: density is ~2/(w+1) of the gram count") {
+    val text = (1 to 400).map(i => s"tok${i % 97}").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val nGrams = 400 - 5 + 1
+    val n = Dedup.winnowFingerprints(d, "doc_id", "text", k = 5, w = 8).count()
+    assert(n > 0 && n <= nGrams * 3 / (8 + 1),
+      s"selected $n of $nGrams grams — winnowing must be sparse")
+  }
+
+  test("winnowFingerprints: short docs and null text yield no rows, no errors") {
+    val d = Seq((1L, "only four tokens here"), (2L, null))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(d, "doc_id", "text", k = 5, w = 4).count() == 0)
+  }
+
   test("duplicateSpans: shared passage yields one maximal span with exact offsets") {
     // 8-token passage at pos 2 of doc 1 and pos 1 of doc 2; k=4 gives 5
     // matching windows on one diagonal -> ONE island of n_tokens 5+3=8

@@ -208,6 +208,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(1L)._2 == false && streamed(2L)._2 == true)
   }
 
+  test("funnel: strict ordering, greedy anchors, monotone step counts") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val e = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // user 2: clicked BEFORE viewing — click must not count
+      (2L, "click", ts(0)), (2L, "view", ts(1)), (2L, "purchase", ts(2)),
+      // user 3: view only
+      (3L, "view", ts(5)),
+      // user 4: greedy anchor — first view at 0, click at 1 counts even
+      // though a LATER view (at 3) has no click after it
+      (4L, "view", ts(0)), (4L, "click", ts(1)), (4L, "view", ts(3)),
+      // user 5: never viewed — appears nowhere
+      (5L, "purchase", ts(9)))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventStream.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // view: users 1,2,3,4; click-after-view: 1,4; purchase-after-that: 1
+    // (user 2's purchase is dropped: no valid click anchor exists)
+    assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("streaming perplexity gate equals the batch scorer bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
