@@ -293,6 +293,28 @@ object SparkEntry {
        |lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lsc)""".stripMargin
   }
 
+  /** Winnowing CTEs ending in `wsel(doc, f)` — f = struct(pos, h), the
+    * rightmost-minimal gram hash of each w-window (mirrors
+    * [[Dedup.winnowFingerprints]]: same k-gram rolling hash, same
+    * <=-fold tie rule, same short-doc exclusion).
+    */
+  private def winnowCtes(k: Int, w: Int): String = {
+    val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""wt AS (SELECT doc_id AS doc,
+       |         string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+       |wg AS (SELECT doc,
+       |         list_transform(generate_series(1, len(tk) - ${k - 1}),
+       |           i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |                            h := ${rhSql(s"($gram)")})) AS gr
+       |       FROM wt WHERE len(tk) >= $k),
+       |wsel AS (SELECT doc,
+       |           unnest(list_transform(generate_series(1, len(gr) - ${w - 1}),
+       |             j -> list_reduce(gr[j : j + ${w - 1}],
+       |               (acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS f
+       |         FROM wg WHERE len(gr) >= $w)""".stripMargin
+  }
+
   /** CCNet-perplexity CTEs ending in `ppl(doc_id, ppl)` (mirrors
     * [[Corpus.bigramLm]] with topM=100 on the doc_id%10=0 reference
     * slice + [[Corpus.perplexityScore]]'s stupid-backoff arithmetic).
@@ -1844,27 +1866,26 @@ object SparkEntry {
         |       CAST(count(*) + 7 AS BIGINT) AS n_tokens
         |FROM isl GROUP BY d1, d2, diag, g""".stripMargin),
 
-    ("dedup_winnow", {
+    ("dedup_winnow",
       (s: SparkSession, dir: String) =>
         Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
-          k = 5, w = 4)
-      }, {
-        val gram5 = (0 until 5).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
-          .mkString(" || ' ' || ")
-        s"""WITH wt AS (SELECT doc_id AS doc,
-           |              string_split_regex(lower(text), '\\s+') AS tk FROM documents),
-           |wg AS (SELECT doc,
-           |         list_transform(generate_series(1, len(tk) - 4),
-           |           i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
-           |                            h := ${rhSql(s"($gram5)")})) AS gr
-           |       FROM wt WHERE len(tk) >= 5),
-           |wsel AS (SELECT doc,
-           |           unnest(list_transform(generate_series(1, len(gr) - 3),
-           |             j -> list_reduce(gr[j : j + 3],
-           |               (acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS f
-           |         FROM wg WHERE len(gr) >= 4)
-           |SELECT DISTINCT doc, f.pos AS pos, f.h AS h FROM wsel""".stripMargin
-      }),
+          k = 5, w = 4),
+      s"""WITH ${winnowCtes(5, 4)}
+         |SELECT DISTINCT doc, f.pos AS pos, f.h AS h FROM wsel""".stripMargin),
+
+    ("dedup_winnow_pairs",
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 2L, maxOcc = Some(100L)),
+      s"""WITH ${winnowCtes(5, 4)},
+         |wdh AS (SELECT DISTINCT doc, f.h AS h FROM wsel),
+         |wok AS (SELECT h FROM (SELECT h, count(DISTINCT doc) AS nd
+         |                       FROM wdh GROUP BY h)
+         |        WHERE nd > 1 AND nd <= 100),
+         |wc AS (SELECT doc, h FROM wdh WHERE h IN (SELECT h FROM wok))
+         |SELECT a.doc AS d1, b.doc AS d2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wc a JOIN wc b ON a.h = b.h AND a.doc < b.doc
+         |GROUP BY a.doc, b.doc HAVING count(*) >= 2""".stripMargin),
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>

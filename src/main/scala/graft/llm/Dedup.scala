@@ -751,6 +751,38 @@ object Dedup {
       .select(col("doc"), col("f.pos").as("pos"), col("f.h").as("h"))
   }
 
+  /** Candidate near-dup pairs from shared winnowing fingerprints: docs
+    * sharing at least `minShared` distinct selected hashes. The MOSS
+    * guarantee lifts to pairs: two docs sharing a run of >= w+k-1
+    * tokens share a fingerprint, so minShared=1 catches every such
+    * pair; higher thresholds trade that recall for precision.
+    *
+    * Scale shape mirrors the shingle family: the fingerprint relation
+    * (longs only) is materialized once for its three consumers (flood
+    * stats + both join sides), hashes shared by more than `maxOcc` docs
+    * are dropped before the pair join (boilerplate flood cap — the
+    * skew guard), and `d1 < d2` rides IN the join condition.
+    * Output: (d1, d2, n_shared).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Long = 2L,
+                  maxOcc: Option[Long] = Some(100L),
+                  materialize: Boolean = true): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    val fp0 = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc"), col("h")).distinct()
+    val fp = if (materialize) fp0.localCheckpoint() else fp0
+    val ok = fp.groupBy(col("h")).agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") > 1 && maxOcc.map(col("nd") <= _).getOrElse(lit(true)))
+      .select(col("h"))
+    val cand = fp.join(ok, Seq("h"), "left_semi")
+    val l = cand.select(col("h"), col("doc").as("d1"))
+    val r = cand.select(col("h").as("h2"), col("doc").as("d2"))
+    l.join(r, col("h") === col("h2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the deterministic
     * k-means coarse quantizer ([[Similarity.coarseQuantizer]]), then

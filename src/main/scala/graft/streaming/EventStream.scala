@@ -144,6 +144,48 @@ object EventStream {
     }.reduce(_.unionByName(_))
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+  final case class FunnelState(depth: Int, anchorMicros: Long)
+  final case class FunnelProgress(user_id: Long, depth: Int)
+
+  /** Streaming ordered-funnel — the live twin of [[funnel]]: per user
+    * the state is TWO numbers (completed depth + the current anchor in
+    * micros), bounded by user cardinality regardless of stream length.
+    * Within each micro-batch the group's events are processed in
+    * event-time order, advancing the funnel greedily exactly like the
+    * batch operator's earliest-valid anchors; a row (user, new depth)
+    * is emitted whenever a user advances (update-mode output).
+    *
+    * Contract: equals the batch [[funnel]] under per-user event-time-
+    * ordered delivery (asserted in StreamingSpec: per-step user counts
+    * from the final stream depths match the batch counts). A step event
+    * arriving in a later micro-batch than a LATER-timestamped prior
+    * event is judged against the newest anchor — the same
+    * single-value-state trade every stateful twin here documents.
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def micros(t: Timestamp): Long = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) => {
+          var s = st.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val before = s.depth
+          it.toIndexedSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            if (s.depth < steps.length && e.event_type == steps(s.depth) &&
+                (s.depth == 0 || micros(e.ts) > s.anchorMicros)) {
+              s = FunnelState(s.depth + 1, micros(e.ts))
+            }
+          }
+          if (s.depth > before) {
+            st.update(s)
+            Iterator.single(FunnelProgress(uid, s.depth))
+          } else Iterator.empty
+        })
+  }
+
   // ------------------------------------------- custom state: streaming as-of
 
   /** One tick of the merged as-of input: right rows (`isRight = true`)

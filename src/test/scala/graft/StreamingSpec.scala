@@ -232,6 +232,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("streaming funnel equals batch per-step counts under ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{FunnelEvent, FunnelProgress}
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val steps = Seq("view", "click", "purchase")
+    val batch1 = Seq(
+      FunnelEvent(1L, "view", ts(0)), FunnelEvent(1L, "click", ts(1)),
+      FunnelEvent(2L, "click", ts(0)), FunnelEvent(2L, "view", ts(1)),
+      FunnelEvent(3L, "view", ts(5)))
+    val batch2 = Seq( // user 1 completes across batches; user 2's click stays invalid
+      FunnelEvent(1L, "purchase", ts(7)), FunnelEvent(2L, "purchase", ts(8)))
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelStream(mem.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update").start()
+    val depths = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("funnel_stream_test").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.depth).max }
+    } finally q.stop()
+    val batchCounts = EventStream.funnel(
+      (batch1 ++ batch2).map(e => (e.user_id, e.event_type, e.ts))
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // per-step user counts derived from final stream depths == batch
+    (0 until steps.length).foreach { i =>
+      assert(depths.values.count(_ >= i + 1).toLong == batchCounts(i.toLong),
+        s"step $i diverges: depths=$depths batch=$batchCounts")
+    }
+    assert(depths == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
   test("streaming perplexity gate equals the batch scorer bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
