@@ -654,22 +654,32 @@ object SparkEntry {
         // S8 executed for real: parent-then-child load into an embedded
         // in-memory Derby database through the production writeJdbc
         // (bind-parameter INSERTs), read back over JDBC (S7 executed),
-        // joined and compared against the parquet oracle. A fresh DB
-        // per invocation keeps the query idempotent across the driver's
-        // repeated runs; dimension tables only — a fact-sized JDBC
-        // write belongs to readJdbcPartitioned/partitioned sinks.
-        val url = s"jdbc:derby:memory:g${java.util.UUID.randomUUID().toString.replace("-", "")};create=true"
+        // joined and compared against the parquet oracle. The embedded
+        // in-memory URL is the SANDBOX fixture (single-JVM local mode —
+        // no database server exists here); writeJdbc/readJdbc take any
+        // URL, and a cluster run points them at a database server
+        // reachable from every executor. The roundtrip materializes
+        // eagerly (localCheckpoint) so the DB can be DROPPED before
+        // returning — idempotent across the driver's repeated runs,
+        // zero leaked databases. Dimension tables only — a fact-sized
+        // JDBC scan belongs to readJdbcPartitioned.
+        val name = s"g${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val url = s"jdbc:derby:memory:$name;create=true"
         val region = t(s, dir, "region")
           .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
         val nation = t(s, dir, "nation")
           .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
             col("n_regionkey").cast("long").as("n_regionkey"))
         graft.ops.Load.loadOrdered("region" -> region, Seq("nation" -> nation),
-          (name, df) => graft.ops.Load.writeJdbc(df, url, name))
+          (nm, df) => graft.ops.Load.writeJdbc(df, url, nm))
         val r = graft.sources.Sources.readJdbc(s, url, "region")
         val n = graft.sources.Sources.readJdbc(s, url, "nation")
-        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        val out = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .localCheckpoint()
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$name;drop=true")
+        catch { case _: java.sql.SQLException => () } // 08006 = successful drop
+        out
       },
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin),

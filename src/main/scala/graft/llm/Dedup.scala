@@ -772,7 +772,9 @@ object Dedup {
     val fp0 = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("doc"), col("h")).distinct()
     val fp = if (materialize) fp0.localCheckpoint() else fp0
-    val ok = fp.groupBy(col("h")).agg(countDistinct(col("doc")).as("nd"))
+    // fp is already distinct on (doc, h): a plain count gives the doc
+    // count per hash without the distinct-aggregate's Expand phases
+    val ok = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1 && maxOcc.map(col("nd") <= _).getOrElse(lit(true)))
       .select(col("h"))
     val cand = fp.join(ok, Seq("h"), "left_semi")

@@ -82,8 +82,11 @@ object Xslt {
     val spark = df.sparkSession
     import spark.implicits._
     val chain = stylesheets.toList
+    // Option[Long], not Long: a primitive encoder NPEs on NULL ids
+    // (left-join products, dirty crawls) — null keys must ride through
+    // like every other row, not kill the job
     df.select(col(idCol).cast("long"), col(xmlCol).cast("string"))
-      .as[(Long, String)]
+      .as[(Option[Long], String)]
       .mapPartitions(_.map { case (id, xml) =>
         (id, if (xml == null) null else applyChain(xml, chain))
       })

@@ -128,14 +128,13 @@ object EventStream {
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val anchors = steps.zipWithIndex.tail.scanLeft(
+    val anchors = steps.tail.scanLeft(
       events.filter(col(typeCol) === steps.head)
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))) {
-      case (prev, (step, _)) =>
-        events.filter(col(typeCol) === step)
-          .join(prev.withColumnRenamed("anchor", "prev_anchor"), Seq(userCol))
-          .filter(col(tsCol) > col("prev_anchor"))
-          .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))) { (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .join(prev.withColumnRenamed("anchor", "prev_anchor"), Seq(userCol))
+        .filter(col(tsCol) > col("prev_anchor"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))
     }
     anchors.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))
@@ -167,7 +166,11 @@ object EventStream {
                    steps: Seq[String]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
-    def micros(t: Timestamp): Long = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    // floorDiv, not /: getTime truncates toward zero while getNanos is
+    // always non-negative, so plain division is non-monotone across the
+    // epoch (a -0.5s event would sort AFTER a +0.2s one)
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) => {
@@ -357,9 +360,8 @@ object EventStream {
     val bcB = sc.broadcast(bg)
     val bcU = sc.broadcast(uni)
     docs.map { d =>
-      val toks =
-        if (d.text == null) Array.empty[String]
-        else d.text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).filter(_.nonEmpty)
+      // batch mirror: bigramLm filters empty tokens, so the stream does too
+      val toks = scalarTokens(d.text).filter(_.nonEmpty)
       if (toks.length < 2) ScoredDoc(d.doc_id, None, keep = false)
       else {
         var sum = 0.0
@@ -379,16 +381,24 @@ object EventStream {
     }
   }
 
-  /** Scalar mirror of the batch shingle-hash pipeline: lowercase,
-    * whitespace-split (limit -1 — Spark's `split` keeps trailing empty
-    * tokens), n-token space-joined windows, DISTINCT, rolling hash.
+  /** The ONE scalar mirror of the batch `tokens()` column (lowercase +
+    * whitespace split, limit -1 — Spark's `split` keeps trailing empty
+    * tokens). Locale.ROOT, not the JVM default: under a Turkish default
+    * locale "I".toLowerCase is dotless 'ı' while Spark's lower() gives
+    * 'i' — the hashes would silently diverge from the batch operators'.
+    * Every stateless stream twin tokenizes through here so the rule
+    * cannot fork between operators; NULL text yields no tokens.
+    */
+  private def scalarTokens(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
+  /** Scalar mirror of the batch shingle-hash pipeline: tokens
+    * ([[scalarTokens]], empties kept like the batch shingle family),
+    * n-token space-joined windows, DISTINCT, rolling hash.
     */
   private def shingleHashes(text: String, n: Int): Set[Long] = {
-    if (text == null) return Set.empty
-    // Locale.ROOT, not the JVM default: under a Turkish default locale
-    // "I".toLowerCase is dotless 'ı' while Spark's lower() gives 'i' —
-    // the hashes would silently diverge from the batch operator's
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val toks = scalarTokens(text)
     if (toks.length < n) Set.empty
     else toks.sliding(n).map(w =>
       graft.functions.RollingHash.hash(

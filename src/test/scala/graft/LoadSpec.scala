@@ -135,6 +135,18 @@ class LoadSpec extends AnyFunSuite {
       Seq((1L, Some("a"), Some(1.5)), (2L, None, None)))
   }
 
+  test("readJdbcPartitioned splits the scan into range-predicated partitions") {
+    val url = s"jdbc:derby:memory:pt${System.nanoTime()};create=true"
+    val df = (1L to 90L).map(i => (i, s"v$i")).toDF("k", "v")
+    Load.writeJdbc(df, url, "t")
+    val back = graft.sources.Sources.readJdbcPartitioned(spark, url, "t",
+      "k", lower = 1L, upper = 91L, numParts = 3)
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == 90) // strides must cover the full range, no gaps
+    assert(back.agg(min(col("k")), max(col("k"))).collect().head
+      .toSeq == Seq(1L, 90L))
+  }
+
   test("filterExisting is a left anti-join on the key") {
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val existing = Seq((2L)).toDF("k")

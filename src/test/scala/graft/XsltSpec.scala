@@ -58,6 +58,13 @@ class XsltSpec extends AnyFunSuite {
       Seq((1L, Some("france|1")), (2L, Some("peru|2")), (3L, None)))
   }
 
+  test("pipeline: NULL id rides through instead of killing the job") {
+    val df = Seq((Option.empty[Long], "<n k=\"9\"><nm>KENYA</nm></n>"))
+      .toDF("id", "x")
+    val out = Xslt.pipeline(df, "id", "x", Seq(lower, toText), outCol = "t").collect()
+    assert(out.length == 1 && out.head.isNullAt(0) && out.head.getString(1) == "kenya|9")
+  }
+
   test("pipeline plan is a narrow map — no exchange") {
     val df = Seq((1L, "<n k=\"1\"><nm>A</nm></n>")).toDF("id", "x")
     val plan = Xslt.pipeline(df, "id", "x", Seq(lower)).queryExecution.executedPlan
