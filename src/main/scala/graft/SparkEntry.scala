@@ -2398,6 +2398,92 @@ object SparkEntry {
            |  AND ppl <= 4.2""".stripMargin
       }),
 
+    ("text_strip_html",
+      (s: SparkSession, dir: String) => {
+        // fixture: wrap each doc in crawl-shaped HTML — style + script
+        // subtrees (content must VANISH, not just lose tags), comments,
+        // attributes, entities, a self-closing tag; NULL text rides
+        // through as NULL via concat's null propagation
+        val d = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("<html><head><style>p { color: red }</style>" +
+            "<!-- nav --><script type=\"text/js\">var x = 1 < 2;</script>" +
+            "</head><body><p class=\"a\">"),
+          col("text"),
+          lit("</p><br/>&amp; <b>tail</b>&nbsp;&#39;q&#39;</body></html>"))
+          .as("text"))
+        TextAnalysis.stripHtml(d, "text").select(col("doc_id"), col("clean"))
+      },
+      s"""WITH raw AS (SELECT doc_id,
+         |    '<html><head><style>p {{ color: red }}</style><!-- nav --><script type="text/js">var x = 1 < 2;</script></head><body><p class="a">'
+         |    || text ||
+         |    '</p><br/>&amp; <b>tail</b>&nbsp;&#39;q&#39;</body></html>' AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |      '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g') AS t
+         |  FROM raw),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id,
+         |    replace(replace(replace(replace(replace(replace(t,
+         |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+         |      '&quot;', '"'), '&#39;', '''') AS t
+         |  FROM s3)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean
+         |FROM s4""".stripMargin.replace("{{", "{").replace("}}", "}")),
+
+    ("text_script_profile",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // documents are ASCII — append fixtures per script block, a
+        // digits/punct-only doc (no script chars -> 'none'), a Greek/
+        // Latin tie (latin precedence wins) and a NULL text
+        val extra = Seq(
+          (90101L, "Привет мир это тест кириллицы"),
+          (90102L, "你好世界 これは テスト です"),
+          (90103L, "مرحبا بالعالم هذا اختبار"),
+          (90104L, "αβγ abc"),
+          (90105L, "1234 !!! ???"),
+          (90106L, null)).toDF("doc_id", "text")
+        TextAnalysis.scriptProfile(
+          t(s, dir, "documents").select(col("doc_id"), col("text")).union(extra),
+          "text")
+          .select(col("doc_id") +: col("n_script_chars") +: col("script_pred") +:
+            TextAnalysis.scriptBlocks.flatMap(b =>
+              Seq(col(s"n_${b._1}"), col(s"ratio_${b._1}"))): _*)
+      }, {
+        val blocks = TextAnalysis.scriptBlocks
+        val counts = blocks.map { case (n, r) =>
+          s"CAST(len(regexp_extract_all(text, '[$r]')) AS BIGINT) AS n_$n"
+        }.mkString(", ")
+        val tot = blocks.map(b => s"n_${b._1}").mkString(" + ")
+        val ratios = blocks.map { case (n, _) =>
+          s"CASE WHEN n_script_chars > 0 THEN ${graft.Num.r6Sql(
+            s"CAST(n_$n AS DOUBLE) / CAST(n_script_chars AS DOUBLE)")} ELSE 0.0 END AS ratio_$n"
+        }.mkString(", ")
+        val names = blocks.map(_._1)
+        val cases = names.map { n =>
+          val beats = (s"n_$n > 0" +: names.filterNot(_ == n)
+            .map(o => s"n_$n >= n_$o")).mkString(" AND ")
+          s"WHEN $beats THEN '$n'"
+        }.mkString(" ")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT 90101, 'Привет мир это тест кириллицы'
+           |  UNION ALL SELECT 90102, '你好世界 これは テスト です'
+           |  UNION ALL SELECT 90103, 'مرحبا بالعالم هذا اختبار'
+           |  UNION ALL SELECT 90104, 'αβγ abc'
+           |  UNION ALL SELECT 90105, '1234 !!! ???'
+           |  UNION ALL SELECT 90106, NULL),
+           |c AS (SELECT doc_id, $counts FROM docs),
+           |tt AS (SELECT *, $tot AS n_script_chars FROM c)
+           |SELECT doc_id, n_script_chars,
+           |       CASE $cases ELSE 'none' END AS script_pred,
+           |       ${blocks.map(b => s"n_${b._1}").mkString(", ")}, $ratios
+           |FROM tt""".stripMargin
+      }),
+
     ("corpus_url_dedup",
       (s: SparkSession, dir: String) => {
         // deterministic MESSY urls: mixed-case scheme/host, default

@@ -133,6 +133,75 @@ object TextAnalysis {
     * Application ORDER matters (URL before NUM, or port numbers leak) —
     * keep it in sync with the oracle SQL.
     */
+  /** HTML boilerplate stripping — the first pass every web-crawl text
+    * pipeline applies before quality/dedup: drop whole
+    * script/style/noscript subtrees (their content is code, not prose),
+    * strip the remaining tags, decode the common entities, and collapse
+    * whitespace runs. Pure narrow regexp arithmetic; patterns are
+    * RE2-compatible (inline `(?is)` flags, non-greedy subtree bodies)
+    * so a DuckDB oracle reproduces every step byte-for-byte. This is a
+    * heuristic TEXT pass, not an HTML parser — good enough for corpus
+    * extraction, by design (a conformant parser would be a per-row
+    * imperative library, the mapPartitions path).
+    */
+  def stripHtml(df: DataFrame, textCol: String,
+                outCol: String = "clean"): DataFrame = {
+    // one replace per subtree tag, NOT a back-referenced alternation —
+    // RE2 (the oracle's engine) has no backreferences
+    val noSubtrees = Seq("script", "style", "noscript")
+      .foldLeft(col(textCol)) { (c, tag) =>
+        regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>", " ")
+      }
+    val noComments = regexp_replace(noSubtrees, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    df.withColumn(outCol, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** Unicode-script profile — the multilingual-corpus audit signal
+    * (which writing system dominates a document) that a marker-word
+    * langId ([[langId]]) cannot give for unseen languages: per-script
+    * character counts over the standard blocks, ratios over the total
+    * SCRIPT-character count (r6-rounded), and a dominant-script argmax
+    * with fixed precedence ties (same integer-argmax idiom as langId).
+    * Documents with no script characters at all profile as 'none'.
+    * One narrow pass, zero shuffles.
+    */
+  val scriptBlocks: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ",
+    "cjk" -> "一-鿿぀-ヿ")
+
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val counted = scriptBlocks.foldLeft(df) { case (d, (name, range)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(s"[$range]"), lit(0)))
+          .cast("long"))
+    }
+    val total = scriptBlocks.map(b => col(s"n_${b._1}")).reduce(_ + _)
+    val withTotal = counted.withColumn("n_script_chars", total)
+    val ratioed = scriptBlocks.foldLeft(withTotal) { case (d, (name, _)) =>
+      d.withColumn(s"ratio_$name",
+        when(col("n_script_chars") > 0, graft.Num.r6(
+          col(s"n_$name").cast("double") / col("n_script_chars").cast("double")))
+          .otherwise(lit(0.0)))
+    }
+    // fixed-precedence argmax: earlier blocks win ties (>=), 'none' when
+    // nothing matched — deterministic like langId's integer argmax
+    val names = scriptBlocks.map(_._1)
+    val dominant = names.foldRight(lit("none"): Column) { (name, els) =>
+      val beats = names.filterNot(_ == name)
+        .map(o => col(s"n_$name") >= col(s"n_$o"))
+        .foldLeft(col(s"n_$name") > 0)(_ && _)
+      when(beats, lit(name)).otherwise(els)
+    }
+    ratioed.withColumn("script_pred", dominant)
+  }
+
   def scrub(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("scrubbed",
       regexp_replace(

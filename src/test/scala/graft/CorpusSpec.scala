@@ -387,6 +387,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
   }
 
+  test("stripHtml: subtree content vanishes, tags strip, entities decode") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (1L, "<p>Hello <b>world</b></p><script>var SECRET = 1;</script>"),
+      (2L, "<STYLE media=\"all\">body { x }</STYLE>keep &amp; &lt;this&gt;"),
+      (3L, "a<!-- hidden note -->b  \n  c"),
+      (4L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(d, "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L) == Some("Hello world"), "script BODY must vanish, not just tags")
+    assert(out(2L) == Some("keep & <this>"), "uppercase STYLE + attrs + entities")
+    assert(out(3L) == Some("a b c"), "comments out, whitespace collapsed")
+    assert(out(4L) == None)
+  }
+
+  test("scriptProfile: block counts, ratios, precedence ties, none/null") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (1L, "привет abc"), // 6 cyrillic vs 3 latin -> cyrillic
+      (2L, "αβγ abc"),    // 3-3 tie -> latin (earlier block precedence)
+      (3L, "12 !?"),      // no script chars
+      (4L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(d, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("script_pred")).toMap
+    assert(out == Map(1L -> "cyrillic", 2L -> "latin", 3L -> "none", 4L -> "none"))
+    val r1 = TextAnalysis.scriptProfile(d, "text").filter(col("doc_id") === 1L)
+      .collect().head
+    assert(r1.getAs[Long]("n_cyrillic") == 6L && r1.getAs[Long]("n_latin") == 3L)
+    assert(r1.getAs[Double]("ratio_cyrillic") ==
+      math.floor(6.0 / 9.0 * 1e6 + 0.5) / 1e6)
+  }
+
   test("trainingFilter: drops dup non-canonical rows and keeps metrics") {
     val d = Seq(
       (1L, "the cat sat on the mat with a hat for the win"),
