@@ -129,6 +129,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: winnowing guarantee — docs sharing a w+k-1 token run share a fingerprint") {
+    import graft.llm.Dedup
+    val word = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val words = Gen.listOfN(30, word)
+    val (k, w) = (3, 4)
+    // plant a shared run of EXACTLY w+k-1 tokens at random offsets in
+    // two otherwise-random docs: the MOSS guarantee promises a shared
+    // selected hash for every such pair
+    val gen = for {
+      run <- Gen.listOfN(w + k - 1, word)
+      pre1 <- words; post1 <- words; pre2 <- words; post2 <- words
+    } yield (
+      (pre1 ++ run ++ post1).mkString(" "),
+      (pre2 ++ run ++ post2).mkString(" "))
+    checkN(15, Prop.forAll(Gen.listOfN(4, gen)) { docs =>
+      val df = docs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i * 2L, a), (i * 2L + 1, b)) }.toDF("doc_id", "text")
+      val fp = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+        .select(col("doc"), col("h")).collect()
+        .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+      docs.indices.forall { i =>
+        (fp.getOrElse(i * 2L, Set.empty) intersect
+          fp.getOrElse(i * 2L + 1, Set.empty)).nonEmpty
+      }
+    })
+  }
+
+  test("property: stripHtml is idempotent and never leaves tags or entities") {
+    val text = Gen.listOfN(6,
+      Gen.oneOf("hello", "world", "a&b", "x  y", "1<2", "end.")).map(_.mkString(" "))
+    val html = for {
+      t1 <- text; t2 <- text; attr <- Gen.alphaLowerStr
+    } yield s"""<div class="$attr"><script>junk $t1</script><p>$t1</p>""" +
+      s"""<!-- $t2 --><b>$t2</b>&nbsp;&amp;</div>"""
+    checkN(20, Prop.forAll(Gen.listOfN(10, html)) { rows =>
+      val df = rows.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "text")
+      val once = graft.llm.TextAnalysis.stripHtml(df, "text", outCol = "c1")
+      val twice = graft.llm.TextAnalysis.stripHtml(once, "c1", outCol = "c2")
+      // idempotent modulo the entity layer: stripping may SURFACE
+      // literal '<'/'&' from decoded entities or bare text (correct —
+      // they are content), so assert re-stripping is stable and that
+      // no TAG survives round one
+      twice.filter(col("c1") =!= col("c2")
+        || col("c1").rlike("<[a-zA-Z/][^>]*>")
+        || col("c1").contains("&nbsp;")).count() == 0L
+    })
+  }
+
   test("property: r6 is idempotent and within half-ulp-of-1e-6 of the input") {
     check(Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { x =>
       val Seq(once, twice) = Seq(lit(x)).map(c =>
