@@ -31,6 +31,40 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Deterministic partsupp synthesis — the driver testdata ships no
+    * partsupp table, so the three TPC-H shapes that need one (q2 / q9 /
+    * q11) derive it: 4 supplier slots per part, supplier/qty/cost all
+    * integer arithmetic over (p_partkey, slot) that the DuckDB oracle
+    * reproduces verbatim ([[partsuppCte]]). Supply cost stays in
+    * INTEGER CENTS end-to-end per the engine's money idiom. The
+    * supplier count enters as a broadcast one-row aggregate, never a
+    * driver-side count.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"))
+    val sCount = t(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    p.crossJoin(broadcast(sCount))
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("i"), col("s_cnt"))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") * 3 + col("i") * ((col("s_cnt") / 4).cast("long") + 1))
+          % col("s_cnt")).as("ps_suppkey"),
+        ((col("ps_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
+        ((col("ps_partkey") * 37 + col("i") * 11) % 100000 + 100)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** DuckDB mirror of [[partsupp]], ending in `ps(ps_partkey,
+    * ps_suppkey, ps_availqty, ps_supplycost_cents)`.
+    */
+  private lazy val partsuppCte: String =
+    s"""ps AS (SELECT p_partkey AS ps_partkey,
+       |  (p_partkey * 3 + i * ((SELECT count(*) FROM supplier) // 4 + 1))
+       |    % (SELECT count(*) FROM supplier) AS ps_suppkey,
+       |  (p_partkey * 31 + i * 17) % 9999 + 1 AS ps_availqty,
+       |  (p_partkey * 37 + i * 11) % 100000 + 100 AS ps_supplycost_cents
+       |FROM part, generate_series(0, 3) t(i))""".stripMargin
+
   // ------------------------------------------------------------------ views
 
   /** Flagship view query (SURVEY §7 step 5): the applyView('person')
@@ -1300,6 +1334,115 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_cents
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
+
+    ("tpch_q2",
+      (s: SparkSession, dir: String) => {
+        // minimum-cost-supplier (q2 shape) over the synthesized
+        // partsupp: EUROPE suppliers only, ECONOMY parts only; the
+        // per-part minimum cost is computed once on the (already
+        // region-filtered) partsupp relation and joined back — the
+        // correlated-subquery shape as a self-aggregate + equijoin.
+        // All tie rows survive, like the reference query.
+        val euroSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val econ = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val regional = partsupp(s, dir)
+          .join(broadcast(econ), col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+        val minCost = regional.groupBy(col("ps_partkey").as("mk"))
+          .agg(min(col("ps_supplycost_cents")).as("min_cents"))
+        regional.join(broadcast(minCost),
+            col("ps_partkey") === col("mk")
+              && col("ps_supplycost_cents") === col("min_cents"))
+          .select(col("ps_partkey"), col("s_name"), col("n_name"),
+            col("ps_supplycost_cents"))
+      },
+      s"""WITH $partsuppCte
+         |SELECT ps_partkey, s_name, n_name, ps_supplycost_cents
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |     JOIN supplier ON ps_suppkey = s_suppkey
+         |     JOIN nation ON s_nationkey = n_nationkey
+         |     JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |  AND ps_supplycost_cents = (
+         |    SELECT min(ps2.ps_supplycost_cents) FROM ps ps2
+         |    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+         |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')""".stripMargin),
+
+    ("tpch_q9",
+      (s: SparkSession, dir: String) => {
+        // product-type profit (q9 shape): revenue minus supply cost per
+        // nation and order year. The (partkey, suppkey) equijoin onto
+        // the synthesized partsupp keeps the q9 plan shape (fact ⋈
+        // partsupp ⋈ dims); profit stays in integer cents
+        val ps = partsupp(s, dir)
+          .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("ps_partkey") === col("p_partkey"))
+        t(s, dir, "lineitem")
+          .join(ps, col("l_partkey") === col("ps_partkey")
+            && col("l_suppkey") === col("ps_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long")
+              - col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+            .as("profit_cents"))
+      },
+      s"""WITH $partsuppCte
+         |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)
+         |           - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+         |FROM lineitem
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN part ON ps_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_type = 'PROMO'
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin),
+
+    ("tpch_q11",
+      (s: SparkSession, dir: String) => {
+        // important-stock (q11 shape): per-part inventory value for one
+        // nation's suppliers, HAVING value above a fraction of that
+        // nation's total — the threshold is a broadcast one-row
+        // aggregate over the SAME already-filtered relation, computed
+        // without a second partsupp pass
+        val natSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_3").select(col("s_suppkey"))
+        val held = partsupp(s, dir)
+          .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+          .withColumn("value_cents", col("ps_supplycost_cents") * col("ps_availqty"))
+        val perPart = held.groupBy(col("ps_partkey"))
+          .agg(sum(col("value_cents")).as("part_value_cents"))
+        val total = perPart.agg(sum(col("part_value_cents")).as("total_cents"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("part_value_cents").cast("double")
+            > col("total_cents").cast("double") * 0.001)
+          .select(col("ps_partkey"), col("part_value_cents"))
+      },
+      s"""WITH $partsuppCte,
+         |held AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+         |         FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |              JOIN nation ON s_nationkey = n_nationkey
+         |         WHERE n_name = 'NATION_3'),
+         |pp AS (SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_value_cents
+         |       FROM held GROUP BY ps_partkey)
+         |SELECT ps_partkey, part_value_cents FROM pp
+         |WHERE CAST(part_value_cents AS DOUBLE) >
+         |      (SELECT CAST(sum(part_value_cents) AS DOUBLE) FROM pp) * 0.001""".stripMargin),
 
     ("orders_window",
       (s: SparkSession, dir: String) => {

@@ -79,6 +79,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "decontamination gate must be a semi join")
   }
 
+  test("q2/q9/q11 partsupp shapes: dims broadcast, no cartesian") {
+    val p2 = plan("tpch_q2")
+    assert(p2.contains("BroadcastHashJoin"), p2.take(600))
+    assert(!p2.contains("CartesianProduct"))
+    // (the one BroadcastNestedLoopJoin in these plans is partsupp's
+    // one-row supplier-count broadcast — the documented scalar idiom)
+    val p9 = plan("tpch_q9")
+    assert(!p9.contains("CartesianProduct"))
+    assert(p9.contains("BroadcastHashJoin"), "q9 dims must broadcast")
+    val p11 = plan("tpch_q11")
+    assert(!p11.contains("CartesianProduct"),
+      "q11 threshold must ride a broadcast one-row aggregate")
+  }
+
   test("load_filter compiles to a broadcast anti-join, not a per-row probe") {
     val p = plan("load_filter")
     assert(p.contains("LeftAnti"), p.take(400))
