@@ -2557,7 +2557,7 @@ object SparkEntry {
         TextAnalysis.stripHtml(d, "text").select(col("doc_id"), col("clean"))
       },
       s"""WITH raw AS (SELECT doc_id,
-         |    '<html><head><style>p {{ color: red }}</style><!-- nav --><script type="text/js">var x = 1 < 2;</script></head><body><p class="a">'
+         |    '<html><head><style>p { color: red }</style><!-- nav --><script type="text/js">var x = 1 < 2;</script></head><body><p class="a">'
          |    || text ||
          |    '</p><br/>&amp; <b>tail</b>&nbsp;&#39;q&#39;</body></html>' AS t
          |  FROM documents),
@@ -2571,11 +2571,11 @@ object SparkEntry {
          |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
          |s4 AS (SELECT doc_id,
          |    replace(replace(replace(replace(replace(replace(t,
-         |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-         |      '&quot;', '"'), '&#39;', '''') AS t
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&amp;', '&') AS t
          |  FROM s3)
          |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean
-         |FROM s4""".stripMargin.replace("{{", "{").replace("}}", "}")),
+         |FROM s4""".stripMargin),
 
     ("text_script_profile",
       (s: SparkSession, dir: String) => {

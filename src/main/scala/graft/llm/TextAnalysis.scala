@@ -154,8 +154,11 @@ object TextAnalysis {
       }
     val noComments = regexp_replace(noSubtrees, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; decodes LAST: an escaped entity shown as page content
+    // ('&amp;lt;b&amp;gt;' renders as '&lt;b&gt;') must yield the
+    // literal entity TEXT, never double-decode into a live tag
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     df.withColumn(outCol, trim(regexp_replace(decoded, "\\s+", " ")))
   }
@@ -170,17 +173,18 @@ object TextAnalysis {
     * One narrow pass, zero shuffles.
     */
   val scriptBlocks: Seq[(String, String)] = Seq(
-    "latin" -> "A-Za-z",
+    "latin" -> "A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ", // ASCII + Latin-1 letters + Extended A/B
     "cyrillic" -> "Ѐ-ӿ",
     "greek" -> "Ͱ-Ͽ",
     "arabic" -> "؀-ۿ",
-    "cjk" -> "一-鿿぀-ヿ")
+    "cjk" -> "一-鿿぀-ヿ가-힣ᄀ-ᇿ") // unified ideographs, kana, hangul (+jamo)
 
   def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
     val counted = scriptBlocks.foldLeft(df) { case (d, (name, range)) =>
+      // regexp_count, not size(regexp_extract_all(...)): the count is
+      // identical without materializing one string per matched char
       d.withColumn(s"n_$name",
-        size(regexp_extract_all(col(textCol), lit(s"[$range]"), lit(0)))
-          .cast("long"))
+        regexp_count(col(textCol), lit(s"[$range]")).cast("long"))
     }
     val total = scriptBlocks.map(b => col(s"n_${b._1}")).reduce(_ + _)
     val withTotal = counted.withColumn("n_script_chars", total)

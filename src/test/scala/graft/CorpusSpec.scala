@@ -402,16 +402,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == None)
   }
 
+  test("stripHtml: escaped entities decode once, never into live markup") {
+    import graft.llm.TextAnalysis
+    // '&amp;lt;b&amp;gt;' is the literal TEXT '&lt;b&gt;' on the page —
+    // decoding &amp; first would double-decode it into a live <b> tag
+    val d = Seq((1L, "x &amp;lt;b&amp;gt; y"), (2L, "z &amp;nbsp; w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(d, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "x &lt;b&gt; y")
+    assert(out(2L) == "z &nbsp; w")
+  }
+
   test("scriptProfile: block counts, ratios, precedence ties, none/null") {
     import graft.llm.TextAnalysis
     val d = Seq(
       (1L, "привет abc"), // 6 cyrillic vs 3 latin -> cyrillic
       (2L, "αβγ abc"),    // 3-3 tie -> latin (earlier block precedence)
       (3L, "12 !?"),      // no script chars
-      (4L, null)).toDF("doc_id", "text")
+      (4L, null),
+      (5L, "안녕하세요 세계"),  // hangul counts as cjk
+      (6L, "café señor")) // accented latin counts as latin
+      .toDF("doc_id", "text")
     val out = TextAnalysis.scriptProfile(d, "text").collect()
       .map(r => r.getLong(0) -> r.getAs[String]("script_pred")).toMap
-    assert(out == Map(1L -> "cyrillic", 2L -> "latin", 3L -> "none", 4L -> "none"))
+    assert(out == Map(1L -> "cyrillic", 2L -> "latin", 3L -> "none",
+      4L -> "none", 5L -> "cjk", 6L -> "latin"))
     val r1 = TextAnalysis.scriptProfile(d, "text").filter(col("doc_id") === 1L)
       .collect().head
     assert(r1.getAs[Long]("n_cyrillic") == 6L && r1.getAs[Long]("n_latin") == 3L)
