@@ -31,7 +31,9 @@ class PlanSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_incremental_neardup", "events_asof_bucketed",
       "corpus_domain_cap", "text_repetition", "corpus_stratified_sample",
-      "multimodal_decode_png")) {
+      "multimodal_decode_png", "dedup_winnow", "dedup_winnow_pairs",
+      "dedup_duplicate_spans", "text_strip_html", "text_script_profile",
+      "events_funnel")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
