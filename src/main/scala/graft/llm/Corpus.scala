@@ -348,6 +348,18 @@ object Corpus {
                         bucketCol: String, weights: DataFrame,
                         defaultPpm: Long = 0L): DataFrame = {
     require(defaultPpm >= 0L && defaultPpm <= 1000000L, "defaultPpm must be in [0, 1e6]")
+    // validate the weight TABLE with the same rigor as defaultPpm — it
+    // is mix-config-sized by definition, so one eager collect is cheap:
+    // a duplicate (source, bucket) row would fan out every admitted doc
+    // through the left join (2x oversampling with no error), and an
+    // out-of-range ppm silently means admit-all/drop-all
+    val wRows = weights.select(col("source"), col("bucket"),
+      col("weight_ppm").cast("long")).collect()
+    val wKeys = wRows.map(r => (r.get(0), r.get(1))).toSeq
+    require(wKeys.distinct.length == wKeys.length,
+      "duplicate (source, bucket) rows in the weight table")
+    require(wRows.forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L && r.getLong(2) <= 1000000L),
+      "every weight_ppm must be in [0, 1e6]")
     val w = broadcast(weights.select(col("source").as("_w_source"),
       col("bucket").as("_w_bucket"), col("weight_ppm").cast("long").as("_w_ppm")))
     graft.Partitioning.spread(df)

@@ -681,12 +681,19 @@ object Dedup {
       .select(col(idCol).as("doc"), posexplode(winArr).as(Seq("pos", "w")))
       .withColumn("h", graft.functions.RollingHash.hash(col("w"), 131L))
     val wins = if (materializeWindows) wins0.localCheckpoint() else wins0
-    val stats = wins.groupBy(col("h"))
+    // stats key on (h, w) — the window TEXT, not the hash alone: a
+    // hash collision between a flood-capped boilerplate window and a
+    // real duplicated passage would otherwise merge their counts and
+    // silently suppress the passage's spans (certain at corpus-scale
+    // window counts in a ~2^30 hash space). Text rides this one
+    // exchange; the relation is windows-sized either way and the cap
+    // semantics become text-exact, matching the oracle's GROUP BY w
+    val stats = wins.groupBy(col("h"), col("w"))
       .agg(countDistinct(col("doc")).as("nd"), count(lit(1)).as("n"))
     val dupH = stats
       .filter(col("nd") > 1 && maxOcc.map(col("n") <= _).getOrElse(lit(true)))
-      .select(col("h"))
-    val cand0 = wins.join(dupH, Seq("h"), "left_semi")
+      .select(col("h"), col("w"))
+    val cand0 = wins.join(dupH, Seq("h", "w"), "left_semi")
     val cand = if (materializeWindows) cand0.localCheckpoint() else cand0
     val l = cand.select(col("h"), col("doc").as("d1"), col("pos").as("p1"), col("w").as("w1"))
     val r = cand.select(col("h").as("h2"), col("doc").as("d2"), col("pos").as("p2"),

@@ -431,6 +431,12 @@ object EventStream {
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         graft.llm.Corpus.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      // null id or url cannot key streaming admission — DROP the row
+      // instead of letting the primitive-Long encoder kill the whole
+      // query on one bad record (the batch twin emits such rows with a
+      // null keeper; a stream has no meaningful state key for them —
+      // disclosed batch/stream divergence)
+      .filter(col("doc_id").isNotNull && col("canonical_url").isNotNull)
       .as[UrlKeyed]
       .groupByKey(_.canonical_url)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

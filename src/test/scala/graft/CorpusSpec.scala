@@ -387,6 +387,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
   }
 
+  test("mixWeightedSample rejects duplicate weight rows and out-of-range ppm") {
+    val docs = Seq((1L, "s1", "high")).toDF("doc_id", "source", "bucket")
+    val dup = Seq(("s1", "high", 500000L), ("s1", "high", 500000L))
+      .toDF("source", "bucket", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      Corpus.mixWeightedSample(docs, "doc_id", "source", "bucket", dup)
+    }
+    val oob = Seq(("s1", "high", 1500000L)).toDF("source", "bucket", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      Corpus.mixWeightedSample(docs, "doc_id", "source", "bucket", oob)
+    }
+  }
+
   test("stripHtml: subtree content vanishes, tags strip, entities decode") {
     import graft.llm.TextAnalysis
     val d = Seq(

@@ -75,6 +75,21 @@ class PlanSpec extends AnyFunSuite {
       "the scalar max must broadcast, not cartesian")
   }
 
+  test("duplicateSpans FULL lazy plan (no checkpoints) has no cartesian") {
+    // the registered query materializes its window relation, which
+    // truncates lineage to Scan ExistingRDD — so assert on the
+    // materialization-free variant, where every stage is visible
+    import org.apache.spark.sql.functions.col
+    val sqlc = spark
+    import sqlc.implicits._
+    val d = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
+      .toDF("doc_id", "text")
+    val p = graft.llm.Dedup.duplicateSpans(d, "doc_id", "text", k = 4,
+      materializeWindows = false).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicateSpans must stay an equi-join pipeline:\n${p.take(1200)}")
+  }
+
   test("corpus_admission_full: no cartesian anywhere in the composed DAG") {
     val p = plan("corpus_admission_full")
     assert(!p.contains("CartesianProduct"), "capstone must stay bucketed/broadcast")

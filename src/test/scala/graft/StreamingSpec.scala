@@ -178,6 +178,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming url dedup drops null id/url rows instead of dying") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.UrlAdmitted
+    val mem = MemoryStream[(Option[Long], String)]
+    val q = EventStream.urlDedupStream(mem.toDF().toDF("doc_id", "url"),
+      "doc_id", "url")
+      .writeStream.format("memory").queryName("url_dedup_null_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData((None, "http://a.com/x"), (Some(3L), null),
+        (Some(5L), "http://a.com/y"))
+      q.processAllAvailable() // one bad record must not kill the query
+      spark.table("url_dedup_null_test").as[UrlAdmitted].collect()
+        .map(a => a.canonical_url -> a.doc_id).toMap
+    } finally q.stop()
+    assert(streamed == Map("http://a.com/y" -> 5L))
+  }
+
   test("streaming decontamination gate equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
