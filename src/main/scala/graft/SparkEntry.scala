@@ -1986,9 +1986,10 @@ object SparkEntry {
       },
       // windows via zipped unnests (generate_series positions are
       // 0-based to match Spark's posexplode); dup restriction groups
-      // by window TEXT (the Spark side groups by rolling hash but
-      // verifies text equality in the pair join, so the hash is a
-      // pure proxy); islands = p1 - row_number per (d1,d2,diag)
+      // by window TEXT — and so does the Spark side ((h, w) stats
+      // keys): hash-only grouping would let a collision merge a
+      // flood-capped boilerplate window with a real passage and
+      // suppress its spans; islands = p1 - row_number per (d1,d2,diag)
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000, 'spanprefix pad pad ' || text

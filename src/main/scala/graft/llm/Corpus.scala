@@ -353,15 +353,21 @@ object Corpus {
     // a duplicate (source, bucket) row would fan out every admitted doc
     // through the left join (2x oversampling with no error), and an
     // out-of-range ppm silently means admit-all/drop-all
-    val wRows = weights.select(col("source"), col("bucket"),
-      col("weight_ppm").cast("long")).collect()
+    val proj = weights.select(col("source").as("_w_source"),
+      col("bucket").as("_w_bucket"), col("weight_ppm").cast("long").as("_w_ppm"))
+    val wRows = proj.collect()
     val wKeys = wRows.map(r => (r.get(0), r.get(1))).toSeq
     require(wKeys.distinct.length == wKeys.length,
       "duplicate (source, bucket) rows in the weight table")
+    require(wRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "null source/bucket in the weight table: === join keys never match null" +
+        " — the cell would silently fall back to defaultPpm")
     require(wRows.forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L && r.getLong(2) <= 1000000L),
       "every weight_ppm must be in [0, 1e6]")
-    val w = broadcast(weights.select(col("source").as("_w_source"),
-      col("bucket").as("_w_bucket"), col("weight_ppm").cast("long").as("_w_ppm")))
+    // broadcast the ALREADY-COLLECTED rows — re-using `weights` here
+    // would execute its lineage a second time
+    val w = broadcast(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(wRows: _*), proj.schema))
     graft.Partitioning.spread(df)
       .join(w, col(sourceCol) === col("_w_source")
         && col(bucketCol) === col("_w_bucket"), "left")

@@ -28,6 +28,8 @@ class EmptyInputSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory(Paths.get("target"), "sf_empty").toString
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // needed to READ the nanos-timestamp events source here; harmless
+    // globally — SparkEntry.events() sets the same flag on every call
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").limit(0)
@@ -36,15 +38,22 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
+  private def deleteRecursively(p: java.io.File): Unit = {
+    Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+    p.delete(); ()
+  }
+
   test("every registered query executes on empty tables") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => fixtureSynthesis(n) }
-      .flatMap { case (name, fn) =>
-        try { fn(spark, emptyDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"$name -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => fixtureSynthesis(n) }
+        .flatMap { case (name, fn) =>
+          try { fn(spark, emptyDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"$name -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+          }
         }
-      }
+      finally deleteRecursively(new java.io.File(emptyDir))
     assert(failures.isEmpty, s"queries failing on empty input:\n${failures.mkString("\n")}")
   }
 }
