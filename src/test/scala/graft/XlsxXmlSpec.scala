@@ -109,6 +109,17 @@ class XlsxXmlSpec extends AnyFunSuite {
       """{"person": {"@id": "p1", "name": {"$": "Isaac"}, "child": [{"@rank": "0", "$": "Esau"}, {"@rank": "1", "$": "Jacob"}]}}""")
   }
 
+  test("xml to badgerfish: EMPTY document (no record elements) converts cleanly") {
+    // the shape an empty shard produces upstream — EmptyInputSpec
+    // excludes the source_xml queries because their fixture synthesis
+    // yields exactly this document; the CONVERTER itself must handle it
+    val json = XmlSource.toBadgerfishJson(
+      graft.sources.SyntheticDocs.xmlDoc("nations", "nation", Seq.empty))
+    assert(json == """{"nations": {}}""")
+    // and self-closed / whitespace-only elements stay well-formed too
+    assert(XmlSource.toBadgerfishJson("<nations/>") == """{"nations": {}}""")
+  }
+
   test("xml file with xinclude resolves into a struct DataFrame") {
     val d = Files.createTempDirectory(Paths.get("target"), "xmlsrc")
     Files.writeString(d.resolve("root.xml"),
