@@ -2721,22 +2721,30 @@ object SparkEntry {
     ("corpus_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // a NULL-text row rides along: size(split(NULL)) is NULL and the
+        // a NULL-text row rides along: octet_length(NULL) is NULL and the
         // operator's documented contract is NULL-packs-as-0 — the gate
-        // pins that path, it doesn't just trust the scaladoc
+        // pins that path, it doesn't just trust the scaladoc.
+        // n = UTF-8 BYTE length, not a regex token count: `\s` class
+        // membership (\x0B) and string_split_regex edge behavior vary
+        // across regex engines and DuckDB releases, while byte length is
+        // the same number everywhere — the operator under test packs
+        // counts, it doesn't care where they came from
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
-          .select(col("doc_id"),
-            size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
         Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8)
+          .orderBy(col("doc"))
       },
       // same rolling-hash stream routing + per-stream running sum over
       // ne = greatest(coalesce(n,0),0) — the operator's NULL/negative
-      // clamp; // is DuckDB integer division (Spark side uses `div`)
+      // clamp; // is DuckDB integer division (Spark side uses `div`);
+      // strlen = DuckDB byte length (octet_length only binds to BLOB);
+      // canonical ORDER BY on BOTH sides defuses any order-sensitive
+      // comparison downstream
       s"""WITH docs AS (SELECT doc_id, text FROM documents
          |              UNION ALL SELECT 99991, NULL),
          |d AS (SELECT doc_id,
-         |        greatest(COALESCE(CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT), 0), 0) AS ne
+         |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
          |      FROM docs),
          |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
          |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
@@ -2745,7 +2753,36 @@ object SparkEntry {
          |       start_offset // 256 AS seq_first,
          |       CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
          |            ELSE start_offset // 256 END AS seq_last
-         |FROM o""".stripMargin),
+         |FROM o ORDER BY doc""".stripMargin),
+
+    ("corpus_pack_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // operator edge matrix with LITERAL counts — no derived n at
+        // all, so no engine pair can disagree about the input: NULL and
+        // negative pack as 0 tokens (tape never rewinds), a doc exactly
+        // at capacity ends in its own window, capacity+1 straddles two,
+        // and a multi-window doc spans proportionally
+        val d = Seq(
+          (1L, Option(5L)), (2L, Option(0L)), (3L, Option.empty[Long]),
+          (4L, Option(-7L)), (5L, Option(256L)), (6L, Option(257L)),
+          (7L, Option(1L)), (8L, Option(1000L)), (9L, Option(255L)),
+          (10L, Option(512L))).toDF("doc_id", "n")
+        Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 3)
+          .orderBy(col("doc"))
+      },
+      s"""WITH v(doc_id, n) AS (VALUES (1, 5), (2, 0), (3, NULL), (4, -7),
+         |  (5, 256), (6, 257), (7, 1), (8, 1000), (9, 255), (10, 512)),
+         |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |        greatest(COALESCE(CAST(n AS BIGINT), 0), 0) AS ne FROM v),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 3 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
+         |SELECT doc_id AS doc, ne AS n_toks, stream, start_offset,
+         |       start_offset // 256 AS seq_first,
+         |       CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
+         |            ELSE start_offset // 256 END AS seq_last
+         |FROM o ORDER BY doc""".stripMargin),
 
     ("corpus_filter",
       (s: SparkSession, dir: String) =>

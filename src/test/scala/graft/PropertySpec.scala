@@ -192,4 +192,39 @@ class PropertySpec extends AnyFunSuite {
       a == b && math.abs(a - x) <= 5.0000001e-7
     })
   }
+
+  test("property: packSequences tape never rewinds, routing is growth-invariant, NULL/negative occupy zero tape") {
+    // counts mix NULLs, negatives, zeros, window-sized and multi-window
+    // values — the full clamp/straddle surface
+    val countGen = Gen.frequency(
+      2 -> Gen.const(Option.empty[Long]),
+      2 -> Gen.chooseNum(-500L, -1L).map(Option(_)),
+      1 -> Gen.const(Option(0L)),
+      5 -> Gen.chooseNum(1L, 700L).map(Option(_)))
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n =>
+      Gen.listOfN(n, countGen).map(_.zipWithIndex.map { case (c, i) => (i.toLong, c) }))
+    checkN(15, Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "n")
+      val out = graft.llm.Corpus.packSequences(df, "doc_id", "n", capacity = 64, nStreams = 4)
+        .select("doc", "n_toks", "stream", "start_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byStream = out.groupBy(_._3).values
+      // (a) per stream in id order the tape is contiguous and never
+      // rewinds: each start_offset = previous start + previous n_toks,
+      // so (c) a clamped NULL/negative doc (n_toks=0) occupies zero tape
+      val contiguous = byStream.forall { docs =>
+        docs.sortBy(_._1).foldLeft((true, 0L)) { case ((ok, pos), (_, n, _, off)) =>
+          (ok && off == pos && n >= 0, pos + n)
+        }._1
+      }
+      // (b) routing invariance: packing only the first half of the
+      // corpus assigns every shared doc the same stream
+      val half = rows.take(rows.size / 2)
+      val routed = graft.llm.Corpus.packSequences(
+          half.toDF("doc_id", "n"), "doc_id", "n", capacity = 64, nStreams = 4)
+        .select("doc", "stream").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = out.map(r => (r._1, r._3)).toMap
+      contiguous && routed.forall { case (d, s) => full(d) == s }
+    })
+  }
 }
