@@ -332,15 +332,18 @@ object SparkEntry {
     * [[Dedup.winnowFingerprints]]: same k-gram rolling hash, same
     * <=-fold tie rule, same short-doc exclusion).
     */
-  private def winnowCtes(k: Int, w: Int): String = {
+  private def winnowCtes(k: Int, w: Int, confirm: Boolean = false): String = {
     val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
       .mkString(" || ' ' || ")
+    // confirm adds the second independent hash (mult 137) the pair
+    // gate keys on; window-min selection stays on h alone either way
+    val h2Field = if (confirm) s",\n       |                            h2 := ${rhSql(s"($gram)", 137L)}" else ""
     s"""wt AS (SELECT doc_id AS doc,
        |         string_split_regex(lower(text), '\\s+') AS tk FROM documents),
        |wg AS (SELECT doc,
        |         list_transform(generate_series(1, len(tk) - ${k - 1}),
        |           i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
-       |                            h := ${rhSql(s"($gram)")})) AS gr
+       |                            h := ${rhSql(s"($gram)")}$h2Field)) AS gr
        |       FROM wt WHERE len(tk) >= $k),
        |wsel AS (SELECT doc,
        |           unnest(list_transform(generate_series(1, len(gr) - ${w - 1}),
@@ -2031,14 +2034,17 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 5, w = 4, minShared = 2L, maxOcc = Some(100L)),
-      s"""WITH ${winnowCtes(5, 4)},
-         |wdh AS (SELECT DISTINCT doc, f.h AS h FROM wsel),
-         |wok AS (SELECT h FROM (SELECT h, count(DISTINCT doc) AS nd
-         |                       FROM wdh GROUP BY h)
+      // stats/cap/join keyed on the (h, h2) hash pair, mirroring the
+      // Spark side's collision hardening
+      s"""WITH ${winnowCtes(5, 4, confirm = true)},
+         |wdh AS (SELECT DISTINCT doc, f.h AS h, f.h2 AS h2 FROM wsel),
+         |wok AS (SELECT h, h2 FROM (SELECT h, h2, count(DISTINCT doc) AS nd
+         |                           FROM wdh GROUP BY h, h2)
          |        WHERE nd > 1 AND nd <= 100),
-         |wc AS (SELECT doc, h FROM wdh WHERE h IN (SELECT h FROM wok))
+         |wc AS (SELECT w.doc, w.h, w.h2 FROM wdh w
+         |       JOIN wok o ON w.h = o.h AND w.h2 = o.h2)
          |SELECT a.doc AS d1, b.doc AS d2, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM wc a JOIN wc b ON a.h = b.h AND a.doc < b.doc
+         |FROM wc a JOIN wc b ON a.h = b.h AND a.h2 = b.h2 AND a.doc < b.doc
          |GROUP BY a.doc, b.doc HAVING count(*) >= 2""".stripMargin),
 
     ("dedup_ngram_jaccard",

@@ -730,32 +730,43 @@ object Dedup {
     * k-boundary.
     *
     * Output: (doc, pos, h), distinct per doc; `pos` is the selected
-    * gram's 0-based token offset.
+    * gram's 0-based token offset. With `confirmMult` set, a second
+    * independent rolling hash `h2` (that multiplier, same gram text)
+    * rides along — selection is still by `h` alone, so the selected
+    * set is identical; `h2` only disambiguates h-collisions for
+    * downstream keying ([[winnowPairs]]).
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, w: Int): DataFrame = {
+                         k: Int, w: Int,
+                         confirmMult: Option[Long] = None): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
-    val gramT = "array<struct<pos:bigint,h:bigint>>"
+    val gramT = confirmMult.fold("array<struct<pos:bigint,h:bigint>>")(_ =>
+      "array<struct<pos:bigint,h:bigint,h2:bigint>>")
     val toks = TextAnalysis.tokens(col(textCol))
+    def gram(i: Column) = {
+      val txt = array_join(slice(toks, i + 1, lit(k)), " ")
+      struct((Seq(i.cast("long").as("pos"),
+        graft.functions.RollingHash.hash(txt, 131L).as("h")) ++
+        confirmMult.map(m => graft.functions.RollingHash.hash(txt, m).as("h2"))): _*)
+    }
     val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => struct(i.cast("long").as("pos"),
-          graft.functions.RollingHash.hash(
-            array_join(slice(toks, i + 1, lit(k)), " "), 131L).as("h"))))
+      transform(sequence(lit(0), size(toks) - k), gram(_)))
       .otherwise(array().cast(gramT))
     // per window: fold to the rightmost minimal hash (<= keeps later
     // elements on ties); init is (pos=-1, h=MaxValue) so the first
     // element always replaces it
+    val zero = struct((Seq(lit(-1L).as("pos"), lit(Long.MaxValue).as("h")) ++
+      confirmMult.map(_ => lit(0L).as("h2"))): _*)
     val sel = when(size(col("gr")) >= w,
       transform(sequence(lit(0), size(col("gr")) - w),
-        j => aggregate(slice(col("gr"), j + 1, lit(w)),
-          struct(lit(-1L).as("pos"), lit(Long.MaxValue).as("h")),
+        j => aggregate(slice(col("gr"), j + 1, lit(w)), zero,
           (acc, g) => when(g.getField("h") <= acc.getField("h"), g).otherwise(acc))))
       .otherwise(array().cast(gramT))
-    graft.Partitioning.spread(df)
+    val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), grams.as("gr"))
       .select(col("doc"), explode(array_distinct(sel)).as("f"))
-      .select(col("doc"), col("f.pos").as("pos"), col("f.h").as("h"))
+    base.select((Seq(col("doc"), col("f.pos").as("pos"), col("f.h").as("h")) ++
+      confirmMult.map(_ => col("f.h2").as("h2"))): _*)
   }
 
   /** Candidate near-dup pairs from shared winnowing fingerprints: docs
@@ -769,6 +780,16 @@ object Dedup {
     * stats + both join sides), hashes shared by more than `maxOcc` docs
     * are dropped before the pair join (boilerplate flood cap — the
     * skew guard), and `d1 < d2` rides IN the join condition.
+    *
+    * All keying — flood stats, cap, pair join — is on the PAIR of
+    * independent rolling hashes (h: mult 131, h2: mult 137) over the
+    * same gram text: in the single ~2^30 h space a >maxOcc boilerplate
+    * fingerprint colliding with a real passage fingerprint would merge
+    * their doc counts and silently drop every pair that depended on it
+    * (certain at corpus-scale gram counts — the same failure mode
+    * [[duplicateSpans]] keys out with (h, text)). Grams collide here
+    * only when BOTH hashes collide (~2^-60) — text itself never
+    * crosses an exchange, the winnow storage bound stays intact.
     * Output: (d1, d2, n_shared).
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
@@ -776,18 +797,19 @@ object Dedup {
                   maxOcc: Option[Long] = Some(100L),
                   materialize: Boolean = true): DataFrame = {
     require(minShared > 0, "minShared must be positive")
-    val fp0 = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("doc"), col("h")).distinct()
+    val fp0 = winnowFingerprints(df, idCol, textCol, k, w, confirmMult = Some(137L))
+      .select(col("doc"), col("h"), col("h2")).distinct()
     val fp = if (materialize) fp0.localCheckpoint() else fp0
-    // fp is already distinct on (doc, h): a plain count gives the doc
-    // count per hash without the distinct-aggregate's Expand phases
-    val ok = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    // fp is already distinct on (doc, h, h2): a plain count gives the
+    // doc count per hash pair without the distinct-aggregate's Expand
+    val ok = fp.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1 && maxOcc.map(col("nd") <= _).getOrElse(lit(true)))
-      .select(col("h"))
-    val cand = fp.join(ok, Seq("h"), "left_semi")
-    val l = cand.select(col("h"), col("doc").as("d1"))
-    val r = cand.select(col("h").as("h2"), col("doc").as("d2"))
-    l.join(r, col("h") === col("h2") && col("d1") < col("d2"))
+      .select(col("h"), col("h2"))
+    val cand = fp.join(ok, Seq("h", "h2"), "left_semi")
+    val l = cand.select(col("h"), col("h2"), col("doc").as("d1"))
+    val r = cand.select(col("h").as("rh"), col("h2").as("rh2"), col("doc").as("d2"))
+    l.join(r, col("h") === col("rh") && col("h2") === col("rh2")
+        && col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
