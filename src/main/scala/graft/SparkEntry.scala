@@ -1660,7 +1660,7 @@ object SparkEntry {
           .select(col("n_nationkey").cast("long").as("id"),
             format_string("<n k=\"%d\"><nm>%s</nm></n>",
               col("n_nationkey").cast("long"), col("n_name")).as("x"))
-        graft.sources.Xslt.pipeline(xml, "id", "x", Seq(reshape, toText), outCol = "piped")
+        graft.sources.Xslt.pipeline(xml, "x", Seq(reshape, toText), outCol = "piped")
           .select(substring_index(col("piped"), "|", 1).as("nm"),
             substring_index(col("piped"), "|", -1).cast("bigint").as("id"))
       },

@@ -6,8 +6,9 @@ import javax.xml.XMLConstants
 import javax.xml.transform.{Templates, TransformerFactory}
 import javax.xml.transform.stream.{StreamResult, StreamSource}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** S5: the XSLT pipeline (reference: src/main/index.js:87-126).
   *
@@ -70,26 +71,34 @@ object Xslt {
     }
 
   /** Distributed S5: transform an XML column through the stylesheet
-    * chain, keyed by a long id. Narrow per-partition map — no shuffle,
-    * no driver round-trip; the chain travels in the task closure and
-    * compiles once per executor. NULL documents pass through as NULL
-    * (matching every other string function in the engine); malformed XML
-    * fails the task — the reference propagates parse errors too
-    * (index.js:92-95), and silently nulling them would hide corruption.
+    * chain. Contract matches the sibling per-document operators
+    * (stripHtml, scriptProfile): every input column is PRESERVED and
+    * the transformed document is APPENDED as `outCol` — no re-join on
+    * an id, so duplicate or null keys cannot make the result lossy.
+    * Narrow per-partition Row map — no shuffle, no driver round-trip;
+    * the chain travels in the task closure and compiles once per
+    * executor. NULL documents pass through as NULL (matching every
+    * other string function in the engine); malformed XML fails the
+    * task — the reference propagates parse errors too (index.js:92-95),
+    * and silently nulling them would hide corruption.
     */
-  def pipeline(df: DataFrame, idCol: String, xmlCol: String,
+  def pipeline(df: DataFrame, xmlCol: String,
                stylesheets: Seq[String], outCol: String = "xml"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in ${df.columns.mkString("[", ",", "]")}")
     val chain = stylesheets.toList
-    // Option[Long], not Long: a primitive encoder NPEs on NULL ids
-    // (left-join products, dirty crawls) — null keys must ride through
-    // like every other row, not kill the job
-    df.select(col(idCol).cast("long"), col(xmlCol).cast("string"))
-      .as[(Option[Long], String)]
-      .mapPartitions(_.map { case (id, xml) =>
-        (id, if (xml == null) null else applyChain(xml, chain))
-      })
-      .toDF(idCol, outCol)
+    // a temp string-cast column rides last so the mapper never guesses
+    // the source type; it is dropped from the emitted row
+    val src = df.withColumn("_xslt_in", col(xmlCol).cast("string"))
+    val idx = src.schema.length - 1
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(outCol, StringType, nullable = true))
+    src.mapPartitions { it =>
+      it.map { r =>
+        val xml = if (r.isNullAt(idx)) null else r.getString(idx)
+        val out = if (xml == null) null else applyChain(xml, chain)
+        Row.fromSeq(r.toSeq.dropRight(1) :+ out)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -368,15 +368,28 @@ object EventStream {
         var n = 0
         toks.sliding(2).foreach { w =>
           val (a, b) = (w(0), w(1))
-          sum += (bcB.value.get((a, b)) match {
-            case Some(cab) => math.log(cab.toDouble / bcU.value(a).toDouble)
-            case None => math.log(0.4) +
-              math.log((bcU.value.getOrElse(b, 0L) + 1).toDouble / (t + v).toDouble)
-          })
-          n += 1
+          bcB.value.get((a, b)) match {
+            case Some(cab) =>
+              // batch mirror for an inconsistent model (bigram present,
+              // its first token absent from unigrams): the batch join
+              // makes that term a NULL log-prob which avg() SKIPS —
+              // skip it here too instead of throwing mid-stream
+              bcU.value.get(a).foreach { ca =>
+                sum += math.log(cab.toDouble / ca.toDouble)
+                n += 1
+              }
+            case None =>
+              sum += math.log(0.4) +
+                math.log((bcU.value.getOrElse(b, 0L) + 1).toDouble / (t + v).toDouble)
+              n += 1
+          }
         }
-        val ppl = graft.Num.r6(-(sum / n))
-        ScoredDoc(d.doc_id, Some(ppl), ppl <= maxScore)
+        // every term skipped == batch avg() over all NULLs == no score
+        if (n == 0) ScoredDoc(d.doc_id, None, keep = false)
+        else {
+          val ppl = graft.Num.r6(-(sum / n))
+          ScoredDoc(d.doc_id, Some(ppl), ppl <= maxScore)
+        }
       }
     }
   }

@@ -329,6 +329,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == streamed.filter(_._2._2).keySet)
   }
 
+  test("streaming perplexity survives an inconsistent model like the batch scorer (skip, not throw)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{DocText, ScoredDoc}
+    // hand-built BROKEN model: bigram (ghost, town) exists but 'ghost'
+    // is absent from the unigram table — the batch join yields a NULL
+    // log-prob for that term and avg() skips it; the stream must do
+    // the same instead of dying on a map lookup
+    val bg = Seq(("ghost", "town", 3L), ("the", "end", 2L)).toDF("a", "b", "cab")
+    val uni = Seq(("the", 5L), ("town", 2L), ("end", 2L)).toDF("b", "cb")
+    val docs = Seq(
+      DocText(1L, "ghost town the end"), // one skipped term + LM/backoff terms
+      DocText(2L, "ghost town"))         // ONLY the skipped term -> no score
+    val mem = MemoryStream[DocText]
+    val q = EventStream.perplexityStream(mem.toDS(), bg, uni, maxScore = 10.0)
+      .writeStream.format("memory").queryName("ppl_broken_model_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      spark.table("ppl_broken_model_test").as[ScoredDoc].collect()
+        .map(d => d.doc_id -> ((d.ppl, d.keep))).toMap
+    } finally q.stop()
+    val batch = graft.llm.Corpus.perplexityScore(
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", bg, uni)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed(1L)._1 == batch(1L) && streamed(1L)._1.isDefined)
+    // all terms skipped: batch emits a NULL score, stream emits none + reject
+    assert(batch(2L).isEmpty && streamed(2L) == ((None, false)))
+  }
+
   test("streaming sequence packing equals the batch operator under ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

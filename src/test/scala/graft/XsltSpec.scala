@@ -52,22 +52,30 @@ class XsltSpec extends AnyFunSuite {
     val df = Seq((1L, Some("<n k=\"1\"><nm>FRANCE</nm></n>")),
       (2L, Some("<n k=\"2\"><nm>PERU</nm></n>")),
       (3L, None)).toDF("id", "x")
-    val out = Xslt.pipeline(df, "id", "x", Seq(lower, toText), outCol = "t")
+    val out = Xslt.pipeline(df, "x", Seq(lower, toText), outCol = "t")
       .orderBy("id").collect()
-    assert(out.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+    // contract: every input column preserved, outCol appended
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "x", "t"))
+    assert(out.map(r => (r.getLong(0), Option(r.getAs[String]("t")))).toSeq ==
       Seq((1L, Some("france|1")), (2L, Some("peru|2")), (3L, None)))
   }
 
   test("pipeline: NULL id rides through instead of killing the job") {
     val df = Seq((Option.empty[Long], "<n k=\"9\"><nm>KENYA</nm></n>"))
       .toDF("id", "x")
-    val out = Xslt.pipeline(df, "id", "x", Seq(lower, toText), outCol = "t").collect()
-    assert(out.length == 1 && out.head.isNullAt(0) && out.head.getString(1) == "kenya|9")
+    val out = Xslt.pipeline(df, "x", Seq(lower, toText), outCol = "t").collect()
+    assert(out.length == 1 && out.head.isNullAt(0) &&
+      out.head.getAs[String]("t") == "kenya|9")
+  }
+
+  test("pipeline: colliding output column name is rejected up front") {
+    val df = Seq((1L, "<n/>")).toDF("id", "x")
+    intercept[IllegalArgumentException] { Xslt.pipeline(df, "x", Nil, outCol = "x") }
   }
 
   test("pipeline plan is a narrow map — no exchange") {
     val df = Seq((1L, "<n k=\"1\"><nm>A</nm></n>")).toDF("id", "x")
-    val plan = Xslt.pipeline(df, "id", "x", Seq(lower)).queryExecution.executedPlan
+    val plan = Xslt.pipeline(df, "x", Seq(lower)).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
