@@ -1965,27 +1965,16 @@ object SparkEntry {
 
     ("dedup_duplicate_spans",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        // fixture pins every edge of the span semantics: shifted
-        // whole-doc copies (one maximal span per pair at diag -3),
-        // the same 10-token passage at TWO alignments in one doc
-        // (= two spans, never merged), a 120-doc boilerplate window
-        // (> maxOcc=100 -> flood-capped, zero pairs), a doc shorter
-        // than k (no windows) and a NULL text (no rows, no NPE)
+        // the CORE operator over real data: raw documents plus shifted
+        // whole-doc copies of every 10th doc (one maximal span per pair
+        // at diag -3, derived from the table — not fixture synthesis).
+        // The fixture edge battery lives in dedup_duplicate_spans_edges
+        // so this query benches the operator, not the fixtures
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val shifted = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"),
             concat(lit("spanprefix pad pad "), col("text")).as("text"))
-        val fixtures = Seq(
-          (90001L, Some("alpha beta gamma delta epsilon zeta eta theta iota kappa")),
-          (90002L, Some("one two three alpha beta gamma delta epsilon zeta eta theta" +
-            " iota kappa four five alpha beta gamma delta epsilon zeta eta theta iota kappa")),
-          (90003L, Some("short doc")),
-          (90004L, Option.empty[String])).toDF("doc_id", "text")
-        val flood = s.range(120).select((col("id") + 80000).as("doc_id"),
-          lit("common header boilerplate shared across many docs exactly").as("text"))
-        Dedup.duplicateSpans(d.union(shifted).union(fixtures).union(flood),
-          "doc_id", "text", k = 8)
+        Dedup.duplicateSpans(d.union(shifted), "doc_id", "text", k = 8)
       },
       // windows via zipped unnests (generate_series positions are
       // 0-based to match Spark's posexplode); dup restriction groups
@@ -1996,8 +1985,48 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000, 'spanprefix pad pad ' || text
-        |    FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL SELECT 90001, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS tk
+        |         FROM docs WHERE text IS NOT NULL),
+        |wins AS (SELECT doc,
+        |           unnest(generate_series(0, len(tk) - 8)) AS pos,
+        |           unnest(list_transform(generate_series(0, len(tk) - 8),
+        |                    i -> array_to_string(tk[i + 1:i + 8], ' '))) AS w
+        |         FROM toks WHERE len(tk) >= 8),
+        |stats AS (SELECT w, count(DISTINCT doc) AS nd, count(*) AS n FROM wins GROUP BY w),
+        |cand AS (SELECT doc, pos, w FROM wins
+        |         WHERE w IN (SELECT w FROM stats WHERE nd > 1 AND n <= 100)),
+        |hits AS (SELECT a.doc AS d1, a.pos AS p1, b.doc AS d2, b.pos AS p2,
+        |                a.pos - b.pos AS diag
+        |         FROM cand a JOIN cand b ON a.w = b.w AND a.doc < b.doc),
+        |isl AS (SELECT d1, d2, diag, p1, p2,
+        |               p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS g
+        |        FROM hits)
+        |SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1, CAST(min(p2) AS BIGINT) AS start2,
+        |       CAST(count(*) + 7 AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY d1, d2, diag, g""".stripMargin),
+
+    ("dedup_duplicate_spans_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // edge battery over a 124-row INLINE relation (sub-second by
+        // construction): the same 10-token passage at TWO alignments in
+        // one doc (= two spans at distinct diagonals, never merged), a
+        // 120-doc boilerplate window (> maxOcc=100 -> flood-capped,
+        // zero pairs), a doc shorter than k (no windows) and a NULL
+        // text (no rows, no NPE)
+        val fixtures = Seq(
+          (90001L, Some("alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+          (90002L, Some("one two three alpha beta gamma delta epsilon zeta eta theta" +
+            " iota kappa four five alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+          (90003L, Some("short doc")),
+          (90004L, Option.empty[String])).toDF("doc_id", "text")
+        val flood = s.range(120).select((col("id") + 80000).as("doc_id"),
+          lit("common header boilerplate shared across many docs exactly").as("text"))
+        Dedup.duplicateSpans(fixtures.union(flood), "doc_id", "text", k = 8)
+      },
+      """WITH docs AS (
+        |  SELECT 90001 AS doc_id, 'alpha beta gamma delta epsilon zeta eta theta iota kappa' AS text
         |  UNION ALL SELECT 90002, 'one two three alpha beta gamma delta epsilon zeta eta theta iota kappa four five alpha beta gamma delta epsilon zeta eta theta iota kappa'
         |  UNION ALL SELECT 90003, 'short doc'
         |  UNION ALL SELECT 90004, NULL
