@@ -2526,16 +2526,33 @@ object SparkEntry {
         // individually oracle-gated elsewhere; this query pins their
         // COMPOSITION — join order, gate precedence, and the fact that
         // one DAG can express the whole admission path
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val (bg, uni) = Corpus.bigramLm(docs.filter(col("doc_id") % 10 === 0),
-          "text", topM = 100)
-        val admitted = Corpus.trainingFilterNearDup(docs, "doc_id", "text",
+        // ONE corpus scan feeds every token consumer: the relation is
+        // spread (BEFORE the checkpoint — spread's scan-metadata gate
+        // no-ops on in-memory plans), tokenized once, and materialized;
+        // near-dup shingling, decontamination 8-grams, the bigram LM
+        // and perplexity scoring all read the shared `tk` column
+        // instead of re-scanning + re-tokenizing per stage (at 100 TB:
+        // N-1 corpus scans saved)
+        // the materialization is corpus-sized: localCheckpoint is the
+        // local-mode stand-in for cluster storage (persist DISK / a
+        // staged write) — same disclosed policy as the minhash family's
+        // shingleRelation
+        val toked = graft.Partitioning.spread(
+            t(s, dir, "documents").select(col("doc_id"), col("text")))
+          .withColumn("tk", graft.llm.TextAnalysis.tokens(col("text")))
+          .localCheckpoint()
+        val (bg, uni) = Corpus.bigramLm(toked.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100, tokensCol = Some("tk"))
+        val admitted = Corpus.trainingFilterNearDup(toked, "doc_id", "text",
           minQuality = 0.5, lang = "en",
-          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
-        val clean = Corpus.decontaminate(docs,
-          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 8)
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20),
+          tokensCol = Some("tk"))
+        val clean = Corpus.decontaminate(toked,
+          toked.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 8,
+          tokensCol = Some("tk"))
           .filter(col("keep")).select(col("doc").as("doc_id"))
-        val scores = Corpus.perplexityScore(docs, "doc_id", "text", bg, uni)
+        val scores = Corpus.perplexityScore(toked, "doc_id", "text", bg, uni,
+          tokensCol = Some("tk"))
         admitted.join(clean, Seq("doc_id"), "left_semi")
           .join(scores, Seq("doc_id"))
           .filter(col("ppl") <= 4.2)

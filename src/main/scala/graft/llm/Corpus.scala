@@ -59,11 +59,13 @@ object Corpus {
                             minQuality: Double, lang: String,
                             n: Int, k: Int, rowsPerBand: Int,
                             threshold: Double,
-                            maxDocFreq: Option[Long]): DataFrame = {
+                            maxDocFreq: Option[Long],
+                            tokensCol: Option[String] = None): DataFrame = {
     val spread = graft.Partitioning.spread(df)
     val pairs = Dedup.minhashLsh(spread, idCol, textCol, n, k, rowsPerBand,
-      threshold, maxDocFreq)
-    trainingFilterNearDup(spread, idCol, textCol, minQuality, lang, pairs)
+      threshold, maxDocFreq, tokensCol = tokensCol)
+    trainingFilterNearDup(spread, idCol, textCol, minQuality, lang, pairs,
+      tokensCol)
   }
 
   /** Precomputed-pairs variant of [[trainingFilterNearDup]]: a real
@@ -73,13 +75,23 @@ object Corpus {
     * filter, instead of re-running shingling + signatures per consumer.
     * `pairs` must have columns (d1, d2) keyed by `idCol` values.
     */
+  // tokensCol is non-default here: Scala forbids default arguments on
+  // more than one overload, and the composed entry point above is the
+  // common call site
   def trainingFilterNearDup(df: DataFrame, idCol: String, textCol: String,
                             minQuality: Double, lang: String,
-                            pairs: DataFrame): DataFrame = {
+                            pairs: DataFrame): DataFrame =
+    trainingFilterNearDup(df, idCol, textCol, minQuality, lang, pairs, None)
+
+  def trainingFilterNearDup(df: DataFrame, idCol: String, textCol: String,
+                            minQuality: Double, lang: String,
+                            pairs: DataFrame,
+                            tokensCol: Option[String]): DataFrame = {
     val spread = graft.Partitioning.spread(df)
     val clusters = Dedup.clusterAssignments(spread, idCol, pairs)
       .withColumnRenamed("doc", idCol)
-    val scored = TextAnalysis.langId(TextAnalysis.quality(spread, textCol), textCol)
+    val scored = TextAnalysis.langId(
+      TextAnalysis.quality(spread, textCol, tokensCol), textCol, tokensCol)
     scored.join(clusters, Seq(idCol))
       .filter(col("is_canonical")
         && col("lang_pred") === lang && col("quality_score") >= minQuality)
@@ -132,10 +144,16 @@ object Corpus {
     * AQE broadcasts in the common low-contamination case.
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
-                    textCol: String, n: Int, minHits: Long = 1L): DataFrame = {
+                    textCol: String, n: Int, minHits: Long = 1L,
+                    tokensCol: Option[String] = None): DataFrame = {
     require(n > 0 && minHits > 0, "n and minHits must be positive")
-    val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n)
-    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
+    // tokensCol (a precomputed TextAnalysis.tokens column) must be
+    // present in BOTH relations when set — the usual caller derives
+    // evalSet as a slice of the same tokenized corpus relation
+    val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n,
+      tokensCol = tokensCol)
+    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n,
+        tokensCol = tokensCol)
       .select(col("h")).distinct()
     val hits = trainSh.join(broadcast(evalH), Seq("h"))
       .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
@@ -198,8 +216,9 @@ object Corpus {
     * the prune. The 100 TB corpus is never touched here.
     */
   def bigramLm(ref: DataFrame, textCol: String,
-               topM: Int): (DataFrame, DataFrame) = {
-    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+               topM: Int, tokensCol: Option[String] = None): (DataFrame, DataFrame) = {
+    val toks = filter(tokensCol.map(col).getOrElse(
+      TextAnalysis.tokens(col(textCol))), t => t =!= "")
     val pairs = graft.Partitioning.spread(ref.filter(col(textCol).isNotNull))
       .select(toks.as("tk"))
     val bigrams = pairs.filter(size(col("tk")) >= 2)
@@ -234,8 +253,10 @@ object Corpus {
     * vocab| rows.
     */
   def perplexityScore(corpus: DataFrame, idCol: String, textCol: String,
-                      bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
-    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+                      bigrams: DataFrame, unigrams: DataFrame,
+                      tokensCol: Option[String] = None): DataFrame = {
+    val toks = filter(tokensCol.map(col).getOrElse(
+      TextAnalysis.tokens(col(textCol))), t => t =!= "")
     val totals = unigrams.agg(sum(col("cb")).as("t"), count(lit(1)).as("v"))
     val pairs = graft.Partitioning.spread(corpus.filter(col(textCol).isNotNull))
       .select(col(idCol), toks.as("tk"))

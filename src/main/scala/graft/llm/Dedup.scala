@@ -113,13 +113,20 @@ object Dedup {
     * verification over hashed shingles is the standard MinHash
     * formulation (the signature is already hash-based); the oracle
     * mirrors the identical hash, so parity is exact.
+    *
+    * `tokensCol` names a PRECOMPUTED tokens column (the
+    * [[TextAnalysis.tokens]] expression, materialized once by a caller
+    * composing several token consumers over one corpus scan) — when
+    * set, tokenization is skipped here and the column is used as-is.
     */
   def docShinglesHashed(df: DataFrame, idCol: String, textCol: String, n: Int,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
+                        maxDocFreq: Option[Long] = None,
+                        tokensCol: Option[String] = None): DataFrame = {
+    val toks = tokensCol.map(col).getOrElse(TextAnalysis.tokens(col(textCol)))
     val base = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"),
         explode(array_distinct(transform(
-          shingles(TextAnalysis.tokens(col(textCol)), n),
+          shingles(toks, n),
           s => graft.functions.RollingHash.hash(s, 131L)))).as("h"))
     maxDocFreq match {
       case None => base
@@ -259,10 +266,11 @@ object Dedup {
                  k: Int, rowsPerBand: Int, threshold: Double,
                  maxDocFreq: Option[Long] = None,
                  maxBandFreq: Option[Long] = None,
-                 materializeShingles: Boolean = true): DataFrame = {
+                 materializeShingles: Boolean = true,
+                 tokensCol: Option[String] = None): DataFrame = {
     // the minhash family works over HASHED shingles end-to-end
     // ([[docShinglesHashed]]): every exchange below carries longs
-    val ds0 = docShinglesHashed(df, idCol, textCol, n, maxDocFreq)
+    val ds0 = docShinglesHashed(df, idCol, textCol, n, maxDocFreq, tokensCol)
     val ds = if (materializeShingles) ds0.localCheckpoint() else ds0
     val bandsAll = bandKeys(ds, k, rowsPerBand)
     val bands = maxBandFreq match {

@@ -42,9 +42,10 @@ object TextAnalysis {
     * composite score. Ratios rounded to 6 decimals so results hash-match
     * a DuckDB oracle despite float formatting differences.
     */
-  def quality(df: DataFrame, textCol: String): DataFrame = {
+  def quality(df: DataFrame, textCol: String,
+              tokensCol: Option[String] = None): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    val toks = tokensCol.map(col).getOrElse(tokens(t))
     val nTok = size(toks)
     val stop = typedLit(stopwordsEn)
     df.withColumn("n_chars_calc", length(t))
@@ -74,8 +75,9 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "es", "con", "para"),
     "zh" -> Seq("的", "是", "和", "在", "了", "有"))
 
-  def langId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  def langId(df: DataFrame, textCol: String,
+             tokensCol: Option[String] = None): DataFrame = {
+    val toks = tokensCol.map(col).getOrElse(tokens(col(textCol)))
     val scored = langMarkers.foldLeft(df) { case (d, (lang, words)) =>
       d.withColumn(s"score_$lang",
         size(filter(toks, tk => array_contains(typedLit(words), tk))))

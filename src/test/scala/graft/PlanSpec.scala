@@ -94,6 +94,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("corpus_admission_full")
     assert(!p.contains("CartesianProduct"), "capstone must stay bucketed/broadcast")
     assert(p.contains("LeftSemi"), "decontamination gate must be a semi join")
+    // ONE corpus scan: the shared spread+tokenized relation is
+    // materialized up front, so the composed DAG's executed plan must
+    // contain no documents.parquet file scan at all — every token
+    // consumer reads the materialized relation
+    assert(!p.contains("documents.parquet"),
+      s"stages must read the shared tokenized relation, not re-scan the corpus:\n${p.take(800)}")
   }
 
   test("q2/q9/q11 partsupp shapes: dims broadcast, no cartesian") {
