@@ -228,9 +228,9 @@ object SparkEntry {
   /** DuckDB SQL for [[Similarity.hyperplaneBucket]] over normalized vector
     * `v` (dims 0-based: `i-1`).
     */
-  private def bucketSql(v: String, nPlanes: Int): String =
+  private def bucketSql(v: String, nPlanes: Int, firstPlane: Int = 0): String =
     (0 until nPlanes).map { p =>
-      val comp = s"(((($p * 4096 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+      val comp = s"((((${firstPlane + p} * 4096 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
       s"CASE WHEN list_reduce(list_transform($v, (x, i) -> x * $comp), (p_, q_) -> p_ + q_) >= 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
@@ -2235,6 +2235,33 @@ object SparkEntry {
            |bk AS (SELECT id, v, ${bucketSql("v", 8)} AS bucket FROM nv),
            |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
            |       FROM bk c JOIN bk q ON c.bucket = q.bucket AND q.id < 20 AND c.id <> q.id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
+    ("similarity_topk_mlsh",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        // multi-table (OR-amplified) LSH path: small tables keep the
+        // gate cheap — this pins the cross-table candidate UNION,
+        // dedup, and rank parity; retrieval-quality floors live in
+        // AnnRecallSpec at the measured configs
+        Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 2, nTables = 3)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |bks AS (SELECT id, v, 0 AS tbl, ${bucketSql("v", 2, 0)} AS bucket FROM nv
+           |  UNION ALL SELECT id, v, 1, ${bucketSql("v", 2, 2)} FROM nv
+           |  UNION ALL SELECT id, v, 2, ${bucketSql("v", 2, 4)} FROM nv),
+           |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
+           |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |         WHERE q.id < 20 AND c.id <> q.id),
+           |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+           |       FROM cand JOIN nv c ON c.id = cand.nn_id
+           |                 JOIN nv q ON q.id = cand.query_id)
            |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
            |WHERE rank <= 5""".stripMargin

@@ -21,11 +21,16 @@ import org.apache.spark.sql.{Column, GraftBridge}
   * one fused primitive loop inside whole-stage codegen. Numerics are
   * IDENTICAL (ascending-dimension sequential sum from 0.0 per plane).
   */
-case class HyperplaneBucket(child: Expression, nPlanes: Int)
+/** `firstPlane` offsets the plane index: table t of a multi-table
+  * (OR-amplified) LSH uses planes [t*nPlanes, (t+1)*nPlanes) so the
+  * tables hash with INDEPENDENT hyperplanes while sharing one
+  * deterministic plane family.
+  */
+case class HyperplaneBucket(child: Expression, nPlanes: Int, firstPlane: Int = 0)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if nPlanes >= 1 && nPlanes <= 62 =>
+    case ArrayType(DoubleType, _) if nPlanes >= 1 && nPlanes <= 62 && firstPlane >= 0 =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
       s"graft_hyperplane_bucket nPlanes must be in [1,62], got $nPlanes")
@@ -46,7 +51,7 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val seed = (p.toLong * 4096L + i) * 1103515245L + 12345L
+        val seed = ((firstPlane + p).toLong * 4096L + i) * 1103515245L + 12345L
         acc += v.getDouble(i) * ((seed % 2147483648L).toDouble / 2147483648.0d - 0.5d)
         i += 1
       }
@@ -74,7 +79,7 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $seed = ((long) $p * 4096L + $i) * 1103515245L + 12345L;
+         |    long $seed = ((long) ($firstPlane + $p) * 4096L + $i) * 1103515245L + 12345L;
          |    $acc += $v.getDouble($i) * (((double) ($seed % 2147483648L)) / 2147483648.0D - 0.5D);
          |  }
          |  if ($acc >= 0) $bucket |= (1L << $p);
@@ -88,6 +93,6 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
 }
 
 object HyperplaneBucket {
-  def bucket(v: Column, nPlanes: Int): Column =
-    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(v), nPlanes))
+  def bucket(v: Column, nPlanes: Int, firstPlane: Int = 0): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(v), nPlanes, firstPlane))
 }

@@ -97,15 +97,15 @@ object Similarity {
     * [[hyperplaneBucketHof]] is the reference formulation it must match
     * bit-for-bit).
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
-    graft.functions.HyperplaneBucket.bucket(v, nPlanes)
+  def hyperplaneBucket(v: Column, nPlanes: Int, firstPlane: Int = 0): Column =
+    graft.functions.HyperplaneBucket.bucket(v, nPlanes, firstPlane)
 
   /** HOF reference formulation of [[hyperplaneBucket]]. */
-  def hyperplaneBucketHof(v: Column, nPlanes: Int): Column =
+  def hyperplaneBucketHof(v: Column, nPlanes: Int, firstPlane: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i.cast("long"))),
+          (x, i) => x * planeComponent(firstPlane + p, i.cast("long"))),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -374,16 +374,51 @@ object Similarity {
     topKMerge(scored, k, salts)
   }
 
+  /** `nTables > 1` switches on OR-amplified multi-table LSH (the
+    * classic Indyk–Motwani recall amplification): each table hashes
+    * with its own independent `nPlanes` hyperplanes (table t uses
+    * planes [t*nPlanes, (t+1)*nPlanes)), candidates are the UNION of
+    * same-bucket matches across tables, and a candidate found by
+    * several tables is deduplicated before the rank. Recall per true
+    * neighbor rises from p^b to 1-(1-p^b)^L while each table's bucket
+    * stays selective — the standard answer when one table's recall is
+    * data-limited (see AnnRecallSpec for the measured floors).
+    *
+    * Scale shape: the corpus side explodes nTables narrow bucket keys
+    * per vector (no shuffle); queries stay broadcast; the only new
+    * exchange is the candidate dedup, keyed on (query, candidate)
+    * pairs — candidate-sized, never corpus-sized.
+    */
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nPlanes: Int = 8, nSalts: Int = 0): DataFrame = {
-    val c = graft.Partitioning.spread(corpus)
+              k: Int, nPlanes: Int = 8, nSalts: Int = 0,
+              nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "nTables must be positive")
+    val c0 = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-      .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
-    val q = q0.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(scored, k, salts)
+    if (nTables == 1) {
+      val c = c0.withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
+      val q = q0.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("nn_id") =!= col("query_id"))
+        .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+      topKMerge(scored, k, salts)
+    } else {
+      def tabled(df: DataFrame, v: String) = df.select(col("*"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("tbl"),
+            hyperplaneBucket(col(v), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
+        .select(df.columns.map(col) :+ col("tb.tbl").as("tbl")
+          :+ col("tb.bucket").as("bucket"): _*)
+      val matched = tabled(c0, "cv").join(broadcast(tabled(q0, "qv")),
+          Seq("tbl", "bucket"))
+        .filter(col("nn_id") =!= col("query_id"))
+        .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+      // same pair found by several tables: identical score by
+      // construction, so max() is pure dedup (pair-keyed exchange)
+      val scored = matched.groupBy(col("query_id"), col("nn_id"))
+        .agg(max(col("score")).as("score"))
+      topKMerge(scored, k, salts)
+    }
   }
 }

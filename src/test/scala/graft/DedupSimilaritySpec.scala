@@ -200,13 +200,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val vecs = (0L until 100L).map(i =>
       (i, Array.tabulate(16)(d => math.sin(i * 2.3 + d * 1.1))))
     val df = vecs.toDF("id", "v")
-    for (nPlanes <- Seq(1, 8, 16)) {
+    for (nPlanes <- Seq(1, 8, 16); firstPlane <- Seq(0, 2, 24)) {
       val mismatches = df.select(
-        Similarity.hyperplaneBucket(col("v"), nPlanes).as("native"),
-        Similarity.hyperplaneBucketHof(col("v"), nPlanes).as("hof"))
+        Similarity.hyperplaneBucket(col("v"), nPlanes, firstPlane).as("native"),
+        Similarity.hyperplaneBucketHof(col("v"), nPlanes, firstPlane).as("hof"))
         .filter(col("native") =!= col("hof")).count()
-      assert(mismatches == 0, s"nPlanes=$nPlanes")
+      assert(mismatches == 0, s"nPlanes=$nPlanes firstPlane=$firstPlane")
     }
+    // offset tables must hash with genuinely different planes: the
+    // multi-table union is amplification only if tables disagree
+    val distinctBuckets = df.select(
+      Similarity.hyperplaneBucket(col("v"), 2, 0).as("t0"),
+      Similarity.hyperplaneBucket(col("v"), 2, 2).as("t1"))
+      .filter(col("t0") =!= col("t1")).count()
+    assert(distinctBuckets > 0, "offset plane families collapsed to the same hash")
   }
 
   test("native centroid argmax agrees bit-for-bit with the HOF struct-max formulation") {
