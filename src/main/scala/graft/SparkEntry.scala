@@ -2967,6 +2967,27 @@ object SparkEntry {
          |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
          |FROM d""".stripMargin),
 
+    ("multimodal_decode_gif",
+      (s: SparkSession, dir: String) => {
+        // REAL GIFs (JDK-native codec). The synthetic raster has at
+        // most two distinct colors, so the palette-indexed encode is
+        // LOSSLESS and the gate covers the decoded raster mean exactly,
+        // like PNG — a fake-decoder fall-through would read the 'GI'
+        // magic as w=71, h=73, never 1..7 x 1..5
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachGifPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"),
+            col("mean_byte").as("mean_pixel"))
+      },
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         |             doc_id % 251 AS g,
+         |             doc_id % 251 + (2 * doc_id) % 251 + (3 * doc_id) % 251 AS c0
+         |           FROM documents WHERE doc_id <= 30)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
+         |FROM d""".stripMargin),
+
     ("multimodal_decode_jpeg",
       (s: SparkSession, dir: String) => {
         // REAL JPEGs (JDK-native codec) round-tripped through ImageIO.

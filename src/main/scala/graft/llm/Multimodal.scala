@@ -48,7 +48,7 @@ object Multimodal {
     rows.map { r =>
       val bytes = r.payload
       if (r.format != null && r.format.startsWith("image/") && bytes != null
-          && (isPng(bytes) || isBmp(bytes) || isJpeg(bytes))) {
+          && (isPng(bytes) || isBmp(bytes) || isJpeg(bytes) || isGif(bytes))) {
         // a corrupt/truncated payload throws inside the codec (EOF etc.)
         // or returns null — either way fall back to the fake features
         // instead of killing the scan task: at corpus scale one bad blob
@@ -118,6 +118,10 @@ object Multimodal {
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length > 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  // "GIF8" covers both GIF87a and GIF89a signatures
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
 
   /** Deterministic fake decode for formats without a codec in this
     * container: (width, height) from the first two bytes and a mean over
@@ -200,6 +204,15 @@ object Multimodal {
     */
   def attachJpegPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
     attachImagePayload(spark, df, idCol, "jpg", "image/jpeg")
+
+  /** GIF variant — the JDK ships a native GIF codec. GIF is
+    * PALETTE-indexed (<=256 colors): the synthetic fixtures use at most
+    * two distinct colors, so the JDK writer's palette holds them
+    * exactly and the raster round-trips losslessly, letting the gate
+    * cover the decoded mean like PNG/BMP.
+    */
+  def attachGifPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    attachImagePayload(spark, df, idCol, "gif", "image/gif")
 
   /** Partition-batched feature extraction over the payload column: the
     * Scala analogue of `mapInPandas` — one decode call per partition batch,

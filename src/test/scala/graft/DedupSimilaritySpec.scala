@@ -175,6 +175,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("real GIF payloads decode through ImageIO losslessly (palette holds the two fixture colors)") {
+    import Multimodal._
+    val gif = encodeImage(syntheticImage(9L), "gif")
+    assert(gif.length > 6 && gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8')
+    // id=9: w=3, h=5, gray g=9, pixel(0,0)=(9,18,27) ->
+    // mean = (3*9*14 + 54) / 45 = 9.6 EXACT — GIF is palette-indexed
+    // and both fixture colors fit the palette, so unlike JPEG the
+    // raster round-trips byte-exact; the FAKE path would read the
+    // 'GI' magic as w=71, h=73
+    val f = decodeMedia(Iterator(MediaRow(9L, gif, "image/gif"))).next()
+    assert(f.width == 3 && f.height == 5)
+    assert(f.mean_byte == graft.Num.r6((3.0 * 9 * 14 + 54) / 45.0),
+      s"GIF raster must round-trip exactly, got ${f.mean_byte}")
+    // distributed round-trip over executors
+    val spark2 = spark
+    import spark2.implicits._
+    val out = extractFeatures(spark,
+      attachGifPayload(spark, (0L until 20L).toDF("doc_id"), "doc_id"))
+      .collect().map(x => x.id -> x).toMap
+    assert(out.size == 20)
+    for (id <- 0L until 20L) {
+      assert(out(id).width == (1 + id % 7).toInt && out(id).height == (1 + id % 5).toInt)
+      assert(out(id).n_bytes > 0)
+    }
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
