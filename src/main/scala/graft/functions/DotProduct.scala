@@ -90,16 +90,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
       (children: Seq[Expression]) => {
-        require(children.size == 2,
-          s"graft_hyperplane_bucket(vector, nPlanes) takes 2 arguments, got ${children.size}")
-        require(children(1).foldable,
-          "graft_hyperplane_bucket nPlanes must be an integer literal (it shapes the plan)")
-        HyperplaneBucket(children.head, children(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_hyperplane_bucket nPlanes must be an integer literal, got $other")
-        })
+        require(children.size == 2 || children.size == 3,
+          s"graft_hyperplane_bucket(vector, nPlanes[, firstPlane]) takes 2-3 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = {
+          require(e.foldable,
+            s"graft_hyperplane_bucket $name must be an integer literal (it shapes the plan)")
+          e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_hyperplane_bucket $name must be an integer literal, got $other")
+          }
+        }
+        HyperplaneBucket(children.head, intLit(children(1), "nPlanes"),
+          if (children.size == 3) intLit(children(2), "firstPlane") else 0)
       }))
   }
 }

@@ -86,6 +86,8 @@ object Xslt {
                stylesheets: Seq[String], outCol: String = "xml"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists in ${df.columns.mkString("[", ",", "]")}")
+    require(!df.columns.contains("_xslt_in"),
+      "column name '_xslt_in' is reserved by Xslt.pipeline")
     val chain = stylesheets.toList
     // a temp string-cast column rides last so the mapper never guesses
     // the source type; it is dropped from the emitted row

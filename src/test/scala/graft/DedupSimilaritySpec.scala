@@ -208,6 +208,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val expected = Seq(Array(0.5, -0.2)).toDF("v")
       .select(Similarity.hyperplaneBucketHof(col("v"), 8)).collect().head.getLong(0)
     assert(r == expected)
+    // 3-arg form selects an offset plane family (multi-table LSH)
+    val r2 = spark.sql(
+      "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 2, 4) AS b")
+      .collect().head.getLong(0)
+    val expected2 = Seq(Array(0.5, -0.2)).toDF("v")
+      .select(Similarity.hyperplaneBucketHof(col("v"), 2, 4)).collect().head.getLong(0)
+    assert(r2 == expected2)
   }
 
   test("minhashLsh band-frequency cap suppresses identical-doc floods") {

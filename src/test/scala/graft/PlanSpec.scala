@@ -32,8 +32,10 @@ class PlanSpec extends AnyFunSuite {
       "dedup_incremental_neardup", "events_asof_bucketed",
       "corpus_domain_cap", "text_repetition", "corpus_stratified_sample",
       "multimodal_decode_png", "dedup_winnow", "dedup_winnow_pairs",
-      "dedup_duplicate_spans", "text_strip_html", "text_script_profile",
-      "events_funnel")) {
+      "dedup_duplicate_spans", "dedup_duplicate_spans_edges",
+      "text_strip_html", "text_script_profile",
+      "events_funnel", "similarity_topk_mlsh", "multimodal_decode_gif",
+      "corpus_pack_edges")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
