@@ -214,9 +214,18 @@ object Corpus {
     * Scale shape: two partial-aggregated shuffles over the REFERENCE
     * only (bigram count, unigram count) + one TakeOrderedAndProject for
     * the prune. The 100 TB corpus is never touched here.
+    *
+    * Both tables are MATERIALIZED before return (localCheckpoint —
+    * the local-mode stand-in for a staged write, same policy as the
+    * minhash family's shingle relation): they are bounded by
+    * construction (topM + |ref vocab| rows) and every consumer
+    * broadcasts them, so without materialization each broadcast —
+    * [[perplexityScore]] alone takes four — re-runs the reference
+    * aggregation. Pass `materialize = false` to keep them lazy.
     */
   def bigramLm(ref: DataFrame, textCol: String,
-               topM: Int, tokensCol: Option[String] = None): (DataFrame, DataFrame) = {
+               topM: Int, tokensCol: Option[String] = None,
+               materialize: Boolean = true): (DataFrame, DataFrame) = {
     val toks = filter(tokensCol.map(col).getOrElse(
       TextAnalysis.tokens(col(textCol))), t => t =!= "")
     val pairs = graft.Partitioning.spread(ref.filter(col(textCol).isNotNull))
@@ -231,7 +240,8 @@ object Corpus {
       .limit(topM)
     val unigrams = pairs.select(explode(col("tk")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    (bigrams, unigrams)
+    if (materialize) (bigrams.localCheckpoint(), unigrams.localCheckpoint())
+    else (bigrams, unigrams)
   }
 
   /** CCNet-style perplexity scoring: the document-quality signal is how

@@ -474,8 +474,15 @@ object Dedup {
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("label", col("node")).localCheckpoint()
+    // iteration 1 fused into initialization: with identity labels the
+    // first round's neighbor-min is exactly groupBy(src).min(dst) over
+    // the bidirectional edge list (which also enumerates every node),
+    // so labels start one propagation round in — one shuffle replaces
+    // the distinct-nodes checkpoint PLUS the first loop round
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
