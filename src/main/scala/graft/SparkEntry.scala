@@ -2797,6 +2797,43 @@ object SparkEntry {
          |SELECT doc_id, source, bucket, weight_ppm FROM m
          |WHERE ${rhSql("CAST(doc_id AS VARCHAR)")} % 1000000 < weight_ppm""".stripMargin),
 
+    ("corpus_mix_temperature",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the sources in testdata are uniform, so the gate synthesizes a
+        // SKEWED domain from doc_id: k = floor((sqrt(8*(doc_id%45)+1)-1)/2)
+        // gives domains s0..s8 with per-45-block counts 1..9 — integer
+        // sqrt inputs whose boundary cases (8j+1 a perfect square) are
+        // IEEE-exact in both engines. A NULL-domain fixture row pins the
+        // documented exclusion path (unattributed rows have no mixture
+        // cell). tau=0.5 upweights the small domains; nTarget=200 is
+        // selective at the verify SF and above
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("s"),
+            floor((sqrt(((col("doc_id") % 45) * 8 + 1).cast("double")) - lit(1.0))
+              / lit(2.0)).cast("int").cast("string")).as("mix_domain"))
+          .union(Seq((99993L, Option.empty[String])).toDF("doc_id", "mix_domain"))
+        Corpus.temperatureSample(base, "doc_id", "mix_domain",
+          tau = 0.5, nTarget = 200L)
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, 's' || CAST(CAST(FLOOR((sqrt(CAST((doc_id % 45) * 8 + 1 AS DOUBLE)) - 1) / 2) AS INT) AS VARCHAR) AS mix_domain
+         |  FROM documents
+         |  UNION ALL SELECT 99993, NULL),
+         |attr AS (SELECT * FROM base WHERE mix_domain IS NOT NULL),
+         |counts AS (SELECT mix_domain, CAST(count(*) AS BIGINT) AS c
+         |           FROM attr GROUP BY mix_domain),
+         |tot AS (SELECT sum(pow(c, 0.5)) AS t FROM counts),
+         |quotas AS (SELECT mix_domain,
+         |             least(c, CAST(floor(${Num.r6Sql("200.0 * " + Num.r6Sql("pow(c, 0.5) / t"))}) AS BIGINT)) AS quota
+         |           FROM counts, tot),
+         |ranked AS (SELECT a.doc_id, a.mix_domain, q.quota,
+         |             row_number() OVER (PARTITION BY a.mix_domain
+         |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
+         |           FROM attr a JOIN quotas q USING (mix_domain))
+         |SELECT doc_id, mix_domain, quota, rank_in_mix
+         |FROM ranked WHERE rank_in_mix <= quota""".stripMargin),
+
     ("corpus_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -408,6 +408,64 @@ object Corpus {
       .drop("_w_source", "_w_bucket", "_w_ppm")
   }
 
+  /** Temperature-based mixture sampling — the multilingual/source
+    * rebalancing step of a pretraining mix (XLM-R, Conneau et al. 2020
+    * §3.1; mT5): the admission quota of domain d is proportional to
+    * c_d^tau, so tau = 1 keeps the natural distribution and tau → 0
+    * flattens it toward uniform, upweighting low-resource domains. Per
+    * domain the quota is `min(c_d, floor(nTarget * c_d^tau / Σ c^tau))`
+    * (never oversample past the domain's own size) and the quota
+    * smallest docs by (rollingHash(id), id) are admitted —
+    * deterministic, reproducible membership, same hash-admission
+    * discipline as [[mixWeightedSample]]. Shares (via [[graft.Num.r6]])
+    * float rounding on both the share and the scaled quota so the
+    * floor lands identically in any engine.
+    *
+    * Rows with a NULL domain are EXCLUDED: a mixture rebalance is
+    * defined over attributed sources only (contrast [[domainCap]],
+    * where a parse-miss must not discard — here an unattributed row
+    * has no mixture cell to draw from, the same reason
+    * [[mixWeightedSample]]'s weight table forbids null keys).
+    *
+    * Scale shape: one partial-aggregated count per domain (domain
+    * cardinality, join strategy left to AQE — same argument as the
+    * n-gram size relation) + a one-row broadcast normalizer; admission
+    * ranks run as the SALTED two-stage row_number of [[domainCap]], so
+    * a crawler-trap domain never sorts through one task. Output:
+    * admitted rows as (id, domain, quota, rank_in_mix).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        tau: Double, nTarget: Long,
+                        nSalts: Int = 16): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(nTarget > 0 && nSalts > 0, "nTarget and nSalts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Partitioning.spread(df).filter(col(domainCol).isNotNull)
+    val counts = d.groupBy(col(domainCol).as("_t_dom"))
+      .agg(count(lit(1)).as("_t_c"))
+    val tot = counts.agg(sum(pow(col("_t_c"), lit(tau))).as("_t_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("_t_share",
+        graft.Num.r6(pow(col("_t_c"), lit(tau)) / col("_t_tot")))
+      .select(col("_t_dom"),
+        least(col("_t_c"),
+          floor(graft.Num.r6(lit(nTarget.toDouble) * col("_t_share")))
+            .cast("long")).as("quota"))
+    val withQ = d.join(quotas, col(domainCol) === col("_t_dom"))
+      .drop("_t_dom")
+      .withColumn("_h", TextAnalysis.rollingHash(col(idCol).cast("string")))
+    val salted = withQ.withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
+    val w1 = Window.partitionBy(col(domainCol), col("_salt"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    val partial = salted.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= col("quota")).drop("_r", "_salt")
+    val w2 = Window.partitionBy(col(domainCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    partial.withColumn("rank_in_mix", row_number().over(w2))
+      .filter(col("rank_in_mix") <= col("quota"))
+      .select(col(idCol), col(domainCol), col("quota"), col("rank_in_mix"))
+  }
+
   /** Sequence packing — the batch-construction step between a cleaned
     * corpus and the training loop: documents are concatenated and the
     * token stream is CHUNKED into fixed-`capacity` context windows

@@ -181,6 +181,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(half == out.filter { case (id, _) => id <= 100 })
   }
 
+  test("temperatureSample: tau=1 keeps proportions, lower tau flattens, nulls excluded") {
+    import graft.llm.Corpus
+    // skewed mixture: 300 docs of a, 30 of b, 3 of c (+ a null-domain row)
+    val docs = ((1L to 300L).map(i => (i, Option("a")))
+      ++ (301L to 330L).map(i => (i, Option("b")))
+      ++ (331L to 333L).map(i => (i, Option("c")))
+      ++ Seq((999L, Option.empty[String]))).toDF("id", "dom")
+    def quotas(tau: Double) =
+      Corpus.temperatureSample(docs, "id", "dom", tau, nTarget = 100L)
+        .groupBy("dom").agg(max("quota").as("q"), count(lit(1)).as("admitted"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val t1 = quotas(1.0)
+    // tau=1: natural proportions — floor(100 * c/333), capped at c
+    assert(t1("a")._1 == 90L && t1("b")._1 == 9L)
+    // admitted count equals the quota exactly (rank filter is exact)
+    assert(t1.forall { case (_, (q, adm)) => q == adm })
+    val t5 = quotas(0.5)
+    // lower tau flattens: the dominant domain gives up share to the tail
+    assert(t5("a")._1 < t1("a")._1 && t5("b")._1 > t1("b")._1)
+    // never oversample past the domain's own size
+    assert(t5("c")._1 <= 3L)
+    // the null-domain row is excluded, not admitted under some pseudo-key
+    val all = Corpus.temperatureSample(docs, "id", "dom", 0.5, 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!all.contains(999L))
+    // admission is deterministic: same inputs, same membership
+    assert(all == Corpus.temperatureSample(docs, "id", "dom", 0.5, 100L)
+      .select("id").collect().map(_.getLong(0)).toSet)
+    // invalid tau / nTarget are rejected up front
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(docs, "id", "dom", 0.0, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(docs, "id", "dom", 0.5, 0L)
+    }
+  }
+
   test("canonicalizeUrl collapses case/port/tracking/fragment noise; urlDedup keeps min id") {
     import graft.llm.Corpus
     val io = Seq(

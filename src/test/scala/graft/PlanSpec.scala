@@ -266,6 +266,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort ") || !p.contains("global=true"), "no global sort")
   }
 
+  test("temperatureSample: 1-row normalizer broadcasts; rank windows are salted, never global") {
+    val p = plan("corpus_mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row pow-sum normalizer must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // both rank stages partition their windows (domain+salt, then domain)
+    // — a global window would serialize the corpus through one task
+    // WindowExec renders as `Window [exprs], [partitionSpec], [orderSpec]`
+    // — an empty partitionSpec (global window) would show as `, [], [`
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty && windows.forall(!_.contains(", [], [")),
+      s"rank windows must be partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("decontaminate: eval-hash probe broadcasts; no cartesian") {
     val p = plan("corpus_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
