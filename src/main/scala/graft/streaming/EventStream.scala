@@ -262,31 +262,71 @@ object EventStream {
     * StreamingSpec.
     */
   def quotaStream(docs: Dataset[DocEvent], maxPerDomain: Int): Dataset[Admitted] = {
-    import docs.sparkSession.implicits._
     require(maxPerDomain > 0, "maxPerDomain must be positive")
+    quotaStreamImpl(docs, _ => maxPerDomain, byId = true)
+  }
+
+  /** Per-domain-quota variant — the crawl-ingest twin of
+    * [[graft.llm.Corpus.temperatureSample]]: a PLANNING pass computes
+    * each domain's admission quota (e.g. `temperatureSample`'s quota
+    * column over yesterday's corpus snapshot), and the stream admits
+    * first-arrival against those quotas. The quota table is
+    * mixture-plan-sized (domain cardinality of the plan, not the
+    * stream) — the same bounded-by-construction argument as the
+    * decontamination gate's broadcast hash set. Domains absent from
+    * the plan fall to `defaultQuota` (0 = drop unplanned domains, the
+    * safe default for a curated mixture).
+    *
+    * Within a micro-batch a domain's docs admit in
+    * (rollingHash(doc_id), doc_id) order — the SAME admission key the
+    * batch operator ranks on, so under per-domain hash-ordered
+    * delivery the admitted set and ranks equal the batch run's
+    * (asserted in StreamingSpec); the id-ordered sibling above keeps
+    * doc_id order to match [[graft.llm.Corpus.domainCap]].
+    */
+  def quotaStream(docs: Dataset[DocEvent], quotas: Map[String, Int],
+                  defaultQuota: Int): Dataset[Admitted] = {
+    require(defaultQuota >= 0, "defaultQuota must be non-negative")
+    require(quotas.values.forall(_ >= 0), "every quota must be non-negative")
+    quotaStreamImpl(docs, quotas.getOrElse(_, defaultQuota), byId = false)
+  }
+
+  private def quotaStreamImpl(docs: Dataset[DocEvent], quotaOf: String => Int,
+                              byId: Boolean): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    // admission key: doc_id for the domainCap twin, (rollingHash, id)
+    // for the temperatureSample twin — both total orders
+    def key(id: Long): (Long, Long) =
+      if (byId) (id, id)
+      else (graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString), 131L), id)
     docs
       .groupByKey(_.domain)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (domain: String, it: Iterator[DocEvent], state: GroupState[QuotaState]) =>
           val n0 = state.getOption.map(_.n).getOrElse(0)
-          val room = maxPerDomain - n0
+          val room = quotaOf(domain) - n0
           if (room <= 0) {
             it.foreach(_ => ()) // drain; quota already exhausted
             Iterator.empty
           } else {
-            // bounded selection of the `room` smallest ids: a size-capped
-            // max-heap, NOT a buffer-and-sort of the whole group — a
-            // crawler-trap domain can deliver millions of docs in one
-            // micro-batch and this operator's contract is O(maxPerDomain)
-            // memory, never O(batch)
-            val heap = new scala.collection.mutable.PriorityQueue[Long]()(Ordering.Long)
+            // bounded selection of the `room` smallest admission keys: a
+            // size-capped max-heap, NOT a buffer-and-sort of the whole
+            // group — a crawler-trap domain can deliver millions of docs
+            // in one micro-batch and this operator's contract is
+            // O(quota) memory, never O(batch)
+            val heap = new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.Tuple2[Long, Long])
             it.foreach { d =>
-              if (heap.size < room) heap.enqueue(d.doc_id)
-              else if (d.doc_id < heap.head) { heap.dequeue(); heap.enqueue(d.doc_id) }
+              val k = key(d.doc_id)
+              if (heap.size < room) heap.enqueue(k)
+              else if (Ordering.Tuple2[Long, Long].lt(k, heap.head)) {
+                heap.dequeue(); heap.enqueue(k)
+              }
             }
-            val admitted = heap.dequeueAll.reverse // ascending ids
+            val admitted = heap.dequeueAll.reverse // ascending admission keys
             state.update(QuotaState(n0 + admitted.size))
-            admitted.iterator.zipWithIndex.map { case (id, i) =>
+            admitted.iterator.zipWithIndex.map { case ((_, id), i) =>
               Admitted(id, domain, n0 + i + 1)
             }
           }

@@ -145,6 +145,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map { case (id, (_, rk)) => id -> rk } == batch)
   }
 
+  test("streaming per-domain quotas equal batch temperatureSample under hash-ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Admitted, DocEvent}
+
+    // skewed mixture: 20 docs of a, 6 of b, 2 of c
+    val docs = ((1L to 20L).map(DocEvent(_, "a"))
+      ++ (21L to 26L).map(DocEvent(_, "b"))
+      ++ (27L to 28L).map(DocEvent(_, "c"))).toList
+
+    // the PLANNING pass: batch temperatureSample over the same corpus
+    val batchDf = docs.map(d => (d.doc_id, d.domain)).toDF("id", "dom")
+    val batch = graft.llm.Corpus.temperatureSample(batchDf, "id", "dom",
+      tau = 0.5, nTarget = 10L).collect()
+    val quotas = batch.map(r => r.getString(1) -> r.getLong(2).toInt).toMap
+    val batchRanks = batch.map(r => r.getLong(0) -> r.getInt(3)).toMap
+
+    // delivery in per-domain (rollingHash, id) order — the admission key
+    def h(id: Long) = graft.functions.RollingHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString), 131L)
+    val ordered = docs.sortBy(d => (h(d.doc_id), d.doc_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+
+    val mem = MemoryStream[DocEvent]
+    val q = EventStream.quotaStream(mem.toDS(), quotas, defaultQuota = 0)
+      .writeStream.format("memory").queryName("tquota_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("tquota_stream_test").as[Admitted].collect()
+        .map(a => a.doc_id -> a.rank_in_domain).toMap
+    } finally q.stop()
+
+    // same admitted set, same ranks as the batch planning pass
+    assert(streamed == batchRanks)
+    // a domain absent from the plan is dropped by defaultQuota = 0
+    val mem2 = MemoryStream[DocEvent]
+    val q2 = EventStream.quotaStream(mem2.toDS(), Map("a" -> 1), defaultQuota = 0)
+      .writeStream.format("memory").queryName("tquota_stream_default")
+      .outputMode("append").start()
+    val s2 = try {
+      mem2.addData(DocEvent(1L, "a"), DocEvent(2L, "zzz")); q2.processAllAvailable()
+      spark.table("tquota_stream_default").as[Admitted].collect().map(_.doc_id).toSet
+    } finally q2.stop()
+    assert(s2 == Set(1L))
+  }
+
   test("streaming url dedup equals batch urlDedup keepers under ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
