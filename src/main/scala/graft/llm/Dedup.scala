@@ -303,15 +303,39 @@ object Dedup {
   private def jaccardVerify(ds: DataFrame, cand: DataFrame, c1: String,
                             c2: String, threshold: Double,
                             ordered: Boolean): DataFrame = {
-    val dsA = ds.join(cand.select(col(c1).as("doc")).distinct(),
-      Seq("doc"), "left_semi").select(col("doc").as(c1), col("h"))
-    val dsB = ds.join(cand.select(col(c2).as("doc")).distinct(),
-      Seq("doc"), "left_semi").select(col("doc").as(c2), col("h"))
-    // set sizes come from the ALREADY-candidate-restricted relations
-    // (they hold every shingle of their docs) — never a corpus-wide
+    // set sizes come from ALREADY-candidate-restricted relations (they
+    // hold every shingle of their docs) — never a corpus-wide
     // aggregation for a candidate-sized answer
-    val sz1 = dsA.groupBy(col(c1)).agg(count(lit(1)).as("sz1"))
-    val sz2 = dsB.groupBy(col(c2)).agg(count(lit(1)).as("sz2"))
+    val (dsA, dsB, sz1, sz2) =
+      if (ordered) {
+        // batch self-join: both pair sides draw from ONE id space, so
+        // restrict the shingle relation ONCE over the union of candidate
+        // docs — the two join inputs and the two size relations are then
+        // IDENTICAL subtrees (one semi-join, one aggregation, exchanges
+        // reused), where per-side restriction would compute each twice.
+        // The c1<c2 filter plus the pair semi-join below prune the extra
+        // same-side rows this admits into the h-join
+        val candDocs = cand.select(col(c1).as("doc"))
+          .union(cand.select(col(c2).as("doc"))).distinct()
+        val dsC = ds.join(candDocs, Seq("doc"), "left_semi")
+        val sizes = dsC.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+        (dsC.select(col("doc").as(c1), col("h")),
+          dsC.select(col("doc").as(c2), col("h")),
+          sizes.select(col("doc").as(c1), col("sz").as("sz1")),
+          sizes.select(col("doc").as(c2), col("sz").as("sz2")))
+      } else {
+        // cross-side (incremental ingest): the id spaces are DISJOINT —
+        // a shared union relation would send both sides' shingles
+        // through the h-join and quadruple its input for pairs that can
+        // never verify; keep the per-side restriction instead
+        val a = ds.join(cand.select(col(c1).as("doc")).distinct(),
+          Seq("doc"), "left_semi").select(col("doc").as(c1), col("h"))
+        val b = ds.join(cand.select(col(c2).as("doc")).distinct(),
+          Seq("doc"), "left_semi").select(col("doc").as(c2), col("h"))
+        (a, b,
+          a.groupBy(col(c1)).agg(count(lit(1)).as("sz1")),
+          b.groupBy(col(c2)).agg(count(lit(1)).as("sz2")))
+      }
     val joined = dsA.join(dsB, Seq("h"))
     val inter = (if (ordered) joined.filter(col(c1) < col(c2)) else joined)
       .join(cand, Seq(c1, c2), "left_semi")
