@@ -227,4 +227,50 @@ class PropertySpec extends AnyFunSuite {
       contiguous && routed.forall { case (d, s) => full(d) == s }
     })
   }
+
+  test("property: temperatureSample quotas respect the budget, the cap, and tau monotonicity") {
+    // random skewed mixtures: 2-5 domains with counts spanning two
+    // orders of magnitude
+    val domGen = Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 120)))
+    checkN(8, Prop.forAll(domGen, Gen.chooseNum(5L, 80L)) { (counts, nTarget) =>
+      val docs = counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (d * 1000L + i, s"d$d"))
+      }.toDF("id", "dom")
+      def quotasAt(tau: Double): Map[String, Long] =
+        graft.llm.Corpus.temperatureSample(docs, "id", "dom", tau, nTarget)
+          .groupBy("dom").agg(max("quota").as("q"), count(lit(1)).as("adm"))
+          .collect().map { r =>
+            // admitted rows per domain always equal the domain's quota
+            assert(r.getLong(1) == r.getLong(2), "admitted != quota")
+            r.getString(0) -> r.getLong(1)
+          }.toMap
+      val t1 = quotasAt(1.0)
+      val t4 = quotasAt(0.4)
+      val byDom = counts.zipWithIndex.map { case (c, d) => s"d$d" -> c.toLong }.toMap
+      // (a) never oversample a domain past its own size; (b) the floor
+      // keeps the total within the budget (+1 per domain for the r6
+      // half-ulp rounding of each share)
+      val capped = (t1 ++ t4).forall { case (d, q) => q <= byDom(d) }
+      val budget = t1.values.sum <= nTarget + t1.size && t4.values.sum <= nTarget + t4.size
+      // (c) flattening: under the smaller tau, the (strictly) largest
+      // domain never gains UNCAPPED share and the smallest never loses
+      // quota — skip when ties make "largest" ambiguous
+      val maxC = byDom.values.max
+      val minC = byDom.values.min
+      val mono =
+        if (byDom.values.count(_ == maxC) > 1 || byDom.values.count(_ == minC) > 1) true
+        else {
+          val big = byDom.find(_._2 == maxC).get._1
+          val small = byDom.find(_._2 == minC).get._1
+          t4.getOrElse(big, 0L) <= t1.getOrElse(big, 0L) ||
+            t1.getOrElse(big, 0L) == byDom(big) // cap already binding at tau=1
+        } && {
+          val small = byDom.find(_._2 == minC).get._1
+          t4.getOrElse(small, 0L) >= t1.getOrElse(small, 0L) ||
+            t4.getOrElse(small, 0L) == byDom(small)
+        }
+      capped && budget && mono
+    })
+  }
 }
