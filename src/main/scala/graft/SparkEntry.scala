@@ -2900,6 +2900,43 @@ object SparkEntry {
          |            ELSE start_offset // 256 END AS seq_last
          |FROM o ORDER BY doc""".stripMargin),
 
+    ("corpus_pack_segments",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the writer view over the same pack plumbing as corpus_pack
+        // (byte-length counts, NULL fixture row — which must vanish
+        // here: zero-token docs occupy no window); integer-only
+        // arithmetic, canonical ORDER BY on both sides
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.packedSegments(
+          Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8),
+          capacity = 256)
+          .orderBy(col("doc"), col("seq"))
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
+         |      FROM docs),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st),
+         |p AS (SELECT doc_id AS doc, ne AS n_toks, stream,
+         |        CAST(start_offset AS BIGINT) AS start_offset,
+         |        CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |        CAST((start_offset + ne - 1) // 256 AS BIGINT) AS seq_last
+         |      FROM o WHERE ne > 0),
+         |seg AS (SELECT stream, unnest(generate_series(seq_first, seq_last)) AS seq,
+         |          doc, start_offset, n_toks
+         |        FROM p)
+         |SELECT stream, seq, doc,
+         |       greatest(0, start_offset - seq * 256) AS seg_off,
+         |       least((seq + 1) * 256, start_offset + n_toks)
+         |         - greatest(seq * 256, start_offset) AS seg_len
+         |FROM seg ORDER BY doc, seq""".stripMargin),
+
     ("corpus_filter",
       (s: SparkSession, dir: String) =>
         Corpus.trainingFilter(t(s, dir, "documents"), "doc_id", "text",

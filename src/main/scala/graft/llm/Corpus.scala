@@ -505,6 +505,34 @@ object Corpus {
           .otherwise(expr(s"start_offset div $capacity")).as("seq_last"))
   }
 
+  /** Sequence-segment view over [[packSequences]] output — the view a
+    * training-batch WRITER consumes: one row per (sequence, doc slice),
+    * saying which token range of each context window comes from which
+    * document. A doc spanning windows contributes one segment per
+    * window it touches; `seg_off` is the segment's start INSIDE its
+    * window, `seg_len` its token count, so per (stream, seq) the
+    * segments tile the window without gaps or overlap (asserted in
+    * CorpusSpec) and a writer can emit attention-mask boundaries
+    * directly. Zero-token docs (NULL/negative clamps) occupy no tape
+    * and appear in no window.
+    *
+    * Scale shape: a narrow explode of each doc's seq_first..seq_last
+    * range plus integer arithmetic — no shuffle beyond what
+    * [[packSequences]] already did; window membership never re-sorts
+    * the tape.
+    */
+  def packedSegments(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    packed.filter(col("n_toks") > 0)
+      .select(col("doc"), col("stream"), col("start_offset"), col("n_toks"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("stream"), col("seq"), col("doc"),
+        greatest(lit(0L), col("start_offset") - col("seq") * capacity)
+          .as("seg_off"),
+        (least((col("seq") + 1) * capacity, col("start_offset") + col("n_toks"))
+          - greatest(col("seq") * capacity, col("start_offset"))).as("seg_len"))
+  }
+
   /** Per-domain admission cap — the web-corpus balance rule ("no single
     * site dominates the training mix"): keep at most `maxPerDomain`
     * documents per URL domain, admitted in deterministic id order.

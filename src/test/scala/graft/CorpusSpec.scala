@@ -218,6 +218,41 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("packedSegments tiles every window exactly and conserves doc tokens") {
+    import graft.llm.Corpus
+    val docs = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, Option.empty[Long]),
+      (4L, Option(300L)), (5L, Option(64L)), (6L, Option(64L)), (7L, Option(513L)),
+      (8L, Option(-3L)), (9L, Option(1L))).toDF("doc_id", "n")
+    val packed = Corpus.packSequences(docs, "doc_id", "n", capacity = 64, nStreams = 2)
+    val segs = Corpus.packedSegments(packed, capacity = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // zero-token docs (0 / NULL / negative) appear in no window
+    assert(!segs.exists(s => Set(2L, 3L, 8L)(s._3)))
+    // per doc, segment lengths conserve the doc's token count
+    val packedN = packed.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._3).foreach { case (doc, ss) =>
+      assert(ss.map(_._5).sum == packedN(doc), s"doc $doc")
+    }
+    // per (stream, window): segments start at 0, tile contiguously with
+    // no overlap, and fill to capacity except the stream's last window
+    val byWin = segs.groupBy(s => (s._1, s._2))
+    byWin.foreach { case ((stream, seq), ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"window ($stream,$seq) does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4,
+          s"gap/overlap in window ($stream,$seq)")
+        case _ =>
+      }
+      val fill = sorted.map(_._5).sum
+      val lastSeq = segs.filter(_._1 == stream).map(_._2).max
+      assert(if (seq == lastSeq) fill <= 64L else fill == 64L,
+        s"window ($stream,$seq) fill=$fill")
+    }
+  }
+
   test("canonicalizeUrl collapses case/port/tracking/fragment noise; urlDedup keeps min id") {
     import graft.llm.Corpus
     val io = Seq(
