@@ -2514,6 +2514,26 @@ object SparkEntry {
          |       COALESCE(n_hits, 0) < 1 AS keep
          |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
 
+    ("corpus_decontaminate_report",
+      (s: SparkSession, dir: String) => {
+        // attribution view over the same %37 benchmark slice as the
+        // gate; minShared=2 so the report carries evidence-grade pairs
+        // (a single shared 8-gram can be coincidence; two begins to
+        // look like leakage). Every eval doc attributes to itself with
+        // its full distinct-8-gram count — the self-pair is the
+        // sanity row that proves the counting is complete
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Corpus.decontaminateReport(docs, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8, minShared = 2L)
+      },
+      s"""WITH ${tokenShingleCte(8, "documents")},
+         |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+         |ev AS (SELECT doc AS eval_doc, h FROM h0 WHERE doc % 37 = 0)
+         |SELECT ev.eval_doc, h0.doc AS train_doc,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM h0 JOIN ev USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
     ("corpus_gopher",
       (s: SparkSession, dir: String) =>
         Corpus.gopherFilter(t(s, dir, "documents"), "doc_id", "text"),

@@ -164,6 +164,38 @@ object Corpus {
         (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
   }
 
+  /** Contamination ATTRIBUTION report — the auditor view behind
+    * [[decontaminate]]: for each (benchmark doc, training doc) pair
+    * sharing at least `minShared` distinct word n-grams, the shared
+    * count. `decontaminate` answers "is this training doc clean?";
+    * this answers "WHICH benchmark leaked into it, and how hard" —
+    * the evidence table an eval-integrity review actually reads
+    * (GPT-3 appendix C publishes exactly this per-benchmark overlap
+    * accounting).
+    *
+    * Scale shape: identical to the gate — both sides reduce to hashed
+    * n-grams, the benchmark side is benchmark-sized and BROADCASTS,
+    * and the only exchange is the (eval_doc, train_doc) count
+    * aggregation, which is contaminated-pairs-sized. Output:
+    * (eval_doc, train_doc, n_shared).
+    */
+  def decontaminateReport(train: DataFrame, evalSet: DataFrame, idCol: String,
+                          textCol: String, n: Int, minShared: Long = 1L,
+                          tokensCol: Option[String] = None): DataFrame = {
+    require(n > 0 && minShared > 0, "n and minShared must be positive")
+    val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n,
+      tokensCol = tokensCol)
+    // docShinglesHashed is already distinct per (doc, h), so each
+    // shared n-gram counts once per pair
+    val evalSh = Dedup.docShinglesHashed(evalSet, idCol, textCol, n,
+        tokensCol = tokensCol)
+      .select(col("doc").as("eval_doc"), col("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("eval_doc"), col("doc").as("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Gopher-style composite admission rules (Rae et al. 2021 §A1.1):
     * token-count window, mean-word-length window, minimum stopword
     * ratio (symbol-soup rejection), maximum top-word fraction and

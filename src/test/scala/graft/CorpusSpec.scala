@@ -218,6 +218,24 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateReport attributes shared n-grams per (eval, train) pair") {
+    import graft.llm.Corpus
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),   // shares exactly one 8-gram with the eval doc
+      (2L, "a b c d e f g h x y"),   // the eval doc itself (in train too)
+      (3L, "a b c d e f g h x y"),   // verbatim copy of the eval doc
+      (4L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val eval = train.filter(col("doc_id") === 2L)
+    val rep = Corpus.decontaminateReport(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // self-pair carries the eval doc's full distinct-8-gram count (3)
+    assert(rep == Map((2L, 1L) -> 1L, (2L, 2L) -> 3L, (2L, 3L) -> 3L))
+    // minShared prunes the coincidence-grade single-gram pair
+    val pruned = Corpus.decontaminateReport(train, eval, "doc_id", "text",
+      n = 8, minShared = 2L).collect().map(r => r.getLong(1)).toSet
+    assert(pruned == Set(2L, 3L))
+  }
+
   test("packedSegments tiles every window exactly and conserves doc tokens") {
     import graft.llm.Corpus
     val docs = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, Option.empty[Long]),
