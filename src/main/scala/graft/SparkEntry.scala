@@ -2957,6 +2957,34 @@ object SparkEntry {
          |         - greatest(seq * 256, start_offset) AS seg_len
          |FROM seg ORDER BY doc, seq""".stripMargin),
 
+    ("corpus_batch_by_length",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // SFT batch assembly over byte-length counts (same engine-safe
+        // n as corpus_pack); the NULL fixture row clamps to 0 and must
+        // land in bucket 0, position 0 of some batch — not vanish
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.batchByLength(d, "doc_id", "n",
+          bucketBounds = Seq(128L, 256L, 512L), batchSize = 4, nStreams = 8)
+          .orderBy(col("doc"))
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        COALESCE(CAST(strlen(text) AS BIGINT), 0) AS n FROM docs),
+         |b AS (SELECT doc_id, n,
+         |        CASE WHEN n < 128 THEN 0 WHEN n < 256 THEN 1
+         |             WHEN n < 512 THEN 2 ELSE 3 END AS bucket,
+         |        ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, stream
+         |        ORDER BY doc_id) AS rn FROM b)
+         |SELECT doc_id AS doc, n AS n_toks, bucket, stream,
+         |       CAST((rn - 1) // 4 AS INT) AS batch_idx,
+         |       CAST((rn - 1) % 4 AS INT) AS pos_in_batch
+         |FROM r ORDER BY doc""".stripMargin),
+
     ("corpus_filter",
       (s: SparkSession, dir: String) =>
         Corpus.trainingFilter(t(s, dir, "documents"), "doc_id", "text",

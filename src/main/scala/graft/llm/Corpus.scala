@@ -568,6 +568,50 @@ object Corpus {
           - greatest(col("seq") * capacity, col("start_offset"))).as("seg_len"))
   }
 
+  /** Length-bucketed batch assembly — the padding-efficiency step of a
+    * fine-tuning/SFT pipeline: documents are bucketed by token count
+    * (so a batch never pads a 10-token row against a 2000-token row)
+    * and then grouped into fixed-size batches within each bucket.
+    * `bucketBounds` are exclusive upper bounds; counts >= the last
+    * bound land in the overflow bucket `bounds.length`. Ties/ordering
+    * are deterministic: within (bucket, stream) docs are batched in id
+    * order, `batch_idx` counts from 0, `pos_in_batch` from 0.
+    *
+    * Scale shape: bucket assignment is a NARROW comparison against the
+    * literal bound list (the [[curriculumBins]] pattern, no shuffle);
+    * batch numbering needs a running rank, which runs per (bucket,
+    * stream) with docs hashed into `nStreams` independent streams —
+    * the [[packSequences]] parallelism contract (a per-BUCKET rank
+    * would funnel the corpus through one task per bucket; parallelism
+    * here is nBuckets x nStreams regardless of corpus size, and a
+    * doc's (bucket, stream) never changes as the corpus grows). The
+    * last batch of each (bucket, stream) may be short; a trainer drops
+    * or pads it by policy.
+    */
+  def batchByLength(df: DataFrame, idCol: String, nTokCol: String,
+                    bucketBounds: Seq[Long], batchSize: Int,
+                    nStreams: Int = 64): DataFrame = {
+    require(bucketBounds.nonEmpty && bucketBounds == bucketBounds.sorted
+      && bucketBounds.distinct == bucketBounds,
+      "bucketBounds must be non-empty, strictly increasing")
+    require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = coalesce(col(nTokCol).cast("long"), lit(0L))
+    val bucket = bucketBounds.foldRight(lit(bucketBounds.length)) {
+      case (bound, tail) => when(n < bound, lit(bucketBounds.indexOf(bound))).otherwise(tail)
+    }
+    val w = Window.partitionBy(col("bucket"), col("stream"))
+      .orderBy(col(idCol).asc)
+    graft.Partitioning.spread(df)
+      .withColumn("bucket", bucket)
+      .withColumn("stream",
+        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")), lit(nStreams.toLong)))
+      .withColumn("_rn", row_number().over(w))
+      .select(col(idCol).as("doc"), n.as("n_toks"), col("bucket"), col("stream"),
+        (((col("_rn") - 1) / batchSize).cast("int")).as("batch_idx"),
+        ((col("_rn") - 1) % batchSize).cast("int").as("pos_in_batch"))
+  }
+
   /** Per-domain admission cap — the web-corpus balance rule ("no single
     * site dominates the training mix"): keep at most `maxPerDomain`
     * documents per URL domain, admitted in deterministic id order.
