@@ -573,9 +573,12 @@ object Corpus {
     * (so a batch never pads a 10-token row against a 2000-token row)
     * and then grouped into fixed-size batches within each bucket.
     * `bucketBounds` are exclusive upper bounds; counts >= the last
-    * bound land in the overflow bucket `bounds.length`. Ties/ordering
-    * are deterministic: within (bucket, stream) docs are batched in id
-    * order, `batch_idx` counts from 0, `pos_in_batch` from 0.
+    * bound land in the overflow bucket `bounds.length`; NULL and
+    * negative counts clamp to 0 tokens and land in bucket 0 (the same
+    * clamp as [[packSequences]] — a malformed count must never drop
+    * the row). Ties/ordering are deterministic: within (bucket,
+    * stream) docs are batched in id order, `batch_idx` counts from 0,
+    * `pos_in_batch` from 0.
     *
     * Scale shape: bucket assignment is a NARROW comparison against the
     * literal bound list (the [[curriculumBins]] pattern, no shuffle);
@@ -596,7 +599,7 @@ object Corpus {
       "bucketBounds must be non-empty, strictly increasing")
     require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
     import org.apache.spark.sql.expressions.Window
-    val n = coalesce(col(nTokCol).cast("long"), lit(0L))
+    val n = greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L))
     val bucket = bucketBounds.foldRight(lit(bucketBounds.length)) {
       case (bound, tail) => when(n < bound, lit(bucketBounds.indexOf(bound))).otherwise(tail)
     }

@@ -221,18 +221,19 @@ class CorpusSpec extends AnyFunSuite {
   test("batchByLength: buckets by bounds, batches full and in id order, NULL clamps to bucket 0") {
     import graft.llm.Corpus
     val docs = ((1L to 30L).map(i => (i, Option(i * 20L)))
-      ++ Seq((99L, Option.empty[Long]))).toDF("id", "n")
+      ++ Seq((98L, Option(-50L)), (99L, Option.empty[Long]))).toDF("id", "n")
     val out = Corpus.batchByLength(docs, "id", "n",
       bucketBounds = Seq(100L, 300L), batchSize = 3, nStreams = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getLong(3), r.getInt(4), r.getInt(5)))
-    assert(out.length == 31)
-    // bucket bounds respected; NULL clamps to 0 tokens -> bucket 0
+    assert(out.length == 32)
+    // bucket bounds respected; NULL and negative clamp to 0 tokens -> bucket 0
     out.foreach { case (id, n, b, _, _, _) =>
       val want = if (n < 100) 0 else if (n < 300) 1 else 2
       assert(b == want, s"doc $id")
     }
-    assert(out.find(_._1 == 99L).get._3 == 0)
+    assert(Seq(98L, 99L).forall(id =>
+      out.find(_._1 == id).exists(r => r._2 == 0L && r._3 == 0)))
     // within each (bucket, stream): positions cycle 0..2 in id order and
     // batch_idx is non-decreasing with at most the LAST batch short
     out.groupBy(t => (t._3, t._4)).foreach { case ((b, s), g) =>
@@ -244,7 +245,8 @@ class CorpusSpec extends AnyFunSuite {
     // growth invariance: a doc's (bucket, stream) never changes when the
     // corpus doubles (batch_idx may — streams fill differently)
     val grown = Corpus.batchByLength(
-      ((1L to 60L).map(i => (i, Option(i * 20L))) ++ Seq((99L, Option.empty[Long])))
+      ((1L to 60L).map(i => (i, Option(i * 20L)))
+        ++ Seq((98L, Option(-50L)), (99L, Option.empty[Long])))
         .toDF("id", "n"), "id", "n", Seq(100L, 300L), 3, 2)
       .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
     out.foreach { case (id, _, b, s, _, _) => assert(grown(id) == ((b, s))) }

@@ -228,6 +228,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: minhashLsh equals a scalar exact-tuple-banding reference on random corpora") {
+    // proves the 64-bit band-key representation cannot change the
+    // operator's OUTPUT: the reference below bands by the exact minhash
+    // tuple (no hashing anywhere) and verifies exact Jaccard over the
+    // exact shingle-hash sets, entirely in driver-side Scala
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val (k, rpb, thr) = (8, 2, 0.3)
+    def shingleHashes(text: String): Set[Long] =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+        .map(g => graft.functions.RollingHash.hash(
+          UTF8String.fromString(g.mkString(" ")), 131L)).toSet
+    checkN(6, Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (id1, t1) <- docs; (id2, t2) <- docs if id1 < id2
+        s1 = shingleHashes(t1); s2 = shingleHashes(t2)
+        if s1.nonEmpty && s2.nonEmpty
+        sig1 = (0 until k).map(i => s1.map(h =>
+          (graft.llm.Dedup.mixConstant(2L * i) * h + graft.llm.Dedup.mixConstant(2L * i + 1))
+            % graft.llm.Dedup.MinhashP).min)
+        sig2 = (0 until k).map(i => s2.map(h =>
+          (graft.llm.Dedup.mixConstant(2L * i) * h + graft.llm.Dedup.mixConstant(2L * i + 1))
+            % graft.llm.Dedup.MinhashP).min)
+        if (0 until k / rpb).exists(b =>
+          sig1.slice(b * rpb, (b + 1) * rpb) == sig2.slice(b * rpb, (b + 1) * rpb))
+        j = s1.intersect(s2).size.toDouble / s1.union(s2).size.toDouble
+        if graft.Num.r6(j) >= thr
+      } yield (id1, id2)).toSet
+      val got = graft.llm.Dedup.minhashLsh(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, k = k, rowsPerBand = rpb, threshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    })
+  }
+
   test("property: temperatureSample quotas respect the budget, the cap, and tau monotonicity") {
     // random skewed mixtures: 2-5 domains with counts spanning two
     // orders of magnitude
