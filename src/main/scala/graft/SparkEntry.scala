@@ -2854,6 +2854,43 @@ object SparkEntry {
          |SELECT doc_id, mix_domain, quota, rank_in_mix
          |FROM ranked WHERE rank_in_mix <= quota""".stripMargin),
 
+    ("corpus_mix_temperature_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // quota-formula edge matrix with LITERAL inputs (the
+        // corpus_pack_edges pattern): a dominant domain (cap NOT
+        // binding), a cap-binding small domain, a single-doc domain
+        // whose share floors its quota to zero (absent from output),
+        // and a NULL-domain row (excluded by contract). Counts: a=12,
+        // b=4, c=1; tau=0.5, nTarget=6 -> shares ~0.536/0.309/0.155,
+        // quotas floor(3.21)=3 / min(4, floor(1.85))=1 / floor(0.92)=0
+        val rows = ((1L to 12L).map(i => (i, Option("a")))
+          ++ (21L to 24L).map(i => (i, Option("b")))
+          ++ Seq((31L, Option("c")), (40L, Option.empty[String])))
+        val d = rows.toDF("doc_id", "mix_domain")
+        Corpus.temperatureSample(d, "doc_id", "mix_domain",
+          tau = 0.5, nTarget = 6L)
+      }, {
+        val ids = ((1L to 12L).map(i => s"($i, 'a')")
+          ++ (21L to 24L).map(i => s"($i, 'b')")
+          ++ Seq("(31, 'c')", "(40, NULL)")).mkString(", ")
+        s"""WITH base(doc_id, mix_domain) AS (VALUES $ids),
+           |attr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, mix_domain
+           |         FROM base WHERE mix_domain IS NOT NULL),
+           |counts AS (SELECT mix_domain, CAST(count(*) AS BIGINT) AS c
+           |           FROM attr GROUP BY mix_domain),
+           |tot AS (SELECT sum(pow(c, 0.5)) AS t FROM counts),
+           |quotas AS (SELECT mix_domain,
+           |             least(c, CAST(floor(${Num.r6Sql("6.0 * " + Num.r6Sql("pow(c, 0.5) / t"))}) AS BIGINT)) AS quota
+           |           FROM counts, tot),
+           |ranked AS (SELECT a.doc_id, a.mix_domain, q.quota,
+           |             row_number() OVER (PARTITION BY a.mix_domain
+           |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
+           |           FROM attr a JOIN quotas q USING (mix_domain))
+           |SELECT doc_id, mix_domain, quota, rank_in_mix
+           |FROM ranked WHERE rank_in_mix <= quota""".stripMargin
+      }),
+
     ("corpus_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._
