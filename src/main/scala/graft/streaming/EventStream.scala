@@ -550,6 +550,60 @@ object EventStream {
       }
   }
 
+  // ----------------------------------------- custom state: length batching
+
+  final case class BatchEvent(doc_id: Long, n_toks: Long)
+  final case class BatchedDoc(doc_id: Long, n_toks: Long, bucket: Int,
+                              stream: Long, batch_idx: Int, pos_in_batch: Int)
+
+  /** Streaming length-bucketed batch assembly — the ingest twin of
+    * [[graft.llm.Corpus.batchByLength]]: arriving docs are routed to
+    * (bucket, stream) — bucket from the literal bound list, stream
+    * from the id hash, both derived per row with no state — and each
+    * (bucket, stream) key assigns batch/position numbers from ONE
+    * running counter. State per key is a single long, bounded by
+    * nBuckets x nStreams, never by stream length.
+    *
+    * Within a micro-batch a key's docs are numbered in doc_id order;
+    * across batches numbering continues first-arrival. Under per-key
+    * id-ordered delivery (global id order suffices — routing is
+    * deterministic per row) this equals the batch operator, asserted
+    * in StreamingSpec. Negative counts clamp to 0 (bucket 0), same as
+    * the batch twin.
+    */
+  def batchStream(docs: Dataset[BatchEvent], bucketBounds: Seq[Long],
+                  batchSize: Int, nStreams: Int): Dataset[BatchedDoc] = {
+    import docs.sparkSession.implicits._
+    require(bucketBounds.nonEmpty && bucketBounds == bucketBounds.sorted
+      && bucketBounds.distinct == bucketBounds,
+      "bucketBounds must be non-empty, strictly increasing")
+    require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
+    docs
+      .groupByKey { d =>
+        val n = math.max(d.n_toks, 0L)
+        val bucket = bucketBounds.indexWhere(n < _) match {
+          case -1 => bucketBounds.length
+          case i => i
+        }
+        val stream = graft.functions.RollingHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.doc_id.toString),
+          131L) % nStreams
+        (bucket, stream)
+      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[BatchEvent], state: GroupState[Long]) =>
+          var cnt = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val row = BatchedDoc(d.doc_id, math.max(d.n_toks, 0L), key._1,
+              key._2, (cnt / batchSize).toInt, (cnt % batchSize).toInt)
+            cnt += 1
+            row
+          }
+          state.update(cnt)
+          out.iterator
+      }
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -193,6 +193,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2 == Set(1L))
   }
 
+  test("streaming length batching equals batch batchByLength under id-ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{BatchEvent, BatchedDoc}
+
+    // counts span all three buckets plus the negative-clamp edge; global
+    // id-ordered delivery across two micro-batches
+    val docs = (1L to 24L).map(i => BatchEvent(i, i * 25L)) :+ BatchEvent(25L, -9L)
+    val (b1, b2) = docs.sortBy(_.doc_id).splitAt(12)
+
+    val mem = MemoryStream[BatchEvent]
+    val q = EventStream.batchStream(mem.toDS(), Seq(100L, 300L),
+      batchSize = 3, nStreams = 2)
+      .writeStream.format("memory").queryName("batch_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("batch_stream_test").as[BatchedDoc].collect()
+        .map(d => d.doc_id -> ((d.n_toks, d.bucket, d.stream, d.batch_idx, d.pos_in_batch)))
+        .toMap
+    } finally q.stop()
+
+    val batch = graft.llm.Corpus.batchByLength(
+        docs.map(d => (d.doc_id, d.n_toks)).toDF("id", "n"),
+        "id", "n", Seq(100L, 300L), batchSize = 3, nStreams = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming url dedup equals batch urlDedup keepers under ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
