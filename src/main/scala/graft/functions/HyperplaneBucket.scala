@@ -32,8 +32,11 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, firstPlane: Int = 0
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) if nPlanes >= 1 && nPlanes <= 62 && firstPlane >= 0 =>
       TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) if nPlanes < 1 || nPlanes > 62 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane_bucket nPlanes must be in [1,62], got $nPlanes")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
-      s"graft_hyperplane_bucket nPlanes must be in [1,62], got $nPlanes")
+      s"graft_hyperplane_bucket firstPlane must be >= 0, got $firstPlane")
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hyperplane_bucket expects array<double>, got $other")
   }

@@ -62,6 +62,15 @@ object RollingHash {
 
   def hash(s: UTF8String): Long = hash(s, 131L)
 
+  /** Scalar hash of a numeric id — THE stream-routing / admission-key
+    * recipe, equal by construction to the batch operators' column form
+    * `rollingHash(col(id).cast("string"))`. Every streaming twin keys
+    * on this ONE definition (quota admission, pack streams, batch
+    * assembly) so stream-vs-batch key parity is a single contract, not
+    * a per-site incantation.
+    */
+  def hashId(id: Long): Long = hash(UTF8String.fromString(id.toString), 131L)
+
   def hash(c: Column): Column = hash(c, 131L)
 
   def hash(c: Column, mult: Long): Column =

@@ -595,13 +595,13 @@ object Corpus {
                     bucketBounds: Seq[Long], batchSize: Int,
                     nStreams: Int = 64): DataFrame = {
     require(bucketBounds.nonEmpty && bucketBounds == bucketBounds.sorted
-      && bucketBounds.distinct == bucketBounds,
-      "bucketBounds must be non-empty, strictly increasing")
+      && bucketBounds.distinct == bucketBounds && bucketBounds.head > 0,
+      "bucketBounds must be positive, strictly increasing")
     require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
     import org.apache.spark.sql.expressions.Window
     val n = greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L))
-    val bucket = bucketBounds.foldRight(lit(bucketBounds.length)) {
-      case (bound, tail) => when(n < bound, lit(bucketBounds.indexOf(bound))).otherwise(tail)
+    val bucket = bucketBounds.zipWithIndex.foldRight(lit(bucketBounds.length)) {
+      case ((bound, i), tail) => when(n < bound, lit(i)).otherwise(tail)
     }
     val w = Window.partitionBy(col("bucket"), col("stream"))
       .orderBy(col(idCol).asc)

@@ -247,28 +247,36 @@ object Dedup {
     * robust pipeline runs [[exact]] dedup first so identical docs never
     * reach the near-dup stage, and leaves this None.
     */
-  /** (doc, bkey) band keys straight off the wide signature row — no
-    * collect_list regroup, just a per-doc explode of nBands longs.
-    * Shared by the batch and incremental LSH entry points.
+  /** (doc, bkey, bkey2) band keys straight off the wide signature row —
+    * no collect_list regroup, just a per-doc explode of nBands key
+    * structs. Shared by the batch and incremental LSH entry points.
     *
     * `bkey` is the 64-bit xxhash64 of (band index, band's minhash
     * tuple) — the band id is FOLDED into the hash, so one long both
-    * distinguishes bands and keys the bucket. The band relation is
-    * pure shuffle payload (bucket join + frequency cap), and 8-byte
-    * keys cut it ~3x versus the string-concat alternative at corpus
-    * scale. A cross-band or cross-tuple hash collision can only ADD a
-    * candidate pair, never hide one (equal tuples always hash equal),
-    * and every candidate is verified with exact Jaccard downstream —
-    * so collisions cost a wasted verification (~2^-64 per bucket
-    * pair), not correctness.
+    * distinguishes bands and keys the bucket; the band relation is
+    * pure shuffle payload (bucket join + frequency cap), and fixed
+    * 12-byte keys cut it ~3x versus the string-concat alternative at
+    * corpus scale. `bkey2` is a SECOND, algorithm-independent hash
+    * (Murmur3) of the same tuple: for the candidate join alone a
+    * single-hash collision could only ADD a pair (equal tuples always
+    * hash equal; exact Jaccard rejects impostors downstream), but the
+    * `maxBandFreq` cap aggregates COUNTS per bucket, and a collision
+    * there merges two buckets' counts past the cap and silently drops
+    * every real pair in both — the same silent-suppression mode
+    * [[duplicateSpans]] keys out with (h, text) and [[winnowPairs]]
+    * with (h, h2). Capping and joining on the (bkey, bkey2) pair makes
+    * suppression require a simultaneous 64+32-bit collision (~2^-96
+    * per bucket pair), which the cap's own count scale cannot reach.
     */
   private def bandKeys(hashedShingles: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val wide = minhashSignaturesWideHashed(hashedShingles, k)
     val bandHashes = (0 until k / rowsPerBand).map { b =>
-      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i")): _*)
+      val tuple = lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      struct(xxhash64(tuple: _*).as("bkey"), hash(tuple: _*).as("bkey2"))
     }
-    wide.select(col("doc"), explode(array(bandHashes: _*)).as("bkey"))
+    wide.select(col("doc"), explode(array(bandHashes: _*)).as("bb"))
+      .select(col("doc"), col("bb.bkey").as("bkey"), col("bb.bkey2").as("bkey2"))
   }
 
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
@@ -285,14 +293,14 @@ object Dedup {
     val bands = maxBandFreq match {
       case None => bandsAll
       case Some(cap) =>
-        val freq = bandsAll.groupBy(col("bkey"))
+        val freq = bandsAll.groupBy(col("bkey"), col("bkey2"))
           .agg(count(lit(1)).as("bf")).filter(col("bf") <= cap)
-          .select(col("bkey"))
-        bandsAll.join(freq, Seq("bkey"), "left_semi")
+          .select(col("bkey"), col("bkey2"))
+        bandsAll.join(freq, Seq("bkey", "bkey2"), "left_semi")
     }
-    val l = bands.select(col("doc").as("d1"), col("bkey"))
-    val r = bands.select(col("doc").as("d2"), col("bkey"))
-    val cand = l.join(r, Seq("bkey"))
+    val l = bands.select(col("doc").as("d1"), col("bkey"), col("bkey2"))
+    val r = bands.select(col("doc").as("d2"), col("bkey"), col("bkey2"))
+    val cand = l.join(r, Seq("bkey", "bkey2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
     jaccardVerify(ds, cand, "d1", "d2", threshold, ordered = true)
@@ -388,8 +396,9 @@ object Dedup {
     val bands = bandKeys(ds, k, rowsPerBand)
     val bandsNew = bands.join(newIds, Seq("doc"), "left_semi")
     val bandsOld = bands.join(newIds, Seq("doc"), "left_anti")
-    val cand = bandsNew.select(col("doc").as("d_new"), col("bkey"))
-      .join(bandsOld.select(col("doc").as("d_old"), col("bkey")), Seq("bkey"))
+    val cand = bandsNew.select(col("doc").as("d_new"), col("bkey"), col("bkey2"))
+      .join(bandsOld.select(col("doc").as("d_old"), col("bkey"), col("bkey2")),
+        Seq("bkey", "bkey2"))
       .select(col("d_new"), col("d_old")).distinct()
     jaccardVerify(ds, cand, "d_new", "d_old", threshold, ordered = false)
   }

@@ -84,9 +84,14 @@ object Xslt {
     */
   def pipeline(df: DataFrame, xmlCol: String,
                stylesheets: Seq[String], outCol: String = "xml"): DataFrame = {
-    require(!df.columns.contains(outCol),
+    // case-INsensitive guards: Spark's default resolution is
+    // case-insensitive, so a case-variant collision would make
+    // withColumn REPLACE instead of append and misalign the positional
+    // row surgery below
+    val lower = df.columns.map(_.toLowerCase).toSet
+    require(!lower.contains(outCol.toLowerCase),
       s"output column '$outCol' already exists in ${df.columns.mkString("[", ",", "]")}")
-    require(!df.columns.contains("_xslt_in"),
+    require(!lower.contains("_xslt_in"),
       "column name '_xslt_in' is reserved by Xslt.pipeline")
     val chain = stylesheets.toList
     // a temp string-cast column rides last so the mapper never guesses

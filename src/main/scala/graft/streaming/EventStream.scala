@@ -298,8 +298,7 @@ object EventStream {
     // for the temperatureSample twin — both total orders
     def key(id: Long): (Long, Long) =
       if (byId) (id, id)
-      else (graft.functions.RollingHash.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString), 131L), id)
+      else (graft.functions.RollingHash.hashId(id), id)
     docs
       .groupByKey(_.domain)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -529,9 +528,7 @@ object EventStream {
     import docs.sparkSession.implicits._
     require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
     docs
-      .groupByKey(d => graft.functions.RollingHash.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.doc_id.toString), 131L)
-        % nStreams)
+      .groupByKey(d => graft.functions.RollingHash.hashId(d.doc_id) % nStreams)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (stream: Long, it: Iterator[PackEvent], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
@@ -585,9 +582,7 @@ object EventStream {
           case -1 => bucketBounds.length
           case i => i
         }
-        val stream = graft.functions.RollingHash.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d.doc_id.toString),
-          131L) % nStreams
+        val stream = graft.functions.RollingHash.hashId(d.doc_id) % nStreams
         (bucket, stream)
       }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

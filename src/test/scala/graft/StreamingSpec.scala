@@ -163,8 +163,7 @@ class StreamingSpec extends AnyFunSuite {
     val batchRanks = batch.map(r => r.getLong(0) -> r.getInt(3)).toMap
 
     // delivery in per-domain (rollingHash, id) order — the admission key
-    def h(id: Long) = graft.functions.RollingHash.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString), 131L)
+    def h(id: Long) = graft.functions.RollingHash.hashId(id)
     val ordered = docs.sortBy(d => (h(d.doc_id), d.doc_id))
     val (b1, b2) = ordered.splitAt(ordered.size / 2)
 
