@@ -2534,6 +2534,45 @@ object SparkEntry {
          |FROM h0 JOIN ev USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
+    ("corpus_select_budget",
+      (s: SparkSession, dir: String) => {
+        // quality-prioritized token-budget cut over the standard scorer;
+        // budget 20k bytes is selective at the verify SF and above and
+        // exceeds the corpus at sf0.001 (pinning the admit-everything
+        // edge); byte counts as the engine-safe token stand-in
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score"),
+            octet_length(col("text")).cast("long").as("nb"))
+        Corpus.selectByTokenBudget(scored, "doc_id", "quality_score", "nb",
+          budget = 20000L, nBins = 1000)
+      },
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sb_d AS (SELECT q.doc_id, q.quality_score,
+         |        greatest(COALESCE(CAST(strlen(dd.text) AS BIGINT), 0), 0) AS n
+         |      FROM qual q JOIN documents dd USING (doc_id)),
+         |sb_b AS (SELECT doc_id, quality_score, n,
+         |        CAST(least(999, greatest(0,
+         |          CAST(floor(COALESCE(quality_score, 0.0) * 1000) AS BIGINT))) AS INT) AS bin
+         |      FROM sb_d),
+         |sb_hist AS (SELECT bin, sum(n) AS toks FROM sb_b GROUP BY bin),
+         |sb_cum AS (SELECT bin, toks,
+         |          COALESCE(sum(toks) OVER (ORDER BY bin DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |        FROM sb_hist),
+         |sb_sel AS (SELECT bin, toks, above,
+         |          CASE WHEN above + toks <= 20000 THEN 2
+         |               WHEN above <= 20000 THEN 1 ELSE 0 END AS cls
+         |        FROM sb_cum),
+         |sb_bd AS (SELECT bin AS tbin,
+         |         CAST(CAST(20000 - above AS HUGEINT) * 1000000 // toks AS BIGINT) AS ppm
+         |       FROM sb_sel WHERE cls = 1)
+         |SELECT sb_b.doc_id, sb_b.quality_score, sb_b.n AS n_toks, sb_b.bin
+         |FROM sb_b JOIN sb_sel ON sb_b.bin = sb_sel.bin
+         |LEFT JOIN sb_bd ON sb_b.bin = sb_bd.tbin
+         |WHERE sb_sel.cls = 2
+         |   OR (sb_sel.cls = 1 AND ${rhSql("CAST(sb_b.doc_id AS VARCHAR)")} % 1000000 < sb_bd.ppm)""".stripMargin),
+
     ("corpus_gopher",
       (s: SparkSession, dir: String) =>
         Corpus.gopherFilter(t(s, dir, "documents"), "doc_id", "text"),

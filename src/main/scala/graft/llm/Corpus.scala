@@ -540,6 +540,65 @@ object Corpus {
           .otherwise(expr(s"start_offset div $capacity")).as("seq_last"))
   }
 
+  /** Token-budget corpus selection — the "best N tokens" cut a
+    * quality-filtered pretraining run makes when compute (not data) is
+    * the constraint: admit the highest-`scoreCol` documents until
+    * `budget` tokens are filled. The scalable form is a HISTOGRAM
+    * THRESHOLD, not a global sort: scores (in [0,1], NULL scores as
+    * 0) bin into `nBins` fixed bins; bins strictly above the
+    * threshold bin are admitted whole, bins below are dropped, and
+    * the single boundary bin is admitted by deterministic hash at the
+    * exact integer rate `ppm = remainder_tokens * 1e6 / bin_tokens`
+    * (the [[mixWeightedSample]] admission rule) — so the realized
+    * token count meets the budget in expectation with per-bin
+    * granularity 1/nBins of the corpus, and no task ever sorts or
+    * running-sums more than its own partition.
+    *
+    * Scale shape: one narrow bin projection + one <= nBins-row
+    * aggregation whose collect is bounded by the nBins LITERAL (same
+    * bounded-by-construction argument as the mixture weight table);
+    * admission is then a narrow filter against driver-computed
+    * integer literals. The ppm arithmetic runs in BigInt (oracle:
+    * HUGEINT) so a 100 TB boundary bin cannot overflow. Output: the
+    * admitted docs as (id, score, n_toks, bin).
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+                          nTokCol: String, budget: Long,
+                          nBins: Int = 1000): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(nBins > 1, "nBins must be at least 2")
+    val d = graft.Partitioning.spread(df)
+      .withColumn("_sb_n",
+        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)))
+      .withColumn("bin",
+        least(lit(nBins - 1), greatest(lit(0L),
+          floor(coalesce(col(scoreCol), lit(0.0)) * nBins))).cast("int"))
+    val hist = d.groupBy(col("bin")).agg(sum(col("_sb_n")).as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // descending cumulative: `above(b)` = tokens in strictly higher bins;
+    // bin fully admitted iff above+toks <= budget, boundary iff
+    // above <= budget < above+toks (unique: above strictly grows downward)
+    val desc = hist.keys.toSeq.sorted.reverse
+    val above = desc.scanLeft(0L)((acc, b) => acc + hist(b)).init
+      .zip(desc).map { case (a, b) => b -> a }.toMap
+    val fullBins = hist.keys.filter(b => above(b) + hist(b) <= budget).toSet
+    val boundary = hist.keys.find(b =>
+      above(b) <= budget && budget < above(b) + hist(b))
+    val admitFull =
+      if (fullBins.isEmpty) lit(false)
+      else col("bin").isInCollection(fullBins.toSeq)
+    val admit = boundary match {
+      case None => admitFull
+      case Some(t) =>
+        val ppm = (BigInt(budget - above(t)) * 1000000L / hist(t)).toLong
+        admitFull || (col("bin") === t
+          && pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
+            lit(1000000L)) < lit(ppm))
+    }
+    d.filter(admit)
+      .select(col(idCol), col(scoreCol), col("_sb_n").as("n_toks"), col("bin"))
+  }
+
   /** Sequence-segment view over [[packSequences]] output — the view a
     * training-batch WRITER consumes: one row per (sequence, doc slice),
     * saying which token range of each context window comes from which

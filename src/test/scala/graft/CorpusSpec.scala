@@ -255,6 +255,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("selectByTokenBudget admits best bins whole, the boundary at the exact rate") {
+    import graft.llm.Corpus
+    // three score bands, 5 docs x 100 tokens each; budget 700 -> the
+    // 0.9-band (500 toks) admits whole, the 0.5-band is the boundary
+    // (remainder 200 of 500 -> ppm 400000), the 0.1-band drops.
+    // Scores sit mid-bin (x.xx05) so the float bin floor is unambiguous
+    val docs = ((1L to 5L).map((_, 0.9005, 100L))
+      ++ (11L to 15L).map((_, 0.5005, 100L))
+      ++ (21L to 25L).map((_, 0.1005, 100L))).toDF("id", "score", "n")
+    val got = Corpus.selectByTokenBudget(docs, "id", "score", "n", budget = 700L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert((1L to 5L).forall(got.get(_).contains(900)))
+    assert((21L to 25L).forall(!got.contains(_)))
+    val boundaryWant = (11L to 15L).filter(id =>
+      math.floorMod(graft.functions.RollingHash.hashId(id), 1000000L) < 400000L).toSet
+    assert(got.keySet.filter(_ >= 11L) == boundaryWant)
+    // budget >= total admits everything; zero budget admits nothing
+    assert(Corpus.selectByTokenBudget(docs, "id", "score", "n", 100000L).count() == 15)
+    assert(Corpus.selectByTokenBudget(docs, "id", "score", "n", 0L).count() == 0)
+    // NULL score bins lowest; empty input yields empty output
+    val withNull = docs.union(Seq((31L, Option.empty[Double], Option(50L)))
+      .toDF("id", "score", "n"))
+    assert(Corpus.selectByTokenBudget(withNull, "id", "score", "n", 700L)
+      .filter(col("id") === 31L).count() == 0)
+    assert(Corpus.selectByTokenBudget(docs.filter(col("id") < 0), "id", "score", "n",
+      700L).count() == 0)
+  }
+
   test("decontaminateReport attributes shared n-grams per (eval, train) pair") {
     import graft.llm.Corpus
     val train = Seq(

@@ -36,7 +36,8 @@ class PlanSpec extends AnyFunSuite {
       "text_strip_html", "text_script_profile",
       "events_funnel", "similarity_topk_mlsh", "multimodal_decode_gif",
       "corpus_pack_edges", "corpus_pack_segments",
-      "corpus_decontaminate_report", "corpus_batch_by_length")) {
+      "corpus_decontaminate_report", "corpus_batch_by_length",
+      "corpus_select_budget")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
