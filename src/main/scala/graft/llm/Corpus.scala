@@ -567,12 +567,28 @@ object Corpus {
                           nBins: Int = 1000): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(nBins > 1, "nBins must be at least 2")
+    // the output schema is EXACTLY (idCol, scoreCol, n_toks, bin) — other
+    // input columns are dropped, never silently overwritten; the id and
+    // score columns therefore must not shadow the generated names (the
+    // Xslt.pipeline reserved-name convention, case-insensitive to match
+    // Spark's resolution)
+    require(!Seq(idCol, scoreCol).exists(c =>
+      Seq("bin", "_sb_n", "n_toks").exists(c.equalsIgnoreCase)),
+      "idCol/scoreCol must not be named 'bin', 'n_toks' or '_sb_n' — " +
+        "reserved by selectByTokenBudget's output schema")
+    // the histogram action and the returned filter both consume this
+    // relation: materialize the NARROW (id, score, n, bin) projection
+    // once (localCheckpoint — the shingleRelation policy) so the
+    // upstream lineage (often an expensive scorer) runs a single time
+    // and both passes provably see the same rows
     val d = graft.Partitioning.spread(df)
-      .withColumn("_sb_n",
-        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)))
-      .withColumn("bin",
+      .select(col(idCol), col(scoreCol),
+        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L))
+          .as("_sb_n"),
         least(lit(nBins - 1), greatest(lit(0L),
-          floor(coalesce(col(scoreCol), lit(0.0)) * nBins))).cast("int"))
+          floor(coalesce(col(scoreCol), lit(0.0)) * nBins))).cast("int")
+          .as("bin"))
+      .localCheckpoint()
     val hist = d.groupBy(col("bin")).agg(sum(col("_sb_n")).as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // descending cumulative: `above(b)` = tokens in strictly higher bins;

@@ -572,8 +572,8 @@ object EventStream {
                   batchSize: Int, nStreams: Int): Dataset[BatchedDoc] = {
     import docs.sparkSession.implicits._
     require(bucketBounds.nonEmpty && bucketBounds == bucketBounds.sorted
-      && bucketBounds.distinct == bucketBounds,
-      "bucketBounds must be non-empty, strictly increasing")
+      && bucketBounds.distinct == bucketBounds && bucketBounds.head > 0,
+      "bucketBounds must be positive, strictly increasing")
     require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
     docs
       .groupByKey { d =>
