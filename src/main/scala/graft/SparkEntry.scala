@@ -718,7 +718,7 @@ object SparkEntry {
         catch { case _: java.sql.SQLException => () } // 08006 = successful drop
         out
       },
-      """SELECT n_nationkey, n_name, r_name
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin),
 
     ("validate_array_elems",
@@ -1664,7 +1664,7 @@ object SparkEntry {
           .select(substring_index(col("piped"), "|", 1).as("nm"),
             substring_index(col("piped"), "|", -1).cast("bigint").as("id"))
       },
-      "SELECT lower(n_name) AS nm, n_nationkey AS id FROM nation"),
+      "SELECT lower(n_name) AS nm, CAST(n_nationkey AS BIGINT) AS id FROM nation"),
 
     ("source_json_props",
       (s: SparkSession, dir: String) =>
@@ -2890,7 +2890,7 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY a.mix_domain
          |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
          |           FROM attr a JOIN quotas q USING (mix_domain))
-         |SELECT doc_id, mix_domain, quota, rank_in_mix
+         |SELECT doc_id, mix_domain, quota, CAST(rank_in_mix AS INTEGER) AS rank_in_mix
          |FROM ranked WHERE rank_in_mix <= quota""".stripMargin),
 
     ("corpus_mix_temperature_edges",
@@ -2926,7 +2926,7 @@ object SparkEntry {
            |             row_number() OVER (PARTITION BY a.mix_domain
            |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
            |           FROM attr a JOIN quotas q USING (mix_domain))
-           |SELECT doc_id, mix_domain, quota, rank_in_mix
+           |SELECT doc_id, mix_domain, quota, CAST(rank_in_mix AS INTEGER) AS rank_in_mix
            |FROM ranked WHERE rank_in_mix <= quota""".stripMargin
       }),
 
@@ -2950,6 +2950,10 @@ object SparkEntry {
       // same rolling-hash stream routing + per-stream running sum over
       // ne = greatest(coalesce(n,0),0) — the operator's NULL/negative
       // clamp; // is DuckDB integer division (Spark side uses `div`);
+      // CAST(... AS BIGINT) on the window-sum-derived columns is
+      // load-bearing: DuckDB's sum(BIGINT) OVER returns HUGEINT and //
+      // preserves it, so uncast output hash-mismatches Spark's BIGINT
+      // even when every value is equal (the rounds-8/9 red rows);
       // strlen = DuckDB byte length (octet_length only binds to BLOB);
       // canonical ORDER BY on BOTH sides defuses any order-sensitive
       // comparison downstream
@@ -2961,10 +2965,11 @@ object SparkEntry {
          |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
          |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
-         |SELECT doc_id AS doc, ne AS n_toks, stream, start_offset,
-         |       start_offset // 256 AS seq_first,
-         |       CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
-         |            ELSE start_offset // 256 END AS seq_last
+         |SELECT doc_id AS doc, ne AS n_toks, stream,
+         |       CAST(start_offset AS BIGINT) AS start_offset,
+         |       CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |       CAST(CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
+         |            ELSE start_offset // 256 END AS BIGINT) AS seq_last
          |FROM o ORDER BY doc""".stripMargin),
 
     ("corpus_pack_edges",
@@ -2990,10 +2995,11 @@ object SparkEntry {
          |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 3 AS stream FROM d),
          |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
-         |SELECT doc_id AS doc, ne AS n_toks, stream, start_offset,
-         |       start_offset // 256 AS seq_first,
-         |       CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
-         |            ELSE start_offset // 256 END AS seq_last
+         |SELECT doc_id AS doc, ne AS n_toks, stream,
+         |       CAST(start_offset AS BIGINT) AS start_offset,
+         |       CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |       CAST(CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
+         |            ELSE start_offset // 256 END AS BIGINT) AS seq_last
          |FROM o ORDER BY doc""".stripMargin),
 
     ("corpus_pack_segments",

@@ -97,9 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_hyperplane_bucket $name must be an integer literal (it shapes the plan)")
           e.eval(null) match {
             case i: Int => i
-            case l: Long => l.toInt
+            // a Long literal that doesn't fit in Int must fail, not
+            // silently truncate (4294967298L would otherwise become 2)
+            case l: Long if l.isValidInt => l.toInt
             case other => throw new IllegalArgumentException(
-              s"graft_hyperplane_bucket $name must be an integer literal, got $other")
+              s"graft_hyperplane_bucket $name must be an Int-range integer literal, got $other")
           }
         }
         HyperplaneBucket(children.head, intLit(children(1), "nPlanes"),

@@ -474,6 +474,15 @@ object Corpus {
                         nSalts: Int = 16): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(nTarget > 0 && nSalts > 0, "nTarget and nSalts must be positive")
+    // fail fast on generated/output name shadowing (the
+    // selectByTokenBudget / Xslt.pipeline reserved-name convention,
+    // case-insensitive to match Spark's resolution): an idCol or
+    // domainCol named e.g. 'quota' would be silently replaced by the
+    // generated column in the final select
+    require(!Seq(idCol, domainCol).exists(c =>
+      Seq("quota", "rank_in_mix", "_h", "_salt", "_t_dom", "_r").exists(c.equalsIgnoreCase)),
+      "idCol/domainCol must not be named 'quota', 'rank_in_mix', '_h', " +
+        "'_salt', '_t_dom' or '_r' — reserved by temperatureSample")
     import org.apache.spark.sql.expressions.Window
     val d = graft.Partitioning.spread(df).filter(col(domainCol).isNotNull)
     val counts = d.groupBy(col(domainCol).as("_t_dom"))
@@ -526,6 +535,13 @@ object Corpus {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     capacity: Long, nStreams: Int = 64): DataFrame = {
     require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
+    // same reserved-name fail-fast as batchByLength: an idCol or
+    // tokensCol named 'stream'/'n_toks'/'start_offset' would be
+    // shadowed by the generated withColumn (case-insensitive)
+    require(!Seq(idCol, tokensCol).exists(c =>
+      Seq("stream", "n_toks", "start_offset", "seq_first", "seq_last").exists(c.equalsIgnoreCase)),
+      "idCol/tokensCol must not be named 'stream', 'n_toks', 'start_offset', " +
+        "'seq_first' or 'seq_last' — reserved by packSequences")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("stream")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -673,6 +689,16 @@ object Corpus {
       && bucketBounds.distinct == bucketBounds && bucketBounds.head > 0,
       "bucketBounds must be positive, strictly increasing")
     require(batchSize > 0 && nStreams > 0, "batchSize and nStreams must be positive")
+    // fail fast on generated/output name shadowing (the
+    // selectByTokenBudget / Xslt.pipeline reserved-name convention,
+    // case-insensitive): an idCol or nTokCol named 'bucket'/'stream'/
+    // '_rn' would be shadowed by the generated withColumn, silently
+    // emitting the generated value or ordering the rank window by the
+    // stream hash instead of the id
+    require(!Seq(idCol, nTokCol).exists(c =>
+      Seq("bucket", "stream", "_rn").exists(c.equalsIgnoreCase)),
+      "idCol/nTokCol must not be named 'bucket', 'stream' or '_rn' — " +
+        "reserved by batchByLength")
     import org.apache.spark.sql.expressions.Window
     val n = greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L))
     val bucket = bucketBounds.zipWithIndex.foldRight(lit(bucketBounds.length)) {

@@ -505,6 +505,12 @@ object Dedup {
     *
     * Output: (node, label) for every node appearing in a pair, where
     * label = the smallest node id in its component.
+    *
+    * `maxIter` bounds the rounds run by the LOOP; label initialization
+    * already performs propagation round 1 (fused into init, below), so
+    * the operator performs up to maxIter + 1 propagation rounds total.
+    * Convergence for a given maxIter is therefore strictly no worse
+    * than the pre-fusion contract.
     */
   def connectedComponents(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
                           maxIter: Int = 25): DataFrame = {

@@ -567,6 +567,15 @@ object EventStream {
     * deterministic per row) this equals the batch operator, asserted
     * in StreamingSpec. Negative counts clamp to 0 (bucket 0), same as
     * the batch twin.
+    *
+    * Memory: the PERSISTENT state per key is one long, but emitting
+    * every doc in id order is inherently per-micro-batch O(group) —
+    * each (bucket, stream) key buffers and sorts its micro-batch
+    * slice in one task before numbering. A hot key pulling a large
+    * micro-batch through one buffer is the skew hazard here;
+    * `nStreams` is the lever that bounds per-key group size (docs
+    * hash uniformly across streams within a bucket), exactly as it
+    * bounds the batch twin's window partitions.
     */
   def batchStream(docs: Dataset[BatchEvent], bucketBounds: Seq[Long],
                   batchSize: Int, nStreams: Int): Dataset[BatchedDoc] = {

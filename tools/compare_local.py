@@ -60,6 +60,19 @@ def main():
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
+        # Oracle output-TYPE parity (the rounds-8/9 red-row class): the
+        # driver hashes typed values, so a value-equal HUGEINT vs BIGINT
+        # still fails its gate. Compare DuckDB-side types column by
+        # column between the spark parquet read and the oracle query.
+        stypes = {c: str(t) for c, t in zip(spark.columns, spark.types)}
+        dtypes = {c: str(t) for c, t in zip(duck.columns, duck.types)}
+        tbad = [(c, stypes[c], dtypes[c]) for c in scols
+                if stypes[c] != dtypes[c]]
+        if tbad:
+            print(f"FAIL {name}: oracle/spark type mismatch: "
+                  + ", ".join(f"{c} spark={a} duck={b}" for c, a, b in tbad))
+            n_fail += 1
+            continue
         # reorder values to sorted-column order, then sort rows
         sidx = [spark.columns.index(c) for c in scols]
         didx = [duck.columns.index(c) for c in dcols]
