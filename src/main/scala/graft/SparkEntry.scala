@@ -3210,6 +3210,37 @@ object SparkEntry {
         |       CAST(1 + doc_id % 5 AS INT) AS height
         |FROM documents WHERE doc_id <= 30""".stripMargin),
 
+    ("multimodal_decode_wav",
+      (s: SparkSession, dir: String) => {
+        // REAL RIFF/WAVE PCM (encoded in executors from the id) decoded
+        // back through javax.sound.sampled at the codec boundary: sample
+        // rate + channels from the parsed format, frame count from the
+        // bytes actually read, mean |sample| from the actual PCM — a
+        // fall-through to the fake decoder emits sample_rate = 0, never
+        // 8000/16000/24000, and frame 0 carries a different sample value
+        // than the rest so a header-only "decode" cannot match either.
+        // n_bytes is dropped from the gate (container size is
+        // writer-defined); a spec asserts it exceeds the 44-byte header
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 40)
+        Multimodal.extractAudioFeatures(s,
+          Multimodal.attachWavPayload(s, ids, "doc_id")).toDF()
+      },
+      // closed form of the synthesized PCM: sr = 8000*(1+id%3),
+      // ch = 1+id%2, nf = 8+id%25, frame 0 = (id*53)%101-50, the rest
+      // (id*37)%101-50; every channel repeats the frame value, so the
+      // 1-or-2 channel factor cancels exactly in IEEE division and
+      // mean_abs = (|b0| + (nf-1)*|a|) / nf
+      s"""WITH d AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS sr,
+         |             1 + doc_id % 2 AS ch, 8 + doc_id % 25 AS nf,
+         |             abs((doc_id * 53) % 101 - 50) AS b0,
+         |             abs((doc_id * 37) % 101 - 50) AS a
+         |           FROM documents WHERE doc_id <= 40)
+         |SELECT doc_id AS id, CAST(sr AS INT) AS sample_rate,
+         |  CAST(ch AS INT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+         |  ${Num.r6Sql("CAST(nf AS DOUBLE) / CAST(sr AS DOUBLE)")} AS duration_sec,
+         |  ${Num.r6Sql("CAST(b0 + (nf - 1) * a AS DOUBLE) / CAST(nf AS DOUBLE)")} AS mean_abs
+         |FROM d""".stripMargin),
+
     ("multimodal_resize",
       (s: SparkSession, dir: String) =>
         Multimodal.resizeDims(Multimodal.extractFeatures(s,

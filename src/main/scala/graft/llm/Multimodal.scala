@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * Image decode is REAL for PNG/BMP (pure-JDK `javax.imageio`, actual
-  * pixel raster — see [[decodeMedia]]); formats without a codec in this
-  * container (audio/video) fall back to a deterministic fake
+  * Image decode is REAL for PNG/BMP/JPEG/GIF (pure-JDK `javax.imageio`,
+  * actual pixel raster — see [[decodeMedia]]) and audio decode is REAL
+  * for RIFF/WAVE PCM (pure-JDK `javax.sound.sampled` — see
+  * [[decodeAudio]]); formats without a codec in this
+  * container (video) fall back to a deterministic fake
   * ([[decodeStub]]) behind the same `MediaRow => MediaFeatures`
   * boundary. Everything around the codec — the binary column, the
   * metadata struct, the typed Dataset batch shape, the mapPartitions
@@ -128,6 +130,156 @@ object Multimodal {
     * all bytes — so the distributed plumbing is testable end-to-end.
     */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = rows.map(decodeFake)
+
+  // ---------------------------------------------------------------- audio
+
+  final case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                                 n_frames: Long, duration_sec: Double,
+                                 mean_abs: Double)
+
+  // "RIFF....WAVE" container magic — checked before the payload reaches
+  // the codec, same contract as the image magic checks
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Max decoded PCM bytes before a payload is rejected: a corrupt RIFF
+    * header can declare a multi-GB data chunk; the decode streams with
+    * this cap instead of trusting the header's frame count.
+    */
+  val MaxDecodedPcmBytes: Long = 64L * 1024 * 1024
+
+  /** Audio decode at the codec boundary: RIFF/WAVE payloads get a REAL
+    * `javax.sound.sampled` decode (pure JDK — actual PCM frames: sample
+    * rate and channel count from the parsed format, frame count from the
+    * bytes actually read, mean |sample| over every frame x channel in
+    * raw 16-bit units); anything else — and any payload the codec
+    * rejects, truncates on, or whose stream exceeds [[MaxDecodedPcmBytes]]
+    * — falls through to the deterministic fake (`sample_rate = 0`, byte
+    * mean), so one bad blob degrades one row, never the scan task.
+    */
+  def decodeAudio(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.map { r =>
+      val bytes = r.payload
+      if (r.format != null && r.format.startsWith("audio/") && bytes != null
+          && isWav(bytes)) {
+        decodeWavReal(r.id, bytes).getOrElse(audioFake(r))
+      } else audioFake(r)
+    }
+
+  private def decodeWavReal(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val sr = fmt.getSampleRate
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || bits != 16 || fmt.isBigEndian || ch <= 0 || sr <= 0) None
+        else {
+          // stream the PCM under a hard cap — the header's frame count is
+          // untrusted input and is NOT used for sizing
+          val frameSize = fmt.getFrameSize // = 2 * ch for 16-bit PCM
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          var sumAbs = 0L
+          var carry = new Array[Byte](0)
+          var n = ais.read(buf)
+          while (n > 0 && total <= MaxDecodedPcmBytes) {
+            total += n
+            val chunk = carry ++ buf.take(n)
+            val usable = chunk.length - chunk.length % 2
+            var i = 0
+            while (i < usable) {
+              val s = ((chunk(i) & 0xff) | (chunk(i + 1) << 8)).toShort
+              sumAbs += math.abs(s.toLong)
+              i += 2
+            }
+            carry = chunk.drop(usable)
+            n = ais.read(buf)
+          }
+          if (total > MaxDecodedPcmBytes || total % frameSize != 0 || total == 0) None
+          else {
+            val frames = total / frameSize
+            val samples = frames * ch
+            Some(AudioFeatures(id, sr.toInt, ch, frames,
+              graft.Num.r6(frames.toDouble / sr.toDouble),
+              graft.Num.r6(sumAbs.toDouble / samples.toDouble)))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def audioFake(r: MediaRow): AudioFeatures = {
+    val bytes = r.payload
+    val mean = if (bytes == null || bytes.isEmpty) 0.0
+               else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+    AudioFeatures(r.id, 0, 0, if (bytes == null) 0L else bytes.length.toLong,
+      0.0, graft.Num.r6(mean))
+  }
+
+  /** Deterministic 16-bit PCM fixture for the real-decode gate, the
+    * audio analogue of [[syntheticImage]]: sample rate, channel count
+    * and frame count derive from the id; frame 0 carries a DIFFERENT
+    * sample value than the rest, so a decode that reads only the header
+    * (or only the first frame) cannot match. Every channel of a frame
+    * holds the same value, which keeps the closed-form mean
+    * channel-independent (and the 1-or-2 channel factor cancels exactly
+    * in IEEE division): mean_abs = (|b0| + (nFrames-1)*|a|) / nFrames.
+    */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = (8000 * (1 + id % 3)).toInt
+    val channels = (1 + id % 2).toInt
+    val nFrames = (8 + id % 25).toInt
+    val a = ((id * 37) % 101 - 50).toShort
+    val b0 = ((id * 53) % 101 - 50).toShort
+    val pcm = java.nio.ByteBuffer.allocate(nFrames * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var f = 0
+    while (f < nFrames) {
+      val v = if (f == 0) b0 else a
+      var c = 0
+      while (c < channels) { pcm.putShort(v); c += 1 }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat,
+      /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Attach REAL RIFF/WAVE payloads derived deterministically from the
+    * id column; like the image variants, the encode runs in executors.
+    */
+  def attachWavPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRow(id, syntheticWav(id), "audio/wav"))
+      .toDF()
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("format")).as("meta"))
+  }
+
+  /** Partition-batched audio feature extraction, same shape as
+    * [[extractFeatures]]: typed Dataset in/out, decode per partition,
+    * payloads never leave executors.
+    */
+  def extractAudioFeatures(spark: SparkSession, withPayload: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(decodeAudio)
+  }
 
   private def decodeFake(r: MediaRow): MediaFeatures = {
     val bytes = r.payload

@@ -201,6 +201,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV payloads decode through javax.sound.sampled; non-RIFF falls back") {
+    import Multimodal._
+    // id=9: sr=8000, ch=2, nf=17, frame 0 = (9*53)%101-50 = 23, the
+    // rest (9*37)%101-50 = -20 -> mean_abs = (23 + 16*20)/17; the two
+    // channels repeat each frame value so the factor cancels exactly
+    val wav = syntheticWav(9L)
+    assert(isWav(wav) && wav.length > 44, "writer must emit a RIFF/WAVE container")
+    val f = decodeAudio(Iterator(MediaRow(9L, wav, "audio/wav"))).next()
+    assert(f.sample_rate == 8000 && f.channels == 2 && f.n_frames == 17L)
+    assert(f.duration_sec == graft.Num.r6(17.0 / 8000.0))
+    assert(f.mean_abs == graft.Num.r6((23.0 + 16 * 20) / 17.0),
+      s"PCM must round-trip exactly, got ${f.mean_abs}")
+    // a text payload labeled audio/wav lacks the RIFF magic -> fake
+    // (sample_rate = 0, byte mean); a corrupt RIFF header reaches the
+    // codec, throws, and falls back instead of killing the task
+    val text = "just some text".getBytes("UTF-8")
+    assert(decodeAudio(Iterator(MediaRow(1L, text, "audio/wav"))).next().sample_rate == 0)
+    val corrupt = ("RIFF    WAVEgarbage past the magic").getBytes("ISO-8859-1")
+    assert(decodeAudio(Iterator(MediaRow(2L, corrupt, "audio/wav"))).next().sample_rate == 0)
+    // distributed round-trip: encode in executors, decode in executors;
+    // n_bytes (writer-defined, excluded from the hash gate) must exceed
+    // the 44-byte canonical header
+    val spark2 = spark
+    import spark2.implicits._
+    val df = attachWavPayload(spark, (0L until 20L).toDF("doc_id"), "doc_id")
+    assert(df.select(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("meta.n_bytes")))
+      .collect().head.getLong(0) > 44L)
+    val out = extractAudioFeatures(spark, df).collect().map(x => x.id -> x).toMap
+    assert(out.size == 20)
+    for (id <- 0L until 20L) {
+      assert(out(id).sample_rate == (8000 * (1 + id % 3)).toInt, s"id=$id")
+      assert(out(id).channels == (1 + id % 2).toInt && out(id).n_frames == 8 + id % 25)
+    }
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
