@@ -235,6 +235,31 @@ object SparkEntry {
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB SQL for the multi-table OR-amplified [[Similarity.topKLsh]]
+    * oracle at (nPlanes, nTables): per-table bucket UNION, cross-table
+    * candidate dedup, exact rescoring, rank. Table t hashes with planes
+    * [t*nPlanes, (t+1)*nPlanes), matching the Scala side.
+    */
+  private def mlshOracleSql(nPlanes: Int, nTables: Int): String = {
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    val tables = (0 until nTables).map { t =>
+      val sel = if (t == 0) "SELECT id, v, 0 AS tbl, " else s"SELECT id, v, $t, "
+      sel + bucketSql("v", nPlanes, t * nPlanes) +
+        (if (t == 0) " AS bucket FROM nv" else " FROM nv")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |bks AS ($tables),
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
+       |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE q.id < 20 AND c.id <> q.id),
+       |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+       |       FROM cand JOIN nv c ON c.id = cand.nn_id
+       |                 JOIN nv q ON q.id = cand.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** toks + sh0: distinct (doc, n-gram shingle) pairs — the uncapped
     * prefix shared by the string-shingle ([[shingleCte]]) and
     * hashed-shingle ([[minhashCtes]]) families.
@@ -2226,46 +2251,29 @@ object SparkEntry {
     ("similarity_topk_lsh",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")
+        // DEFENSIBLE default config: 2 planes x 4 OR-amplified tables,
+        // recall@10 = 0.800 measured (AnnRecallSpec pins the 0.75
+        // floor at exactly these parameters). The old single-table
+        // 8-plane config measured 0.065 on these near-random
+        // embeddings — determinism-gating a configuration no user
+        // should copy; the single-table CODE path stays covered by
+        // AnnRecallSpec's monotonicity test
         Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 5, nPlanes = 8)
+          k = 5, nPlanes = 2, nTables = 4)
       },
-      {
-        val score = Num.r6Sql(dotSql("c.v", "q.v"))
-        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-           |bk AS (SELECT id, v, ${bucketSql("v", 8)} AS bucket FROM nv),
-           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
-           |       FROM bk c JOIN bk q ON c.bucket = q.bucket AND q.id < 20 AND c.id <> q.id)
-           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
-           |WHERE rank <= 5""".stripMargin
-      }),
+      mlshOracleSql(nPlanes = 2, nTables = 4)),
 
     ("similarity_topk_mlsh",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")
-        // multi-table (OR-amplified) LSH path: small tables keep the
-        // gate cheap — this pins the cross-table candidate UNION,
-        // dedup, and rank parity; retrieval-quality floors live in
-        // AnnRecallSpec at the measured configs
+        // QUALITY config: 2 planes x 12 tables, recall@10 = 0.920
+        // measured (AnnRecallSpec pins the 0.9 floor at exactly these
+        // parameters) — pins the cross-table candidate UNION, dedup,
+        // and rank parity at the config a quality-sensitive user runs
         Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          k = 5, nPlanes = 2, nTables = 3)
+          k = 5, nPlanes = 2, nTables = 12)
       },
-      {
-        val score = Num.r6Sql(dotSql("c.v", "q.v"))
-        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-           |bks AS (SELECT id, v, 0 AS tbl, ${bucketSql("v", 2, 0)} AS bucket FROM nv
-           |  UNION ALL SELECT id, v, 1, ${bucketSql("v", 2, 2)} FROM nv
-           |  UNION ALL SELECT id, v, 2, ${bucketSql("v", 2, 4)} FROM nv),
-           |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
-           |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
-           |         WHERE q.id < 20 AND c.id <> q.id),
-           |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
-           |       FROM cand JOIN nv c ON c.id = cand.nn_id
-           |                 JOIN nv q ON q.id = cand.query_id)
-           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
-           |WHERE rank <= 5""".stripMargin
-      }),
+      mlshOracleSql(nPlanes = 2, nTables = 12)),
 
     ("similarity_topk_ivf",
       (s: SparkSession, dir: String) => {

@@ -49,6 +49,10 @@ class AnnRecallSpec extends AnyFunSuite {
   //   MLSH 2 planes x L tables: L=4 0.800, L=8 0.875, L=12 0.920
   // Floors sit ~0.05 under the measurements to absorb k-means/plane
   // family tweaks without letting a real quality regression through.
+  // Every ANN gate's EXACT parameters carry a pinned floor here:
+  // similarity_topk_ivf (16, nProbe=4), similarity_topk_lsh (2x4,
+  // re-pointed round 10 off the 0.065 single-table config),
+  // similarity_topk_mlsh (2x12).
 
   test("IVF recall@10 at the gate parameters (nProbe=4) holds its floor") {
     val ivf = Similarity.topKIvf(emb, queries, "vec_id", "embedding",
@@ -66,12 +70,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"IVF recall@$K degraded to $r%.3f (floor 0.9)")
   }
 
-  test("multi-table LSH recall@10 at the quality config (2 planes x 12 tables) clears 0.9") {
+  test("LSH recall@10 at the similarity_topk_lsh GATE config (2 planes x 4 tables) holds its floor") {
+    val lsh = Similarity.topKLsh(emb, queries, "vec_id", "embedding",
+      k = K, nPlanes = 2, nTables = 4)
+    val r = recallAt(lsh, exactSets)
+    info(f"LSH recall@$K = $r%.3f (nPlanes=2, nTables=4 — the gate parameters)")
+    assert(r >= 0.75, f"gate-config LSH recall@$K degraded to $r%.3f (floor 0.75)")
+  }
+
+  test("MLSH recall@10 at the similarity_topk_mlsh GATE config (2 planes x 12 tables) clears 0.9") {
     val lsh = Similarity.topKLsh(emb, queries, "vec_id", "embedding",
       k = K, nPlanes = 2, nTables = 12)
     val r = recallAt(lsh, exactSets)
-    info(f"MLSH recall@$K = $r%.3f (nPlanes=2, nTables=12)")
-    assert(r >= 0.9, f"MLSH recall@$K degraded to $r%.3f (floor 0.9)")
+    info(f"MLSH recall@$K = $r%.3f (nPlanes=2, nTables=12 — the gate parameters)")
+    assert(r >= 0.9, f"gate-config MLSH recall@$K degraded to $r%.3f (floor 0.9)")
   }
 
   test("LSH table amplification is monotone: more tables never retrieve less") {
@@ -81,6 +93,5 @@ class AnnRecallSpec extends AnyFunSuite {
       k = K, nPlanes = 2, nTables = 4), exactSets)
     info(f"MLSH recall@$K: 1 table $r1%.3f -> 4 tables $r4%.3f")
     assert(r4 >= r1, "adding tables must never lose candidates (union semantics)")
-    assert(r4 >= 0.7, f"4-table recall $r4%.3f under its 0.7 floor")
   }
 }
