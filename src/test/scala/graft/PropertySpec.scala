@@ -310,4 +310,55 @@ class PropertySpec extends AnyFunSuite {
       capped && budget && mono
     })
   }
+
+  test("property: selectByTokenBudget meets the budget within boundary-bin granularity, is monotone in budget, and bins NULL scores at 0") {
+    // scores mix NULLs and the full [0,1] range (few distinct values so
+    // bins collide and the boundary bin is routinely non-trivial);
+    // counts mix NULLs, negatives, zeros and positives — the clamp
+    // surface
+    val scoreGen = Gen.frequency(
+      2 -> Gen.const(Option.empty[Double]),
+      8 -> Gen.chooseNum(0, 10).map(i => Option(i / 10.0)))
+    val countGen = Gen.frequency(
+      1 -> Gen.const(Option.empty[Long]),
+      1 -> Gen.chooseNum(-100L, -1L).map(Option(_)),
+      1 -> Gen.const(Option(0L)),
+      7 -> Gen.chooseNum(1L, 300L).map(Option(_)))
+    val corpusGen = Gen.chooseNum(10, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(scoreGen, countGen)).map(_.zipWithIndex.map {
+        case ((sc, c), i) => (i.toLong, sc, c) }))
+    checkN(12, Prop.forAll(corpusGen, Gen.chooseNum(0L, 4000L)) { (rows, budget) =>
+      val df = rows.toDF("doc_id", "score", "n")
+      val nBins = 10
+      def admitted(b: Long) = graft.llm.Corpus
+        .selectByTokenBudget(df, "doc_id", "score", "n", b, nBins)
+        .select("doc_id", "score", "n_toks", "bin")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2), r.getInt(3)))
+      val out = admitted(budget)
+      val clamped = rows.map { case (_, _, c) => math.max(c.getOrElse(0L), 0L) }
+      val total = clamped.sum
+      // per-bin token mass, the bound's granularity term: one boundary
+      // bin may overshoot by at most its own mass (hash admission is
+      // exact only in expectation)
+      val binOf = rows.map { case (_, sc, _) =>
+        math.min(nBins - 1, math.max(0L, math.floor(sc.getOrElse(0.0) * nBins).toLong)).toInt }
+      val binToks = binOf.zip(clamped).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val admittedToks = out.map(_._3).sum
+      // (a) admitted tokens <= budget + the largest single bin's mass
+      val withinBudget = admittedToks <= budget + binToks.values.foldLeft(0L)(math.max)
+      // (b) monotone: a larger budget admits a superset of doc ids
+      val bigger = admitted(budget + 500L).map(_._1).toSet
+      val monotone = out.map(_._1).toSet.subsetOf(bigger)
+      // (c) budget >= total admits every doc
+      val all = admitted(total)
+      val admitsAll = all.length == rows.length
+      // (d) NULL scores bin at 0; n_toks is the clamped count
+      val nullBin = out.forall { case (_, sc, _, b) => sc.isDefined || b == 0 }
+      val clampOk = all.map(r => r._1 -> r._3).toMap == rows.map {
+        case (id, _, c) => id -> math.max(c.getOrElse(0L), 0L) }.toMap
+      withinBudget && monotone && admitsAll && nullBin && clampOk
+    })
+  }
 }
