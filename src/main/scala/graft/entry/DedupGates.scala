@@ -1,0 +1,402 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlLeaf, EtlObj, EtlSchema}
+import graft.ops._
+import graft.llm._
+import GateSupport._
+
+/** Deduplication family (exact, spans, winnow, n-gram, minhash/LSH, simhash, clusters, embedding) and similarity search gates.
+  *
+  * One registry entry per operator: (name, spark fn, oracle SQL) —
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
+  */
+private[graft] object DedupGates {
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    // ---- dedup family -----------------------------------------------------
+    ("dedup_exact",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.exact(d.union(d.select(col("doc_id") + 10000, col("text"))), "doc_id", "text")
+      },
+      """WITH dup AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM dup GROUP BY text""".stripMargin),
+
+    ("dedup_exact_hash",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // duplicate the corpus under shifted ids so dup groups exist, and
+        // add two NULL-text rows so the null-handling path is EXERCISED,
+        // not just written: they must land in one keeper group
+        val nulls = Seq((20001L, Option.empty[String]), (20002L, Option.empty[String]))
+          .toDF("doc_id", "text")
+        Dedup.exactByFingerprint(
+          d.union(d.select(col("doc_id") + 10000, col("text"))).union(nulls),
+          "doc_id", "text")
+      },
+      // IS NOT DISTINCT FROM mirrors the Spark side's explicit null-text
+      // group (exactByFingerprint routes NULL texts into one keeper
+      // group; a plain `=` join would silently drop them)
+      """WITH dup AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id + 10000, text FROM documents
+        |             UNION ALL SELECT 20001, NULL
+        |             UNION ALL SELECT 20002, NULL),
+        |g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |             CAST(count(*) AS BIGINT) AS n_dups FROM dup GROUP BY text)
+        |SELECT d.doc_id AS doc, g.keep_id, g.n_dups
+        |FROM dup d JOIN g ON d.text IS NOT DISTINCT FROM g.text""".stripMargin),
+
+    ("line_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // words-as-lines (spaces -> newlines) makes cross-document
+        // repeated lines ubiquitous, and a per-doc unique trailing line
+        // keeps every document alive so the gate checks reassembly for
+        // all 500 docs (not just the few with first-occurrence words);
+        // fixture rows pin the within-doc-repeat, fully-deduped-doc and
+        // NULL-text paths
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(translate(col("text"), " ", "\n"),
+              lit("\nuid-"), col("doc_id")).as("text"))
+          .union(Seq(
+            (99991L, Option.empty[String]),
+            (99992L, Some("zz_alpha\nzz_beta\nzz_alpha")),
+            (99993L, Some("zz_alpha\nzz_beta"))).toDF("doc_id", "text"))
+        Dedup.lineDedup(d, "doc_id", "text")
+      },
+      // global first occurrence per line = row_number over (doc, pos);
+      // docs whose every line was seen earlier vanish from the GROUP BY,
+      // NULL-text docs re-enter with 0 lines kept — both mirror Spark
+      """WITH docs AS (SELECT doc_id, replace(text, ' ', chr(10)) || chr(10) || 'uid-' || doc_id AS text
+        |              FROM documents
+        |              UNION ALL SELECT 99991, NULL
+        |              UNION ALL SELECT 99992, 'zz_alpha' || chr(10) || 'zz_beta' || chr(10) || 'zz_alpha'
+        |              UNION ALL SELECT 99993, 'zz_alpha' || chr(10) || 'zz_beta'),
+        |lines AS (SELECT doc_id AS doc,
+        |            unnest(string_split(text, chr(10))) AS line,
+        |            unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |          FROM docs WHERE text IS NOT NULL),
+        |keep AS (SELECT doc, pos, line FROM (
+        |           SELECT doc, pos, line,
+        |                  row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+        |           FROM lines) WHERE rn = 1)
+        |SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |       CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM keep GROUP BY doc
+        |UNION ALL
+        |SELECT doc_id, NULL, CAST(0 AS BIGINT) FROM docs WHERE text IS NULL""".stripMargin),
+
+    ("dedup_duplicate_spans",
+      (s: SparkSession, dir: String) => {
+        // the CORE operator over real data: raw documents plus shifted
+        // whole-doc copies of every 10th doc (one maximal span per pair
+        // at diag -3, derived from the table — not fixture synthesis).
+        // The fixture edge battery lives in dedup_duplicate_spans_edges
+        // so this query benches the operator, not the fixtures
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val shifted = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(lit("spanprefix pad pad "), col("text")).as("text"))
+        Dedup.duplicateSpans(d.union(shifted), "doc_id", "text", k = 8)
+      },
+      // windows via zipped unnests (generate_series positions are
+      // 0-based to match Spark's posexplode); dup restriction groups
+      // by window TEXT — and so does the Spark side ((h, w) stats
+      // keys): hash-only grouping would let a collision merge a
+      // flood-capped boilerplate window with a real passage and
+      // suppress its spans; islands = p1 - row_number per (d1,d2,diag)
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, 'spanprefix pad pad ' || text
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS tk
+        |         FROM docs WHERE text IS NOT NULL),
+        |wins AS (SELECT doc,
+        |           unnest(generate_series(0, len(tk) - 8)) AS pos,
+        |           unnest(list_transform(generate_series(0, len(tk) - 8),
+        |                    i -> array_to_string(tk[i + 1:i + 8], ' '))) AS w
+        |         FROM toks WHERE len(tk) >= 8),
+        |stats AS (SELECT w, count(DISTINCT doc) AS nd, count(*) AS n FROM wins GROUP BY w),
+        |cand AS (SELECT doc, pos, w FROM wins
+        |         WHERE w IN (SELECT w FROM stats WHERE nd > 1 AND n <= 100)),
+        |hits AS (SELECT a.doc AS d1, a.pos AS p1, b.doc AS d2, b.pos AS p2,
+        |                a.pos - b.pos AS diag
+        |         FROM cand a JOIN cand b ON a.w = b.w AND a.doc < b.doc),
+        |isl AS (SELECT d1, d2, diag, p1, p2,
+        |               p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS g
+        |        FROM hits)
+        |SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1, CAST(min(p2) AS BIGINT) AS start2,
+        |       CAST(count(*) + 7 AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY d1, d2, diag, g""".stripMargin),
+
+    ("dedup_duplicate_spans_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // edge battery over a 124-row INLINE relation (sub-second by
+        // construction): the same 10-token passage at TWO alignments in
+        // one doc (= two spans at distinct diagonals, never merged), a
+        // 120-doc boilerplate window (> maxOcc=100 -> flood-capped,
+        // zero pairs), a doc shorter than k (no windows) and a NULL
+        // text (no rows, no NPE)
+        val fixtures = Seq(
+          (90001L, Some("alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+          (90002L, Some("one two three alpha beta gamma delta epsilon zeta eta theta" +
+            " iota kappa four five alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+          (90003L, Some("short doc")),
+          (90004L, Option.empty[String])).toDF("doc_id", "text")
+        val flood = s.range(120).select((col("id") + 80000).as("doc_id"),
+          lit("common header boilerplate shared across many docs exactly").as("text"))
+        Dedup.duplicateSpans(fixtures.union(flood), "doc_id", "text", k = 8)
+      },
+      """WITH docs AS (
+        |  SELECT 90001 AS doc_id, 'alpha beta gamma delta epsilon zeta eta theta iota kappa' AS text
+        |  UNION ALL SELECT 90002, 'one two three alpha beta gamma delta epsilon zeta eta theta iota kappa four five alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |  UNION ALL SELECT 90003, 'short doc'
+        |  UNION ALL SELECT 90004, NULL
+        |  UNION ALL SELECT 80000 + i, 'common header boilerplate shared across many docs exactly'
+        |    FROM generate_series(0, 119) t(i)),
+        |toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS tk
+        |         FROM docs WHERE text IS NOT NULL),
+        |wins AS (SELECT doc,
+        |           unnest(generate_series(0, len(tk) - 8)) AS pos,
+        |           unnest(list_transform(generate_series(0, len(tk) - 8),
+        |                    i -> array_to_string(tk[i + 1:i + 8], ' '))) AS w
+        |         FROM toks WHERE len(tk) >= 8),
+        |stats AS (SELECT w, count(DISTINCT doc) AS nd, count(*) AS n FROM wins GROUP BY w),
+        |cand AS (SELECT doc, pos, w FROM wins
+        |         WHERE w IN (SELECT w FROM stats WHERE nd > 1 AND n <= 100)),
+        |hits AS (SELECT a.doc AS d1, a.pos AS p1, b.doc AS d2, b.pos AS p2,
+        |                a.pos - b.pos AS diag
+        |         FROM cand a JOIN cand b ON a.w = b.w AND a.doc < b.doc),
+        |isl AS (SELECT d1, d2, diag, p1, p2,
+        |               p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS g
+        |        FROM hits)
+        |SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1, CAST(min(p2) AS BIGINT) AS start2,
+        |       CAST(count(*) + 7 AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY d1, d2, diag, g""".stripMargin),
+
+    ("dedup_winnow",
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4),
+      s"""WITH ${winnowCtes(5, 4)}
+         |SELECT DISTINCT doc, f.pos AS pos, f.h AS h FROM wsel""".stripMargin),
+
+    ("dedup_winnow_pairs",
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 2L, maxOcc = Some(100L)),
+      // stats/cap/join keyed on the (h, h2) hash pair, mirroring the
+      // Spark side's collision hardening
+      s"""WITH ${winnowCtes(5, 4, confirm = true)},
+         |wdh AS (SELECT DISTINCT doc, f.h AS h, f.h2 AS h2 FROM wsel),
+         |wok AS (SELECT h, h2 FROM (SELECT h, h2, count(DISTINCT doc) AS nd
+         |                           FROM wdh GROUP BY h, h2)
+         |        WHERE nd > 1 AND nd <= 100),
+         |wc AS (SELECT w.doc, w.h, w.h2 FROM wdh w
+         |       JOIN wok o ON w.h = o.h AND w.h2 = o.h2)
+         |SELECT a.doc AS d1, b.doc AS d2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wc a JOIN wc b ON a.h = b.h AND a.h2 = b.h2 AND a.doc < b.doc
+         |GROUP BY a.doc, b.doc HAVING count(*) >= 2""".stripMargin),
+
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.3, maxDocFreq = Some(20)),
+      s"""WITH ${shingleCte(3, 20)},
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh1 a JOIN sizes s1 ON a.doc = s1.doc
+         |               JOIN sh1 b ON a.sh = b.sh JOIN sizes s2 ON b.doc = s2.doc
+         |          WHERE a.doc < b.doc
+         |            AND CAST(least(s1.sz, s2.sz) AS DOUBLE) >= 0.3 * CAST(greatest(s1.sz, s2.sz) AS DOUBLE)
+         |          GROUP BY a.doc, b.doc)
+         |${jaccardSql("inter", 0.3)}""".stripMargin),
+
+    ("dedup_minhash_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20)),
+      s"WITH $minhashCtes SELECT d1, d2, jaccard FROM mh_pairs"),
+
+    ("dedup_clusters",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+        Dedup.clusterAssignments(docs, "doc_id", pairs)
+      },
+      // recursive min-reachable-label walk == the fixpoint the Spark
+      // label propagation converges to
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+         |          UNION SELECT d2, d1 FROM mh_pairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+         |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+         |SELECT doc_id AS doc, COALESCE(cc.label, doc_id) AS cluster,
+         |       COALESCE(cc.label, doc_id) = doc_id AS is_canonical
+         |FROM documents LEFT JOIN cc ON doc_id = cc.node""".stripMargin),
+
+    ("dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        // 60-bit signature, 6 chunks, hamming <= 4: bands key on 2-chunk
+        // combinations (20 bits, Manku-style) so buckets stay tiny at
+        // corpus scale; completeness enforced by simhashPairs' require
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 4, nBits = 60, nChunks = 6)
+          .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming")),
+      {
+        // bits < 30 sample the base-131 hash; 30..59 the base-137 hash
+        // (the rolling hash is < 2^30, so higher bits of one hash would
+        // be dead zeros) — mirrors Dedup.simhash exactly
+        val sums = (0 until 60).map { b =>
+          val src = if (b < 30) s"(h1 >> $b)" else s"(h2 >> ${b - 30})"
+          s"sum(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(", ")
+        val sig = (0 until 60).map(b =>
+          s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        // bands = 2-chunk combinations of 6 chunks of width ceil(60/6)=10,
+        // enumerated by the SAME function simhashPairs bands with; band
+        // key packs the two 10-bit chunk values into one 20-bit integer
+        val combos = Dedup.simhashBandCombos(nChunks = 6, maxHamming = 4)
+        val comboVals = combos.zipWithIndex
+          .map { case (cs, g) => s"($g, ${cs(0)}, ${cs(1)})" }.mkString(", ")
+        s"""WITH tk AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
+           |hh AS (SELECT doc, ${rhSql("tok")} AS h1, ${rhSql("tok", 137L)} AS h2 FROM tk),
+           |sums AS (SELECT doc, $sums FROM hh GROUP BY doc),
+           |sig AS (SELECT doc, $sig AS simhash FROM sums),
+           |ch AS (SELECT doc, simhash, g,
+           |         ((simhash >> (c1 * 10)) % 1024) + ((simhash >> (c2 * 10)) % 1024) * 1024 AS ck
+           |       FROM sig CROSS JOIN (VALUES $comboVals) AS t(g, c1, c2)),
+           |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2, l.simhash AS h1, r.simhash AS h2
+           |         FROM ch l JOIN ch r ON l.g = r.g AND l.ck = r.ck WHERE l.doc < r.doc)
+           |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(h1, h2)) <= 4""".stripMargin
+      }),
+
+    ("dedup_embedding_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.2, useLsh = true),
+      {
+        val cos = Num.r6Sql(dotSql("a.v", "b.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |bk AS (SELECT id, v, ${bucketSql("v", 8)} AS bucket FROM nv)
+           |SELECT a.id AS d1, b.id AS d2, $cos AS cos
+           |FROM bk a JOIN bk b USING (bucket) WHERE a.id < b.id AND $cos >= 0.2""".stripMargin
+      }),
+
+    ("dedup_embedding_exact",
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, useLsh = false),
+      {
+        val cos = Num.r6Sql(dotSql("a.v", "b.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)
+           |SELECT a.id AS d1, b.id AS d2, $cos AS cos
+           |FROM nv a JOIN nv b ON a.id < b.id WHERE $cos >= 0.25""".stripMargin
+      }),
+
+    ("dedup_semantic",
+      (s: SparkSession, dir: String) =>
+        Dedup.semanticNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, nCentroids = 16, kmeansIters = 2),
+      {
+        val cos = Num.r6Sql(dotSql("a.cv", "b.cv"))
+        // pairs only WITHIN a k-means cell — the SemDeDup candidate rule
+        s"""WITH ${ivfAsgCtes(16, 2)}
+           |SELECT a.nn_id AS d1, b.nn_id AS d2, $cos AS cos
+           |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.nn_id < b.nn_id
+           |WHERE $cos >= 0.25""".stripMargin
+      }),
+
+    // ---- similarity search ------------------------------------------------
+    ("embedding_quantize",
+      (s: SparkSession, dir: String) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("id"), col("scale"),
+            array_join(col("q").cast("array<string>"), ",").as("q"),
+            col("max_err")),
+      {
+        val scale = "(ma / 127.0)"
+        s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
+           |m AS (SELECT id, d, list_reduce(list_prepend(0.0, list_transform(d, x -> abs(x))), (a, b) -> greatest(a, b)) AS ma FROM v),
+           |qv AS (SELECT id, d, ma, CASE WHEN ma = 0 THEN list_transform(d, x -> CAST(0 AS BIGINT))
+           |         ELSE list_transform(d, x -> CAST(greatest(-127, least(127, floor(x / $scale + 0.5))) AS BIGINT)) END AS q FROM m)
+           |SELECT id, ${Num.r6Sql(scale)} AS scale, array_to_string(q, ',') AS q,
+           |       ${Num.r6Sql(s"list_reduce(list_prepend(0.0, list_transform(d, (x, i) -> abs(x - q[i] * $scale))), (a, b) -> greatest(a, b))")} AS max_err
+           |FROM qv""".stripMargin
+      }),
+
+    ("similarity_topk",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.topK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |       FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
+    ("similarity_topk_lsh",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        // DEFENSIBLE default config: 2 planes x 4 OR-amplified tables,
+        // recall@10 = 0.800 measured (AnnRecallSpec pins the 0.75
+        // floor at exactly these parameters). The old single-table
+        // 8-plane config measured 0.065 on these near-random
+        // embeddings — determinism-gating a configuration no user
+        // should copy; the single-table CODE path stays covered by
+        // AnnRecallSpec's monotonicity test
+        Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 2, nTables = 4)
+      },
+      mlshOracleSql(nPlanes = 2, nTables = 4)),
+
+    ("similarity_topk_mlsh",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        // QUALITY config: 2 planes x 12 tables, recall@10 = 0.920
+        // measured (AnnRecallSpec pins the 0.9 floor at exactly these
+        // parameters) — pins the cross-table candidate UNION, dedup,
+        // and rank parity at the config a quality-sensitive user runs
+        Similarity.topKLsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 2, nTables = 12)
+      },
+      mlshOracleSql(nPlanes = 2, nTables = 12)),
+
+    ("similarity_topk_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.topKIvf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
+      },
+      {
+        val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
+        s"""WITH ${ivfAsgCtes(16, 2)},
+           |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
+           |  SELECT q.id, q.v, c.cid,
+           |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+           |  FROM nv q CROSS JOIN cent c WHERE q.id < 20) WHERE rn <= 4),
+           |sc AS (SELECT p.query_id, a.nn_id, $score AS score
+           |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+  )
+}

@@ -1,0 +1,417 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.llm._
+
+/** Shared plumbing for the gate registries: parquet readers, the
+  * flagship view chain, and the DuckDB oracle SQL builders (rolling
+  * hash, UTF-8 byte lists, shingle/minhash/winnow/perplexity CTE
+  * families, vector math). Extracted from SparkEntry so each gate
+  * family lives in its own file; see [[SparkEntry]] for the driver
+  * contract.
+  */
+private[graft] object GateSupport {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; read it as raw nanos (legacy flag) and
+    * rebuild a microsecond timestamp with integer arithmetic (`div`, not
+    * `/`: a long→double division would lose precision above 2^53 ns).
+    * Oracle equivalent: `make_timestamp(epoch_ns(ts) // 1000)`.
+    */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Deterministic partsupp synthesis — the driver testdata ships no
+    * partsupp table, so the three TPC-H shapes that need one (q2 / q9 /
+    * q11) derive it: 4 supplier slots per part, supplier/qty/cost all
+    * integer arithmetic over (p_partkey, slot) that the DuckDB oracle
+    * reproduces verbatim ([[partsuppCte]]). Supply cost stays in
+    * INTEGER CENTS end-to-end per the engine's money idiom. The
+    * supplier count enters as a broadcast one-row aggregate, never a
+    * driver-side count.
+    */
+  private[graft] def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"))
+    val sCount = t(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    p.crossJoin(broadcast(sCount))
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("i"), col("s_cnt"))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") * 3 + col("i") * ((col("s_cnt") / 4).cast("long") + 1))
+          % col("s_cnt")).as("ps_suppkey"),
+        ((col("ps_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
+        ((col("ps_partkey") * 37 + col("i") * 11) % 100000 + 100)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** DuckDB mirror of [[partsupp]], ending in `ps(ps_partkey,
+    * ps_suppkey, ps_availqty, ps_supplycost_cents)`.
+    */
+  private[graft] lazy val partsuppCte: String =
+    s"""ps AS (SELECT p_partkey AS ps_partkey,
+       |  (p_partkey * 3 + i * ((SELECT count(*) FROM supplier) // 4 + 1))
+       |    % (SELECT count(*) FROM supplier) AS ps_suppkey,
+       |  (p_partkey * 31 + i * 17) % 9999 + 1 AS ps_availqty,
+       |  (p_partkey * 37 + i * 11) % 100000 + 100 AS ps_supplycost_cents
+       |FROM part, generate_series(0, 3) t(i))""".stripMargin
+
+  // ------------------------------------------------------------------ views
+
+  /** Flagship view query (SURVEY §7 step 5): the applyView('person')
+    * analogue — customer ⟕ nation ⟕ region as the person⟕entity⟕belonging
+    * N:1 chain with equality `where` (F6), required joins (J1),
+    * broadcast-hinted dimensions.
+    */
+  private[graft] def viewFlagship(s: SparkSession, dir: String): DataFrame = {
+    import ViewDsl._
+    val reg = new Registry(Map(
+      "Customer" -> t(s, dir, "customer"),
+      "Nation"   -> t(s, dir, "nation"),
+      "Region"   -> t(s, dir, "region")))
+    val tree = ViewNode("Customer", where = Seq("c_mktsegment" -> "BUILDING"),
+      children = Seq(ViewNode("Nation", required = true, broadcast = true,
+        assoc = Some(Assoc("c_nationkey", "n_nationkey", BelongsTo)),
+        children = Seq(ViewNode("Region", required = true, broadcast = true,
+          assoc = Some(Assoc("n_regionkey", "r_regionkey", BelongsTo)))))))
+    reg.applyView(tree)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+  }
+
+  // --------------------------------------------------------- oracle helpers
+
+  /** DuckDB SQL for [[TextAnalysis.rollingHash]] of `expr`: identical fold
+    * (h0=7; h = (h*131 + codepoint) mod 1e9+7). list_reduce has no init
+    * parameter, so the seed is prepended to the codepoint list.
+    */
+  private[graft] def rhSql(expr: String, mult: Long = 131L): String =
+    // NULL input must stay NULL: DuckDB's list_prepend(7, NULL) yields
+    // [7], which would fingerprint a NULL text as the seed value while
+    // Spark's rolling hash (null-safe expression) returns NULL
+    s"CASE WHEN $expr IS NULL THEN NULL ELSE " +
+      s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * $mult + b) % 1000000007) END"
+
+  /** DuckDB BIGINT list of the UTF-8 bytes of a VARCHAR expression —
+    * the oracle-side mirror of Spark's `encode(text, 'UTF-8')` payload.
+    * DuckDB exposes characters (codepoints), not bytes, so each
+    * codepoint expands to its UTF-8 encoding arithmetically (1-4 byte
+    * classes). This keeps the multimodal oracles byte-accurate on
+    * non-ASCII text, where per-character ascii()/substr() formulations
+    * silently diverge from the payload bytes Spark processes.
+    */
+  private[graft] def utf8BytesSql(e: String): String =
+    s"""CASE WHEN $e IS NULL THEN NULL
+       |     WHEN $e = '' THEN CAST([] AS BIGINT[])
+       |     ELSE flatten(list_transform(string_split_regex($e, ''), c ->
+       |       CASE WHEN unicode(c) < 128 THEN [CAST(unicode(c) AS BIGINT)]
+       |            WHEN unicode(c) < 2048 THEN [
+       |              CAST(192 + unicode(c) // 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+       |            WHEN unicode(c) < 65536 THEN [
+       |              CAST(224 + unicode(c) // 4096 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+       |            ELSE [
+       |              CAST(240 + unicode(c) // 262144 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 4096) % 64 AS BIGINT),
+       |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+       |              CAST(128 + unicode(c) % 64 AS BIGINT)] END)) END""".stripMargin
+
+  /** Non-ASCII fixture rows for the multimodal byte-parity gates: the
+    * 2-byte (Latin-1 supplement), 3-byte (CJK) and 4-byte (emoji) UTF-8
+    * classes all present, so byte-vs-codepoint divergence cannot hide.
+    * Unioned literally on BOTH sides (Spark input and oracle SQL).
+    */
+  private[graft] val nonAsciiDocs = Seq(
+    99992L -> "héllo wörld — 日本語テキスト 😀",
+    99993L -> "Größenmaßstäbe: čeština, русский, ελληνικά")
+
+  private[graft] def withNonAsciiDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .union(nonAsciiDocs.toDF("doc_id", "text"))
+  }
+
+  private[graft] def nonAsciiUnionSql: String =
+    nonAsciiDocs.map { case (i, txt) => s"UNION ALL SELECT $i, '$txt'" }.mkString(" ")
+
+  /** DuckDB CTE chain ending in `rep(doc_id, rep_n_tokens,
+    * top_word_frac, top_bigram_frac, distinct_frac)` — mirrors
+    * [[TextAnalysis.withRepetitionCols]] (whitespace-strip, tokenize,
+    * Gopher top-word/top-bigram/distinct fractions). Shared by the
+    * repetition gate and the composite Gopher-filter oracle.
+    */
+  private[graft] def repetitionCtes(from: String): String = {
+    val topWord = Num.r6Sql(
+      "CAST(list_max(list_transform(list_distinct(tk), w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+    val topBigram = Num.r6Sql(
+      "CAST(list_max(list_transform(list_distinct(bg), w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE)")
+    val distinctFrac = Num.r6Sql(
+      "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")
+    s"""rs AS (SELECT doc_id, text,
+       |         regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS st FROM $from),
+       |rb AS (SELECT doc_id, text,
+       |         CASE WHEN st = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(lower(st), '\\s+') END AS tk FROM rs),
+       |rg AS (SELECT *, list_transform(generate_series(1, len(tk) - 1),
+       |                                i -> tk[i] || ' ' || tk[i + 1]) AS bg FROM rb),
+       |rep AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END AS rep_n_tokens,
+       |  CASE WHEN len(tk) > 0 THEN $topWord END AS top_word_frac,
+       |  CASE WHEN len(bg) > 0 THEN $topBigram END AS top_bigram_frac,
+       |  CASE WHEN len(tk) > 0 THEN $distinctFrac END AS distinct_frac
+       |FROM rg)""".stripMargin
+  }
+
+  /** DuckDB CTE chain `nv -> c0..c{iters} -> cent -> asg` mirroring the
+    * IVF front half over the embeddings table
+    * ([[Similarity.quantizedCorpus]] + [[Similarity.assignClusters]]:
+    * lowest-id seeds refined by `iters` Lloyd's rounds; assignment =
+    * max-cosine centroid, ties to lowest cid; new centroid = normalized
+    * mean with per-dimension sums as exact integers floor(x*1e6+0.5) —
+    * the associative form both engines reproduce byte-identically).
+    * Ends in asg(nn_id, cv, cluster); shared by the IVF-ANN and
+    * SemDeDup oracles.
+    */
+  private[graft] def ivfAsgCtes(nCentroids: Int, iters: Int): String = {
+    val kmeansCtes = (0 until iters).map { i =>
+      s"""a$i AS (SELECT id, v, cid FROM (
+         |  SELECT nn.id, nn.v, c.cid,
+         |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
+         |  FROM nv nn CROSS JOIN c$i c) WHERE rn = 1),
+         |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
+         |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
+         |m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
+         |        FROM s$i GROUP BY cid),
+         |c${i + 1} AS (SELECT c.cid,
+         |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
+         |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT $nCentroids)),
+       |$kmeansCtes,
+       |cent AS (SELECT cid, centv AS cv FROM c$iters),
+       |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
+       |  SELECT nn.id, nn.v, c.cid,
+       |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM nv nn CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
+    * [[Similarity.normalize]]: cast-to-double, sequential-fold sum of
+    * squares, per-element divide).
+    */
+  private[graft] def nvSql(expr: String): String =
+    s"list_transform($expr, x -> CAST(x AS DOUBLE) / " +
+      s"sqrt(list_reduce(list_transform($expr, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"(a, b) -> a + b)))"
+
+  /** DuckDB SQL for [[Similarity.dot]] over two normalized vectors (the
+    * lambda index `i` is 1-based in DuckDB, matching `b[i]` 1-based
+    * element access).
+    */
+  private[graft] def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+
+  /** DuckDB SQL for [[Similarity.hyperplaneBucket]] over normalized vector
+    * `v` (dims 0-based: `i-1`).
+    */
+  private[graft] def bucketSql(v: String, nPlanes: Int, firstPlane: Int = 0): String =
+    (0 until nPlanes).map { p =>
+      val comp = s"((((${firstPlane + p} * 4096 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+      s"CASE WHEN list_reduce(list_transform($v, (x, i) -> x * $comp), (p_, q_) -> p_ + q_) >= 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB SQL for the multi-table OR-amplified [[Similarity.topKLsh]]
+    * oracle at (nPlanes, nTables): per-table bucket UNION, cross-table
+    * candidate dedup, exact rescoring, rank. Table t hashes with planes
+    * [t*nPlanes, (t+1)*nPlanes), matching the Scala side.
+    */
+  private[graft] def mlshOracleSql(nPlanes: Int, nTables: Int): String = {
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    val tables = (0 until nTables).map { t =>
+      val sel = if (t == 0) "SELECT id, v, 0 AS tbl, " else s"SELECT id, v, $t, "
+      sel + bucketSql("v", nPlanes, t * nPlanes) +
+        (if (t == 0) " AS bucket FROM nv" else " FROM nv")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |bks AS ($tables),
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
+       |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE q.id < 20 AND c.id <> q.id),
+       |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+       |       FROM cand JOIN nv c ON c.id = cand.nn_id
+       |                 JOIN nv q ON q.id = cand.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** toks + sh0: distinct (doc, n-gram shingle) pairs — the uncapped
+    * prefix shared by the string-shingle ([[shingleCte]]) and
+    * hashed-shingle ([[minhashCtes]]) families.
+    */
+  private[graft] def tokenShingleCte(n: Int, from: String = "documents"): String = {
+    val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM $from),
+       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS sh FROM toks WHERE len(tk) >= $n)""".stripMargin
+  }
+
+  private[graft] def shingleCte(n: Int, cap: Long): String =
+    s"""${tokenShingleCte(n)},
+       |shf AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh) WHERE c <= $cap),
+       |sh1 AS (SELECT doc, sh FROM sh0 WHERE sh IN (SELECT sh FROM shf)),
+       |sizes AS (SELECT doc, count(*) AS sz FROM sh1 GROUP BY doc)""".stripMargin
+
+  private[graft] def jaccardSql(interRel: String, threshold: Double): String = {
+    val j = Num.r6Sql(s"CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+    s"""SELECT d1, d2, $j AS jaccard
+       |FROM $interRel x JOIN sizes s1 ON x.d1 = s1.doc JOIN sizes s2 ON x.d2 = s2.doc
+       |WHERE $j >= $threshold""".stripMargin
+  }
+
+  /** The full MinHash+LSH pair pipeline as reusable DuckDB CTEs ending in
+    * `mh_pairs(d1, d2, jaccard)` — shared by the pair query and the
+    * cluster query (mirrors [[Dedup.minhashLsh]] with n=3, k=16,
+    * rowsPerBand=4, threshold=0.3, maxDocFreq=20).
+    */
+  private[graft] lazy val minhashCtes: String = {
+    val perms = (0 until 16).map(i =>
+      s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
+    // hashed-shingle formulation (mirrors Dedup.docShinglesHashed): the
+    // cap, sizes, and verify intersection all operate on h = rh(sh)
+    s"""${tokenShingleCte(3)},
+       |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+       |hf AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0 GROUP BY h) WHERE c <= 20),
+       |h1 AS (SELECT doc, h FROM h0 WHERE h IN (SELECT h FROM hf)),
+       |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
+       |perms(i, a, b) AS (VALUES $perms),
+       |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM h1 CROSS JOIN perms GROUP BY doc, i),
+       |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |          FROM mh GROUP BY doc, i // 4),
+       |cand AS (SELECT DISTINCT l.doc AS d1, r.doc AS d2 FROM bands l
+       |         JOIN bands r ON l.band = r.band AND l.bkey = r.bkey WHERE l.doc < r.doc),
+       |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+       |          FROM h1 a JOIN h1 b USING (h)
+       |          JOIN cand c ON a.doc = c.d1 AND b.doc = c.d2
+       |          WHERE a.doc < b.doc GROUP BY a.doc, b.doc),
+       |mh_pairs AS (${jaccardSql("inter", 0.3)})""".stripMargin
+  }
+
+  /** Tokenized-documents base CTE shared by the text-analysis family. */
+  private[graft] lazy val textBCte: String =
+    s"""b AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents)"""
+
+  /** Quality-metric CTEs ending in `qual` (mirrors
+    * [[TextAnalysis.quality]]; ratios r6-rounded BEFORE the composite
+    * score, exactly like the Spark columns).
+    */
+  private[graft] lazy val qualityCtes: String = {
+    val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val avg = Num.r6Sql("CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+    val punct = Num.r6Sql(raw"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")
+    val stopr = Num.r6Sql(s"CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")
+    val score = Num.r6Sql("least(1.0, CAST(nt AS DOUBLE) / 50.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2")
+    s"""qm AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
+       |             CAST(len(toks) AS INT) AS n_tokens,
+       |             $avg AS avg_token_len, $punct AS punct_ratio, $stopr AS stopword_ratio,
+       |             len(toks) AS nt FROM b),
+       |qual AS (SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
+       |                stopword_ratio, $score AS quality_score FROM qm)""".stripMargin
+  }
+
+  /** Language-ID CTEs ending in `lang` (mirrors [[TextAnalysis.langId]]'s
+    * fixed-precedence integer argmax).
+    */
+  private[graft] lazy val langCtes: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS INT) AS score_$l"
+    }.mkString(", ")
+    val cases = langs.map { l =>
+      val beats = (s"score_$l > 0" +: langs.filterNot(_ == l)
+        .map(o => s"score_$l >= score_$o")).mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString(" ")
+    s"""lsc AS (SELECT doc_id, $scores FROM b),
+       |lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lsc)""".stripMargin
+  }
+
+  /** Winnowing CTEs ending in `wsel(doc, f)` — f = struct(pos, h), the
+    * rightmost-minimal gram hash of each w-window (mirrors
+    * [[Dedup.winnowFingerprints]]: same k-gram rolling hash, same
+    * <=-fold tie rule, same short-doc exclusion).
+    */
+  private[graft] def winnowCtes(k: Int, w: Int, confirm: Boolean = false): String = {
+    val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    // confirm adds the second independent hash (mult 137) the pair
+    // gate keys on; window-min selection stays on h alone either way
+    val h2Field = if (confirm) s",\n       |                            h2 := ${rhSql(s"($gram)", 137L)}" else ""
+    s"""wt AS (SELECT doc_id AS doc,
+       |         string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+       |wg AS (SELECT doc,
+       |         list_transform(generate_series(1, len(tk) - ${k - 1}),
+       |           i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |                            h := ${rhSql(s"($gram)")}$h2Field)) AS gr
+       |       FROM wt WHERE len(tk) >= $k),
+       |wsel AS (SELECT doc,
+       |           unnest(list_transform(generate_series(1, len(gr) - ${w - 1}),
+       |             j -> list_reduce(gr[j : j + ${w - 1}],
+       |               (acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS f
+       |         FROM wg WHERE len(gr) >= $w)""".stripMargin
+  }
+
+  /** CCNet-perplexity CTEs ending in `ppl(doc_id, ppl)` (mirrors
+    * [[Corpus.bigramLm]] with topM=100 on the doc_id%10=0 reference
+    * slice + [[Corpus.perplexityScore]]'s stupid-backoff arithmetic).
+    * CTE names are p-prefixed so the block composes with the shingle /
+    * quality / language families in one WITH.
+    */
+  private[graft] lazy val perplexityCtes: String =
+    s"""pref AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+       |                t -> t <> '') AS tk
+       |         FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+       |prefbi AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                    i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+       |           FROM pref WHERE len(tk) >= 2),
+       |pbigram AS (SELECT a, b, cab FROM (
+       |              SELECT p.a AS a, p.b AS b, count(*) AS cab,
+       |                     row_number() OVER (ORDER BY count(*) DESC, p.a ASC, p.b ASC) AS rn
+       |              FROM prefbi GROUP BY p.a, p.b)
+       |            WHERE rn <= 100),
+       |puni AS (SELECT t AS b, count(*) AS cb
+       |         FROM (SELECT unnest(tk) AS t FROM pref) GROUP BY t),
+       |ptot AS (SELECT sum(cb) AS t, count(*) AS v FROM puni),
+       |pcorp AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                   t -> t <> '') AS tk
+       |          FROM documents WHERE text IS NOT NULL),
+       |pcpairs AS (SELECT doc_id,
+       |              unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p
+       |            FROM pcorp WHERE len(tk) >= 2),
+       |pscored AS (SELECT doc_id,
+       |              CASE WHEN bg.cab IS NOT NULL
+       |                   THEN ln(CAST(bg.cab AS DOUBLE) / CAST(ua.cb AS DOUBLE))
+       |                   ELSE ln(0.4) + ln(CAST(coalesce(ub.cb, 0) + 1 AS DOUBLE)
+       |                                     / CAST(ptot.t + ptot.v AS DOUBLE)) END AS lp
+       |            FROM pcpairs
+       |            LEFT JOIN pbigram bg ON pcpairs.p.a = bg.a AND pcpairs.p.b = bg.b
+       |            LEFT JOIN puni ua ON pcpairs.p.a = ua.b
+       |            LEFT JOIN puni ub ON pcpairs.p.b = ub.b, ptot),
+       |ppl AS (SELECT doc_id, ${Num.r6Sql("-avg(lp)")} AS ppl
+       |        FROM pscored GROUP BY doc_id)""".stripMargin
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlLeaf, EtlObj, EtlSchema}
+import graft.ops._
+import graft.llm._
+import GateSupport._
+
+/** Multimodal binary-column gates: feature extraction, dispatch, frames, real PNG/GIF/JPEG/WAV decode, resize.
+  *
+  * One registry entry per operator: (name, spark fn, oracle SQL) —
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
+  */
+private[graft] object MultimodalGates {
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    // ---- multimodal plumbing ---------------------------------------------
+    ("multimodal_features",
+      (s: SparkSession, dir: String) =>
+        Multimodal.extractFeatures(s,
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text")).toDF(),
+      {
+        // all features read the UTF-8 BYTE list (utf8BytesSql), exactly
+        // what Spark's payload holds — ascii()/substr() per CHARACTER
+        // would diverge on the non-ASCII fixture rows
+        val mean = Num.r6Sql(
+          "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(list_reduce(b, (a, x) -> a + x) AS DOUBLE) / CAST(len(b) AS DOUBLE) END")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs)
+           |SELECT doc_id AS id, CAST(len(b) AS BIGINT) AS n_bytes,
+           |  CAST(CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END AS INT) AS width,
+           |  CAST(CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END AS INT) AS height,
+           |  $mean AS mean_byte
+           |FROM bd""".stripMargin
+      }),
+
+    ("multimodal_dispatch",
+      (s: SparkSession, dir: String) =>
+        Multimodal.dispatchFeatures(s,
+          Multimodal.attachMixedPayload(withNonAsciiDocs(s, dir), "doc_id", "text")).toDF(),
+      {
+        // byte-list formulation (utf8BytesSql): Spark reads PAYLOAD
+        // BYTES, and the non-ASCII fixture rows would expose any
+        // per-character ascii()/strlen() shortcut
+        val mean = Num.r6Sql(
+          "CASE WHEN len(b) = 0 THEN 0.0 ELSE CAST(list_reduce(b, (a, x) -> a + x) AS DOUBLE) / CAST(len(b) AS DOUBLE) END")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs)
+           |SELECT doc_id AS id,
+           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           |  CAST(len(b) AS BIGINT) AS n_bytes,
+           |  CASE doc_id % 3
+           |    WHEN 0 THEN CAST((CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END)
+           |                   * (CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END) AS DOUBLE)
+           |    WHEN 1 THEN $mean
+           |    ELSE CAST(len(b) AS DOUBLE) END AS feature
+           |FROM bd""".stripMargin
+      }),
+
+    ("multimodal_frames",
+      (s: SparkSession, dir: String) =>
+        Multimodal.frameFeatures(Multimodal.sampleFrames(s,
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text"),
+          frameBytes = 64, stride = 2)).toDF(),
+      {
+        // frames slice the BYTE list, not the character string: a
+        // multi-byte char on a 64-byte boundary splits across frames on
+        // the Spark side, and the oracle must split it identically
+        val mean = Num.r6Sql(
+          "CAST(list_reduce(blk, (a, x) -> a + x) AS DOUBLE) / CAST(len(blk) AS DOUBLE)")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+           |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs),
+           |f AS (SELECT doc_id, b,
+           |        unnest(generate_series(0, CAST((len(b) - 1) // 64 AS INT))) AS fi
+           |      FROM bd),
+           |blks AS (SELECT doc_id, fi, list_slice(b, fi * 64 + 1, fi * 64 + 64) AS blk
+           |         FROM f WHERE fi % 2 = 0)
+           |SELECT doc_id AS id, CAST(fi AS INT) AS frame_idx,
+           |       CAST(len(blk) AS BIGINT) AS n_bytes, $mean AS mean_byte
+           |FROM blks""".stripMargin
+      }),
+
+    ("multimodal_decode_png",
+      (s: SparkSession, dir: String) => {
+        // REAL compressed PNGs (encoded in executors from the id) decoded
+        // back through javax.imageio at the codec boundary: width/height
+        // come from the actual header, mean_pixel from the actual raster.
+        // n_bytes is dropped from the gate (PNG encoder output size is
+        // implementation-defined); a spec asserts it is > 0
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachPngPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"),
+            col("mean_byte").as("mean_pixel"))
+      },
+      // closed form of the synthesized raster: w=1+id%7, h=1+id%5, pixel
+      // (0,0) colored (id,2id,3id)%251, the rest gray g=id%251 ->
+      // 3-channel mean = (3g*(wh-1) + r0+g0+b0) / (3wh)
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         |             doc_id % 251 AS g,
+         |             doc_id % 251 + (2 * doc_id) % 251 + (3 * doc_id) % 251 AS c0
+         |           FROM documents WHERE doc_id <= 30)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
+         |FROM d""".stripMargin),
+
+    ("multimodal_decode_gif",
+      (s: SparkSession, dir: String) => {
+        // REAL GIFs (JDK-native codec). The synthetic raster has at
+        // most two distinct colors, so the palette-indexed encode is
+        // LOSSLESS and the gate covers the decoded raster mean exactly,
+        // like PNG — a fake-decoder fall-through would read the 'GI'
+        // magic as w=71, h=73, never 1..7 x 1..5
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachGifPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"),
+            col("mean_byte").as("mean_pixel"))
+      },
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         |             doc_id % 251 AS g,
+         |             doc_id % 251 + (2 * doc_id) % 251 + (3 * doc_id) % 251 AS c0
+         |           FROM documents WHERE doc_id <= 30)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  ${Num.r6Sql("CAST(3 * g * (w * h - 1) + c0 AS DOUBLE) / CAST(3 * w * h AS DOUBLE)")} AS mean_pixel
+         |FROM d""".stripMargin),
+
+    ("multimodal_decode_jpeg",
+      (s: SparkSession, dir: String) => {
+        // REAL JPEGs (JDK-native codec) round-tripped through ImageIO.
+        // JPEG headers carry exact dims but the raster is LOSSY, so the
+        // hash gate covers id/width/height only — and dims still prove
+        // the real decode path ran: a fall-through to the fake decoder
+        // would read the FFD8 magic as w=255, h=216, never 1..7 x 1..5.
+        // The raster mean is checked with a tolerance bound in
+        // DedupSimilaritySpec
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractFeatures(s,
+          Multimodal.attachJpegPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"))
+      },
+      """SELECT doc_id AS id, CAST(1 + doc_id % 7 AS INT) AS width,
+        |       CAST(1 + doc_id % 5 AS INT) AS height
+        |FROM documents WHERE doc_id <= 30""".stripMargin),
+
+    ("multimodal_decode_wav",
+      (s: SparkSession, dir: String) => {
+        // REAL RIFF/WAVE PCM (encoded in executors from the id) decoded
+        // back through javax.sound.sampled at the codec boundary: sample
+        // rate + channels from the parsed format, frame count from the
+        // bytes actually read, mean |sample| from the actual PCM — a
+        // fall-through to the fake decoder emits sample_rate = 0, never
+        // 8000/16000/24000, and frame 0 carries a different sample value
+        // than the rest so a header-only "decode" cannot match either.
+        // n_bytes is dropped from the gate (container size is
+        // writer-defined); a spec asserts it exceeds the 44-byte header
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 40)
+        Multimodal.extractAudioFeatures(s,
+          Multimodal.attachWavPayload(s, ids, "doc_id")).toDF()
+      },
+      // closed form of the synthesized PCM: sr = 8000*(1+id%3),
+      // ch = 1+id%2, nf = 8+id%25, frame 0 = (id*53)%101-50, the rest
+      // (id*37)%101-50; every channel repeats the frame value, so the
+      // 1-or-2 channel factor cancels exactly in IEEE division and
+      // mean_abs = (|b0| + (nf-1)*|a|) / nf
+      s"""WITH d AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS sr,
+         |             1 + doc_id % 2 AS ch, 8 + doc_id % 25 AS nf,
+         |             abs((doc_id * 53) % 101 - 50) AS b0,
+         |             abs((doc_id * 37) % 101 - 50) AS a
+         |           FROM documents WHERE doc_id <= 40)
+         |SELECT doc_id AS id, CAST(sr AS INT) AS sample_rate,
+         |  CAST(ch AS INT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+         |  ${Num.r6Sql("CAST(nf AS DOUBLE) / CAST(sr AS DOUBLE)")} AS duration_sec,
+         |  ${Num.r6Sql("CAST(b0 + (nf - 1) * a AS DOUBLE) / CAST(nf AS DOUBLE)")} AS mean_abs
+         |FROM d""".stripMargin),
+
+    ("multimodal_resize",
+      (s: SparkSession, dir: String) =>
+        Multimodal.resizeDims(Multimodal.extractFeatures(s,
+          Multimodal.attachPayload(withNonAsciiDocs(s, dir), "doc_id", "text")),
+          maxW = 100, maxH = 80).toDF(),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents $nonAsciiUnionSql),
+         |bd AS (SELECT doc_id, ${utf8BytesSql("text")} AS b FROM docs),
+         |d AS (SELECT doc_id AS id,
+         |        CAST(CASE WHEN len(b) > 0 THEN b[1] ELSE 0 END AS INT) AS width,
+         |        CAST(CASE WHEN len(b) > 1 THEN b[2] ELSE 0 END AS INT) AS height
+         |      FROM bd),
+         |g AS (SELECT *, greatest(CAST(width AS BIGINT), 1) AS w,
+         |        greatest(CAST(height AS BIGINT), 1) AS h FROM d),
+         |sc AS (SELECT *, least(1000, least(100 * 1000 // w, 80 * 1000 // h)) AS s FROM g)
+         |SELECT id, width, height,
+         |       CAST(w * s // 1000 AS INT) AS out_w, CAST(h * s // 1000 AS INT) AS out_h
+         |FROM sc""".stripMargin),
+  )
+}

@@ -1,0 +1,796 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlLeaf, EtlObj, EtlSchema}
+import graft.ops._
+import graft.llm._
+import GateSupport._
+
+/** TPC-H query shapes, windows, incremental dedup composites, profiling gates.
+  *
+  * One registry entry per operator: (name, spark fn, oracle SQL) —
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
+  */
+private[graft] object OlapGates {
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    // ---- OLAP composites over the TPC-H-shaped tables --------------------
+    // float-sum discipline: l_quantity is integral (exact in float, any
+    // order); prices are NOT — they aggregate as deterministic integer
+    // cents via floor(x*100 + 0.5), the Num.r6 trick at cent scale
+    ("tpch_q1",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("sum_price_cents"),
+            count(lit(1)).as("n"))
+          .withColumn("avg_qty",
+            Num.r6(col("sum_qty") / col("n").cast("double"))),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor((sum(l_quantity) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    ("tpch_q3",
+      (s: SparkSession, dir: String) =>
+        // shipping-priority shape: revenue cents per BUILDING order,
+        // top 10 (TakeOrderedAndProject, ties by orderkey)
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+          .limit(10),
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    ("tpch_q5",
+      (s: SparkSession, dir: String) =>
+        // local-supplier-volume shape: a 6-way join through region
+        t(s, dir, "region").filter(col("r_name") === "ASIA")
+          .join(broadcast(t(s, dir, "nation")), col("r_regionkey") === col("n_regionkey"))
+          .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey")
+              && col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents")),
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |            JOIN customer ON n_nationkey = c_nationkey
+        |            JOIN orders ON c_custkey = o_custkey
+        |            JOIN lineitem ON o_orderkey = l_orderkey
+        |            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+
+    ("tpch_q6",
+      (s: SparkSession, dir: String) =>
+        // q6 forecasting-revenue shape: pure scan + filter + one global
+        // agg — zero joins, the pushdown showcase. revenue is summed in
+        // integer basis points (floor(p*d*1e4+0.5)): the per-row product
+        // is deterministic, the integer sum is order-independent
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 10000.0 + 0.5)
+            .cast("long")).as("revenue_bp")),
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_bp
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    ("tpch_q10",
+      (s: SparkSession, dir: String) => {
+        // q10 returned-item reporting: per-customer revenue from 'R'
+        // lineitems, top 20 — broadcast dim join + cents aggregation +
+        // TakeOrderedAndProject, ties to the lowest custkey
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long").as("cents"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin),
+
+    ("tpch_q18",
+      (s: SparkSession, dir: String) => {
+        // large-quantity-order report (q18 shape): the HAVING aggregation
+        // over lineitem produces a SMALL key set (top ~1% of orders) that
+        // broadcast-SEMI-joins orders, and the filtered orders side (now
+        // tiny) broadcasts into customer and back into lineitem — the
+        // fact table is scanned, never shuffled beyond the first
+        // partial-agg; the global top-100 is TakeOrderedAndProject with a
+        // deterministic orderkey tiebreak
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("big_qty"))
+          .filter(col("big_qty") > 250.0)
+          .select(col("l_orderkey").as("big_orderkey"))
+        val bigOrders = t(s, dir, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("big_orderkey"), "left_semi")
+        val withCust = broadcast(bigOrders)
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        broadcast(withCust)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      // integral-valued quantity sums are order-independent-exact, so
+      // both the HAVING cut and sum_qty hash-match across engines
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // The remaining TPC-H shapes, adapted to this star schema's reduced
+    // columns (no commitdate/receiptdate/shipmode/partsupp/phone): each
+    // keeps the ORIGINAL query's plan shape — the thing that matters at
+    // 100 TB — with "late shipment" = shipped > N days after the order
+    // date standing in for the commit/receipt lateness predicates.
+
+    ("tpch_q4",
+      (s: SparkSession, dir: String) =>
+        // order-priority checking: EXISTS(late lineitem) == left-semi
+        // with the lateness predicate INSIDE the join condition, then a
+        // tiny groupBy — orders is never joined 1:N (no fanout+distinct)
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")
+              && datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count")),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    ("tpch_q12",
+      (s: SparkSession, dir: String) =>
+        // shipping-priority split (q12 shape): join + per-group
+        // CASE-conditional counts in ONE aggregation pass
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")
+              && datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count")),
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+        |GROUP BY l_returnflag""".stripMargin),
+
+    ("tpch_q14",
+      (s: SparkSession, dir: String) =>
+        // promo-revenue share: date window pushed to the fact scan,
+        // broadcast part dimension, conditional/total sums in one agg;
+        // revenue as integer cents so the division is the ONLY float op
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-03-01").cast("timestamp"))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+                .cast("long")).otherwise(0L)).as("promo_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long")).as("total_cents"))
+          .withColumn("promo_share",
+            Num.r6(lit(100.0) * col("promo_cents").cast("double")
+              / col("total_cents").cast("double"))),
+      s"""WITH r AS (SELECT p_type,
+         |             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+         |           FROM lineitem JOIN part ON l_partkey = p_partkey
+         |           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |             AND l_shipdate < TIMESTAMP '1997-03-01')
+         |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+         |       CAST(sum(cents) AS BIGINT) AS total_cents,
+         |       ${Num.r6Sql("100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)")} AS promo_share
+         |FROM r""".stripMargin),
+
+    ("tpch_q16",
+      (s: SparkSession, dir: String) => {
+        // supplier-count-by-part-attrs (q16 shape): the part/supplier
+        // relation derives from lineitem (this schema has no partsupp),
+        // excluded suppliers are a broadcast ANTI join (q16's NOT IN),
+        // then count(DISTINCT suppkey) per part attribute triple
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excl = t(s, dir, "supplier")
+          .filter(col("s_name").like("%00003%"))
+          .select(col("s_suppkey"))
+        ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#2" && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00003%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin),
+
+    ("tpch_q17",
+      (s: SparkSession, dir: String) => {
+        // small-quantity-order revenue (q17 shape): the correlated
+        // scalar aggregate — 0.2 * avg(l_quantity) per part — joined
+        // back to the fact. The brand filter restricts parts FIRST
+        // (broadcast semi-join), so the per-part aggregate runs over
+        // the filtered slice only; the tiny (partkey, threshold)
+        // result broadcasts back into the same slice. The fact table
+        // never shuffles: both joins broadcast the dimension-sized
+        // side, and the quantity sums are integral so the avg is
+        // partition-order exact
+        val pk = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+        val thr = li.groupBy(col("l_partkey"))
+          .agg(((sum(col("l_quantity")) / count(lit(1)).cast("double")) * 0.2).as("thr"))
+          .select(col("l_partkey").as("t_partkey"), col("thr"))
+        li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("thr"))
+          .agg(sum(col("cents")).as("revenue_cents"),
+            Num.r6(sum(col("cents")).cast("double") / 7.0 / 100.0).as("avg_yearly"))
+      },
+      s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         |li AS (SELECT l_partkey, l_quantity,
+         |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |       FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+         |thr AS (SELECT l_partkey, (sum(l_quantity) / count(*)) * 0.2 AS thr
+         |        FROM li GROUP BY l_partkey)
+         |SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         |  ${Num.r6Sql("CAST(sum(cents) AS DOUBLE) / 7.0 / 100.0")} AS avg_yearly
+         |FROM li JOIN thr ON li.l_partkey = thr.l_partkey
+         |WHERE l_quantity < thr""".stripMargin),
+
+    ("tpch_q20",
+      (s: SparkSession, dir: String) => {
+        // excess-stock suppliers (q20 shape): per-(supplier, part)
+        // scalar aggregates compared against each other, then joined
+        // back to the supplier dimension. This schema has no partsupp,
+        // so the stock relation derives from lineitem: a supplier
+        // qualifies when, for some name-filtered part it ships in
+        // volume (total >= 80), over half that lifetime volume shipped
+        // recently. Parts filter first (broadcast semi), ONE
+        // partial-aggregated shuffle on the compound key builds both
+        // sums, and the qualifying suppkey set — supplier-dimension-
+        // sized by construction — broadcasts into the semi-join
+        val pk = t(s, dir, "part").filter(col("p_name").like("b%"))
+          .select(col("p_partkey"))
+        val ps = t(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"),
+            sum(when(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"),
+              col("l_quantity")).otherwise(0.0)).as("recent_qty"))
+        val excess = ps
+          .filter(col("total_qty") >= 80.0 && col("recent_qty") > col("total_qty") * 0.5)
+          .select(col("l_suppkey")).distinct()
+        t(s, dir, "supplier")
+          .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_name").asc)
+      },
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'b%'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+        |             THEN l_quantity ELSE 0.0 END) AS recent_qty
+        |       FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        |       GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+        |                    WHERE total_qty >= 80.0 AND recent_qty > total_qty * 0.5)
+        |ORDER BY s_name""".stripMargin),
+
+    ("tpch_q19",
+      (s: SparkSession, dir: String) => {
+        // disjunctive-predicate revenue (q19 shape): three brand/size/
+        // quantity conjunctions OR'd INSIDE the join — Catalyst extracts
+        // the common l_partkey = p_partkey equi-key so this plans as a
+        // hash join with the disjunction as a residual filter, never a
+        // nested loop over the fact table
+        val p = broadcast(t(s, dir, "part"))
+        t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey")
+            && ((col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+                  && col("l_quantity").between(1, 11))
+              || (col("p_brand") === "Brand#22" && col("p_size").between(1, 25)
+                  && col("l_quantity").between(10, 20))
+              || (col("p_brand") === "Brand#15" && col("p_size").between(1, 35)
+                  && col("l_quantity").between(20, 30))))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+      },
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    ("tpch_q21",
+      (s: SparkSession, dir: String) => {
+        // suppliers-who-kept-orders-waiting (q21 shape): per lineitem of
+        // a finished order, EXISTS(another supplier in the order) AND
+        // NOT EXISTS(another supplier shipping LATER) — the last
+        // supplier to ship a multi-supplier order. Both correlated
+        // subqueries become one semi + one anti join on the order key
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+        // NO broadcast hint on fOrders: status 'F' keeps ~half the orders
+        // table — fact-sized, not a dimension. AQE picks the join strategy
+        val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        li.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3")
+            && col("d3") > col("l_shipdate"), "left_anti")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+
+    ("tpch_q22",
+      (s: SparkSession, dir: String) => {
+        // global-sales-opportunity (q22 shape): rich-but-idle customers —
+        // acctbal above the global positive mean (scalar subquery ->
+        // broadcast 1-row agg; the mean is computed from INTEGER cents
+        // so it is partition-order exact) and no RECENT orders (anti
+        // join; this synthetic schema gives every customer at least one
+        // lifetime order, so "idle" = nothing since 2000-06-01 — the
+        // date filter pushes to the orders scan before the anti join)
+        val cust = t(s, dir, "customer")
+          .withColumn("bal_cents", floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+        val avgPos = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("bal_cents")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_cents"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        cust.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents").cast("double") > col("avg_cents"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+      },
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+        |             c_acctbal
+        |           FROM customer),
+        |a AS (SELECT CAST(sum(bal_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+        |      FROM c WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, a
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey""".stripMargin),
+
+    ("tpch_q7",
+      (s: SparkSession, dir: String) => {
+        // volume-shipping (q7 shape): revenue between two nations in
+        // both directions — lineitem->supplier->n1 and ->orders->
+        // customer->n2, the pair disjunction rides IN the join-filter so
+        // non-qualifying rows die before the aggregation. Nation is the
+        // only broadcast; fact-fact joins stay honest shuffles.
+        val (na, nb) = ("NATION_3", "NATION_7")
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === na && col("cust_nation") === nb)
+            || (col("supp_nation") === nb && col("cust_nation") === na))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("revenue_cents"))
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin),
+
+    ("tpch_q8",
+      (s: SparkSession, dir: String) => {
+        // market-share (q8 shape): NATION_2's share of ECONOMY-part
+        // revenue sold into ASIA, by year. Numerator and denominator
+        // are integer-cents sums of the SAME aggregation (conditional
+        // sum, one pass); the share division happens once per year row,
+        // r6-rounded for the cross-engine hash.
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA").select(col("c_custkey"))
+        val suppNation = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val econParts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("cents",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(Num.r6(
+            sum(when(col("supp_nation") === "NATION_2", col("cents")).otherwise(0L))
+              .cast("double")
+              / sum(col("cents")).cast("double")).as("mkt_share"))
+      },
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${graft.Num.r6Sql(
+        "CAST(sum(CASE WHEN n1.n_name = 'NATION_2' THEN cents ELSE 0 END) AS DOUBLE)" +
+          " / CAST(sum(cents) AS DOUBLE)")} AS mkt_share
+         |FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+         |        CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+         |      FROM lineitem) l
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND p_type = 'ECONOMY'
+         |  AND EXISTS (SELECT 1 FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |              JOIN region ON n2.n_regionkey = r_regionkey
+         |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+         |GROUP BY year(o_orderdate)""".stripMargin),
+
+    ("tpch_q13",
+      (s: SparkSession, dir: String) => {
+        // customer-distribution (q13 shape): LEFT join so zero-order
+        // customers survive into the c_count=0 bucket, then a second
+        // (tiny) aggregation over the distribution itself.
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        t(s, dir, "customer").select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |           AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin),
+
+    ("tpch_q15",
+      (s: SparkSession, dir: String) => {
+        // top-supplier (q15 shape): quarterly revenue per supplier,
+        // keep the max. The max is a broadcast one-row aggregate over
+        // the (supplier-sized, already aggregated) revenue relation —
+        // the scalar-subquery idiom, no second scan of lineitem.
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("total_cents"))
+        val top = rev.agg(max(col("total_cents")).as("max_cents"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_cents") === col("max_cents"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
+
+    ("tpch_q2",
+      (s: SparkSession, dir: String) => {
+        // minimum-cost-supplier (q2 shape) over the synthesized
+        // partsupp: EUROPE suppliers only, ECONOMY parts only; the
+        // per-part minimum cost is computed once on the (already
+        // region-filtered) partsupp relation and joined back — the
+        // correlated-subquery shape as a self-aggregate + equijoin.
+        // All tie rows survive, like the reference query.
+        val euroSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val econ = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val regional = partsupp(s, dir)
+          .join(broadcast(econ), col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+        val minCost = regional.groupBy(col("ps_partkey").as("mk"))
+          .agg(min(col("ps_supplycost_cents")).as("min_cents"))
+        regional.join(broadcast(minCost),
+            col("ps_partkey") === col("mk")
+              && col("ps_supplycost_cents") === col("min_cents"))
+          .select(col("ps_partkey"), col("s_name"), col("n_name"),
+            col("ps_supplycost_cents"))
+      },
+      s"""WITH $partsuppCte
+         |SELECT ps_partkey, s_name, n_name, ps_supplycost_cents
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |     JOIN supplier ON ps_suppkey = s_suppkey
+         |     JOIN nation ON s_nationkey = n_nationkey
+         |     JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |  AND ps_supplycost_cents = (
+         |    SELECT min(ps2.ps_supplycost_cents) FROM ps ps2
+         |    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+         |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')""".stripMargin),
+
+    ("tpch_q9",
+      (s: SparkSession, dir: String) => {
+        // product-type profit (q9 shape): revenue minus supply cost per
+        // nation and order year. The (partkey, suppkey) equijoin onto
+        // the synthesized partsupp keeps the q9 plan shape (fact ⋈
+        // partsupp ⋈ dims); profit stays in integer cents
+        val ps = partsupp(s, dir)
+          .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("ps_partkey") === col("p_partkey"))
+        t(s, dir, "lineitem")
+          .join(ps, col("l_partkey") === col("ps_partkey")
+            && col("l_suppkey") === col("ps_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long")
+              - col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+            .as("profit_cents"))
+      },
+      s"""WITH $partsuppCte
+         |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)
+         |           - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+         |FROM lineitem
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN part ON ps_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_type = 'PROMO'
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin),
+
+    ("tpch_q11",
+      (s: SparkSession, dir: String) => {
+        // important-stock (q11 shape): per-part inventory value for one
+        // nation's suppliers, HAVING value above a fraction of that
+        // nation's total — the threshold is a broadcast one-row
+        // aggregate over the SAME already-filtered relation, computed
+        // without a second partsupp pass
+        val natSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_3").select(col("s_suppkey"))
+        val held = partsupp(s, dir)
+          .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+          .withColumn("value_cents", col("ps_supplycost_cents") * col("ps_availqty"))
+        val perPart = held.groupBy(col("ps_partkey"))
+          .agg(sum(col("value_cents")).as("part_value_cents"))
+        val total = perPart.agg(sum(col("part_value_cents")).as("total_cents"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("part_value_cents").cast("double")
+            > col("total_cents").cast("double") * 0.001)
+          .select(col("ps_partkey"), col("part_value_cents"))
+      },
+      s"""WITH $partsuppCte,
+         |held AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+         |         FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |              JOIN nation ON s_nationkey = n_nationkey
+         |         WHERE n_name = 'NATION_3'),
+         |pp AS (SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_value_cents
+         |       FROM held GROUP BY ps_partkey)
+         |SELECT ps_partkey, part_value_cents FROM pp
+         |WHERE CAST(part_value_cents AS DOUBLE) >
+         |      (SELECT CAST(sum(part_value_cents) AS DOUBLE) FROM pp) * 0.001""".stripMargin),
+
+    ("orders_window",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            row_number().over(w).as("rk"),
+            sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).over(run)
+              .as("run_cents"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rk,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+        |  lag(o_orderkey, 1) OVER w AS prev_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+
+    ("orders_top_per_cust",
+      (s: SparkSession, dir: String) =>
+        Reshape.topNPerGroup(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", n = 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk")),
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin),
+
+    ("dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        // incremental ingest: the "new batch" (doc_id > 250) is admitted
+        // only if its content fingerprint is unseen in the existing
+        // corpus — fingerprint anti-join, the streaming-adjacent batch
+        // formulation of dedupStream
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          // a NULL-text row in the NEW batch: its NULL fingerprint must
+          // be ADMITTED (never equi-joins the existing side)
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        val existing = TextAnalysis.fingerprint(
+          d.filter(col("doc_id") <= 250), "text").select(col("fingerprint"))
+        TextAnalysis.fingerprint(d.filter(col("doc_id") > 250), "text")
+          .join(existing, Seq("fingerprint"), "left_anti")
+          .select(col("doc_id"), col("fingerprint"))
+      },
+      // NOT EXISTS with `=`, not NOT IN: a NULL fingerprint (null text)
+      // never equi-joins, so Spark's left_anti ADMITS it — NOT IN would
+      // return NULL and silently drop the row instead
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |fp AS (SELECT doc_id, ${rhSql("text")} AS fingerprint FROM docs)
+         |SELECT doc_id, fingerprint FROM fp
+         |WHERE doc_id > 250 AND NOT EXISTS
+         |  (SELECT 1 FROM fp f2 WHERE f2.doc_id <= 250 AND f2.fingerprint = fp.fingerprint)""".stripMargin),
+
+    ("dedup_incremental_neardup",
+      (s: SparkSession, dir: String) => {
+        // crawl-ingest near-dup gate: which NEW docs (id > 250) are
+        // near-dups of the EXISTING corpus (id <= 250)? The band join
+        // never self-joins the existing side. Oracle: the batch pipeline
+        // over the union yields the identical cross-side pairs — the
+        // equivalence the operator's scaladoc claims
+        val d = t(s, dir, "documents")
+        Dedup.minhashLshIncremental(
+          d.filter(col("doc_id") <= 250), d.filter(col("doc_id") > 250),
+          "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+      },
+      s"""WITH $minhashCtes
+         |SELECT CASE WHEN d1 > 250 THEN d1 ELSE d2 END AS d_new,
+         |       CASE WHEN d1 > 250 THEN d2 ELSE d1 END AS d_old, jaccard
+         |FROM mh_pairs WHERE (d1 <= 250) <> (d2 <= 250)""".stripMargin),
+
+    ("profile_skew",
+      (s: SparkSession, dir: String) =>
+        Profile.keySkew(t(s, dir, "orders"), "o_custkey", topN = 10),
+      {
+        val share = Num.r6Sql(
+          "CAST(cnt AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE)")
+        s"""WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+           |           FROM orders GROUP BY o_custkey)
+           |SELECT key, cnt, $share AS share FROM c
+           |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+      }),
+
+    ("profile_orders",
+      (s: SparkSession, dir: String) =>
+        Profile.summarize(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM orders""".stripMargin
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(one).mkString("\nUNION ALL\n")
+      }),
+  )
+}

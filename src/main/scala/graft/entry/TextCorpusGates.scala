@@ -1,0 +1,812 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlLeaf, EtlObj, EtlSchema}
+import graft.ops._
+import graft.llm._
+import GateSupport._
+
+/** Text analysis and LLM corpus pipeline gates (quality, langid, tfidf, decontamination, packing, mixing, budget selection).
+  *
+  * One registry entry per operator: (name, spark fn, oracle SQL) —
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
+  */
+private[graft] object TextCorpusGates {
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    // ---- text analysis ----------------------------------------------------
+    ("text_quality",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+            col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+            col("quality_score")),
+      s"""WITH $textBCte,
+         |$qualityCtes
+         |SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
+         |       stopword_ratio, quality_score FROM qual""".stripMargin),
+
+    ("text_repetition",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // degenerate-text fixture rows ride along so the gate PINS their
+        // semantics: NULL text (NULL n_tokens + metrics), empty text and
+        // whitespace-only text (n_tokens = 0, NULL metrics — an
+        // untrimmed split would score them maximally repetitive), and
+        // padded text (trim must not create empty-string tokens)
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq(
+            (99991L, Option.empty[String]),
+            (99990L, Some("")),
+            (99989L, Some(" \t  ")),
+            (99988L, Some("  pad pad\t"))).toDF("doc_id", "text"))
+        TextAnalysis.repetitionStats(d, "doc_id", "text")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL
+         |              UNION ALL SELECT 99990, ''
+         |              UNION ALL SELECT 99989, ' ' || chr(9) || '  '
+         |              UNION ALL SELECT 99988, '  pad pad' || chr(9)),
+         |${repetitionCtes("docs")}
+         |SELECT doc_id, rep_n_tokens AS n_tokens, top_word_frac,
+         |       top_bigram_frac, distinct_frac
+         |FROM rep""".stripMargin),
+
+    ("text_langid",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.langId(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("lang_pred")),
+      s"""WITH $textBCte,
+         |$langCtes
+         |SELECT doc_id, lang_pred FROM lang""".stripMargin),
+
+    ("text_tokenstats",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tokenStats(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"), col("chars")),
+      raw"""SELECT doc_id,
+           |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS bpeish_tokens,
+           |  CAST(length(text) AS INT) AS chars
+           |FROM documents""".stripMargin),
+
+    ("text_fingerprint",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("fingerprint")),
+      s"SELECT doc_id, ${rhSql("text")} AS fingerprint FROM documents"),
+
+    ("text_chunk",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // a NULL-text document must survive chunking as one
+        // (doc, 0, NULL, NULL) row, not silently vanish
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        TextAnalysis.chunk(d, "doc_id", "text", chunkTokens = 16, stride = 8)
+      },
+      // the CASE keeps one (doc, 0, NULL, NULL) row for a NULL text,
+      // mirroring TextAnalysis.chunk — generate_series(0, NULL) would
+      // emit nothing and silently drop the document
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |b AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS tk FROM docs),
+         |c AS (SELECT doc, unnest(generate_series(0, CASE WHEN tk IS NULL THEN 0 ELSE greatest((len(tk) - 1) // 8, 0) END)) AS chunk_idx, tk FROM b),
+         |sl AS (SELECT doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |              tk[chunk_idx * 8 + 1 : chunk_idx * 8 + 16] AS ck FROM c)
+         |SELECT doc, chunk_idx, array_to_string(ck, ' ') AS chunk_text,
+         |       CAST(len(ck) AS BIGINT) AS n_tokens
+         |FROM sl""".stripMargin),
+
+    ("text_scrub",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.scrub(
+          // synthesize pii-shaped content deterministically from real rows
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or https://ex.com/p?id="), col("doc_id"),
+              lit(" ref "), col("doc_id")).as("text")), "text")
+          .select(col("doc_id"), col("scrubbed")),
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com or https://ex.com/p?id=' || doc_id || ' ref ' || doc_id,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin),
+
+    ("corpus_split",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.hashSplit(t(s, dir, "documents"), "text",
+          trainPct = 80, valPct = 10)
+          .groupBy(col("split")).agg(count(lit(1)).as("n")),
+      s"""SELECT CASE WHEN ${rhSql("text")} % 100 < 80 THEN 'train'
+         |            WHEN ${rhSql("text")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1""".stripMargin),
+
+    ("corpus_filter_neardup",
+      (s: SparkSession, dir: String) =>
+        Corpus.trainingFilterNearDup(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, lang = "en",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20)),
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+         |          UNION SELECT d2, d1 FROM mh_pairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+         |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+         |$textBCte,
+         |$qualityCtes,
+         |$langCtes
+         |SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS cluster,
+         |       lang_pred, quality_score
+         |FROM documents d
+         |LEFT JOIN cc ON d.doc_id = cc.node
+         |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+         |WHERE COALESCE(cc.label, d.doc_id) = d.doc_id
+         |  AND lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
+
+    ("corpus_sample",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.hashSample(t(s, dir, "documents"), "text", pct = 30)
+          .select(col("doc_id")),
+      s"SELECT doc_id FROM documents WHERE ${rhSql("text")} % 100 < 30"),
+
+    ("corpus_stratified_sample",
+      (s: SparkSession, dir: String) => {
+        // class-balancing: downsample the dominant language hard (20%),
+        // keep unidentified docs at 80% — membership is content-hash
+        // stable, never re-rolled
+        val lang = TextAnalysis.langId(t(s, dir, "documents"), "text")
+        TextAnalysis.stratifiedSample(lang, "lang_pred", "text",
+          pcts = Map("en" -> 20, "und" -> 80), defaultPct = 50)
+          .select(col("doc_id"), col("lang_pred"))
+      },
+      s"""WITH $textBCte,
+         |$langCtes
+         |SELECT l.doc_id, l.lang_pred
+         |FROM lang l JOIN documents d ON l.doc_id = d.doc_id
+         |WHERE ${rhSql("d.text")} % 100 <
+         |  CASE l.lang_pred WHEN 'en' THEN 20 WHEN 'und' THEN 80 ELSE 50 END""".stripMargin),
+
+    ("text_vocab",
+      (s: SparkSession, dir: String) =>
+        Corpus.vocab(t(s, dir, "documents"), "text", topN = 20),
+      s"""WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+         |SELECT token, cnt FROM v ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
+
+    ("text_tfidf",
+      (s: SparkSession, dir: String) =>
+        Corpus.tfIdf(t(s, dir, "documents"), "doc_id", "text"),
+      {
+        val w = Num.r6Sql(
+          "(CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE)) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))")
+        s"""WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents),
+           |tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY doc, token),
+           |dl AS (SELECT doc, sum(cnt) AS dlen FROM tf GROUP BY doc),
+           |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+           |SELECT doc, token, cnt, $w AS tf_idf
+           |FROM tf JOIN dl USING (doc) JOIN dfr USING (token) CROSS JOIN nn""".stripMargin
+      }),
+
+    ("corpus_domain_cap",
+      (s: SparkSession, dir: String) => {
+        // deterministic URLs synthesized from the id (37 domains) — the
+        // web-corpus "no site dominates" admission rule over a salted
+        // two-stage rank
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(37)),
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+        Corpus.domainCap(d, "doc_id", "url", maxPerDomain = 5)
+          .select(col("doc_id"), col("domain"), col("rank_in_domain"))
+      },
+      """WITH u AS (SELECT doc_id,
+        |             'https://site' || (doc_id % 37) || '.example.com/p/' || doc_id AS url
+        |           FROM documents),
+        |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u),
+        |r AS (SELECT doc_id, domain,
+        |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank_in_domain
+        |      FROM d)
+        |SELECT doc_id, domain, CAST(rank_in_domain AS INT) AS rank_in_domain
+        |FROM r WHERE rank_in_domain <= 5""".stripMargin),
+
+    ("corpus_decontaminate",
+      (s: SparkSession, dir: String) => {
+        // the "benchmark" is a corpus subset (every 37th doc), so eval
+        // docs are guaranteed contaminated (they match themselves) and
+        // near-duplicates of them get caught through shared 8-grams —
+        // the standard n range for decontamination is 8-13. A NULL-text
+        // row rides along: it must pass the gate with 0 hits, not vanish
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        Corpus.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8)
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |${tokenShingleCte(8, "docs")},
+         |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+         |ev AS (SELECT DISTINCT h FROM h0 WHERE doc % 37 = 0),
+         |hits AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM h0 JOIN ev USING (h) GROUP BY doc)
+         |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
+         |       COALESCE(n_hits, 0) < 1 AS keep
+         |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
+
+    ("corpus_decontaminate_report",
+      (s: SparkSession, dir: String) => {
+        // attribution view over the same %37 benchmark slice as the
+        // gate; minShared=2 so the report carries evidence-grade pairs
+        // (a single shared 8-gram can be coincidence; two begins to
+        // look like leakage). Every eval doc attributes to itself with
+        // its full distinct-8-gram count — the self-pair is the
+        // sanity row that proves the counting is complete
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Corpus.decontaminateReport(docs, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8, minShared = 2L)
+      },
+      s"""WITH ${tokenShingleCte(8, "documents")},
+         |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+         |ev AS (SELECT doc AS eval_doc, h FROM h0 WHERE doc % 37 = 0)
+         |SELECT ev.eval_doc, h0.doc AS train_doc,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM h0 JOIN ev USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
+    ("corpus_select_budget",
+      (s: SparkSession, dir: String) => {
+        // quality-prioritized token-budget cut over the standard scorer;
+        // budget 20k bytes is selective at the verify SF and above and
+        // exceeds the corpus at sf0.001 (pinning the admit-everything
+        // edge); byte counts as the engine-safe token stand-in
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score"),
+            octet_length(col("text")).cast("long").as("nb"))
+        Corpus.selectByTokenBudget(scored, "doc_id", "quality_score", "nb",
+          budget = 20000L, nBins = 1000)
+      },
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sb_d AS (SELECT q.doc_id, q.quality_score,
+         |        greatest(COALESCE(CAST(strlen(dd.text) AS BIGINT), 0), 0) AS n
+         |      FROM qual q JOIN documents dd USING (doc_id)),
+         |sb_b AS (SELECT doc_id, quality_score, n,
+         |        CAST(least(999, greatest(0,
+         |          CAST(floor(COALESCE(quality_score, 0.0) * 1000) AS BIGINT))) AS INT) AS bin
+         |      FROM sb_d),
+         |sb_hist AS (SELECT bin, sum(n) AS toks FROM sb_b GROUP BY bin),
+         |sb_cum AS (SELECT bin, toks,
+         |          COALESCE(sum(toks) OVER (ORDER BY bin DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |        FROM sb_hist),
+         |sb_sel AS (SELECT bin, toks, above,
+         |          CASE WHEN above + toks <= 20000 THEN 2
+         |               WHEN above <= 20000 THEN 1 ELSE 0 END AS cls
+         |        FROM sb_cum),
+         |sb_bd AS (SELECT bin AS tbin,
+         |         CAST(CAST(20000 - above AS HUGEINT) * 1000000 // toks AS BIGINT) AS ppm
+         |       FROM sb_sel WHERE cls = 1)
+         |SELECT sb_b.doc_id, sb_b.quality_score, sb_b.n AS n_toks, sb_b.bin
+         |FROM sb_b JOIN sb_sel ON sb_b.bin = sb_sel.bin
+         |LEFT JOIN sb_bd ON sb_b.bin = sb_bd.tbin
+         |WHERE sb_sel.cls = 2
+         |   OR (sb_sel.cls = 1 AND ${rhSql("CAST(sb_b.doc_id AS VARCHAR)")} % 1000000 < sb_bd.ppm)""".stripMargin),
+
+    ("corpus_gopher",
+      (s: SparkSession, dir: String) =>
+        Corpus.gopherFilter(t(s, dir, "documents"), "doc_id", "text"),
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |${repetitionCtes("documents")}
+         |SELECT q.doc_id, q.n_tokens, q.avg_token_len, q.stopword_ratio,
+         |       r.top_word_frac, r.distinct_frac
+         |FROM qual q JOIN rep r ON q.doc_id = r.doc_id
+         |WHERE q.n_tokens BETWEEN 40 AND 100000
+         |  AND q.avg_token_len BETWEEN 3.0 AND 10.0
+         |  AND q.stopword_ratio >= 0.05
+         |  AND r.top_word_frac <= 0.2
+         |  AND r.distinct_frac >= 0.3""".stripMargin),
+
+    ("corpus_perplexity",
+      (s: SparkSession, dir: String) => {
+        // CCNet-style: the clean "reference" slice is doc_id % 10 = 0
+        // (deterministic), the LM is pruned to 100 bigrams so the
+        // backoff path is exercised at every SF, and the whole corpus
+        // is scored against it
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val (bg, uni) = Corpus.bigramLm(docs.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100)
+        Corpus.perplexityScore(docs, "doc_id", "text", bg, uni)
+      },
+      s"WITH $perplexityCtes SELECT doc_id, ppl FROM ppl"),
+
+    ("corpus_admission_full",
+      (s: SparkSession, dir: String) => {
+        // the CAPSTONE composite: the full pretraining admission
+        // pipeline in ONE DataFrame DAG — near-dup cluster canonicality
+        // (MinHash+LSH + connected components) + language gate +
+        // quality gate + benchmark decontamination (8-gram overlap vs
+        // the doc_id%37 slice) + CCNet perplexity gate (bigram LM on
+        // the doc_id%10 reference slice, cut at 4.2). Every stage is
+        // individually oracle-gated elsewhere; this query pins their
+        // COMPOSITION — join order, gate precedence, and the fact that
+        // one DAG can express the whole admission path
+        // ONE corpus scan feeds every token consumer: the relation is
+        // spread (BEFORE the checkpoint — spread's scan-metadata gate
+        // no-ops on in-memory plans), tokenized once, and materialized;
+        // near-dup shingling, decontamination 8-grams, the bigram LM
+        // and perplexity scoring all read the shared `tk` column
+        // instead of re-scanning + re-tokenizing per stage (at 100 TB:
+        // N-1 corpus scans saved)
+        // the materialization is corpus-sized: localCheckpoint is the
+        // local-mode stand-in for cluster storage (persist DISK / a
+        // staged write) — same disclosed policy as the minhash family's
+        // shingleRelation
+        val toked = graft.Partitioning.spread(
+            t(s, dir, "documents").select(col("doc_id"), col("text")))
+          .withColumn("tk", graft.llm.TextAnalysis.tokens(col("text")))
+          .localCheckpoint()
+        val (bg, uni) = Corpus.bigramLm(toked.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100, tokensCol = Some("tk"))
+        val admitted = Corpus.trainingFilterNearDup(toked, "doc_id", "text",
+          minQuality = 0.5, lang = "en",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20),
+          tokensCol = Some("tk"))
+        val clean = Corpus.decontaminate(toked,
+          toked.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 8,
+          tokensCol = Some("tk"))
+          .filter(col("keep")).select(col("doc").as("doc_id"))
+        val scores = Corpus.perplexityScore(toked, "doc_id", "text", bg, uni,
+          tokensCol = Some("tk"))
+        admitted.join(clean, Seq("doc_id"), "left_semi")
+          .join(scores, Seq("doc_id"))
+          .filter(col("ppl") <= 4.2)
+          .select(col("doc_id"), col("cluster"), col("lang_pred"),
+            col("quality_score"), col("ppl"))
+      }, {
+        val gram8 = (0 until 8).map(j => if (j == 0) "tk2[i]" else s"tk2[i + $j]")
+          .mkString(" || ' ' || ")
+        s"""WITH RECURSIVE $minhashCtes,
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+           |          UNION SELECT d2, d1 FROM mh_pairs),
+           |walk(node, label) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+           |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+           |$textBCte,
+           |$qualityCtes,
+           |$langCtes,
+           |dtoks AS (SELECT doc_id AS doc,
+           |            string_split_regex(lower(text), '\\s+') AS tk2 FROM documents),
+           |dsh0 AS (SELECT DISTINCT doc,
+           |           unnest(list_transform(generate_series(1, len(tk2) - 7),
+           |             i -> $gram8)) AS sh
+           |         FROM dtoks WHERE len(tk2) >= 8),
+           |dh0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM dsh0),
+           |dev AS (SELECT DISTINCT h FROM dh0 WHERE doc % 37 = 0),
+           |contaminated AS (SELECT DISTINCT doc FROM dh0 JOIN dev USING (h)),
+           |$perplexityCtes
+           |SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS cluster,
+           |       lang_pred, quality_score, ppl
+           |FROM documents d
+           |LEFT JOIN cc ON d.doc_id = cc.node
+           |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+           |JOIN ppl ON ppl.doc_id = d.doc_id
+           |WHERE COALESCE(cc.label, d.doc_id) = d.doc_id
+           |  AND lang_pred = 'en' AND quality_score >= 0.5
+           |  AND d.doc_id NOT IN (SELECT doc FROM contaminated)
+           |  AND ppl <= 4.2""".stripMargin
+      }),
+
+    ("text_strip_html",
+      (s: SparkSession, dir: String) => {
+        // fixture: wrap each doc in crawl-shaped HTML — style + script
+        // subtrees (content must VANISH, not just lose tags), comments,
+        // attributes, entities, a self-closing tag; NULL text rides
+        // through as NULL via concat's null propagation
+        val d = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("<html><head><style>p { color: red }</style>" +
+            "<!-- nav --><script type=\"text/js\">var x = 1 < 2;</script>" +
+            "</head><body><p class=\"a\">"),
+          col("text"),
+          lit("</p><br/>&amp; <b>tail</b>&nbsp;&#39;q&#39;</body></html>"))
+          .as("text"))
+        TextAnalysis.stripHtml(d, "text").select(col("doc_id"), col("clean"))
+      },
+      s"""WITH raw AS (SELECT doc_id,
+         |    '<html><head><style>p { color: red }</style><!-- nav --><script type="text/js">var x = 1 < 2;</script></head><body><p class="a">'
+         |    || text ||
+         |    '</p><br/>&amp; <b>tail</b>&nbsp;&#39;q&#39;</body></html>' AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |      '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g') AS t
+         |  FROM raw),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id,
+         |    replace(replace(replace(replace(replace(replace(t,
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&amp;', '&') AS t
+         |  FROM s3)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean
+         |FROM s4""".stripMargin),
+
+    ("text_script_profile",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // documents are ASCII — append fixtures per script block, a
+        // digits/punct-only doc (no script chars -> 'none'), a Greek/
+        // Latin tie (latin precedence wins) and a NULL text
+        val extra = Seq(
+          (90101L, "Привет мир это тест кириллицы"),
+          (90102L, "你好世界 これは テスト です"),
+          (90103L, "مرحبا بالعالم هذا اختبار"),
+          (90104L, "αβγ abc"),
+          (90105L, "1234 !!! ???"),
+          (90106L, null)).toDF("doc_id", "text")
+        TextAnalysis.scriptProfile(
+          t(s, dir, "documents").select(col("doc_id"), col("text")).union(extra),
+          "text")
+          .select(col("doc_id") +: col("n_script_chars") +: col("script_pred") +:
+            TextAnalysis.scriptBlocks.flatMap(b =>
+              Seq(col(s"n_${b._1}"), col(s"ratio_${b._1}"))): _*)
+      }, {
+        val blocks = TextAnalysis.scriptBlocks
+        val counts = blocks.map { case (n, r) =>
+          s"CAST(len(regexp_extract_all(text, '[$r]')) AS BIGINT) AS n_$n"
+        }.mkString(", ")
+        val tot = blocks.map(b => s"n_${b._1}").mkString(" + ")
+        val ratios = blocks.map { case (n, _) =>
+          s"CASE WHEN n_script_chars > 0 THEN ${graft.Num.r6Sql(
+            s"CAST(n_$n AS DOUBLE) / CAST(n_script_chars AS DOUBLE)")} ELSE 0.0 END AS ratio_$n"
+        }.mkString(", ")
+        val names = blocks.map(_._1)
+        val cases = names.map { n =>
+          val beats = (s"n_$n > 0" +: names.filterNot(_ == n)
+            .map(o => s"n_$n >= n_$o")).mkString(" AND ")
+          s"WHEN $beats THEN '$n'"
+        }.mkString(" ")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT 90101, 'Привет мир это тест кириллицы'
+           |  UNION ALL SELECT 90102, '你好世界 これは テスト です'
+           |  UNION ALL SELECT 90103, 'مرحبا بالعالم هذا اختبار'
+           |  UNION ALL SELECT 90104, 'αβγ abc'
+           |  UNION ALL SELECT 90105, '1234 !!! ???'
+           |  UNION ALL SELECT 90106, NULL),
+           |c AS (SELECT doc_id, $counts FROM docs),
+           |tt AS (SELECT *, $tot AS n_script_chars FROM c)
+           |SELECT doc_id, n_script_chars,
+           |       CASE $cases ELSE 'none' END AS script_pred,
+           |       ${blocks.map(b => s"n_${b._1}").mkString(", ")}, $ratios
+           |FROM tt""".stripMargin
+      }),
+
+    ("corpus_url_dedup",
+      (s: SparkSession, dir: String) => {
+        // deterministic MESSY urls: mixed-case scheme/host, default
+        // ports, tracking params, fragments, trailing slashes. The
+        // canonical identity is doc_id % 50 (10 domains x 50 paths),
+        // while the NOISE branches key on doc_id % 2/3/4 — so the ~10
+        // docs behind each canonical key carry DIFFERENT noise, and the
+        // group counts are right only if canonicalization collapses all
+        // of it
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, "HTTPS://Site").otherwise("https://site"),
+            pmod(col("doc_id"), lit(10)),
+            when(col("doc_id") % 4 === 0, ".Example.COM:443/p/").otherwise(".example.com/p/"),
+            pmod(col("doc_id"), lit(50)),
+            when(col("doc_id") % 3 === 0, lit("/?utm_source=x&q=1"))
+              .when(col("doc_id") % 3 === 1, lit("?q=1&utm_campaign=z#frag"))
+              .otherwise(lit("?q=1"))).as("url"))
+        Corpus.urlDedup(d, "doc_id", "url")
+      },
+      // the same regexp chain, step for step ('g' = replace ALL — Spark's
+      // regexp_replace default); RE2-compatible patterns only
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END)
+        |  || (doc_id % 10)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '.Example.COM:443/p/' ELSE '.example.com/p/' END)
+        |  || (doc_id % 50)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&q=1'
+        |           WHEN doc_id % 3 = 1 THEN '?q=1&utm_campaign=z#frag'
+        |           ELSE '?q=1' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+        |c2 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*', 0)), ':(80|443)$', '', 'g')
+        |         || regexp_replace(u, '^[a-zA-Z]+://[^/?#]*', '', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c4)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c5 GROUP BY canonical_url""".stripMargin),
+
+    ("corpus_curriculum",
+      (s: SparkSession, dir: String) => {
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score"))
+        Corpus.curriculumBins(scored, "doc_id", "quality_score", nBins = 4)
+      },
+      // quantile_cont == Spark percentile (same (n-1)*p interpolation
+      // over identical r6-rounded scores); bin = 1 + #cuts strictly below
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sc AS (SELECT doc_id, quality_score FROM qual),
+         |cuts AS (SELECT quantile_cont(quality_score, [0.25, 0.5, 0.75]) AS c FROM sc)
+         |SELECT doc_id, quality_score,
+         |  CAST(1 + len(list_filter(c, x -> quality_score > x)) AS INT) AS bin
+         |FROM sc, cuts""".stripMargin),
+
+    ("corpus_mix_weighted",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // quality bucket from the standard scorer; the weight table
+        // covers a few cells explicitly — including an explicit-zero
+        // drop and a full-admission 1e6 cell — and everything else
+        // falls to the 250000-ppm default, so the hit, miss, zero and
+        // saturate paths are all inside the gate
+        val scored = TextAnalysis.quality(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("source"),
+            when(col("quality_score") >= 0.5, "high").otherwise("low").as("bucket"))
+        val weights = Seq(
+          ("src1", "high", 900000L), ("src1", "low", 100000L),
+          ("src2", "high", 600000L), ("src3", "low", 0L),
+          ("src4", "high", 1000000L)).toDF("source", "bucket", "weight_ppm")
+        Corpus.mixWeightedSample(scored, "doc_id", "source", "bucket", weights,
+          defaultPpm = 250000L)
+      },
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |sc AS (SELECT q.doc_id, d.source,
+         |         CASE WHEN q.quality_score >= 0.5 THEN 'high' ELSE 'low' END AS bucket
+         |       FROM qual q JOIN documents d USING (doc_id)),
+         |w(source, bucket, weight_ppm) AS (VALUES
+         |  ('src1', 'high', 900000), ('src1', 'low', 100000),
+         |  ('src2', 'high', 600000), ('src3', 'low', 0), ('src4', 'high', 1000000)),
+         |m AS (SELECT sc.doc_id, sc.source, sc.bucket,
+         |        CAST(COALESCE(w.weight_ppm, 250000) AS BIGINT) AS weight_ppm
+         |      FROM sc LEFT JOIN w ON sc.source = w.source AND sc.bucket = w.bucket)
+         |SELECT doc_id, source, bucket, weight_ppm FROM m
+         |WHERE ${rhSql("CAST(doc_id AS VARCHAR)")} % 1000000 < weight_ppm""".stripMargin),
+
+    ("corpus_mix_temperature",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the sources in testdata are uniform, so the gate synthesizes a
+        // SKEWED domain from doc_id: k = floor((sqrt(8*(doc_id%45)+1)-1)/2)
+        // gives domains s0..s8 with per-45-block counts 1..9 — integer
+        // sqrt inputs whose boundary cases (8j+1 a perfect square) are
+        // IEEE-exact in both engines. A NULL-domain fixture row pins the
+        // documented exclusion path (unattributed rows have no mixture
+        // cell). tau=0.5 upweights the small domains; nTarget=200 is
+        // selective at the verify SF and above
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("s"),
+            floor((sqrt(((col("doc_id") % 45) * 8 + 1).cast("double")) - lit(1.0))
+              / lit(2.0)).cast("int").cast("string")).as("mix_domain"))
+          .union(Seq((99993L, Option.empty[String])).toDF("doc_id", "mix_domain"))
+        Corpus.temperatureSample(base, "doc_id", "mix_domain",
+          tau = 0.5, nTarget = 200L)
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, 's' || CAST(CAST(FLOOR((sqrt(CAST((doc_id % 45) * 8 + 1 AS DOUBLE)) - 1) / 2) AS INT) AS VARCHAR) AS mix_domain
+         |  FROM documents
+         |  UNION ALL SELECT 99993, NULL),
+         |attr AS (SELECT * FROM base WHERE mix_domain IS NOT NULL),
+         |counts AS (SELECT mix_domain, CAST(count(*) AS BIGINT) AS c
+         |           FROM attr GROUP BY mix_domain),
+         |tot AS (SELECT sum(pow(c, 0.5)) AS t FROM counts),
+         |quotas AS (SELECT mix_domain,
+         |             least(c, CAST(floor(${Num.r6Sql("200.0 * " + Num.r6Sql("pow(c, 0.5) / t"))}) AS BIGINT)) AS quota
+         |           FROM counts, tot),
+         |ranked AS (SELECT a.doc_id, a.mix_domain, q.quota,
+         |             row_number() OVER (PARTITION BY a.mix_domain
+         |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
+         |           FROM attr a JOIN quotas q USING (mix_domain))
+         |SELECT doc_id, mix_domain, quota, CAST(rank_in_mix AS INTEGER) AS rank_in_mix
+         |FROM ranked WHERE rank_in_mix <= quota""".stripMargin),
+
+    ("corpus_mix_temperature_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // quota-formula edge matrix with LITERAL inputs (the
+        // corpus_pack_edges pattern): a dominant domain (cap NOT
+        // binding), a cap-binding small domain, a single-doc domain
+        // whose share floors its quota to zero (absent from output),
+        // and a NULL-domain row (excluded by contract). Counts: a=12,
+        // b=4, c=1; tau=0.5, nTarget=6 -> shares ~0.536/0.309/0.155,
+        // quotas floor(3.21)=3 / min(4, floor(1.85))=1 / floor(0.92)=0
+        val rows = ((1L to 12L).map(i => (i, Option("a")))
+          ++ (21L to 24L).map(i => (i, Option("b")))
+          ++ Seq((31L, Option("c")), (40L, Option.empty[String])))
+        val d = rows.toDF("doc_id", "mix_domain")
+        Corpus.temperatureSample(d, "doc_id", "mix_domain",
+          tau = 0.5, nTarget = 6L)
+      }, {
+        val ids = ((1L to 12L).map(i => s"($i, 'a')")
+          ++ (21L to 24L).map(i => s"($i, 'b')")
+          ++ Seq("(31, 'c')", "(40, NULL)")).mkString(", ")
+        s"""WITH base(doc_id, mix_domain) AS (VALUES $ids),
+           |attr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, mix_domain
+           |         FROM base WHERE mix_domain IS NOT NULL),
+           |counts AS (SELECT mix_domain, CAST(count(*) AS BIGINT) AS c
+           |           FROM attr GROUP BY mix_domain),
+           |tot AS (SELECT sum(pow(c, 0.5)) AS t FROM counts),
+           |quotas AS (SELECT mix_domain,
+           |             least(c, CAST(floor(${Num.r6Sql("6.0 * " + Num.r6Sql("pow(c, 0.5) / t"))}) AS BIGINT)) AS quota
+           |           FROM counts, tot),
+           |ranked AS (SELECT a.doc_id, a.mix_domain, q.quota,
+           |             row_number() OVER (PARTITION BY a.mix_domain
+           |               ORDER BY ${rhSql("CAST(a.doc_id AS VARCHAR)")}, a.doc_id) AS rank_in_mix
+           |           FROM attr a JOIN quotas q USING (mix_domain))
+           |SELECT doc_id, mix_domain, quota, CAST(rank_in_mix AS INTEGER) AS rank_in_mix
+           |FROM ranked WHERE rank_in_mix <= quota""".stripMargin
+      }),
+
+    ("corpus_pack",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // a NULL-text row rides along: octet_length(NULL) is NULL and the
+        // operator's documented contract is NULL-packs-as-0 — the gate
+        // pins that path, it doesn't just trust the scaladoc.
+        // n = UTF-8 BYTE length, not a regex token count: `\s` class
+        // membership (\x0B) and string_split_regex edge behavior vary
+        // across regex engines and DuckDB releases, while byte length is
+        // the same number everywhere — the operator under test packs
+        // counts, it doesn't care where they came from
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8)
+          .orderBy(col("doc"))
+      },
+      // same rolling-hash stream routing + per-stream running sum over
+      // ne = greatest(coalesce(n,0),0) — the operator's NULL/negative
+      // clamp; // is DuckDB integer division (Spark side uses `div`);
+      // CAST(... AS BIGINT) on the window-sum-derived columns is
+      // load-bearing: DuckDB's sum(BIGINT) OVER returns HUGEINT and //
+      // preserves it, so uncast output hash-mismatches Spark's BIGINT
+      // even when every value is equal (the rounds-8/9 red rows);
+      // strlen = DuckDB byte length (octet_length only binds to BLOB);
+      // canonical ORDER BY on BOTH sides defuses any order-sensitive
+      // comparison downstream
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
+         |      FROM docs),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
+         |SELECT doc_id AS doc, ne AS n_toks, stream,
+         |       CAST(start_offset AS BIGINT) AS start_offset,
+         |       CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |       CAST(CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
+         |            ELSE start_offset // 256 END AS BIGINT) AS seq_last
+         |FROM o ORDER BY doc""".stripMargin),
+
+    ("corpus_pack_edges",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // operator edge matrix with LITERAL counts — no derived n at
+        // all, so no engine pair can disagree about the input: NULL and
+        // negative pack as 0 tokens (tape never rewinds), a doc exactly
+        // at capacity ends in its own window, capacity+1 straddles two,
+        // and a multi-window doc spans proportionally
+        val d = Seq(
+          (1L, Option(5L)), (2L, Option(0L)), (3L, Option.empty[Long]),
+          (4L, Option(-7L)), (5L, Option(256L)), (6L, Option(257L)),
+          (7L, Option(1L)), (8L, Option(1000L)), (9L, Option(255L)),
+          (10L, Option(512L))).toDF("doc_id", "n")
+        Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 3)
+          .orderBy(col("doc"))
+      },
+      s"""WITH v(doc_id, n) AS (VALUES (1, 5), (2, 0), (3, NULL), (4, -7),
+         |  (5, 256), (6, 257), (7, 1), (8, 1000), (9, 255), (10, 512)),
+         |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |        greatest(COALESCE(CAST(n AS BIGINT), 0), 0) AS ne FROM v),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 3 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st)
+         |SELECT doc_id AS doc, ne AS n_toks, stream,
+         |       CAST(start_offset AS BIGINT) AS start_offset,
+         |       CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |       CAST(CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
+         |            ELSE start_offset // 256 END AS BIGINT) AS seq_last
+         |FROM o ORDER BY doc""".stripMargin),
+
+    ("corpus_pack_segments",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the writer view over the same pack plumbing as corpus_pack
+        // (byte-length counts, NULL fixture row — which must vanish
+        // here: zero-token docs occupy no window); integer-only
+        // arithmetic, canonical ORDER BY on both sides
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.packedSegments(
+          Corpus.packSequences(d, "doc_id", "n", capacity = 256, nStreams = 8),
+          capacity = 256)
+          .orderBy(col("doc"), col("seq"))
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
+         |      FROM docs),
+         |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |o AS (SELECT *, COALESCE(sum(ne) OVER (PARTITION BY stream ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM st),
+         |p AS (SELECT doc_id AS doc, ne AS n_toks, stream,
+         |        CAST(start_offset AS BIGINT) AS start_offset,
+         |        CAST(start_offset // 256 AS BIGINT) AS seq_first,
+         |        CAST((start_offset + ne - 1) // 256 AS BIGINT) AS seq_last
+         |      FROM o WHERE ne > 0),
+         |seg AS (SELECT stream, unnest(generate_series(seq_first, seq_last)) AS seq,
+         |          doc, start_offset, n_toks
+         |        FROM p)
+         |SELECT stream, seq, doc,
+         |       greatest(0, start_offset - seq * 256) AS seg_off,
+         |       least((seq + 1) * 256, start_offset + n_toks)
+         |         - greatest(seq * 256, start_offset) AS seg_len
+         |FROM seg ORDER BY doc, seq""".stripMargin),
+
+    ("corpus_batch_by_length",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // SFT batch assembly over byte-length counts (same engine-safe
+        // n as corpus_pack); the NULL fixture row clamps to 0 and must
+        // land in bucket 0, position 0 of some batch — not vanish
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.batchByLength(d, "doc_id", "n",
+          bucketBounds = Seq(128L, 256L, 512L), batchSize = 4, nStreams = 8)
+          .orderBy(col("doc"))
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              UNION ALL SELECT 99991, NULL),
+         |d AS (SELECT doc_id,
+         |        COALESCE(CAST(strlen(text) AS BIGINT), 0) AS n FROM docs),
+         |b AS (SELECT doc_id, n,
+         |        CASE WHEN n < 128 THEN 0 WHEN n < 256 THEN 1
+         |             WHEN n < 512 THEN 2 ELSE 3 END AS bucket,
+         |        ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, stream
+         |        ORDER BY doc_id) AS rn FROM b)
+         |SELECT doc_id AS doc, n AS n_toks, bucket, stream,
+         |       CAST((rn - 1) // 4 AS INT) AS batch_idx,
+         |       CAST((rn - 1) % 4 AS INT) AS pos_in_batch
+         |FROM r ORDER BY doc""".stripMargin),
+
+    ("corpus_filter",
+      (s: SparkSession, dir: String) =>
+        Corpus.trainingFilter(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, lang = "en"),
+      s"""WITH $textBCte,
+         |$qualityCtes,
+         |$langCtes,
+         |k AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |             CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text)
+         |SELECT d.doc_id, lang_pred, quality_score, n_dups
+         |FROM documents d JOIN k ON d.text IS NOT DISTINCT FROM k.text AND d.doc_id = k.keep_id
+         |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
+         |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
+  )
+}
