@@ -607,28 +607,89 @@ object Corpus {
       .localCheckpoint()
     val hist = d.groupBy(col("bin")).agg(sum(col("_sb_n")).as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // descending cumulative: `above(b)` = tokens in strictly higher bins;
-    // bin fully admitted iff above+toks <= budget, boundary iff
-    // above <= budget < above+toks (unique: above strictly grows downward)
-    val desc = hist.keys.toSeq.sorted.reverse
-    val above = desc.scanLeft(0L)((acc, b) => acc + hist(b)).init
-      .zip(desc).map { case (a, b) => b -> a }.toMap
-    val fullBins = hist.keys.filter(b => above(b) + hist(b) <= budget).toSet
-    val boundary = hist.keys.find(b =>
-      above(b) <= budget && budget < above(b) + hist(b))
+    val cut = budgetCut(hist, budget, nBins)
     val admitFull =
-      if (fullBins.isEmpty) lit(false)
-      else col("bin").isInCollection(fullBins.toSeq)
-    val admit = boundary match {
+      if (cut.fullBins.isEmpty) lit(false)
+      else col("bin").isInCollection(cut.fullBins.toSeq)
+    val admit = cut.boundary match {
       case None => admitFull
-      case Some(t) =>
-        val ppm = (BigInt(budget - above(t)) * 1000000L / hist(t)).toLong
+      case Some((t, ppm)) =>
         admitFull || (col("bin") === t
           && pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
             lit(1000000L)) < lit(ppm))
     }
     d.filter(admit)
       .select(col(idCol), col(scoreCol), col("_sb_n").as("n_toks"), col("bin"))
+  }
+
+  /** The admission policy [[selectByTokenBudget]] derives from its
+    * score histogram, as data: bins admitted whole, plus the single
+    * boundary bin's exact ppm admission rate. nBins-bounded by
+    * construction — broadcastable anywhere, which is the point: a
+    * streaming ingest ([[graft.streaming.EventStream.budgetStream]])
+    * applies the same cut as a stateless per-doc check.
+    */
+  final case class BudgetThreshold(nBins: Int, fullBins: Set[Int],
+                                   boundary: Option[(Int, Long)]) {
+    /** Scalar twin of the batch admission filter: same bin arithmetic,
+      * same rolling-hash ppm draw ([[graft.functions.RollingHash]]).
+      */
+    def admits(id: Long, score: Option[Double]): Boolean = {
+      val bin = binOf(score, nBins)
+      fullBins.contains(bin) || boundary.exists { case (t, ppm) =>
+        bin == t &&
+          math.floorMod(graft.functions.RollingHash.hashId(id), 1000000L) < ppm
+      }
+    }
+  }
+
+  /** Scalar mirror of the batch bin column (`least(nBins-1,
+    * greatest(0, floor(coalesce(score,0)*nBins)))`) — identical IEEE
+    * multiply-then-floor, NULL scores bin at 0.
+    */
+  private[graft] def binOf(score: Option[Double], nBins: Int): Int =
+    math.min(nBins - 1, math.max(0L, math.floor(score.getOrElse(0.0) * nBins).toLong)).toInt
+
+  /** Histogram → admission cut, the driver-side core of
+    * [[selectByTokenBudget]]: descending cumulative `above(b)` = tokens
+    * in strictly higher bins; a bin is fully admitted iff
+    * `above + toks <= budget`, and the unique boundary bin
+    * (`above <= budget < above + toks`) admits at the exact integer
+    * rate `ppm = remainder * 1e6 / bin_tokens` (BigInt — a 100 TB
+    * boundary bin cannot overflow the product).
+    */
+  private def budgetCut(hist: Map[Int, Long], budget: Long, nBins: Int): BudgetThreshold = {
+    val desc = hist.keys.toSeq.sorted.reverse
+    val above = desc.scanLeft(0L)((acc, b) => acc + hist(b)).init
+      .zip(desc).map { case (a, b) => b -> a }.toMap
+    val fullBins = hist.keys.filter(b => above(b) + hist(b) <= budget).toSet
+    val boundary = hist.keys.find(b =>
+      above(b) <= budget && budget < above(b) + hist(b)).map { t =>
+      t -> (BigInt(budget - above(t)) * 1000000L / hist(t)).toLong
+    }
+    BudgetThreshold(nBins, fullBins, boundary)
+  }
+
+  /** Compute [[selectByTokenBudget]]'s admission cut WITHOUT the
+    * admission pass — the calibration half of a batch-calibrate /
+    * stream-apply deployment: run this on yesterday's scored corpus,
+    * broadcast the returned threshold into the ingest stream
+    * ([[graft.streaming.EventStream.budgetStream]]). One narrow pass +
+    * one nBins-row aggregation; no checkpoint needed since the lineage
+    * runs once.
+    */
+  def budgetThreshold(df: DataFrame, scoreCol: String, nTokCol: String,
+                      budget: Long, nBins: Int = 1000): BudgetThreshold = {
+    require(budget >= 0, "budget must be non-negative")
+    require(nBins > 1, "nBins must be at least 2")
+    val hist = graft.Partitioning.spread(df)
+      .select(
+        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)).as("_sb_n"),
+        least(lit(nBins - 1), greatest(lit(0L),
+          floor(coalesce(col(scoreCol), lit(0.0)) * nBins))).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(sum(col("_sb_n")).as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    budgetCut(hist, budget, nBins)
   }
 
   /** Sequence-segment view over [[packSequences]] output — the view a

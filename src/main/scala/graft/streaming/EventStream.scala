@@ -608,6 +608,34 @@ object EventStream {
       }
   }
 
+  final case class ScoredTokDoc(doc_id: Long, score: Option[Double], n_toks: Long)
+  final case class BudgetAdmitted(doc_id: Long, score: Option[Double],
+                                  n_toks: Long, bin: Int)
+
+  /** Streaming token-budget admission — the ingest twin of
+    * [[graft.llm.Corpus.selectByTokenBudget]] in the batch-calibrate /
+    * stream-apply shape: calibrate the histogram cut on a batch corpus
+    * ([[graft.llm.Corpus.budgetThreshold]] — nBins-bounded, so always
+    * broadcastable), then admit each arriving doc with the scalar form
+    * of the batch filter: same IEEE bin arithmetic (NULL scores bin at
+    * 0), same rolling-hash ppm draw for the boundary bin, same
+    * NULL/negative token clamp. Stateless narrow map — no shuffle, no
+    * state store, append-mode friendly; stream-vs-batch equality is
+    * asserted in StreamingSpec so the two admission forms cannot
+    * silently drift.
+    */
+  def budgetStream(docs: Dataset[ScoredTokDoc],
+                   threshold: graft.llm.Corpus.BudgetThreshold): Dataset[BudgetAdmitted] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(threshold)
+    docs.flatMap { d =>
+      if (bc.value.admits(d.doc_id, d.score))
+        Some(BudgetAdmitted(d.doc_id, d.score, math.max(d.n_toks, 0L),
+          graft.llm.Corpus.binOf(d.score, bc.value.nBins)))
+      else None
+    }
+  }
+
   // --------------------------------------------------- custom state: sessions
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

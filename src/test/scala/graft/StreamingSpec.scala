@@ -469,6 +469,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_._1).toSet.size > 1, "expect several streams in play")
   }
 
+  test("streaming budget admission equals the batch histogram cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{ScoredTokDoc, BudgetAdmitted}
+
+    // scores cluster on few distinct values so the boundary bin is
+    // non-trivial; NULL scores and NULL/negative counts ride along
+    val docs = (1L to 60L).map { i =>
+      val score = if (i % 11 == 0) None else Some((i % 7).toDouble / 10.0)
+      val n = if (i % 13 == 0) -5L else 20L + (i % 5) * 10L
+      ScoredTokDoc(i, score, n)
+    }
+    val batchDf = docs.map(d => (d.doc_id, d.score, d.n_toks))
+      .toDF("doc_id", "score", "n")
+    val budget = 700L
+    val batch = graft.llm.Corpus
+      .selectByTokenBudget(batchDf, "doc_id", "score", "n", budget, nBins = 10)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2), r.getInt(3))).toSet
+
+    val threshold = graft.llm.Corpus.budgetThreshold(
+      batchDf, "score", "n", budget, nBins = 10)
+    assert(threshold.boundary.nonEmpty,
+      "fixture must exercise the ppm boundary bin, not only whole bins")
+    val mem = MemoryStream[ScoredTokDoc]
+    val q = EventStream.budgetStream(mem.toDS(), threshold)
+      .writeStream.format("memory").queryName("budget_stream_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(docs.take(25): _*); q.processAllAvailable()
+      mem.addData(docs.drop(25): _*); q.processAllAvailable()
+      spark.table("budget_stream_test").as[BudgetAdmitted].collect()
+        .map(a => (a.doc_id, a.score, a.n_toks, a.bin)).toSet
+    } finally q.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < docs.size,
+      "fixture must admit a strict non-empty subset")
+  }
+
   test("stream-stream join matches right rows within the bounded window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
