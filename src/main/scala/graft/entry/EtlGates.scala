@@ -339,6 +339,26 @@ private[graft] object EtlGates {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin),
 
+    ("load_bucketed_join",
+      (s: SparkSession, dir: String) => {
+        // bucketed co-location executed for real: both sides written
+        // bucketBy(8, custkey) into the session catalog, then joined —
+        // Catalyst plans the join with NO Exchange on either side
+        // (BucketingSpec asserts it, with a non-bucketed negative
+        // control). The managed tables land in spark-warehouse/ and
+        // are overwritten on every run, so the gate is idempotent
+        Bucketing.writeBucketed(t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey")),
+          "graft_bkt_orders", "custkey", nBuckets = 8)
+        Bucketing.writeBucketed(t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey")),
+          "graft_bkt_customer", "custkey", nBuckets = 8)
+        Bucketing.bucketedJoin(s, "graft_bkt_orders", "graft_bkt_customer", "custkey")
+          .select(col("o_orderkey"), col("custkey"), col("c_nationkey"))
+      },
+      """SELECT o_orderkey, o_custkey AS custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
     ("validate_array_elems",
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "documents")
