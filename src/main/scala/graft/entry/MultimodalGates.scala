@@ -175,6 +175,41 @@ private[graft] object MultimodalGates {
          |  ${Num.r6Sql("CAST(b0 + (nf - 1) * a AS DOUBLE) / CAST(nf AS DOUBLE)")} AS mean_abs
          |FROM d""".stripMargin),
 
+    ("multimodal_decode_avi",
+      (s: SparkSession, dir: String) => {
+        // REAL RIFF/AVI video (encoded in executors from the id) parsed
+        // back through the pure-JDK container walker: width/height from
+        // the avih header, frame count from the 00db chunks actually
+        // present, mean over every frame's actual pixel bytes — BI_RGB
+        // frames are uncompressed, so unlike JPEG the raster
+        // round-trips exactly and the gate covers the decoded mean. A
+        // fall-through to the fake decoder would read the 'RI' magic as
+        // w=82, h=73, never 1..7 x 1..5
+        val ids = t(s, dir, "documents").filter(col("doc_id") <= 30)
+        Multimodal.extractVideoFeatures(s,
+          Multimodal.attachAviPayload(s, ids, "doc_id")).toDF()
+          .select(col("id"), col("width"), col("height"), col("n_frames"),
+            col("mean_byte").as("mean_pixel"))
+      },
+      // closed form of the synthesized frames: w=1+id%7, h=1+id%5,
+      // nf=1+id%4; frame f gray g_f=(id+31f)%251 except pixel (0,0)
+      // colored (id,2id,3id)%251 -> mean = (3*Σg_f*(wh-1) + nf*c0)
+      // / (3*wh*nf)
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         |             1 + doc_id % 4 AS nf,
+         |             doc_id % 251 + (2 * doc_id) % 251 + (3 * doc_id) % 251 AS c0
+         |           FROM documents WHERE doc_id <= 30),
+         |fr AS (SELECT doc_id, w, h, nf, c0,
+         |         unnest(generate_series(0, CAST(nf - 1 AS INT))) AS f
+         |       FROM d),
+         |sg AS (SELECT doc_id, min(w) AS w, min(h) AS h, min(nf) AS nf,
+         |         min(c0) AS c0, sum((doc_id + 31 * f) % 251) AS gsum
+         |       FROM fr GROUP BY doc_id)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(nf AS BIGINT) AS n_frames,
+         |  ${Num.r6Sql("CAST(3 * gsum * (w * h - 1) + nf * c0 AS DOUBLE) / CAST(3 * w * h * nf AS DOUBLE)")} AS mean_pixel
+         |FROM sg""".stripMargin),
+
     ("multimodal_resize",
       (s: SparkSession, dir: String) =>
         Multimodal.resizeDims(Multimodal.extractFeatures(s,

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * Image decode is REAL for PNG/BMP/JPEG/GIF (pure-JDK `javax.imageio`,
-  * actual pixel raster — see [[decodeMedia]]) and audio decode is REAL
-  * for RIFF/WAVE PCM (pure-JDK `javax.sound.sampled` — see
-  * [[decodeAudio]]); formats without a codec in this
-  * container (video) fall back to a deterministic fake
+  * Every modality has a REAL decode path: images for PNG/BMP/JPEG/GIF
+  * (pure-JDK `javax.imageio`, actual pixel raster — [[decodeMedia]]),
+  * audio for RIFF/WAVE PCM (pure-JDK `javax.sound.sampled` —
+  * [[decodeAudio]]), video for RIFF/AVI with uncompressed DIB frames
+  * (pure-JDK container walk — [[decodeVideo]]). Formats whose codecs
+  * this container lacks (mp4/h264, mp3, …) fall back to a
+  * deterministic fake
   * ([[decodeStub]]) behind the same `MediaRow => MediaFeatures`
   * boundary. Everything around the codec — the binary column, the
   * metadata struct, the typed Dataset batch shape, the mapPartitions
@@ -288,6 +290,190 @@ object Multimodal {
     val mean = if (bytes.isEmpty) 0.0
                else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
     MediaFeatures(r.id, bytes.length.toLong, w, h, graft.Num.r6(mean))
+  }
+
+  // ---------------------------------------------------------------- video
+
+  final case class VideoFeatures(id: Long, width: Int, height: Int,
+                                 n_frames: Long, mean_byte: Double)
+
+  // "RIFF....AVI " container magic
+  private[graft] def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Video decode at the codec boundary: RIFF/AVI payloads carrying
+    * UNCOMPRESSED DIB frames (fourcc `00db`, BI_RGB 24-bit — the one
+    * video format a pure-JDK container walk can decode losslessly) get
+    * a REAL parse: width/height from the avih header, frame count from
+    * the `00db` chunks actually present, mean byte over every frame's
+    * pixel bytes (row padding excluded). Compressed formats (mp4 etc.,
+    * no codec in this container) and any structurally inconsistent AVI
+    * — chunk size ≠ stride×height, total past [[MaxDecodedPcmBytes]] —
+    * fall through to the deterministic fake, one bad blob degrading one
+    * row, never the scan task.
+    */
+  def decodeVideo(rows: Iterator[MediaRow]): Iterator[VideoFeatures] =
+    rows.map { r =>
+      val bytes = r.payload
+      if (r.format != null && r.format.startsWith("video/") && bytes != null
+          && isAvi(bytes)) {
+        decodeAviReal(r.id, bytes).getOrElse(videoFake(r))
+      } else videoFake(r)
+    }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Minimal RIFF walker: find `avih` (width/height) inside LIST hdrl
+    * and the `00db` DIB chunks inside LIST movi. Every offset/size read
+    * is bounds-checked against the actual payload — header fields are
+    * untrusted input and never size an allocation.
+    */
+  private def decodeAviReal(id: Long, b: Array[Byte]): Option[VideoFeatures] = {
+    if (b.length < 24) return None
+    var w = -1L; var h = -1L
+    var frames = 0L; var sum = 0L; var pixelBytes = 0L
+    def walk(start: Int, end: Int): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        val cc = fourcc(b, i)
+        val sz = le32(b, i + 8 - 4) // chunk size at i+4
+        val dataStart = i + 8
+        val dataEnd = dataStart + sz
+        if (sz < 0 || dataEnd > end || dataEnd < dataStart) return false
+        if (cc == "LIST") {
+          if (sz < 4) return false
+          // list type occupies the first 4 data bytes; recurse past it
+          if (!walk(dataStart + 4, dataEnd.toInt)) return false
+        } else if (cc == "avih") {
+          if (sz < 40) return false
+          w = le32(b, dataStart + 32)
+          h = le32(b, dataStart + 36)
+        } else if (cc == "00db") {
+          if (w <= 0 || h <= 0) return false // frames before the header
+          val stride = ((w * 3 + 3) / 4) * 4
+          if (sz != stride * h) return false
+          pixelBytes += 3L * w * h
+          if (pixelBytes > MaxDecodedPcmBytes) return false
+          var row = 0
+          while (row < h) {
+            val off = dataStart + row * stride.toInt
+            var x = 0
+            while (x < w * 3) { sum += b(off + x) & 0xff; x += 1 }
+            row += 1
+          }
+          frames += 1
+        }
+        // chunks are word-aligned: odd sizes carry one pad byte
+        i = dataEnd.toInt + (sz.toInt & 1)
+      }
+      true
+    }
+    val riffSz = le32(b, 4)
+    val end = math.min(b.length.toLong, 8L + riffSz).toInt
+    if (!walk(12, end) || frames == 0 || w <= 0 || h <= 0) None
+    else Some(VideoFeatures(id, w.toInt, h.toInt, frames,
+      graft.Num.r6(sum.toDouble / pixelBytes.toDouble)))
+  }
+
+  private def videoFake(r: MediaRow): VideoFeatures = {
+    val bytes = r.payload
+    val w = if (bytes != null && bytes.length > 0) (bytes(0) & 0xff) else 0
+    val h = if (bytes != null && bytes.length > 1) (bytes(1) & 0xff) else 0
+    val mean = if (bytes == null || bytes.isEmpty) 0.0
+               else bytes.map(x => (x & 0xff).toLong).sum.toDouble / bytes.length
+    VideoFeatures(r.id, w, h, if (bytes == null) 0L else bytes.length.toLong,
+      graft.Num.r6(mean))
+  }
+
+  /** Deterministic AVI/DIB fixture, the video analogue of
+    * [[syntheticImage]]: w×h from the id (same formula as the image
+    * fixtures), 1+id%4 frames; frame f is gray g_f = (id+31f)%251
+    * except pixel (0,0) colored (id,2id,3id)%251 — every frame differs,
+    * so a decode reading only frame 0 cannot match, and BI_RGB frames
+    * round-trip losslessly so the gate covers the decoded raster mean
+    * exactly. Closed form: mean = (3·Σg_f·(wh−1) + nf·c0) / (3·wh·nf).
+    */
+  private[graft] def syntheticAvi(id: Long): Array[Byte] = {
+    val w = (1 + id % 7).toInt
+    val h = (1 + id % 5).toInt
+    val nf = (1 + id % 4).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameSz = stride * h
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val strlSz = 4 + 8 + 56 + 8 + 40
+    val hdrlSz = 4 + 8 + 56 + 8 + strlSz
+    val moviSz = 4 + nf * (8 + frameSz)
+    cc("RIFF"); w32(4 + 8 + hdrlSz + 8 + moviSz); cc("AVI ")
+    cc("LIST"); w32(hdrlSz); cc("hdrl")
+    cc("avih"); w32(56)
+    w32(40000); w32(0); w32(0); w32(0)           // usec/frame, maxbps, pad, flags
+    w32(nf); w32(0); w32(1); w32(frameSz)        // totalFrames, initial, streams, bufSz
+    w32(w); w32(h); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(strlSz); cc("strl")
+    cc("strh"); w32(56)
+    cc("vids"); cc("DIB "); w32(0); w32(0); w32(0)  // type, handler, flags, prio, initial
+    w32(1); w32(25); w32(0); w32(nf)                // scale, rate, start, length
+    w32(frameSz); w32(0); w32(0); w32(0); w32(0)    // bufSz, quality, sampleSz, rcFrame(8)
+    cc("strf"); w32(40)
+    w32(40); w32(w); w32(h); bos.write(1); bos.write(0) // biSize, biWidth, biHeight, biPlanes
+    bos.write(24); bos.write(0)                          // biBitCount
+    w32(0); w32(frameSz); w32(0); w32(0); w32(0); w32(0) // BI_RGB, biSizeImage, ...
+    cc("LIST"); w32(moviSz); cc("movi")
+    var f = 0
+    while (f < nf) {
+      cc("00db"); w32(frameSz)
+      val g = ((id + 31 * f) % 251).toInt
+      val row = new Array[Byte](stride)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (bb, gg, rr) =
+            if (x == 0 && y == 0) (((3 * id) % 251).toInt, ((2 * id) % 251).toInt, (id % 251).toInt)
+            else (g, g, g)
+          row(3 * x) = bb.toByte; row(3 * x + 1) = gg.toByte; row(3 * x + 2) = rr.toByte
+          x += 1
+        }
+        bos.write(row)
+        y += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Attach REAL RIFF/AVI payloads derived deterministically from the
+    * id column; the encode runs in executors like the image variants.
+    */
+  def attachAviPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRow(id, syntheticAvi(id), "video/avi"))
+      .toDF()
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("format")).as("meta"))
+  }
+
+  /** Partition-batched video feature extraction, same shape as
+    * [[extractFeatures]]/[[extractAudioFeatures]].
+    */
+  def extractVideoFeatures(spark: SparkSession, withPayload: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(decodeVideo)
   }
 
   /** Deterministic tiny RGB image for the real-decode gate: w x h from

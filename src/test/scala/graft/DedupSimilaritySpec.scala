@@ -236,6 +236,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("real AVI/DIB payloads parse through the RIFF walker; non-AVI falls back") {
+    import Multimodal._
+    // id=9: w=3, h=5, nf=2; frame 0 gray 9 / frame 1 gray 40, pixel
+    // (0,0) of EACH frame colored (9,18,27) -> byte sum per frame
+    // 3*g*(wh-1) + 54; a frame-0-only decode would miss frame 1's mean
+    val avi = syntheticAvi(9L)
+    assert(isAvi(avi), "writer must emit a RIFF/AVI container")
+    val f = decodeVideo(Iterator(MediaRow(9L, avi, "video/avi"))).next()
+    assert(f.width == 3 && f.height == 5 && f.n_frames == 2L)
+    val expect = (3.0 * (9 + 40) * 14 + 2 * 54) / (3.0 * 15 * 2)
+    assert(f.mean_byte == graft.Num.r6(expect),
+      s"DIB raster must round-trip exactly, got ${f.mean_byte}")
+    // a text payload labeled video/* lacks the RIFF magic -> fake; a
+    // truncated AVI (header intact, frames cut) structurally fails the
+    // walk and falls back instead of returning wrong partial features
+    val text = "not a movie".getBytes("UTF-8")
+    assert(decodeVideo(Iterator(MediaRow(1L, text, "video/mp4"))).next().width == 'n'.toInt)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length - 7)
+    val tf = decodeVideo(Iterator(MediaRow(2L, truncated, "video/avi"))).next()
+    assert(tf.width == 'R'.toInt && tf.height == 'I'.toInt,
+      "truncated AVI must take the fake path, not emit partial frames")
+    // distributed round-trip: encode in executors, parse in executors
+    val spark2 = spark
+    import spark2.implicits._
+    val out = extractVideoFeatures(spark,
+      attachAviPayload(spark, (0L until 20L).toDF("doc_id"), "doc_id"))
+      .collect().map(x => x.id -> x).toMap
+    assert(out.size == 20)
+    for (id <- 0L until 20L) {
+      assert(out(id).width == (1 + id % 7).toInt && out(id).height == (1 + id % 5).toInt)
+      assert(out(id).n_frames == 1 + id % 4, s"id=$id")
+    }
+  }
+
   test("graft_hyperplane_bucket is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_hyperplane_bucket(array(CAST(0.5 AS DOUBLE), CAST(-0.2 AS DOUBLE)), 8) AS b")
