@@ -17,16 +17,26 @@ private[graft] object GateSupport {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read it as raw nanos (legacy flag) and
-    * rebuild a microsecond timestamp with integer arithmetic (`div`, not
-    * `/`: a long→double division would lose precision above 2^53 ns).
-    * Oracle equivalent: `make_timestamp(epoch_ns(ts) // 1000)`.
+  /** `events.parquet` has shipped `ts` two ways across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * accepts as a raw long via the legacy flag) and plain
+    * TIMESTAMP(MICROS) NTZ. Dispatch on the type actually read: longs
+    * are nanos and rebuild a microsecond timestamp with integer
+    * arithmetic (`div`, not `/`: a long→double division would lose
+    * precision above 2^53 ns); timestamps just cast to the session-TZ
+    * TimestampType every downstream consumer expects. The oracle
+    * `make_timestamp(epoch_ns(ts) // 1000)` is identity on a
+    * microsecond timestamp, so it covers both generations unchanged.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Deterministic partsupp synthesis — the driver testdata ships no

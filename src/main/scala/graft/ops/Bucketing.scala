@@ -31,6 +31,17 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    // A managed-table dir left behind by a previous JVM is invisible to
+    // this JVM's fresh in-memory catalog, so saveAsTable would fail with
+    // LOCATION_ALREADY_EXISTS; drop the catalog entry and delete any
+    // orphan location so the write is idempotent across processes.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
