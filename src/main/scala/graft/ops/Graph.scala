@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Num
+
+/** Iterative graph ranking over an edge list — the crawl-prioritization
+  * primitive of a large-scale training-data pipeline (domain/host
+  * authority from the web link graph, the role harmonic centrality and
+  * PageRank play in Common-Crawl-derived corpora).
+  *
+  * Spark-first shape: the graph is two DataFrames derived from the edge
+  * list (out-degrees, node set), and each iteration is one equi-join
+  * (edges ⋈ ranks on src) plus one aggregation (sum of contributions by
+  * dst) — both plain shuffles Catalyst plans as hash exchanges; the
+  * teleport term is pure arithmetic. Ranks are `localCheckpoint`ed per
+  * iteration: without truncation the plan doubles in depth every round
+  * (the classic iterative-lineage explosion). At 100 TB the lever is
+  * storage layout, not the loop: write the edge table bucketed by `src`
+  * ([[Bucketing.writeBucketed]]) and the per-iteration edge-side
+  * exchange disappears, leaving one rank-sized shuffle per round.
+  *
+  * Cross-engine determinism: every new rank is rounded to the 1e-6 grid
+  * with [[Num.r6]] (the bit-identical floor-based formula the DuckDB
+  * oracle uses), so float summation-order noise (~1e-17 relative) cannot
+  * accumulate across iterations.
+  */
+object Graph {
+
+  /** PageRank with fixed iteration count.
+    *
+    * Multi-edges are weights: a (src, dst) pair appearing k times
+    * contributes k shares of src's rank, and k counts toward src's
+    * out-degree. Dangling nodes (no out-edges) redistribute their rank
+    * mass uniformly; the dangling set is computed ONCE (it is static)
+    * and the per-iteration mass aggregation is skipped entirely when the
+    * set is empty. The node count enters as one O(1) driver scalar (the
+    * teleport constant needs it inside literals), matching the k-means
+    * centroid idiom rather than a per-row driver loop.
+    *
+    * @return (node: long, rank: double) — ranks on the 1e-6 grid, sum ≈ 1.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85d): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L) return nodes.withColumn("rank", lit(0.0d))
+
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val danglingNodes = nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0L
+
+    val nD = n.toDouble
+    val teleport = (1.0d - damping) / nD
+    var ranks = nodes.select(col("node"), lit(1.0d / nD).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("insum"))
+        .select(col("dst").as("node"), col("insum"))
+      val base = nodes.join(contribs, Seq("node"), "left")
+      val withDm =
+        if (hasDangling) {
+          // 1-row scalar broadcast, the tpch_q15 idiom — never a shuffle
+          val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0d)).as("dm"))
+          base.crossJoin(broadcast(dm))
+        } else base.withColumn("dm", lit(0.0d))
+      ranks = withDm.select(col("node"),
+        Num.r6(lit(teleport) + lit(damping) *
+          (coalesce(col("insum"), lit(0.0d)) + col("dm") / lit(nD))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}

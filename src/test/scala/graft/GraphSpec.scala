@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank semantics + plan shape. The dangling-mass path is exercised
+  * here (the registered gate's bidirectional graph has no dangling
+  * nodes, so its oracle omits the term) against a driver-side reference
+  * that mirrors the operator's arithmetic exactly — same IEEE double
+  * ops, same per-iteration [[Num.r6]] rounding — so expected values
+  * carry no decimal-vs-binary hand-calculation risk.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+                  damping: Double = 0.85d): Map[Long, Double] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters, damping)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Reference: same formula, same rounding, plain Scala maps. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  d: Double = 0.85d): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var rank = nodes.map(_ -> 1.0d / n).toMap
+    val teleport = (1.0d - d) / n
+    for (_ <- 1 to iters) {
+      val insum = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) / deg(e._1)).sum
+      }
+      val dm = nodes.filterNot(deg.contains).map(rank).sum
+      rank = nodes.map(nd =>
+        nd -> Num.r6(teleport + d * (insum.getOrElse(nd, 0.0d) + dm / n))).toMap
+    }
+    rank
+  }
+
+  test("3-cycle is uniform at every iteration") {
+    val got = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 4)
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.toSet.size === 1, s"cycle ranks must be equal: $got")
+    assert(math.abs(got.values.sum - 1.0d) < 1e-4)
+  }
+
+  test("dangling node redistributes mass — matches the mirrored reference") {
+    // 1 -> 2, 2 dangling; 3 -> 1 keeps node 1 non-trivial
+    val edges = Seq(1L -> 2L, 3L -> 1L)
+    for (iters <- Seq(1, 2, 5)) {
+      assert(run(edges, iters) === ref(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("star graph matches reference and conserves mass") {
+    val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 10L -> 1L)
+    val got = run(edges, iters = 3)
+    assert(got === ref(edges, 3))
+    assert(math.abs(got.values.sum - 1.0d) < 5 * 5e-6 * got.size)
+  }
+
+  test("multi-edges act as weights") {
+    // 1 sends two shares to 2 and one to 3: rank(2) > rank(3)
+    val got = run(Seq(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 1L), iters = 4)
+    assert(got(2L) > got(3L), got.toString)
+    assert(got === ref(Seq(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 1L), 4))
+  }
+
+  test("empty edge list yields an empty ranking, not a failure") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val out = graft.ops.Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", iters = 3)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("node", "rank"))
+  }
+
+  test("gate plan: checkpointed iterations stay cartesian-free") {
+    val p = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no dangling nodes in the bidirectional gate graph — the scalar " +
+        "broadcast must be skipped entirely")
+  }
+}
