@@ -346,14 +346,17 @@ private[graft] object EtlGates {
         // Catalyst plans the join with NO Exchange on either side
         // (BucketingSpec asserts it, with a non-bucketed negative
         // control). The managed tables land in spark-warehouse/ and
-        // are overwritten on every run, so the gate is idempotent
+        // are overwritten on every run, so the gate is idempotent;
+        // names carry a dir hash so concurrent suites on different
+        // fixture dirs never race on the catalog
+        val sfx = Integer.toHexString(dir.hashCode)
         Bucketing.writeBucketed(t(s, dir, "orders")
           .select(col("o_custkey").as("custkey"), col("o_orderkey")),
-          "graft_bkt_orders", "custkey", nBuckets = 8)
+          s"graft_bkt_orders_$sfx", "custkey", nBuckets = 8)
         Bucketing.writeBucketed(t(s, dir, "customer")
           .select(col("c_custkey").as("custkey"), col("c_nationkey")),
-          "graft_bkt_customer", "custkey", nBuckets = 8)
-        Bucketing.bucketedJoin(s, "graft_bkt_orders", "graft_bkt_customer", "custkey")
+          s"graft_bkt_customer_$sfx", "custkey", nBuckets = 8)
+        Bucketing.bucketedJoin(s, s"graft_bkt_orders_$sfx", s"graft_bkt_customer_$sfx", "custkey")
           .select(col("o_orderkey"), col("custkey"), col("c_nationkey"))
       },
       """SELECT o_orderkey, o_custkey AS custkey, c_nationkey

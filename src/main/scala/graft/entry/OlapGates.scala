@@ -14,6 +14,58 @@ import GateSupport._
   * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
   */
 private[graft] object OlapGates {
+
+  /** Fixed-iteration unrolled PageRank CTE chain; every rank is rounded
+    * to the 1e-6 grid per iteration exactly like the Spark side, and
+    * 0.85 is CAST to DOUBLE (a bare DuckDB decimal literal would make
+    * (1 - 0.85) decimal-exact 0.15, not the IEEE 0.15000000000000002
+    * the Spark side computes). Shared by `graph_pagerank` and its
+    * bucketed-layout twin — identical results by construction.
+    */
+  private lazy val pageRankOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val step = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    ${Num.r6Sql(s"(1 - $d) / (SELECT n FROM nn) + $d * COALESCE(s.insum, CAST(0 AS DOUBLE))")} AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / dg.deg) AS insum
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN dg ON e.src = dg.src
+         |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM eb
+       |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node, rank FROM r5""".stripMargin
+  }
+
+  /** Bidirectional customer↔part co-purchase edge list (orders ⋈
+    * lineitem): the crawl-prioritization shape a training-data pipeline
+    * runs on its host link graph. Part node ids are offset by 10M to
+    * disjoint the two key spaces; both edge directions come out of ONE
+    * join pass via explode, not a second scan.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val ol = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("dst"))
+    ol.select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- OLAP composites over the TPC-H-shaped tables --------------------
     // float-sum discipline: l_quantity is integral (exact in float, any
@@ -795,55 +847,27 @@ private[graft] object OlapGates {
 
     ("graph_pagerank",
       (s: SparkSession, dir: String) => {
-        // PageRank over the bidirectional customer↔part co-purchase
-        // graph (orders ⋈ lineitem): the crawl-prioritization shape a
-        // training-data pipeline runs on its host link graph. Part node
-        // ids are offset by 10M to disjoint the two key spaces; both
-        // edge directions come out of ONE join pass via explode, not a
-        // second scan. Bidirectional edges mean no dangling nodes, so
-        // the oracle needs no dangling-mass term (the operator's
-        // static-set check skips it too); the dangling path is covered
-        // by GraphSpec against hand-computed ranks.
-        val ol = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_partkey") + lit(10000000L)).cast("long").as("dst"))
-        val edges = ol.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        Graph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85d)
+        // Bidirectional edges mean no dangling nodes, so the oracle
+        // needs no dangling-mass term (the operator's static-set check
+        // skips it too); the dangling path is covered by GraphSpec
+        // against a mirrored reference implementation.
+        Graph.pageRank(coPurchaseEdges(s, dir), "src", "dst",
+          iters = 5, damping = 0.85d)
       },
-      {
-        // fixed-iteration unrolled CTE chain; every rank is rounded to
-        // the 1e-6 grid per iteration exactly like the Spark side, and
-        // 0.85 is CAST to DOUBLE (a bare DuckDB decimal literal would
-        // make (1 - 0.85) decimal-exact 0.15, not the IEEE
-        // 0.15000000000000002 the Spark side computes)
-        val d = "CAST(0.85 AS DOUBLE)"
-        val step = (i: Int) =>
-          s"""r$i AS (
-             |  SELECT nd.node,
-             |    ${Num.r6Sql(s"(1 - $d) / (SELECT n FROM nn) + $d * COALESCE(s.insum, CAST(0 AS DOUBLE))")} AS rank
-             |  FROM nd LEFT JOIN (
-             |    SELECT e.dst AS node, sum(r.rank / dg.deg) AS insum
-             |    FROM e JOIN r${i - 1} r ON e.src = r.node
-             |           JOIN dg ON e.src = dg.src
-             |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
-        s"""WITH eb AS (
-           |  SELECT CAST(o_custkey AS BIGINT) AS src,
-           |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |e AS (SELECT src, dst FROM eb
-           |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
-           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
-           |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
-           |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
-           |${(1 to 5).map(step).mkString(",\n")}
-           |SELECT node, rank FROM r5""".stripMargin
-      }),
+      pageRankOracleSql),
+
+    ("graph_pagerank_bucketed",
+      (s: SparkSession, dir: String) => {
+        // same ranks, production layout: the degree-annotated edge
+        // relation is written ONCE bucketed by src, and every
+        // iteration's edges⋈ranks join then reads the bucketed scan
+        // exchange-free — at 100 TB the per-round shuffle drops from
+        // |E| to |V|. Table name carries a dir hash so concurrent
+        // suites on different fixture dirs never race on the catalog.
+        val table = s"graft_pr_edges_${Integer.toHexString(dir.hashCode)}"
+        Graph.writeEdges(coPurchaseEdges(s, dir), "src", "dst", table, nBuckets = 8)
+        Graph.pageRankBucketed(s, table, iters = 5, damping = 0.85d)
+      },
+      pageRankOracleSql),
   )
 }

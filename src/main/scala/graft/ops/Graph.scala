@@ -43,21 +43,53 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85d): DataFrame = {
-    require(iters >= 1, "iters must be at least 1")
-    require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping)
+  }
+
+  /** Write the degree-annotated edge relation `(src, dst, deg)` as a
+    * parquet table bucketed by `src` — the pay-once-at-ingest layout
+    * that removes the edge-side exchange from EVERY
+    * [[pageRankBucketed]] iteration (only the rank relation shuffles
+    * per round). The degree is baked in at write time: recomputing it
+    * per run would re-shuffle the edges the bucketing exists to avoid.
+    */
+  def writeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                 table: String, nBuckets: Int): Unit = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    Bucketing.writeBucketed(e.join(deg, "src"), table, "src", nBuckets)
+  }
+
+  /** PageRank over a [[writeEdges]]-bucketed edge table: bit-identical
+    * output to [[pageRank]] on the same edges (same arithmetic, same
+    * per-iteration rounding), but each iteration's edges⋈ranks join
+    * reads the bucketed scan directly — Catalyst plans the exchange on
+    * the rank side only, which at 100 TB is |V| rows per round instead
+    * of |E|.
+    */
+  def pageRankBucketed(spark: SparkSession, edgeTable: String,
+                       iters: Int, damping: Double = 0.85d): DataFrame =
+    iterate(spark.table(edgeTable), iters, damping)
+
+  /** Shared iteration loop over a degree-annotated edge relation
+    * `(src, dst, deg)`.
+    */
+  private def iterate(eDeg: DataFrame, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     if (n == 0L) return nodes.withColumn("rank", lit(0.0d))
 
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
     val danglingNodes = nodes
-      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .join(eDeg.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(true)
     val hasDangling = danglingNodes.limit(1).count() > 0L
 
@@ -82,8 +114,11 @@ object Graph {
       ranks = withDm.select(col("node"),
         Num.r6(lit(teleport) + lit(damping) *
           (coalesce(col("insum"), lit(0.0d)) + col("dm") / lit(nD))).as("rank"))
-        .localCheckpoint(true)
       i += 1
+      // truncate lineage between iterations; the LAST iteration stays
+      // lazy so the caller's sink job is the one that materializes it
+      // (and its plan stays inspectable)
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -77,6 +77,24 @@ class GraphSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("node", "rank"))
   }
 
+  test("bucketed-edge twin: identical ranks, one fewer exchange per iteration") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("graph_pagerank")(spark, dir)
+    val bucketed = SparkEntry.queries("graph_pagerank_bucketed")(spark, dir)
+    // bit-identical output: same arithmetic, same per-iteration rounding
+    val pm = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bm = bucketed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pm === bm)
+    // the visible (final-iteration) plan: the bucketed scan joins
+    // exchange-free on the edge side, so it needs strictly fewer
+    // exchanges than the plain variant's same iteration
+    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
+    val pPlain = plain.queryExecution.executedPlan.toString
+    val pBucketed = bucketed.queryExecution.executedPlan.toString
+    assert(exchanges(pBucketed) < exchanges(pPlain),
+      s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
+  }
+
   test("gate plan: checkpointed iterations stay cartesian-free") {
     val p = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
