@@ -100,6 +100,24 @@ private[graft] object SourceEventGates {
         |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation""".stripMargin),
 
+    ("source_orc",
+      (s: SparkSession, dir: String) => {
+        // ORC sink + source round-trip (Spark-native columnar format a
+        // lake migration reads alongside parquet): write the nation
+        // dimension as ORC to a temp dir, read it back through the ORC
+        // reader. Types must survive the round trip exactly (int64 /
+        // string) for the hash to match the parquet oracle; the write
+        // is the sink test, the read-back is the source test.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        n.write.mode("overwrite").orc(tmp)
+        // schema pinned on read: an all-empty write leaves no part file
+        // to infer from (and production readers pin schemas anyway)
+        s.read.schema(n.schema).orc(tmp)
+      },
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+
     ("source_xslt",
       (s: SparkSession, dir: String) => {
         // S5 under the oracle gate (ref index.js:87-126): a TWO-stage
