@@ -869,5 +869,35 @@ private[graft] object OlapGates {
         Graph.pageRankBucketed(s, table, iters = 5, damping = 0.85d)
       },
       pageRankOracleSql),
+
+    ("graph_communities",
+      (s: SparkSession, dir: String) =>
+        // sync LPA over the same bidirectional graph — all-integer
+        // arithmetic, so the oracle needs no rounding discipline at
+        // all; ties resolve to the smallest label on both sides
+        Graph.labelPropagation(coPurchaseEdges(s, dir), "src", "dst", iters = 3),
+      {
+        val step = (i: Int) =>
+          s"""c$i AS (SELECT e.dst, p.label, count(*) AS cnt
+             |        FROM e JOIN l${i - 1} p ON e.src = p.node
+             |        GROUP BY e.dst, p.label),
+             |v$i AS (SELECT dst, label FROM (
+             |          SELECT dst, label,
+             |            row_number() OVER (PARTITION BY dst
+             |                               ORDER BY cnt DESC, label ASC) AS rn
+             |          FROM c$i) WHERE rn = 1),
+             |l$i AS (SELECT p.node, CAST(COALESCE(v.label, p.label) AS BIGINT) AS label
+             |        FROM l${i - 1} p LEFT JOIN v$i v ON p.node = v.dst)""".stripMargin
+        s"""WITH eb AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS src,
+           |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM eb
+           |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
+           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |l0 AS (SELECT node, node AS label FROM nd),
+           |${(1 to 3).map(step).mkString(",\n")}
+           |SELECT node, label FROM l3""".stripMargin
+      }),
   )
 }

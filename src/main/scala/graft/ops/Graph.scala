@@ -75,6 +75,49 @@ object Graph {
                        iters: Int, damping: Double = 0.85d): DataFrame =
     iterate(spark.table(edgeTable), iters, damping)
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each iteration a node adopts the
+    * most frequent label among its in-neighbors, ties broken to the
+    * SMALLEST label, nodes with no in-edges keeping their label —
+    * fully deterministic (the classic async LPA is order-dependent;
+    * the sync+min-tie variant is reproducible run to run and across
+    * engines, all-integer arithmetic). Pass both edge directions for
+    * undirected semantics. Per iteration: one join on src + two
+    * aggregations (label counts, then per-node argmax as
+    * `max(struct(cnt, -label))` — max count, tie min label), the same
+    * shuffle shape as [[pageRank]]; lineage is truncated between
+    * iterations the same way. Communities of the dedup graph
+    * ([[graft.llm.Dedup.connectedComponents]] finds the exact
+    * components) differ in that LPA splits weakly-connected hubs —
+    * the crawl-corpus use is grouping hosts into topical clusters.
+    *
+    * @return (node: long, label: long)
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < iters) {
+      val vote = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("new_label"))
+      labels = labels.join(vote, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+      i += 1
+      if (i < iters) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Shared iteration loop over a degree-annotated edge relation
     * `(src, dst, deg)`.
     */

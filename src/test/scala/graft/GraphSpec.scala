@@ -95,6 +95,36 @@ class GraphSpec extends AnyFunSuite {
       s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
   }
 
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("LPA: two undirected triangles joined by a bridge split into two communities") {
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10; undirected =
+    // both directions. Majority voting keeps each triangle on its own
+    // min label; the bridge endpoints see 2 triangle votes vs 1 across.
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 3L -> 10L)
+      .flatMap(e => Seq(e, e._2 -> e._1))
+    val got = runLpa(und, iters = 4)
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L), got.toString)
+  }
+
+  test("LPA: isolated-source node keeps its own label; ties go to the smallest") {
+    // 5 -> 1 gives 1 a single vote (label 5); node 5 has no in-edges
+    val got = runLpa(Seq(5L -> 1L), iters = 1)
+    assert(got(5L) === 5L)
+    assert(got(1L) === 5L)
+    // tie: 1 gets one vote each from 7 and 9 — smallest label wins
+    val tie = runLpa(Seq(7L -> 1L, 9L -> 1L), iters = 1)
+    assert(tie(1L) === 7L, tie.toString)
+  }
+
   test("gate plan: checkpointed iterations stay cartesian-free") {
     val p = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
