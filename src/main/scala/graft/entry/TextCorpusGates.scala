@@ -99,6 +99,45 @@ private[graft] object TextCorpusGates {
          |       CAST(len(ck) AS BIGINT) AS n_tokens
          |FROM sl""".stripMargin),
 
+    ("text_normalize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Unicode NFC edge matrix with LITERAL inputs (the
+        // corpus_pack_edges pattern): combining-mark compositions
+        // (acute, ring), an already-precomposed twin, pure ASCII (the
+        // zero-copy fast path), Hangul jamo composition, empty, NULL.
+        // graft_nfc is the codegen'd java.text.Normalizer expression;
+        // the oracle is DuckDB's utf8proc-backed nfc_normalize — two
+        // independent implementations of the same Unicode standard.
+        // Lengths use byte semantics (octet_length = strlen), the
+        // cross-engine-unambiguous count.
+        // \u escapes, not raw glyphs: rows 1/2/4 are DECOMPOSED
+        // (base + combining mark), row 3 the precomposed twin, row 6 a
+        // Hangul jamo pair — visually identical in an editor, which is
+        // exactly why the distinction must live in escapes
+        val rows = Seq(
+          (1L, "cafe\u0301"), (2L, "e\u0301le\u0301phant"),
+          (3L, "caf\u00e9"), (4L, "A\u030a"), (5L, "plain"),
+          (6L, "\u1100\u1161"), (7L, ""), (8L, null: String))
+        rows.toDF("id", "raw")
+          .select(col("id"), col("raw"),
+            graft.functions.NfcNormalize.nfc(col("raw")).as("nfc"))
+          .select(col("id"), col("raw"), col("nfc"),
+            (col("raw") =!= col("nfc")).as("changed"),
+            octet_length(col("raw")).cast("long").as("n_before"),
+            octet_length(col("nfc")).cast("long").as("n_after"))
+      },
+      """WITH base(id, raw) AS (VALUES
+        |  (1, 'cafe' || chr(769)),
+        |  (2, 'e' || chr(769) || 'le' || chr(769) || 'phant'),
+        |  (3, 'caf' || chr(233)), (4, 'A' || chr(778)), (5, 'plain'),
+        |  (6, chr(4352) || chr(4449)), (7, ''), (8, NULL)),
+        |n AS (SELECT CAST(id AS BIGINT) AS id, raw,
+        |             nfc_normalize(raw) AS nfc FROM base)
+        |SELECT id, raw, nfc, raw <> nfc AS changed,
+        |       CAST(strlen(raw) AS BIGINT) AS n_before,
+        |       CAST(strlen(nfc) AS BIGINT) AS n_after FROM n""".stripMargin),
+
     ("text_scrub",
       (s: SparkSession, dir: String) =>
         TextAnalysis.scrub(

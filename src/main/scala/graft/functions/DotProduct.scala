@@ -107,5 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBucket(children.head, intLit(children(1), "nPlanes"),
           if (children.size == 3) intLit(children(2), "firstPlane") else 0)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_nfc(text) takes 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -361,4 +361,32 @@ class PropertySpec extends AnyFunSuite {
       withinBudget && monotone && admitsAll && nullBin && clampOk
     })
   }
+
+  test("property: graft_nfc matches java.text.Normalizer, idempotent, ASCII zero-copy") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      (4, Gen.alphaNumChar),
+      (2, Gen.oneOf('e', 'a', 'o', 'A')),
+      // combining marks: acute, grave, ring, dot-below
+      (2, Gen.oneOf('́', '̀', '̊', '̣')),
+      // precomposed + jamo + CJK
+      (1, Gen.oneOf('é', 'Å', 'ᄀ', 'ᅡ', '가', '汉')))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    check(Prop.forAll(Gen.listOfN(20, strGen)) { strs =>
+      // codegen'd column evaluation vs the JDK reference, plus
+      // idempotence of the column path itself
+      val df = strs.toDF("s")
+      val got = df.select(
+        graft.functions.NfcNormalize.nfc(col("s")).as("n1"),
+        graft.functions.NfcNormalize.nfc(
+          graft.functions.NfcNormalize.nfc(col("s"))).as("n2"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val ref = strs.map(s =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      got.map(_._1).toSeq == ref && got.forall { case (a, b) => a == b }
+    })
+    // ASCII fast path returns the input buffer itself — no allocation
+    val ascii = UTF8String.fromString("plain ascii only")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+  }
 }
