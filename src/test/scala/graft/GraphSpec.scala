@@ -125,12 +125,13 @@ class GraphSpec extends AnyFunSuite {
     assert(tie(1L) === 7L, tie.toString)
   }
 
-  test("gate plan: checkpointed iterations stay cartesian-free") {
-    val p = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "no dangling nodes in the bidirectional gate graph — the scalar " +
-        "broadcast must be skipped entirely")
+  test("gate plans: checkpointed iterations stay cartesian-free") {
+    for (q <- Seq("graph_pagerank", "graph_communities")) {
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: no dangling/scalar broadcast expected in the bidirectional gate graph")
+    }
   }
 }
