@@ -870,6 +870,47 @@ private[graft] object OlapGates {
       },
       pageRankOracleSql),
 
+    ("graph_pagerank_directed",
+      (s: SparkSession, dir: String) => {
+        // DIRECTED customer→part edges only: every part node is a sink,
+        // so this gate drives the dangling-mass redistribution path —
+        // the one pageRank branch the bidirectional gates never enter —
+        // under the DuckDB oracle (the scalar mass re-enters as a
+        // 1-row broadcast each iteration, the tpch_q15 idiom)
+        val ol = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_partkey") + lit(10000000L)).cast("long").as("dst"))
+        Graph.pageRank(ol, "src", "dst", iters = 3, damping = 0.85d)
+      },
+      {
+        val d = "CAST(0.85 AS DOUBLE)"
+        val step = (i: Int) =>
+          s"""dm$i AS (SELECT CAST(COALESCE(sum(r.rank), 0) AS DOUBLE) AS dm
+             |         FROM r${i - 1} r JOIN dgl USING (node)),
+             |r$i AS (
+             |  SELECT nd.node,
+             |    ${Num.r6Sql(s"(1 - $d) / (SELECT n FROM nn) + $d * (COALESCE(s.insum, CAST(0 AS DOUBLE)) + (SELECT dm FROM dm$i) / (SELECT n FROM nn))")} AS rank
+             |  FROM nd LEFT JOIN (
+             |    SELECT e.dst AS node, sum(r.rank / dg.deg) AS insum
+             |    FROM e JOIN r${i - 1} r ON e.src = r.node
+             |           JOIN dg ON e.src = dg.src
+             |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS src,
+           |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+           |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+           |dgl AS (SELECT node FROM nd WHERE node NOT IN (SELECT src FROM e)),
+           |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
+           |${(1 to 3).map(step).mkString(",\n")}
+           |SELECT node, rank FROM r3""".stripMargin
+      }),
+
     ("graph_communities",
       (s: SparkSession, dir: String) =>
         // sync LPA over the same bidirectional graph — all-integer
