@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * routine; an operator that throws on zero rows (descending sequence,
   * empty-collect require, max on nothing) would kill whole jobs in
   * production. The fixture is written by Spark itself so the events
-  * table keeps its nanos-as-long schema.
+  * table keeps whatever ts physical type the source generation carries
+  * (GateSupport.events dispatches on it either way).
   */
 class EmptyInputSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
