@@ -389,6 +389,43 @@ object Similarity {
     * exchange is the candidate dedup, keyed on (query, candidate)
     * pairs — candidate-sized, never corpus-sized.
     */
+  /** Explode `nTables` (tbl, bucket) keys per row — table t hashes with
+    * its own independent planes [t*nPlanes, (t+1)*nPlanes). Shared by
+    * [[topKLsh]] and [[lshCandidatePairs]] so the selectivity diagnostic
+    * measures exactly the join the ANN path runs.
+    */
+  private def tabled(df: DataFrame, v: String, nPlanes: Int, nTables: Int): DataFrame =
+    df.select(col("*"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneBucket(col(v), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
+      .select(df.columns.map(col) :+ col("tb.tbl").as("tbl")
+        :+ col("tb.bucket").as("bucket"): _*)
+
+  /** Distinct (query_id, nn_id) candidate pairs [[topKLsh]] would score
+    * at these parameters — the SELECTIVITY diagnostic. candidate rate =
+    * count(this) / (|Q| * (|C|-1)) is the fraction of brute-force work
+    * the index actually leaves; recall without this number is
+    * meaningless (any config reaches recall 1 by degenerating to
+    * all-pairs). Ships only id pairs through the dedup exchange — no
+    * vectors — so measuring costs a fraction of the search itself.
+    * AnnRecallSpec pins a CEILING on this next to each gate config's
+    * recall floor.
+    */
+  def lshCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nPlanes: Int, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "nTables must be positive")
+    val c0 = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    tabled(c0.select(col("nn_id"), col("cv")), "cv", nPlanes, nTables)
+      .select(col("nn_id"), col("tbl"), col("bucket"))
+      .join(broadcast(tabled(q0, "qv", nPlanes, nTables)
+        .select(col("query_id"), col("tbl"), col("bucket"))), Seq("tbl", "bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id")).distinct()
+  }
+
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, nSalts: Int = 0,
               nTables: Int = 1): DataFrame = {
@@ -404,13 +441,8 @@ object Similarity {
         .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
       topKMerge(scored, k, salts)
     } else {
-      def tabled(df: DataFrame, v: String) = df.select(col("*"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("tbl"),
-            hyperplaneBucket(col(v), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
-        .select(df.columns.map(col) :+ col("tb.tbl").as("tbl")
-          :+ col("tb.bucket").as("bucket"): _*)
-      val matched = tabled(c0, "cv").join(broadcast(tabled(q0, "qv")),
+      val matched = tabled(c0, "cv", nPlanes, nTables)
+        .join(broadcast(tabled(q0, "qv", nPlanes, nTables)),
           Seq("tbl", "bucket"))
         .filter(col("nn_id") =!= col("query_id"))
         .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
