@@ -28,7 +28,8 @@ import graft.Num
   */
 object Graph {
 
-  /** PageRank with fixed iteration count.
+  /** PageRank with fixed iteration count, optionally stopping early on
+    * convergence.
     *
     * Multi-edges are weights: a (src, dst) pair appearing k times
     * contributes k shares of src's rank, and k counts toward src's
@@ -39,14 +40,46 @@ object Graph {
     * teleport constant needs it inside literals), matching the k-means
     * centroid idiom rather than a per-row driver loop.
     *
+    * `tol > 0` switches on tolerance-based termination — the standard
+    * production control: stop as soon as the L1 rank delta
+    * (Σ|rank_i − rank_{i−1}|) drops below `tol`, `iters` becoming the
+    * cap. Cost per round: the previous rank rides the iteration's
+    * existing relation as one extra column (the contribution join bases
+    * on the rank relation instead of the bare node set — value-identical
+    * rows, see [[iterate]]) and the delta is ONE 1-row aggregate over
+    * the round's materialized ranks — no extra join, no extra shuffle.
+    * Choosing tol: the per-iteration 1e-6 grid rounding (the
+    * cross-engine determinism contract) floors the reachable delta —
+    * the rounded map sometimes has an exact fixed point (delta 0,
+    * further iterations bit-identical) but can also settle into a
+    * bounded grid-level cycle where delta never drops below a few
+    * ×1e-6 (measured: a 5-node star+tail oscillates one grid step on
+    * two nodes forever, delta 4e-6). A production tol should therefore
+    * sit at or above ~1e-6 × expected-moving-nodes; a smaller tol is
+    * safe but may run to the `iters` cap — which is exactly the cap's
+    * job. With `tol = 0` (default) the loop and plan are exactly the
+    * fixed-count path.
+    *
     * @return (node: long, rank: double) — ranks on the 1e-6 grid, sum ≈ 1.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85d): DataFrame = {
+               iters: Int, damping: Double = 0.85d, tol: Double = 0.0d): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping)
+    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol)._1
+  }
+
+  /** [[pageRank]] plus the number of iterations actually run — the
+    * observable GraphSpec's convergence pins assert against.
+    */
+  private[graft] def pageRankCounted(edges: DataFrame, srcCol: String, dstCol: String,
+                                     iters: Int, damping: Double = 0.85d,
+                                     tol: Double = 0.0d): (DataFrame, Int) = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol)
   }
 
   /** Write the degree-annotated edge relation `(src, dst, deg)` as a
@@ -72,8 +105,9 @@ object Graph {
     * of |E|.
     */
   def pageRankBucketed(spark: SparkSession, edgeTable: String,
-                       iters: Int, damping: Double = 0.85d): DataFrame =
-    iterate(spark.table(edgeTable), iters, damping)
+                       iters: Int, damping: Double = 0.85d,
+                       tol: Double = 0.0d): DataFrame =
+    iterate(spark.table(edgeTable), iters, damping, tol)._1
 
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each iteration a node adopts the
@@ -119,17 +153,27 @@ object Graph {
   }
 
   /** Shared iteration loop over a degree-annotated edge relation
-    * `(src, dst, deg)`.
+    * `(src, dst, deg)`. Returns (ranks, iterations actually run).
+    *
+    * With `tol > 0` the contribution join bases on the RANK relation
+    * (node, rank) instead of the bare node set — the same rows by
+    * construction (ranks are defined over exactly the node set every
+    * round), so the arithmetic and output are bit-identical to the
+    * fixed-count path; the previous rank simply rides along as the
+    * `prev` column, and the round's L1 delta is one 1-row aggregate
+    * over the checkpointed result. The loop stops when delta < tol.
     */
-  private def iterate(eDeg: DataFrame, iters: Int, damping: Double): DataFrame = {
+  private def iterate(eDeg: DataFrame, iters: Int, damping: Double,
+                      tol: Double = 0.0d): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
+    require(tol >= 0.0d, "tol must be non-negative")
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    if (n == 0L) return nodes.withColumn("rank", lit(0.0d))
+    if (n == 0L) return (nodes.withColumn("rank", lit(0.0d)), 0)
 
     val danglingNodes = nodes
       .join(eDeg.select(col("src").as("node")), Seq("node"), "left_anti")
@@ -140,13 +184,19 @@ object Graph {
     val teleport = (1.0d - damping) / nD
     var ranks = nodes.select(col("node"), lit(1.0d / nD).as("rank"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("insum"))
         .select(col("dst").as("node"), col("insum"))
-      val base = nodes.join(contribs, Seq("node"), "left")
+      // tol mode carries the previous rank through the SAME join (ranks
+      // covers exactly the node set, so the row set is identical)
+      val base =
+        if (tol > 0.0d) ranks.withColumnRenamed("rank", "prev")
+          .join(contribs, Seq("node"), "left")
+        else nodes.join(contribs, Seq("node"), "left")
       val withDm =
         if (hasDangling) {
           // 1-row scalar broadcast, the tpch_q15 idiom — never a shuffle
@@ -154,15 +204,24 @@ object Graph {
             .agg(coalesce(sum("rank"), lit(0.0d)).as("dm"))
           base.crossJoin(broadcast(dm))
         } else base.withColumn("dm", lit(0.0d))
-      ranks = withDm.select(col("node"),
-        Num.r6(lit(teleport) + lit(damping) *
-          (coalesce(col("insum"), lit(0.0d)) + col("dm") / lit(nD))).as("rank"))
+      val newRank = Num.r6(lit(teleport) + lit(damping) *
+        (coalesce(col("insum"), lit(0.0d)) + col("dm") / lit(nD)))
       i += 1
-      // truncate lineage between iterations; the LAST iteration stays
-      // lazy so the caller's sink job is the one that materializes it
-      // (and its plan stays inspectable)
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (tol > 0.0d) {
+        val next = withDm.select(col("node"), col("prev"), newRank.as("rank"))
+          .localCheckpoint(true)
+        val delta = next.agg(coalesce(sum(abs(col("rank") - col("prev"))),
+          lit(0.0d))).first().getDouble(0)
+        converged = delta < tol
+        ranks = next.select(col("node"), col("rank"))
+      } else {
+        ranks = withDm.select(col("node"), newRank.as("rank"))
+        // truncate lineage between iterations; the LAST iteration stays
+        // lazy so the caller's sink job is the one that materializes it
+        // (and its plan stays inspectable)
+        if (i < iters) ranks = ranks.localCheckpoint(true)
+      }
     }
-    ranks
+    (ranks, i)
   }
 }

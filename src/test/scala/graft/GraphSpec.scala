@@ -95,6 +95,50 @@ class GraphSpec extends AnyFunSuite {
       s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
   }
 
+  test("tolerance termination: grid fixed point stops with delta 0, stable under +1 iteration") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // the 3-cycle's uniform ranking IS a 1e-6-grid fixed point
+    // (r6(0.05 + 0.85*0.333333) = 0.333333): any positive tol stops
+    // as soon as a round reproduces its input bit-for-bit
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val df = edges.toDF("s", "d")
+    val (ranks, used) = graft.ops.Graph.pageRankCounted(
+      df, "s", "d", iters = 100, tol = 1e-9)
+    assert(used < 100, s"expected early convergence, ran all $used iterations")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the tol path's arithmetic is bit-identical to the fixed-count
+    // path: running exactly `used` iterations reproduces it...
+    assert(got === run(edges, used), s"tol path diverged from fixed path at $used iters")
+    // ...and the stop really is a fixed point: one more iteration is a
+    // no-op
+    assert(got === run(edges, used + 1), "converged result changed under +1 iteration")
+  }
+
+  test("tolerance termination: grid-level oscillation is caught by a tol above the grid floor") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // star+tail: the ROUNDED map has NO fixed point — nodes 1 and 10
+    // trade one 1e-6 grid step forever (measured delta floor 4e-6), so
+    // tol=1e-9 would honestly run to the iters cap. tol=1e-5 sits above
+    // the floor and stops as soon as the ranks are grid-stable — the
+    // production operating regime the scaladoc prescribes
+    val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 10L -> 1L, 4L -> 2L)
+    val df = edges.toDF("s", "d")
+    val (ranks, used) = graft.ops.Graph.pageRankCounted(
+      df, "s", "d", iters = 100, tol = 1e-5)
+    assert(used < 100, s"expected early stop, ran all $used iterations")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === run(edges, used), s"tol path diverged from fixed path at $used iters")
+    // +1 iteration moves ranks by at most the oscillation amplitude
+    val next = run(edges, used + 1)
+    val drift = got.map { case (k, v) => math.abs(next(k) - v) }.sum
+    assert(drift <= 1e-5, s"post-stop drift $drift exceeds tol")
+    // tol so large the first delta already satisfies it: exactly 1 round
+    val (_, one) = graft.ops.Graph.pageRankCounted(df, "s", "d", iters = 100, tol = 1e9)
+    assert(one === 1)
+  }
+
   private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val sqlc = spark
     import sqlc.implicits._
