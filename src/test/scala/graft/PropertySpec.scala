@@ -362,6 +362,52 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // random directed multigraphs over <= 8 nodes: self-loops, parallel
+  // edges, pure-sink (every dst dangling) and disconnected shapes all
+  // occur naturally at this density
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k,
+      for { s <- Gen.chooseNum(1L, 8L); d <- Gen.chooseNum(1L, 8L) } yield (s, d)))
+
+  test("property: PageRank conserves rank mass on arbitrary graphs (dangling, self-loop, multi-edge)") {
+    checkN(6, Prop.forAll(edgeGen) { edges =>
+      val got = graft.ops.Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3)
+        .collect()
+      // each round's r6 snap moves each node <= 0.5e-6; 3 rounds
+      val tol = got.length * 3 * 5e-7 + 1e-9
+      got.isEmpty || math.abs(got.map(_.getDouble(1)).sum - 1.0d) <= tol
+    })
+  }
+
+  test("property: bucketed PageRank twin is bit-identical to plain on random graphs") {
+    checkN(4, Prop.forAll(edgeGen) { edges =>
+      val df = edges.toDF("s", "d")
+      val tbl = f"pr_prop_${math.abs(edges.hashCode)}%x"
+      graft.ops.Graph.writeEdges(df, "s", "d", tbl, nBuckets = 4)
+      try {
+        val plain = graft.ops.Graph.pageRank(df, "s", "d", iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val buck = graft.ops.Graph.pageRankBucketed(spark, tbl, iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        plain == buck
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    })
+  }
+
+  test("property: label propagation is input-order invariant and labels stay in the node set") {
+    checkN(6, Prop.forAll(edgeGen, Gen.chooseNum(1, 3)) { (edges, iters) =>
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      val a = graft.ops.Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same edges, reversed row order AND different physical layout:
+      // sync + min-tie voting must not care how the input arrives
+      val b = graft.ops.Graph.labelPropagation(
+        edges.reverse.toDF("s", "d").repartition(5), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      a == b && a.keySet == nodes && a.values.forall(nodes.contains)
+    })
+  }
+
   test("property: graft_nfc matches java.text.Normalizer, idempotent, ASCII zero-copy") {
     import org.apache.spark.unsafe.types.UTF8String
     val charGen = Gen.frequency(
