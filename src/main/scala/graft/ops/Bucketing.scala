@@ -47,6 +47,20 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append into an existing [[writeBucketed]] table (Spark validates
+    * that key and bucket count match the table's spec). The append-only
+    * half of an ingest log: history is never rewritten — each batch
+    * adds bucketed files — which is what makes the layout streamable
+    * (a `foreachBatch` sink can call this per micro-batch). Same
+    * single-writer-per-table contract as [[writeBucketed]].
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.write.mode("append")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Join two same-key, same-bucket-count tables written by
     * [[writeBucketed]]: a plain equi-join — bucketing makes Catalyst
     * plan it exchange-free on both sides.

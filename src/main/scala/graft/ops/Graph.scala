@@ -97,6 +97,49 @@ object Graph {
     Bucketing.writeBucketed(e.join(deg, "src"), table, "src", nBuckets)
   }
 
+  /** Incremental edge ingest — the crawl-frontier twin of [[writeEdges]],
+    * callable per micro-batch from a Structured Streaming
+    * `foreachBatch` sink (StreamingSpec proves stream-vs-batch rank
+    * equality).
+    *
+    * Layout: an APPEND-ONLY edge log `logTable` (src, dst) bucketed by
+    * src, plus a DERIVED degree table `degTable` (src, deg) bucketed
+    * the same way. Each batch appends its edges (history is never
+    * rewritten — the property that makes the sink streamable and the
+    * log safe to re-read mid-ingest) and rebuilds the degree relation:
+    * a groupBy(src) over the src-bucketed log, which Catalyst plans
+    * WITHOUT an exchange, writing |V| rows. [[writeEdges]]'s
+    * baked-in-deg layout is the right call for write-once graphs, but
+    * under ingest it would rewrite every stored row of every src the
+    * batch touches — O(affected-src edges) rewrite per batch versus
+    * this layout's O(|V|) derived-table refresh.
+    */
+  def ingestEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                  logTable: String, degTable: String, nBuckets: Int): Unit = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    if (spark.catalog.tableExists(logTable))
+      Bucketing.appendBucketed(e, logTable, "src", nBuckets)
+    else
+      Bucketing.writeBucketed(e, logTable, "src", nBuckets)
+    val deg = spark.table(logTable).groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+    Bucketing.writeBucketed(deg, degTable, "src", nBuckets)
+  }
+
+  /** PageRank over an [[ingestEdges]] log: the log⋈degrees join is
+    * co-located (both tables bucketed by src, same count — zero
+    * exchanges, StreamingSpec asserts it), so like [[pageRankBucketed]]
+    * only the rank relation shuffles per iteration. Bit-identical to
+    * [[pageRank]] over the concatenation of every ingested batch.
+    */
+  def pageRankIngested(spark: SparkSession, logTable: String, degTable: String,
+                       iters: Int, damping: Double = 0.85d,
+                       tol: Double = 0.0d): DataFrame =
+    iterate(spark.table(logTable).join(spark.table(degTable), "src"),
+      iters, damping, tol)._1
+
   /** PageRank over a [[writeEdges]]-bucketed edge table: bit-identical
     * output to [[pageRank]] on the same edges (same arithmetic, same
     * per-iteration rounding), but each iteration's edges⋈ranks join

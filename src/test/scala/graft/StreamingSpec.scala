@@ -552,4 +552,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(fps == Map(10L -> 1, 20L -> 1))
     } finally q.stop()
   }
+
+  test("streaming edge ingest: foreachBatch log + degree maintenance re-ranks identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = "edge_log_stream_spec"; val degT = "edge_deg_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$log`")
+    spark.sql(s"DROP TABLE IF EXISTS `$degT`")
+    // batch 2 repeats edge 1->2 (multi-edge weight grows across
+    // batches); batch 3 adds a brand-new node — the crawl-frontier
+    // shapes incremental ingest must absorb
+    val b1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val b2 = Seq((3L, 4L), (4L, 1L), (1L, 2L))
+    val b3 = Seq((5L, 1L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("s", "d").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Graph.ingestEdges(batch, "s", "d", log, degT, nBuckets = 4)
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the co-located log⋈degree join is the point of the layout: both
+    // tables bucketed by src into the same count -> zero exchanges.
+    // Broadcast off for the assertion: these fixture tables are tiny
+    // enough to broadcast, which would hide the exchange question a
+    // LARGE graph faces (the BucketingSpec discipline)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.ops.Bucketing.bucketedJoin(spark, log, degT, "src")
+      val nEx = "(?<!Reused)Exchange".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      assert(nEx === 0, s"log⋈degree join must be exchange-free, found $nEx exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val streamed = graft.ops.Graph.pageRankIngested(spark, log, degT, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.ops.Graph.pageRank(
+      (b1 ++ b2 ++ b3).toDF("s", "d"), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch,
+      "incrementally ingested ranks must be bit-identical to batch over all edges")
+    spark.sql(s"DROP TABLE IF EXISTS `$log`")
+    spark.sql(s"DROP TABLE IF EXISTS `$degT`")
+  }
 }
