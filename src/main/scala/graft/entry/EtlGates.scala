@@ -347,9 +347,9 @@ private[graft] object EtlGates {
         // (BucketingSpec asserts it, with a non-bucketed negative
         // control). The managed tables land in spark-warehouse/ and
         // are overwritten on every run, so the gate is idempotent;
-        // names carry a dir hash so concurrent suites on different
-        // fixture dirs never race on the catalog
-        val sfx = Integer.toHexString(dir.hashCode)
+        // names carry a SHA-256 dir digest so concurrent suites on
+        // different fixture dirs never race on the catalog
+        val sfx = dirSuffix(dir)
         Bucketing.writeBucketed(t(s, dir, "orders")
           .select(col("o_custkey").as("custkey"), col("o_orderkey")),
           s"graft_bkt_orders_$sfx", "custkey", nBuckets = 8)

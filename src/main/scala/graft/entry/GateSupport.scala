@@ -101,6 +101,19 @@ private[graft] object GateSupport {
     * (h0=7; h = (h*131 + codepoint) mod 1e9+7). list_reduce has no init
     * parameter, so the seed is prepended to the codepoint list.
     */
+  /** Collision-resistant per-fixture-dir suffix for catalog table names
+    * and scratch paths (first 8 hex chars of SHA-256 of the path).
+    * `Integer.toHexString(dir.hashCode)` was the old form — a 32-bit
+    * String.hashCode, where two distinct fixture dirs colliding would
+    * reintroduce the concurrent-catalog race the suffix exists to
+    * prevent; 32 hex chars of SHA-256 state make that practically
+    * impossible.
+    */
+  private[graft] def dirSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   private[graft] def rhSql(expr: String, mult: Long = 131L): String =
     // NULL input must stay NULL: DuckDB's list_prepend(7, NULL) yields
     // [7], which would fingerprint a NULL text as the seed value while

@@ -862,9 +862,10 @@ private[graft] object OlapGates {
         // relation is written ONCE bucketed by src, and every
         // iteration's edges⋈ranks join then reads the bucketed scan
         // exchange-free — at 100 TB the per-round shuffle drops from
-        // |E| to |V|. Table name carries a dir hash so concurrent
-        // suites on different fixture dirs never race on the catalog.
-        val table = s"graft_pr_edges_${Integer.toHexString(dir.hashCode)}"
+        // |E| to |V|. Table name carries a SHA-256 dir digest so
+        // concurrent suites on different fixture dirs never race on
+        // the catalog.
+        val table = s"graft_pr_edges_${dirSuffix(dir)}"
         Graph.writeEdges(coPurchaseEdges(s, dir), "src", "dst", table, nBuckets = 8)
         Graph.pageRankBucketed(s, table, iters = 5, damping = 0.85d)
       },

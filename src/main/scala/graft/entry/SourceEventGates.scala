@@ -107,8 +107,12 @@ private[graft] object SourceEventGates {
         // dimension as ORC to a temp dir, read it back through the ORC
         // reader. Types must survive the round trip exactly (int64 /
         // string) for the hash to match the parquet oracle; the write
-        // is the sink test, the read-back is the source test.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        // is the sink test, the read-back is the source test. FIXED
+        // per-fixture scratch path (keyed by the dir digest, mode
+        // overwrite) — a fresh createTempDirectory per invocation
+        // leaked one directory per bench/verify sweep forever.
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_orc_${dirSuffix(dir)}").toString
         val n = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         n.write.mode("overwrite").orc(tmp)

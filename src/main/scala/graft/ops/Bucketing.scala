@@ -28,6 +28,15 @@ object Bucketing {
     * table. `overwrite` replaces the table atomically-enough for batch
     * recompute pipelines; the bucket count is part of the table's
     * contract — joins co-locate only across tables sharing (key, n).
+    *
+    * SINGLE WRITER PER TABLE NAME: the drop + location-delete +
+    * saveAsTable sequence below is not atomic, so two concurrent
+    * writers of the SAME table name can interleave (one dropping or
+    * deleting the other's in-progress write). Callers must serialize
+    * writes per table name — the gate registry does it by deriving
+    * names from a digest of the fixture dir (distinct dirs → distinct
+    * tables) and running same-dir suites sequentially. Concurrent
+    * writers of DIFFERENT names are safe.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
