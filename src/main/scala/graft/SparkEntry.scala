@@ -23,7 +23,8 @@ object SparkEntry {
     */
   private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     EtlGates.all ++ OlapGates.all ++ SourceEventGates.all ++
-      DedupGates.all ++ TextCorpusGates.all ++ MultimodalGates.all
+      DedupGates.all ++ TextCorpusGates.all ++ MultimodalGates.all ++
+      SketchGates.all
 
   // ------------------------------------------------------------ driver API
 

@@ -871,6 +871,29 @@ private[graft] object OlapGates {
       },
       pageRankOracleSql),
 
+    ("graph_pagerank_ingested",
+      (s: SparkSession, dir: String) => {
+        // same ranks, INGEST layout: the edges arrive as two
+        // deterministic batches (endpoint-sum parity — a partition of
+        // the edge multiset) through Graph.ingestEdges, which appends
+        // each into the src-bucketed log and rebuilds the derived
+        // degree table exchange-free; pageRankIngested then runs the
+        // shared loop over the co-located log⋈degrees join. The log is
+        // append-only, so the gate DROPs it first — a managed table,
+        // so the drop removes the previous invocation's files too
+        // (otherwise a second run would double every edge).
+        val log = s"graft_pr_log_${dirSuffix(dir)}"
+        val degT = s"graft_pr_deg_${dirSuffix(dir)}"
+        s.sql(s"DROP TABLE IF EXISTS `$log`")
+        val e = coPurchaseEdges(s, dir)
+        Seq(0, 1).foreach { p =>
+          Graph.ingestEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === p),
+            "src", "dst", log, degT, nBuckets = 8)
+        }
+        Graph.pageRankIngested(s, log, degT, iters = 5, damping = 0.85d)
+      },
+      pageRankOracleSql),
+
     ("graph_pagerank_directed",
       (s: SparkSession, dir: String) => {
         // DIRECTED customer→part edges only: every part node is a sink,

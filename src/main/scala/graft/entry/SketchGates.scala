@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Num
+import graft.ops.{Incremental, Layout, Prune, Sketch}
+import GateSupport._
+
+/** Sketch / layout / incremental-maintenance gates — the profiling and
+  * physical-design surface of the engine (approximate distinct,
+  * frequency estimation, Z-order clustering, mergeable aggregate state,
+  * bloom-pruned joins). Every gate's oracle runs the IDENTICAL
+  * deterministic arithmetic in DuckDB (md5-derived hashes, exact dyadic
+  * sums, the r6 grid), so the driver's hash gate pins the estimators
+  * bit-for-bit, not just "approximately".
+  */
+private[graft] object SketchGates {
+
+  /** The d count-min hash rows as a SQL VALUES list `(i, a, b)`. */
+  private def cmPermsSql: String =
+    Sketch.cmConstants.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("sketch_hll_distinct",
+      (s: SparkSession, dir: String) => {
+        // per-group approximate distinct orders per return flag, with
+        // the exact count as the in-row witness: at 100 TB the sketch
+        // side shuffles ≤ 256 registers per group per partition while
+        // count(DISTINCT) shuffles every distinct key
+        val li = t(s, dir, "lineitem")
+        val est = Sketch.hllDistinct(li, "l_orderkey", Seq("l_returnflag"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        est.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("est_distinct"), col("exact_distinct"))
+      },
+      {
+        // identical HLL arithmetic: 60-bit md5 hash, m=256 registers,
+        // ρ capped at 40 (every 2^-ρ term a dyadic ≥ 2^-40, so the sum
+        // is exact and order-independent), integer-shift powers of two
+        // (no libm pow), linear-counting branch below 2.5m
+        val alpha = s"CAST(${Sketch.HllAlpha} AS DOUBLE)"
+        s"""WITH h AS (SELECT l_returnflag AS g,
+           |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |  FROM lineitem),
+           |hb AS (SELECT g, (h & 255) AS bucket,
+           |         least(53 - length(bin(h >> 8)), 40) AS rho FROM h),
+           |sk AS (SELECT g, bucket, max(rho) AS m_rho FROM hb GROUP BY g, bucket),
+           |ag AS (SELECT g, count(*) AS present,
+           |         sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << m_rho) AS DOUBLE)) AS sinv
+           |       FROM sk GROUP BY g),
+           |es AS (SELECT g, $alpha * 256.0 * 256.0 / ((256.0 - present) + sinv) AS raw,
+           |         256 - present AS v FROM ag),
+           |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_distinct
+           |       FROM lineitem GROUP BY 1)
+           |SELECT es.g AS l_returnflag,
+           |  ${Num.r6Sql("CASE WHEN raw <= 256.0 * 2.5 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END")} AS est_distinct,
+           |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+           |FROM es JOIN ex ON es.g = ex.g""".stripMargin
+      }),
+
+    ("sketch_countmin_topk",
+      (s: SparkSession, dir: String) => {
+        // heavy suppliers by estimated lineitem frequency: the counter
+        // table is d·w = 2048 rows TOTAL (broadcast on the estimate
+        // join) however large lineitem is; exact counts ride along as
+        // the witness
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+        val sk = Sketch.countMinSketch(li, "l_suppkey")
+        val keys = t(s, dir, "supplier").select(col("s_suppkey")).distinct()
+        val est = Sketch.countMinEstimate(sk, keys, "s_suppkey")
+        val exact = li.groupBy(col("l_suppkey").cast("long").as("key"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, Seq("key"), "left")
+          .select(col("key").as("s_suppkey"), col("est_cnt"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+          .orderBy(col("est_cnt").desc, col("s_suppkey").asc)
+          .limit(20)
+      },
+      s"""WITH perms(i, a, b) AS (VALUES $cmPermsSql),
+         |cnt AS (SELECT i, (((a * CAST(l_suppkey AS BIGINT) + b) % ${Sketch.CmP}) % ${Sketch.CmWidth}) AS bucket,
+         |          count(*) AS c
+         |        FROM lineitem CROSS JOIN perms GROUP BY 1, 2),
+         |ks AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         |est AS (SELECT k, min(COALESCE(c, CAST(0 AS BIGINT))) AS est_cnt
+         |        FROM ks CROSS JOIN perms
+         |        LEFT JOIN cnt ON cnt.i = perms.i
+         |          AND cnt.bucket = (((perms.a * k + perms.b) % ${Sketch.CmP}) % ${Sketch.CmWidth})
+         |        GROUP BY k),
+         |ex AS (SELECT CAST(l_suppkey AS BIGINT) AS k, count(*) AS exact_cnt
+         |       FROM lineitem GROUP BY 1)
+         |SELECT est.k AS s_suppkey, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+         |  CAST(COALESCE(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt
+         |FROM est LEFT JOIN ex ON est.k = ex.k
+         |ORDER BY est_cnt DESC, s_suppkey ASC LIMIT 20""".stripMargin),
+
+    ("layout_zorder",
+      (s: SparkSession, dir: String) =>
+        // the Morton-interleave arithmetic under the oracle (the layout
+        // effect itself — per-file bounding boxes — is measured by
+        // LayoutSpec; this pins the curve both engines must agree on)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            Layout.zValue(col("o_custkey"), col("o_orderkey"), 10).as("z"))
+          .orderBy(col("z").asc, col("o_orderkey").asc)
+          .limit(20),
+      s"""SELECT o_orderkey, o_custkey,
+         |  ${Layout.zValueSql("o_custkey", "o_orderkey", 10)} AS z
+         |FROM orders ORDER BY z ASC, o_orderkey ASC LIMIT 20""".stripMargin),
+
+    ("agg_incremental_merge",
+      (s: SparkSession, dir: String) => {
+        // two "daily batches" (orderkey parity) aggregated separately,
+        // merged WITHOUT rescanning either, finalized with the derived
+        // average — equal to the one-shot aggregate by construction;
+        // money as integer cents so the merged sum is exact in any order
+        val o = t(s, dir, "orders")
+          .withColumn("cents", floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        val batches = Seq(0, 1).map(p =>
+          Incremental.aggState(o.filter(pmod(col("o_orderkey"), lit(2)) === p),
+            Seq("o_orderstatus"), "cents"))
+        Incremental.finalizeState(
+          Incremental.mergeStates(batches, Seq("o_orderstatus")),
+          Seq("o_orderstatus"))
+      },
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val,
+         |  CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_val,
+         |  CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_val,
+         |  ${Num.r6Sql("CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_val
+         |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
+    ("join_bloom_pruned",
+      (s: SparkSession, dir: String) => {
+        // selective dim filter (≈9% of suppliers) → bloom-prune the
+        // fact side BEFORE its shuffle, then the exact join discards
+        // the false positives: the result is the plain join's (the
+        // oracle proves it), the exchange carries ~9% of lineitem
+        val sup = t(s, dir, "supplier")
+          .filter(col("s_acctbal") >= 9000.0d)
+          .select(col("s_suppkey"), col("s_name"))
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+        val pruned = Prune.bloomSemiFilter(li, col("l_suppkey"), sup, col("s_suppkey"))
+        pruned.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      },
+      """SELECT s_suppkey, s_name,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal >= 9000.0
+        |GROUP BY s_suppkey, s_name""".stripMargin),
+  )
+}

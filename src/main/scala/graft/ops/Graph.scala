@@ -267,4 +267,77 @@ object Graph {
     }
     (ranks, i)
   }
+
+  /** Triangle enumeration over an undirected edge list — the cohesion
+    * primitive (dup-cluster density, community quality, spam-farm
+    * detection on a link graph).
+    *
+    * Algorithm: degree orientation ("compact-forward"). Each undirected
+    * edge is oriented from its (degree, id)-smaller endpoint to the
+    * larger, which bounds every node's OUT-degree by O(√|E|) no matter
+    * how skewed the in-degrees are — the hub that touches a million
+    * edges contributes wedges only through its ≤√E higher-ranked
+    * neighbors, so the wedge join cannot explode on power-law graphs
+    * (the failure mode of the naive a⋈b⋈c self-join at 100 TB). Both
+    * wedge sides and the closing probe are plain equi-joins Catalyst
+    * shuffles on node keys.
+    *
+    * Input may contain duplicates, self-loops, or both directions; it is
+    * normalized to distinct undirected pairs first. Output is one row
+    * per triangle with ids sorted ascending — a deterministic set (the
+    * orientation affects only the work distribution, never the result).
+    *
+    * @return (d1, d2, d3) with d1 < d2 < d3
+    */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (deg, id); carry the HEAD's rank so the wedge join can
+    // order the two out-neighbors without re-joining degrees
+    val or = p
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    // wedges s→x, s→y with rank(x) < rank(y); the closing edge, if it
+    // exists, is oriented exactly x→y (orientation is the same total
+    // order), so ONE equi-join probe closes the triangle
+    val e1 = or.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+    val e2 = or.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val wedges = e1.join(e2, "s")
+      .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val closed = wedges.join(or.select(col("s").as("x"), col("t").as("y")),
+      Seq("x", "y"))
+    closed.select(array_sort(array(col("s"), col("x"), col("y"))).as("tri"))
+      .select(col("tri")(0).as("d1"), col("tri")(1).as("d2"), col("tri")(2).as("d3"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient
+    * cc = 2·tri / (deg·(deg−1)) over the same normalized undirected
+    * graph ([[triangles]] provides the enumeration; nodes of degree < 2
+    * or with no triangles report 0). r6-rounded, the cross-engine grid.
+    *
+    * @return (node, deg, tri, cc)
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = p.select(col("u").as("node")).union(p.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tris = triangles(pairs, aCol, bCol)
+    val perNode = tris.select(explode(array(col("d1"), col("d2"), col("d3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2, Num.r6(lit(2.0d) * coalesce(col("tri"), lit(0L)).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))).otherwise(lit(0.0d)).as("cc"))
+  }
 }

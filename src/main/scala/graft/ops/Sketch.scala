@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Num
+import graft.llm.Dedup
+
+/** Bounded-size sketch aggregates — the cardinality / frequency
+  * estimators a 100 TB profiling pass runs where exact answers would
+  * shuffle the full key space. Both sketches are expressed as plain
+  * groupBy pipelines over deterministic hashes, so Catalyst plans them
+  * with map-side partial aggregation: the shuffle carries at most the
+  * FIXED sketch state (m registers / d·w counters) per partition, never
+  * the raw keys — the property that makes them viable where
+  * `count(DISTINCT …)` or a full frequency table is not.
+  *
+  * Engine extension surface (no reference analogue — the reference's
+  * RDBMS answers these with exact SQL at its scale): determinism is part
+  * of the contract here, like the k-means/minhash families — the hash is
+  * md5-derived (not seeded per run), so estimates are bit-identical
+  * across runs AND across engines (the DuckDB oracle reproduces them
+  * exactly, see `entry/SketchGates.scala`).
+  */
+object Sketch {
+
+  /** 60-bit uniform hash of any column: first 15 hex chars of
+    * md5(CAST(c AS STRING)). md5 is a native codegen'd expression in
+    * both engines and the hex prefix parses to the same BIGINT on both
+    * sides (`conv(hex,16,10)` here, `CAST('0x'||hex AS BIGINT)` in
+    * DuckDB) — the cross-engine-reproducible uniform hash the sketch
+    * contracts need (xxhash64/murmur3 exist only on the Spark side).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** Register count m = 2^B; B=8 gives ±6.5% standard error in ~256
+    * longs of state per group — the classic profiling trade.
+    */
+  val HllB = 8
+  val HllM = 256
+
+  /** Bias-correction constant α_m for m = 256 (Flajolet et al. 2007,
+    * §4: α_m = 0.7213/(1 + 1.079/m) for m ≥ 128).
+    */
+  val HllAlpha: Double = 0.7213d / (1.0d + 1.079d / HllM.toDouble)
+
+  /** Per-group HLL register table `(groupCols…, bucket, m_rho)` — the
+    * MERGEABLE form: registers of a union of shards are the bucket-wise
+    * MAX of the shards' registers ([[hllMerge]]), which is what makes
+    * the sketch re-aggregable across partitions, days, or tiers without
+    * touching raw data. ρ is capped at 40 so every 2^-ρ term in the
+    * estimator is a dyadic rational ≥ 2^-40: partial sums of ≤ 256 such
+    * terms stay EXACTLY representable in a double (48 < 52 mantissa
+    * bits), making the final sum independent of aggregation order — the
+    * determinism contract float summation would otherwise break. The
+    * cap costs nothing: ρ > 40 requires 40 leading zero bits
+    * (probability 2^-40 per value).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    val h = hash60(col(keyCol))
+    val r = shiftrightunsigned(h, HllB)
+    // bitlen(r) = length(bin(r)) (no leading zeros in either engine's
+    // bin); ρ = leading-zeros-in-52-bit-field + 1 = 53 - bitlen
+    val rho = least(lit(53) - length(bin(r)), lit(40))
+    df.select(groupCols.map(col) :+ h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** Merge register tables of disjoint (or overlapping — HLL is
+    * idempotent) shards: bucket-wise max.
+    */
+  def hllMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("m_rho")).as("m_rho"))
+
+  /** Estimate per group from a register table: raw harmonic-mean
+    * estimate α·m²/Z with the standard small-range linear-counting
+    * correction (est ≤ 2.5m with empty registers → m·ln(m/V)). All
+    * arithmetic is the exact expression the DuckDB oracle runs; the
+    * result is r6-rounded.
+    *
+    * @return (groupCols…, est_distinct: double)
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = lit(HllM.toDouble)
+    // 2^-ρ as integer-shift-then-divide: exact, no libm pow
+    val inv = lit(1.0d) / expr("cast(shiftleft(cast(1 as bigint), m_rho) as double)")
+    val agg = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("present"), sum(inv).as("sinv"))
+    val z = (m - col("present")) + col("sinv")
+    val raw = lit(HllAlpha) * m * m / z
+    val v = lit(HllM.toLong) - col("present")
+    val est = when(raw <= m * lit(2.5d) && v > 0,
+      m * log(m / v.cast("double"))).otherwise(raw)
+    agg.select(groupCols.map(col) :+ Num.r6(est).as("est_distinct"): _*)
+  }
+
+  /** One-call per-group approximate distinct count. */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, groupCols), groupCols)
+
+  // ------------------------------------------------------------ Count-min
+
+  /** Count-min depth (independent hash rows) and width (buckets per
+    * row): overestimate ≤ 2N/w with probability 1 − 2^-d. The counter
+    * table is d·w rows TOTAL regardless of input size — the whole
+    * point: map-side combine reduces each partition to ≤ d·w partials
+    * before the shuffle.
+    */
+  val CmDepth = 4
+  val CmWidth = 512
+  val CmP = 2147483647L // 2^31 − 1, the minhash prime
+
+  /** The d pairwise-independent hash constants, from the shared
+    * splitmix-derived constant pool (seeds offset to 1000+ so they
+    * never collide with the minhash permutation seeds).
+    */
+  def cmConstants: Seq[(Long, Long)] =
+    (0 until CmDepth).map(i =>
+      (Dedup.mixConstant(1000L + 2 * i), Dedup.mixConstant(1001L + 2 * i)))
+
+  private def cmBucket(key: Column, a: Long, b: Long): Column =
+    ((lit(a) * key + lit(b)) % lit(CmP)) % lit(CmWidth.toLong)
+
+  /** Build the counter table `(i, bucket, cnt)` over occurrences of an
+    * integer key: each row increments one counter per hash row. The
+    * explode is d literal structs per input row — narrow, codegen'd —
+    * and the groupBy's partial aggregation bounds the shuffle at d·w
+    * rows per map partition.
+    */
+  def countMinSketch(df: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol).cast("long")
+    val rows = cmConstants.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), cmBucket(key, a, b).as("bucket"))
+    }
+    df.select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("i"), col("bucket"), col("cnt"))
+  }
+
+  /** Point-estimate the frequency of each key in `keys` (a one-column
+    * relation of candidate keys): min over the d rows of the counter
+    * each hash maps the key to, absent counters reading 0. The sketch
+    * side of the join is ≤ d·w rows — broadcast — so estimation is a
+    * narrow pass over the candidate keys.
+    *
+    * @return (key, est_cnt: long)
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol).cast("long")
+    val rows = cmConstants.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), cmBucket(key, a, b).as("bucket"))
+    }
+    keys.select(key.as("key"), explode(array(rows: _*)).as("e"))
+      .join(broadcast(sketch), col("e.i") === sketch("i") && col("e.bucket") === sketch("bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

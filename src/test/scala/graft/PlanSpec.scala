@@ -315,4 +315,38 @@ class PlanSpec extends AnyFunSuite {
       "1-row N must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("join_bloom_pruned: might_contain filters the fact side BEFORE its join") {
+    // run at sf0.01 (sf0.001 has no supplier above the acctbal cut, so
+    // the blob is NULL and the plan trivially filters everything)
+    val p = SparkEntry.queries("join_bloom_pruned")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "bloom membership must be in the plan")
+    // the filter must sit on the scan side, not after the join: in the
+    // plan string the Filter(might_contain…) node appears BELOW the join
+    // node, i.e. at a larger character offset in the printed tree
+    val joinPos = p.indexOf("Join")
+    val bloomPos = p.indexOf("might_contain")
+    assert(joinPos >= 0 && bloomPos > joinPos,
+      "might_contain filter must be under (after, in print order) the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sketch pipelines keep map-side partial aggregation (shuffle carries state, not keys)") {
+    // HLL: the pre-shuffle partial agg groups by (g, bucket) — at most
+    // m rows per group per partition cross the exchange
+    val hll = SparkEntry.queries("sketch_hll_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(hll.contains("partial_merge") || hll.contains("HashAggregate"),
+      "HLL register build must plan as hash aggregate with partials")
+    // count-min: the counter build aggregates (i, bucket) — the counter
+    // relation is then small enough that Catalyst BROADCASTS it to the
+    // estimate join
+    val cm = SparkEntry.queries("sketch_countmin_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(cm.contains("BroadcastHashJoin"),
+      "counter table must broadcast onto the key probe")
+    assert(cm.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrdered, not a global sort")
+  }
 }

@@ -599,4 +599,34 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `$log`")
     spark.sql(s"DROP TABLE IF EXISTS `$degT`")
   }
+
+  test("streaming incremental aggregate state equals the one-shot batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the materialized-view-refresh sink: each micro-batch folds into
+    // the stored (cnt,sum,min,max) state via mergeStates — history is
+    // never rescanned — and the final read-time view must equal the
+    // one-shot aggregate over everything ingested
+    val rows = (1 to 90).map(i => (s"g${i % 3}", (i * 13 % 200).toLong))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = graft.ops.Incremental.aggState(batch, Seq("g"), "v")
+        state = Some(graft.ops.Incremental.mergeStates(
+          state.toSeq :+ b, Seq("g")).localCheckpoint(true))
+      }
+      .start()
+    try {
+      mem.addData(rows.take(30): _*); q.processAllAvailable()
+      mem.addData(rows.slice(30, 60): _*); q.processAllAvailable()
+      mem.addData(rows.drop(60): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ops.Incremental.finalizeState(state.get, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val batch = graft.ops.Incremental.finalizeState(
+      graft.ops.Incremental.aggState(rows.toDF("g", "v"), Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed === batch)
+  }
 }
