@@ -66,6 +66,36 @@ private[graft] object OlapGates {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** Undirected part–part co-occurrence graph with support ≥ 2: parts
+    * ordered together in at least two distinct orders (lineitem
+    * self-joined per order on the DISTINCT (order, part) set, so
+    * duplicate lines never inflate support). The support threshold is
+    * the frequent-itemset discipline that keeps the projected graph
+    * sparse — projecting a bipartite graph without one densifies
+    * quadratically in basket size. Edges come out (u, v) with u < v.
+    */
+  private def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** DuckDB CTE chain ending in `p(u, v)` — mirror of
+    * [[coOccurrenceEdges]].
+    */
+  private lazy val coOccurrenceCte: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |p0 AS (SELECT a.pk AS u, b.pk AS v, count(*) AS sup
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |       GROUP BY a.pk, b.pk),
+       |p AS (SELECT u, v FROM p0 WHERE sup >= 2)""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- OLAP composites over the TPC-H-shaped tables --------------------
     // float-sum discipline: l_quantity is integral (exact in float, any
@@ -963,6 +993,76 @@ private[graft] object OlapGates {
            |l0 AS (SELECT node, node AS label FROM nd),
            |${(1 to 3).map(step).mkString(",\n")}
            |SELECT node, label FROM l3""".stripMargin
+      }),
+
+    ("graph_triangles",
+      (s: SparkSession, dir: String) =>
+        // degree-oriented (compact-forward) enumeration over the
+        // support-≥2 co-occurrence graph: the orientation bounds every
+        // node's wedge fan-out by O(√|E|) regardless of hub skew — the
+        // property the naive three-way self-join (which the ORACLE runs,
+        // feasible only at oracle scale) lacks at 100 TB
+        Graph.triangles(coOccurrenceEdges(s, dir), "u", "v"),
+      s"""WITH $coOccurrenceCte
+         |SELECT p1.u AS d1, p1.v AS d2, p2.v AS d3
+         |FROM p p1 JOIN p p2 ON p1.v = p2.u
+         |          JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v""".stripMargin),
+
+    ("graph_clustering",
+      (s: SparkSession, dir: String) =>
+        // per-node triangle count + local clustering coefficient over
+        // the same graph — cohesion features for community/spam scoring
+        Graph.clusteringCoefficient(coOccurrenceEdges(s, dir), "u", "v"),
+      {
+        val cc = Num.r6Sql(
+          "2.0 * CAST(COALESCE(pt.tri, 0) AS DOUBLE) / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))")
+        s"""WITH $coOccurrenceCte,
+           |tri AS (SELECT p1.u AS d1, p1.v AS d2, p2.v AS d3
+           |        FROM p p1 JOIN p p2 ON p1.v = p2.u
+           |                  JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v),
+           |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |        SELECT u AS node FROM p UNION ALL SELECT v FROM p)
+           |      GROUP BY node),
+           |pt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+           |         SELECT d1 AS node FROM tri UNION ALL SELECT d2 FROM tri
+           |         UNION ALL SELECT d3 FROM tri)
+           |       GROUP BY node)
+           |SELECT d.node, d.deg, COALESCE(pt.tri, CAST(0 AS BIGINT)) AS tri,
+           |       CASE WHEN d.deg >= 2 THEN $cc ELSE CAST(0 AS DOUBLE) END AS cc
+           |FROM d LEFT JOIN pt ON d.node = pt.node""".stripMargin
+      }),
+
+    ("graph_bfs",
+      (s: SparkSession, dir: String) =>
+        // level-synchronous BFS over the bidirectional co-purchase
+        // graph from customer seeds 1-3, 4 hops — reachability features
+        // ("within k links of a seed"); state is |V|-bounded min-dist,
+        // never path enumeration
+        Graph.bfs(coPurchaseEdges(s, dir), "src", "dst",
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", maxHops = 4),
+      {
+        // unrolled level-sync BFS: each round expands the full reached
+        // set (same min-dist fixpoint as the Spark side's
+        // frontier-only expansion, just more oracle work)
+        val step = (i: Int) =>
+          s"""b$i AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+             |  SELECT node, dist FROM b${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, $i AS dist
+             |  FROM e JOIN b${i - 1} f ON e.src = f.node)
+             |GROUP BY node)""".stripMargin
+        s"""WITH eb AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS src,
+           |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM eb
+           |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
+           |b0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS INT) AS dist
+           |       FROM customer WHERE c_custkey <= 3),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT node, dist FROM b4""".stripMargin
       }),
   )
 }

@@ -321,6 +321,76 @@ private[graft] object SourceEventGates {
         |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = e.c_custkey)
         |UNION ALL SELECT * FROM updates""".stripMargin),
 
+    ("load_cdc_apply",
+      (s: SparkSession, dir: String) => {
+        // CDC change log replayed onto the customer snapshot: seq 1
+        // upserts every 7th key, seq 2 re-upserts every 14th (latest
+        // wins over seq 1), seq 3 deletes every 21st (tombstone wins
+        // over both), seq 4 re-inserts every 28th (upsert AFTER a
+        // delete at %84 — the delete must not win then), plus brand-new
+        // keys. Per key only the max-seq change survives, via
+        // map-side-partial max_by — no window, no per-key sort.
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val k = col("c_custkey")
+        val changes = base.filter(k % 7 === 0)
+          .select(k, lit(1L).as("seq"), lit("U").as("op"), col("c_name"),
+            (col("c_acctbal") + 500.0).as("c_acctbal"))
+          .unionByName(base.filter(k % 14 === 0)
+            .select(k, lit(2L).as("seq"), lit("U").as("op"),
+              concat(lit("Upd#"), col("c_name")).as("c_name"),
+              (col("c_acctbal") - 250.0).as("c_acctbal")))
+          .unionByName(base.filter(k % 21 === 0)
+            .select(k, lit(3L).as("seq"), lit("D").as("op"),
+              lit(null).cast("string").as("c_name"),
+              lit(null).cast("double").as("c_acctbal")))
+          .unionByName(base.filter(k % 28 === 0)
+            .select(k, lit(4L).as("seq"), lit("U").as("op"),
+              concat(lit("Re#"), col("c_name")).as("c_name"),
+              lit(1.0).as("c_acctbal")))
+          .unionByName(base.filter(k <= 5)
+            .select((k + 800000L).as("c_custkey"), lit(1L).as("seq"),
+              lit("U").as("op"), concat(lit("New#"), col("c_name")).as("c_name"),
+              col("c_acctbal")))
+        Load.applyChangeLog(base, changes, "c_custkey", "seq", "op")
+      },
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS op, c_name,
+        |         c_acctbal + 500.0 AS c_acctbal FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey, 2, 'U', 'Upd#' || c_name, c_acctbal - 250.0
+        |    FROM base WHERE c_custkey % 14 = 0
+        |  UNION ALL SELECT c_custkey, 3, 'D', NULL, NULL
+        |    FROM base WHERE c_custkey % 21 = 0
+        |  UNION ALL SELECT c_custkey, 4, 'U', 'Re#' || c_name, 1.0
+        |    FROM base WHERE c_custkey % 28 = 0
+        |  UNION ALL SELECT c_custkey + 800000, 1, 'U', 'New#' || c_name, c_acctbal
+        |    FROM base WHERE c_custkey <= 5),
+        |latest AS (SELECT c_custkey, op, c_name, c_acctbal FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+        |                                    ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = b.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'""".stripMargin),
+
+    ("events_retention",
+      (s: SparkSession, dir: String) =>
+        // weekly cohort retention matrix over the events stream —
+        // cohort = week of first activity, cells = distinct active
+        // users at each later week offset
+        graft.streaming.EventStream.cohortRetention(events(s, dir), "user_id", "ts"),
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |w AS (SELECT DISTINCT user_id,
+        |        CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM e),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(w.week AS DATE)) // 7 AS INT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset""".stripMargin),
+
     ("events_asof_join",
       (s: SparkSession, dir: String) => {
         val e = events(s, dir)

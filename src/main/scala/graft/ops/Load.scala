@@ -61,6 +61,38 @@ object Load {
     existing.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** CDC apply: fold an ordered change log (upserts + delete tombstones)
+    * into a base snapshot — the set-oriented form of replaying a
+    * database binlog / Debezium feed into the lake, and the general case
+    * [[merge]]'s single-batch upsert specializes.
+    *
+    * `changes` carries the key, a strictly-increasing per-key sequence
+    * column (binlog offset, LSN, commit ts — ties within a key are
+    * rejected by contract since their order is undefined), an op column
+    * (`'U'` upsert / `'D'` delete), and the payload columns. Per key
+    * only the HIGHEST-sequence change matters: a partial-aggregate
+    * `max_by(struct(payload), seq)` — no window, no global sort, the
+    * log never materializes per-key ordering — reduces the log to one
+    * row per key map-side before the single key shuffle. Then one
+    * LEFT ANTI drops every touched key from the base and a union adds
+    * back the keys whose final op is upsert; keys ending in `'D'` simply
+    * never return. At 100 TB the log reduction is proportional to the
+    * CHANGED keys, not the base — the base is touched by exactly one
+    * anti join on its key.
+    *
+    * Column contract: `base`'s columns = key + payload; `changes` =
+    * key + seq + op + payload (same names).
+    */
+  def applyChangeLog(base: DataFrame, changes: DataFrame, key: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    val latest = changes.groupBy(col(key))
+      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("c"))
+      .select(col(key) +: (opCol +: payload).map(c => col(s"c.$c").as(c)): _*)
+    base.join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
+  }
+
   /** Partition-pruned parquet sink: write with `partitionBy(cols)` so
     * downstream equality/range filters on those columns prune whole
     * directories at PLANNING time (the scan's `PartitionFilters`, zero

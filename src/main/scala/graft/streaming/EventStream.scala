@@ -108,6 +108,34 @@ object EventStream {
       .drop("_sid")
   }
 
+  /** Weekly cohort retention — the activity-matrix companion to
+    * [[funnel]]: users are grouped into cohorts by the week of their
+    * FIRST event, and each cell counts how many of a cohort's users were
+    * active `week_offset` weeks later (offset 0 = the cohort's own size,
+    * by construction the row maximum).
+    *
+    * Scale shape: the stream first collapses to DISTINCT (user, week)
+    * pairs — one shuffle proportional to active user-weeks, after which
+    * raw event volume is out of the plan entirely; cohort assignment is
+    * a user-keyed min-aggregate and one user-keyed join; the cell count
+    * is a plain count (each distinct user-week maps to exactly one
+    * (cohort, offset) cell, so no count-distinct expansion is needed).
+    * Weeks truncate Monday-aligned (`date_trunc('week')`, the same rule
+    * DuckDB applies), offsets by day-difference `/ 7` — integer
+    * arithmetic end-to-end, nothing to round.
+    *
+    * @return (cohort_week: timestamp, week_offset: int, n_users: long)
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekly = events.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).as("week")).distinct()
+    val cohort = weekly.groupBy(col("user")).agg(min(col("week")).as("cohort_week"))
+    weekly.join(cohort, "user")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-funnel analysis — the classic product-analytics shape: how
     * many users performed step 0, then step 1 STRICTLY AFTER their
     * first step 0, then step 2 strictly after that, …. Per user, step

@@ -169,6 +169,115 @@ class GraphSpec extends AnyFunSuite {
     assert(tie(1L) === 7L, tie.toString)
   }
 
+  // ------------------------------------------------------ triangles / cc
+
+  private def runTriangles(pairs: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.triangles(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** Brute-force reference: normalize, then test all id-ordered triples. */
+  private def refTriangles(pairs: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = pairs.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles: K4 has 4; removing one edge leaves 2") {
+    val k4 = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(runTriangles(k4) === refTriangles(k4))
+    assert(runTriangles(k4).size === 4)
+    val m = k4.filterNot(_ == (3L -> 4L))
+    assert(runTriangles(m) === Set((1L, 2L, 3L), (1L, 2L, 4L)))
+  }
+
+  test("triangles: duplicates, self-loops, and reversed edges are normalized away") {
+    val noisy = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      2L -> 2L, 3L -> 3L)
+    assert(runTriangles(noisy) === Set((1L, 2L, 3L)))
+  }
+
+  test("triangles: matches brute force on seeded random graphs") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(60)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      assert(runTriangles(pairs) === refTriangles(pairs), s"seed=$seed")
+    }
+  }
+
+  test("clustering coefficient: triangle with a pendant edge") {
+    // triangle {1,2,3} + pendant 3-4: nodes 1,2 deg 2 tri 1 cc 1.0;
+    // node 3 deg 3 tri 1 cc 2/(3*2)=0.333333; node 4 deg 1 cc 0
+    val sqlc = spark
+    import sqlc.implicits._
+    val got = graft.ops.Graph.clusteringCoefficient(
+      Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0d)))
+    assert(got(2L) === ((2L, 1L, 1.0d)))
+    assert(got(3L) === ((3L, 1L, Num.r6(1.0d / 3.0d))))
+    assert(got(4L) === ((1L, 0L, 0.0d)))
+  }
+
+  // ----------------------------------------------------------------- bfs
+
+  private def runBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxHops: Int): Map[Long, Int] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.bfs(edges.toDF("s", "d"), "s", "d",
+      sources.toDF("n"), "n", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  /** Reference: level-synchronous BFS over adjacency maps. */
+  private def refBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxHops: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = sources.distinct.map(_ -> 0).toMap
+    var frontier = sources.distinct.toSet
+    for (hop <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> hop)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs: path graph distances, hop cap, unreachable nodes absent") {
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 9L -> 10L)
+    assert(runBfs(path, Seq(1L), 10) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // hop cap truncates; 9/10 stay unreachable from 1
+    assert(runBfs(path, Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs: min distance over multiple paths; isolated source reports 0") {
+    // two routes 1→4: direct and via 2,3 — dist(4) = 1; source 99 isolated
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    assert(runBfs(e, Seq(1L, 99L), 5) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 99L -> 0))
+  }
+
+  test("bfs: matches reference on seeded random digraphs, multi-source") {
+    for (seed <- Seq(5, 13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val sources = Seq(rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+      for (hops <- Seq(0, 1, 3, 6)) {
+        assert(runBfs(edges, sources, hops) === refBfs(edges, sources, hops),
+          s"seed=$seed hops=$hops")
+      }
+    }
+  }
+
   test("gate plans: checkpointed iterations stay cartesian-free") {
     for (q <- Seq("graph_pagerank", "graph_communities")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")

@@ -153,4 +153,52 @@ class LoadSpec extends AnyFunSuite {
     val out = Load.filterExisting(incoming, existing, "k")
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  private def cdc(base: Seq[(Long, String)],
+                  changes: Seq[(Long, Long, String, String)]): Map[Long, String] =
+    Load.applyChangeLog(base.toDF("k", "v"),
+        changes.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("applyChangeLog: latest-seq wins, tombstones delete, upsert-after-delete reinserts") {
+    val base = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val out = cdc(base, Seq(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "a2"),            // latest wins
+      (2L, 1L, "U", "b1"), (2L, 2L, "D", null),            // delete wins
+      (3L, 1L, "D", null), (3L, 2L, "U", "c2"),            // reinsert after delete
+      (5L, 1L, "U", "e1")))                                // brand-new key
+    assert(out === Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e1"))
+  }
+
+  test("applyChangeLog: empty change log is identity; delete of an absent key is a no-op") {
+    val base = Seq(1L -> "a", 2L -> "b")
+    assert(cdc(base, Seq.empty) === Map(1L -> "a", 2L -> "b"))
+    assert(cdc(base, Seq((9L, 1L, "D", null))) === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("applyChangeLog equals replaying the log batch-by-batch in seq order") {
+    // associativity with merge-per-batch: applying the whole log at once
+    // must equal folding each seq's slice through applyChangeLog
+    val base = Seq(1L -> "a", 2L -> "b", 3L -> "c")
+    val log = Seq(
+      (1L, 1L, "U", "a1"), (2L, 1L, "D", null: String), (4L, 1L, "U", "d1"),
+      (1L, 2L, "D", null: String), (2L, 2L, "U", "b2"),
+      (4L, 3L, "U", "d3"), (1L, 3L, "U", "a3"))
+    val oneShot = cdc(base, log)
+    val folded = log.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(base.toDF("k", "v")) {
+      case (acc, (_, batch)) =>
+        Load.applyChangeLog(acc, batch.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+    }.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(oneShot === folded)
+  }
+
+  test("applyChangeLog plan: no Window/global sort — the log reduces via partial aggregate") {
+    val base = Seq(1L -> "a").toDF("k", "v")
+    val changes = Seq((1L, 1L, "U", "a1")).toDF("k", "seq", "op", "v")
+    val plan = Load.applyChangeLog(base, changes, "k", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(plan.contains("partial_max_by") || plan.contains("HashAggregate"),
+      s"expected a partial aggregate reduction: ${plan.take(600)}")
+  }
 }

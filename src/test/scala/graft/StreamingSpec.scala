@@ -629,4 +629,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     assert(streamed === batch)
   }
+
+  test("cohort retention: offset-0 cells are the cohort sizes; matrix matches by hand") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday, so each dts below IS its own week start
+    def wk(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val events = Seq(
+      (1L, wk(1)), (1L, wk(8)), (1L, wk(22)),            // u1: W0, W1, W3
+      (2L, wk(1)), (2L, wk(3)), (2L, wk(15)),            // u2: W0, W0(dup), W2
+      (3L, wk(9)), (3L, wk(17))                          // u3: W1, W2
+    ).toDF("user_id", "ts")
+    val got = EventStream.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2024-01-08 00:00:00")
+    assert(got === Map(
+      (w0, 0) -> 2L, (w0, 1) -> 1L, (w0, 2) -> 1L, (w0, 3) -> 1L,
+      (w1, 0) -> 1L, (w1, 1) -> 1L))
+  }
+
+  test("streaming CDC apply: foreachBatch replay equals the one-shot change log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // binlog replay as a stream: each micro-batch (arriving in seq
+    // order) folds into the snapshot via applyChangeLog; the final
+    // snapshot must equal applying the whole log at once
+    val base = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v")
+    val log = Seq(
+      (1L, 1L, "U", "a1"), (2L, 1L, "D", null: String), (4L, 1L, "U", "d1"),
+      (1L, 2L, "D", null: String), (3L, 2L, "U", "c2"), (2L, 3L, "U", "b3"))
+    var state = base
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = mem.toDF().toDF("k", "seq", "op", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = graft.ops.Load.applyChangeLog(state, batch, "k", "seq", "op")
+          .localCheckpoint(true)
+      }
+      .start()
+    try {
+      mem.addData(log.filter(_._2 == 1L): _*); q.processAllAvailable()
+      mem.addData(log.filter(_._2 == 2L): _*); q.processAllAvailable()
+      mem.addData(log.filter(_._2 == 3L): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oneShot = graft.ops.Load.applyChangeLog(base,
+        log.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === oneShot)
+    // k1: delete at seq 2 wins; k2: delete at 1 then reinsert at 3
+    assert(oneShot === Map(2L -> "b3", 3L -> "c2", 4L -> "d1"))
+  }
 }
