@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Num
-import graft.ops.{Incremental, Layout, Prune, Sketch}
+import graft.ops.{Incremental, Layout, Profile, Prune, Sketch}
 import GateSupport._
 
 /** Sketch / layout / incremental-maintenance gates — the profiling and
@@ -155,5 +155,70 @@ private[graft] object SketchGates {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_acctbal >= 9000.0
         |GROUP BY s_suppkey, s_name""".stripMargin),
+
+    ("sketch_quantile_hist",
+      (s: SparkSession, dir: String) => {
+        // order-value quantiles per priority from a 256-bin histogram
+        // sketch built as TWO "daily" shards (orderkey parity) merged
+        // bin-wise — the shuffle carries ≤ 256 counters per group per
+        // shard, never values; the merge path is the production shape
+        // (per-day states combined without rescanning history)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        val shards = Seq(0, 1).map(p =>
+          Sketch.histogram(o.filter(pmod(col("o_orderkey"), lit(2)) === p),
+            "o_totalprice", Seq("o_orderpriority"), lo = 0.0, hi = 600000.0,
+            nBins = 256))
+        Sketch.histQuantiles(Sketch.histMerge(shards, Seq("o_orderpriority")),
+          Seq("o_orderpriority"), lo = 0.0, hi = 600000.0, nBins = 256,
+          qs = Seq(0.5, 0.9, 0.99))
+      },
+      {
+        // identical arithmetic: same bin formula, cumulative walk, and
+        // ceil-target interpolation; the shard/merge split is invisible
+        // (bin-wise sums are associative)
+        val per = (q: Double) => {
+          val target = s"ceil($q * CAST(n AS DOUBLE))"
+          val est = Num.r6Sql(
+            s"0.0 + (CAST(bin AS DOUBLE) + ($target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * (600000.0 / 256)")
+          s"""SELECT g AS o_orderpriority, CAST($q AS DOUBLE) AS q, $est AS est
+             |FROM wn WHERE CAST(cum - cnt AS DOUBLE) < $target
+             |         AND CAST(cum AS DOUBLE) >= $target""".stripMargin
+        }
+        s"""WITH v AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS val
+           |           FROM orders WHERE o_totalprice IS NOT NULL),
+           |b AS (SELECT g, CAST(least(greatest(floor((val - 0.0) / (600000.0 / 256)), 0.0), 255.0) AS BIGINT) AS bin FROM v),
+           |c AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY g, bin),
+           |wn AS (SELECT g, bin, cnt,
+           |         sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+           |         sum(cnt) OVER (PARTITION BY g) AS n FROM c)
+           |${Seq(0.5, 0.9, 0.99).map(per).mkString("\nUNION ALL\n")}""".stripMargin
+      }),
+
+    ("profile_anomaly",
+      (s: SparkSession, dir: String) =>
+        // per-event-type z-score outliers over the events stream: the
+        // three-number moment state broadcasts back onto the stream;
+        // moments are exact integer (cents/DECIMAL) sums so z is
+        // bit-identical across engines and aggregation orders
+        Profile.zscoreOutliers(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          "value", Seq("event_type"), threshold = 2.0),
+      {
+        val z = Num.r6Sql(
+          "CAST(CAST(cc AS HUGEINT) * CAST(n AS HUGEINT) - s AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE))")
+        s"""WITH e AS (SELECT event_id, event_type, value FROM events
+           |           WHERE value IS NOT NULL),
+           |c AS (SELECT *, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc FROM e),
+           |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |         sum(CAST(cc AS HUGEINT)) AS s,
+           |         sum(CAST(cc AS HUGEINT) * CAST(cc AS HUGEINT)) AS ss
+           |       FROM c GROUP BY event_type),
+           |st2 AS (SELECT *, CAST(n AS HUGEINT) * ss - s * s AS varnum FROM st),
+           |zz AS (SELECT event_id, c.event_type, value, $z AS z
+           |       FROM c JOIN st2 ON c.event_type = st2.event_type
+           |       WHERE n >= 2 AND varnum > 0)
+           |SELECT event_id, event_type, value, z FROM zz WHERE abs(z) >= 2.0""".stripMargin
+      }),
   )
 }

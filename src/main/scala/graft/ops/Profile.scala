@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-profiling summary: one output row per profiled column with
   * non-null count, exact distinct count, and min/max (string-rendered).
@@ -61,5 +62,53 @@ object Profile {
       .withColumn("share",
         graft.Num.r6(col("cnt").cast("double") / col("__n").cast("double")))
       .select(col("key"), col("cnt"), col("share"))
+  }
+
+  /** Per-group z-score outlier detection — the statistical data-quality
+    * gate (corrupt sensor values, price-feed glitches, spam bursts):
+    * flag rows whose value sits `threshold` or more population standard
+    * deviations from their group's mean.
+    *
+    * Determinism discipline: float sums are order-dependent, so the
+    * moments are accumulated EXACTLY — values quantize to integer cents
+    * (`floor(v·100 + 0.5)`, the engine's money idiom) and both Σc and
+    * Σc² aggregate as DECIMAL(38,0) (Spark) / HUGEINT (oracle), which
+    * sum exactly in any order. The z-score then reduces to a ratio of
+    * two exact integers, `z = (c·n − Σc) / √(n·Σc² − (Σc)²)` (the
+    * population-variance numerator, scale-invariant so the cents factor
+    * cancels), and casting an exact integer to double is
+    * correctly-rounded in both engines — bit-identical z on both sides,
+    * r6-rounded on output.
+    *
+    * Scale shape: one partial-aggregated groupBy producing THREE numbers
+    * per group, broadcast back onto the stream (group cardinality is
+    * assumed dimension-like); the data is scanned twice but never
+    * shuffled on a non-group key. Groups with zero variance or fewer
+    * than 2 rows flag nothing (z undefined). NULL values are ignored.
+    *
+    * @return input columns + `z` (double), outlier rows only
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
+    require(threshold > 0.0d, "threshold must be positive")
+    val cents = floor(col(valueCol) * 100.0d + 0.5d).cast("long")
+    val dec = DecimalType(38, 0)
+    val stats = df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ cents.as("__c"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast(dec)).as("__s"),
+        sum((col("__c") * col("__c")).cast(dec)).as("__ss"))
+      .withColumn("__varnum",
+        col("__n").cast(dec) * col("__ss") - col("__s") * col("__s"))
+    val z = (cents.cast(dec) * col("__n").cast(dec) - col("__s")).cast("double") /
+      sqrt(col("__varnum").cast("double"))
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(stats), groupCols, "inner")
+      .where(col("__n") >= 2 && col("__varnum") > 0)
+      .withColumn("z", graft.Num.r6(z))
+      .where(abs(col("z")) >= threshold)
+      .drop("__n", "__s", "__ss", "__varnum")
   }
 }

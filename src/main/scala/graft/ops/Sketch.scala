@@ -145,6 +145,75 @@ object Sketch {
       .select(col("i"), col("bucket"), col("cnt"))
   }
 
+  // ------------------------------------------------- Histogram quantiles
+
+  /** Fixed-boundary histogram sketch over `[lo, hi)`: per group, one
+    * count per occupied bin — at most `nBins` rows of state per group
+    * regardless of input size, the third leg of the sketch family
+    * (HLL = cardinality, count-min = frequency, histogram = quantiles).
+    * Values below `lo` / at-or-above `hi` clamp into the edge bins, so
+    * mass is never silently dropped; NULLs are ignored. Mergeable by
+    * bin-wise SUM ([[histMerge]]) — shards, days, and tiers combine
+    * without raw data, the same re-aggregability contract as
+    * [[hllMerge]]. The bin index is pure double arithmetic
+    * (`floor((v − lo) / w)`, w = (hi − lo)/nBins) identical in both
+    * engines, so the state — and everything derived from it — is
+    * bit-reproducible.
+    *
+    * @return (groupCols…, bin: long, cnt: long)
+    */
+  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)),
+      lit(0.0d)), lit((nBins - 1).toDouble)).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ bin.as("bin"): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram states of shards: bin-wise sum. */
+  def histMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Estimate quantiles per group from a histogram state: for each q,
+    * walk the cumulative bin counts to the first bin holding the
+    * ⌈q·n⌉-th value and interpolate uniformly inside it — error is
+    * bounded by one bin width by construction. The cumulative walk is a
+    * window over the state relation, which is ≤ nBins rows per group
+    * (window-over-sketch, not window-over-data — bounded state is what
+    * makes the window admissible at 100 TB). Estimates are exact-integer
+    * arithmetic up to the final interpolation, r6-rounded like every
+    * cross-engine float.
+    *
+    * @return (groupCols…, q: double, est: double) — one row per group × q
+    */
+  def histQuantiles(state: DataFrame, groupCols: Seq[String],
+                    lo: Double, hi: Double, nBins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0d && q <= 1.0d),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBins
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val cum = state
+      .withColumn("__cum", sum(col("cnt")).over(grp.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("cnt")).over(grp))
+    qs.map { q =>
+      val target = ceil(lit(q) * col("__n").cast("double"))
+      val before = (col("__cum") - col("cnt")).cast("double")
+      cum.where(before < target && col("__cum").cast("double") >= target)
+        .select(groupCols.map(col) :+ lit(q).as("q") :+
+          graft.Num.r6(lit(lo) + (col("bin").cast("double") +
+            (target - before) / col("cnt").cast("double")) * lit(w)).as("est"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Point-estimate the frequency of each key in `keys` (a one-column
     * relation of candidate keys): min over the d rows of the counter
     * each hash maps the key to, absent counters reading 0. The sketch

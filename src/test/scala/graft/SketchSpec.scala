@@ -197,4 +197,68 @@ class SketchSpec extends AnyFunSuite {
     val small = Seq.empty[Int].toDF("k")
     assert(Prune.bloomSemiFilter(big, col("k"), small, col("k")).count() == 0L)
   }
+
+  // ------------------------------------------------- Histogram quantiles
+
+  test("histogram shards merge to the one-shot state; quantiles within one bin width of exact") {
+    import spark.implicits._
+    // skewed deterministic values in [0, 1000)
+    val vals = (1 to 3000).map(i => ("g", (i * i % 997).toDouble))
+    val df = vals.toDF("g", "v")
+    val (lo, hi, nBins) = (0.0, 1000.0, 50)
+    val oneShot = Sketch.histogram(df, "v", Seq("g"), lo, hi, nBins)
+    val shards = Seq(0, 1, 2).map(p =>
+      Sketch.histogram(df.filter(pmod(hash(col("v")), lit(3)) === p),
+        "v", Seq("g"), lo, hi, nBins))
+    val merged = Sketch.histMerge(shards, Seq("g"))
+    assert(merged.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketch.histQuantiles(merged, Seq("g"), lo, hi, nBins, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = vals.map(_._2).sorted
+    val width = (hi - lo) / nBins
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= width,
+        s"q=$q est=${est(q)} exact=$exact width=$width")
+    }
+    // monotone in q
+    val ordered = qs.map(est)
+    assert(ordered === ordered.sorted, ordered.toString)
+  }
+
+  test("histogram clamps out-of-range values into edge bins (no dropped mass)") {
+    import spark.implicits._
+    val df = Seq(("g", -50.0), ("g", 0.0), ("g", 999.0), ("g", 5000.0))
+      .toDF("g", "v")
+    val st = Sketch.histogram(df, "v", Seq("g"), 0.0, 1000.0, 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(st.values.sum === 4L, "all four rows binned")
+    assert(st(0L) === 2L, "below-lo clamps to bin 0")
+    assert(st(9L) === 2L, "at/above-hi clamps to the top bin")
+  }
+
+  // ------------------------------------------------------ z-score outliers
+
+  test("zscoreOutliers flags exactly the values beyond the threshold, per group") {
+    import spark.implicits._
+    // group a: 9 values at 10.0 + one at 110.0 — the spike is the lone
+    // outlier (z ≈ 3·σ); group b: constant → zero variance, no flags
+    val rows = (1 to 9).map(i => (i.toLong, "a", 10.0)) :+ (10L, "a", 110.0)
+    val df = (rows ++ (11 to 15).map(i => (i.toLong, "b", 7.0)))
+      .toDF("id", "g", "v")
+    val got = graft.ops.Profile.zscoreOutliers(df, "v", Seq("g"), threshold = 2.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("z")).toMap
+    assert(got.keySet === Set(10L), got.toString)
+    assert(got(10L) === 3.0d, "spike in a 9+1 split sits exactly 3 population sigmas out")
+  }
+
+  test("zscoreOutliers: null values ignored; tiny groups flag nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(5.0)), (2L, "a", None), (3L, "b", Some(1.0)))
+      .toDF("id", "g", "v")
+    assert(graft.ops.Profile.zscoreOutliers(df, "v", Seq("g"), 2.0).count() === 0L)
+  }
 }
