@@ -1064,5 +1064,32 @@ private[graft] object OlapGates {
            |${(1 to 4).map(step).mkString(",\n")}
            |SELECT node, dist FROM b4""".stripMargin
       }),
+
+    ("graph_link_predict",
+      (s: SparkSession, dir: String) =>
+        // top unlinked part pairs by Adamic–Adar over the co-occurrence
+        // graph — candidates only through shared neighbors with the
+        // wedge middle capped at deg ≤ 30 (the flood-cap discipline:
+        // work is Σ deg(w)², hubs above the cap generate no candidates)
+        Graph.linkPrediction(coOccurrenceEdges(s, dir), "u", "v", maxDeg = 30)
+          .orderBy(col("aa").desc, col("cn").desc, col("u"), col("v"))
+          .limit(20),
+      {
+        val aa = Num.r6Sql("sum(1.0 / ln(CAST(d AS DOUBLE)))")
+        s"""WITH $coOccurrenceCte,
+           |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+           |         SELECT u AS n FROM p UNION ALL SELECT v FROM p)
+           |       GROUP BY n),
+           |adj AS (SELECT u AS w, v AS x FROM p UNION ALL SELECT v, u FROM p),
+           |mid AS (SELECT adj.w, adj.x, dg.d FROM adj
+           |        JOIN dg ON adj.w = dg.n WHERE dg.d <= 30),
+           |wg AS (SELECT l.x AS x, r.x AS y, l.d
+           |       FROM mid l JOIN mid r ON l.w = r.w WHERE l.x < r.x),
+           |sc AS (SELECT x AS u, y AS v, CAST(count(*) AS BIGINT) AS cn, $aa AS aa
+           |       FROM wg GROUP BY x, y)
+           |SELECT u, v, cn, aa FROM sc
+           |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.u = sc.u AND p.v = sc.v)
+           |ORDER BY aa DESC, cn DESC, u, v LIMIT 20""".stripMargin
+      }),
   )
 }

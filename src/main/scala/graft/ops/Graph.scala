@@ -364,6 +364,50 @@ object Graph {
       .select(col("tri")(0).as("d1"), col("tri")(1).as("d2"), col("tri")(2).as("d3"))
   }
 
+  /** Link prediction over an undirected graph: score every NON-edge
+    * (x, y) that shares at least one neighbor by common-neighbor count
+    * and Adamic–Adar (Σ 1/ln(deg w) over the shared neighbors w — rare
+    * shared neighbors weigh more), the classic "related hosts/users you
+    * haven't linked yet" primitive.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * neighbors — one self-join of the adjacency list on the middle node
+    * — so the work is Σ deg(w)², never |V|². That sum is exactly where
+    * power-law graphs explode, so `maxDeg` caps the wedge middle: a hub
+    * above the cap generates no candidates through itself (the standard
+    * flood-cap discipline this engine applies to every pair generator —
+    * shingle docFreq, LSH buckets; hubs carry little signal in AA
+    * anyway, 1/ln(deg) → 0). Existing edges are anti-joined out at the
+    * end. The AA sum is float; scores are r6-rounded on the 1e-6 grid
+    * (the [[pageRank]] discipline — summation-order noise is ~1e-16
+    * relative, ten orders below the grid).
+    *
+    * @return (u, v, cn: long, aa: double) with u < v, non-edges only
+    */
+  def linkPrediction(pairs: DataFrame, aCol: String, bCol: String,
+                     maxDeg: Int): DataFrame = {
+    require(maxDeg >= 2, "maxDeg must be at least 2 (a wedge middle has degree >= 2)")
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val adj = p.select(col("u").as("w"), col("v").as("x"))
+      .union(p.select(col("v").as("w"), col("u").as("x")))
+    // wedge middles capped at maxDeg; 1/ln(d) rides along from one join
+    val mid = adj.join(deg.where(col("d") <= maxDeg)
+      .select(col("n").as("w"), col("d")), "w")
+    val wedges = mid.select(col("w"), col("x"), col("d"))
+      .join(mid.select(col("w"), col("x").as("y")), "w")
+      .where(col("x") < col("y"))
+    wedges.groupBy(col("x").as("u"), col("y").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        graft.Num.r6(sum(lit(1.0d) / log(col("d").cast("double")))).as("aa"))
+      .join(p, Seq("u", "v"), "left_anti")
+  }
+
   /** Per-node triangle count and local clustering coefficient
     * cc = 2·tri / (deg·(deg−1)) over the same normalized undirected
     * graph ([[triangles]] provides the enumeration; nodes of degree < 2

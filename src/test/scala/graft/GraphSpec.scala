@@ -226,6 +226,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 0L, 0.0d)))
   }
 
+  test("link prediction: 4-cycle diagonals score 2 common neighbors; hub cap silences the star") {
+    val sqlc = spark
+    import sqlc.implicits._
+    def run(edges: Seq[(Long, Long)], maxDeg: Int) =
+      graft.ops.Graph.linkPrediction(edges.toDF("a", "b"), "a", "b", maxDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // cycle 1-2-3-4-1: non-edges (1,3), (2,4) each share two deg-2 neighbors
+    val cyc = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L), maxDeg = 10)
+    val aa2 = Num.r6(1.0d / math.log(2.0d) + 1.0d / math.log(2.0d))
+    assert(cyc === Map((1L, 3L) -> ((2L, aa2)), (2L, 4L) -> ((2L, aa2))))
+    // star 100-{1..5}: all candidate pairs flow through the hub — a
+    // maxDeg below 5 generates nothing; above it, C(5,2) pairs
+    val star = (1L to 5L).map(i => 100L -> i)
+    assert(run(star, maxDeg = 4).isEmpty)
+    assert(run(star, maxDeg = 10).size === 10)
+    // existing edges are never scored
+    val tri = run(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L), maxDeg = 10)
+    assert(tri.isEmpty, s"triangle has no non-edges to score: $tri")
+  }
+
   // ----------------------------------------------------------------- bfs
 
   private def runBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
