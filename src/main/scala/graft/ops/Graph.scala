@@ -305,10 +305,12 @@ object Graph {
       hop += 1
       val expand = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), lit(hop).as("dist"))
+      // ONE checkpoint per hop: the frontier is a filter over the
+      // checkpointed state, not a second materialization
       val next = reached.union(expand)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
-      frontier = next.where(col("dist") === hop).localCheckpoint(true)
+      frontier = next.where(col("dist") === hop)
       reached = next
     }
     reached
