@@ -197,6 +197,27 @@ private[graft] object TextCorpusGates {
           .select(col("doc_id")),
       s"SELECT doc_id FROM documents WHERE ${rhSql("text")} % 100 < 30"),
 
+    ("corpus_weighted_sample",
+      (s: SparkSession, dir: String) =>
+        // quality-weighted selection without replacement (deterministic
+        // Efraimidis-Spirakis, content-hash uniforms): high-quality
+        // docs win proportionally more often, membership never
+        // re-rolls across runs or shardings
+        TextAnalysis.weightedSample(
+          TextAnalysis.quality(t(s, dir, "documents"), "text"),
+          "doc_id", "text", "quality_score", k = 25)
+          .select(col("doc_id"), col("quality_score"), col("wkey")),
+      {
+        val wkey = Num.r6Sql(
+          s"ln((CAST(${rhSql("text")} AS DOUBLE) + 1.0) / 1000000008.0) / quality_score")
+        s"""WITH $textBCte,
+           |$qualityCtes
+           |SELECT doc_id, quality_score, $wkey AS wkey
+           |FROM qual JOIN documents USING (doc_id)
+           |WHERE text IS NOT NULL AND quality_score > 0.0
+           |ORDER BY wkey DESC, doc_id ASC LIMIT 25""".stripMargin
+      }),
+
     ("corpus_stratified_sample",
       (s: SparkSession, dir: String) => {
         // class-balancing: downsample the dominant language hard (20%),

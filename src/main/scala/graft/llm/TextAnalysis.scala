@@ -256,6 +256,41 @@ object TextAnalysis {
     * no shuffle, no per-group scan (a seeded `sampleBy` re-rolls
     * membership every run; this never does).
     */
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme with the per-row uniform drawn
+    * from the content hash instead of an RNG. Each row gets
+    * `u = (rollingHash(text) + 1) / (P + 1)` ∈ (0, 1] and priority key
+    * `ln(u) / w` (the monotone transform of the classic `u^(1/w)` —
+    * maximizing either picks the same rows, and the log form needs no
+    * `pow`); the k rows with the LARGEST keys are the weighted sample.
+    * Higher weight pulls the key toward 0 (the maximum), so a
+    * quality-weighted corpus selection keeps high-quality docs with
+    * proportionally higher odds while still giving every positive-weight
+    * doc a chance — the production middle ground between hard top-k by
+    * score (no diversity) and uniform sampling (no quality signal).
+    * Membership is content-hash stable: re-running, re-sharding, or
+    * re-ordering the corpus never re-rolls the sample (the [[hashSample]]
+    * contract, extended to weights).
+    *
+    * Keys are r6-rounded (cross-engine `ln` may differ in the last ulp;
+    * the 1e-6 grid absorbs it) with ties broken by `idCol`. The top-k
+    * compiles to `TakeOrderedAndProject` — per-partition top-k, driver
+    * merge, no global sort. Rows with NULL text or weight ≤ 0 are
+    * excluded (they have no defined draw).
+    *
+    * @return input columns + `wkey`, the k selected rows
+    */
+  def weightedSample(df: DataFrame, idCol: String, textCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (rollingHash(col(textCol)).cast("double") + lit(1.0d)) /
+      lit(1000000008.0d)
+    df.where(col(textCol).isNotNull && col(weightCol) > 0.0d)
+      .withColumn("wkey", graft.Num.r6(log(u) / col(weightCol)))
+      .orderBy(col("wkey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def stratifiedSample(df: DataFrame, groupCol: String, textCol: String,
                        pcts: Map[String, Int], defaultPct: Int): DataFrame = {
     require((pcts.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),

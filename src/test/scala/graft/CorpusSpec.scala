@@ -79,6 +79,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < 100)
   }
 
+  test("weightedSample: order-insensitive, weight-monotone, exclusions honored") {
+    import graft.llm.TextAnalysis.weightedSample
+    val rows = (1L to 60L).map(i =>
+      (i, s"weighted corpus document $i", 0.1d + (i % 7) * 0.3d))
+    val df = rows.toDF("doc_id", "text", "w")
+    val picked = weightedSample(df, "doc_id", "text", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.size === 10)
+    // content-hash draws: shuffling input order / partitioning never re-rolls
+    val shuffled = weightedSample(df.repartition(7).sortWithinPartitions(col("w")),
+      "doc_id", "text", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled === picked)
+    // raising one unpicked row's weight can only raise its key (ln u < 0),
+    // and at an extreme weight it must enter the sample
+    val loser = rows.filterNot(r => picked(r._1)).head._1
+    val boosted = rows.map { case (i, t, w) => (i, t, if (i == loser) 1.0e6d else w) }
+      .toDF("doc_id", "text", "w")
+    val picked2 = weightedSample(boosted, "doc_id", "text", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked2(loser), s"boosted row $loser must be selected: $picked2")
+    // null text and non-positive weights have no draw
+    val edge = Seq((1L, "ok doc", 1.0d), (2L, null: String, 5.0d), (3L, "zero", 0.0d))
+      .toDF("doc_id", "text", "w")
+    assert(weightedSample(edge, "doc_id", "text", "w", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("hashSplit partitions rows into stable disjoint splits") {
     val df = (1L to 300L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.hashSplit(df, "text", trainPct = 80, valPct = 10)
