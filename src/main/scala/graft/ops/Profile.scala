@@ -88,13 +88,19 @@ object Profile {
     *
     * @return input columns + `z` (double), outlier rows only
     */
-  def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                     threshold: Double): DataFrame = {
-    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
-    require(threshold > 0.0d, "threshold must be positive")
+  private val dec = DecimalType(38, 0)
+
+  /** The exact-integer moment state [[zscoreOutliers]] scores against:
+    * per group, row count `__n`, Σcents `__s`, Σcents² `__ss` (both
+    * DECIMAL(38,0) — exact in any aggregation order), and the
+    * population-variance numerator `__varnum = n·Σc² − (Σc)²`. Three
+    * numbers per group — broadcastable by construction; the streaming
+    * twin ([[graft.streaming.EventStream.anomalyStream]]) calibrates on
+    * this same relation.
+    */
+  def momentState(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
     val cents = floor(col(valueCol) * 100.0d + 0.5d).cast("long")
-    val dec = DecimalType(38, 0)
-    val stats = df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ cents.as("__c"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
@@ -102,6 +108,14 @@ object Profile {
         sum((col("__c") * col("__c")).cast(dec)).as("__ss"))
       .withColumn("__varnum",
         col("__n").cast(dec) * col("__ss") - col("__s") * col("__s"))
+  }
+
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
+    require(threshold > 0.0d, "threshold must be positive")
+    val cents = floor(col(valueCol) * 100.0d + 0.5d).cast("long")
+    val stats = momentState(df, valueCol, groupCols)
     val z = (cents.cast(dec) * col("__n").cast(dec) - col("__s")).cast("double") /
       sqrt(col("__varnum").cast("double"))
     df.where(col(valueCol).isNotNull)

@@ -397,6 +397,46 @@ object EventStream {
     }
   }
 
+  final case class ValueEvent(event_id: Long, g: String, value: Double)
+  final case class AnomalyScore(event_id: Long, z: Double, outlier: Boolean)
+
+  /** Streaming z-score anomaly gate — the live twin of
+    * [[graft.ops.Profile.zscoreOutliers]]: moments are calibrated in
+    * batch ([[graft.ops.Profile.momentState]] — three exact integers
+    * per group), collected and broadcast, and each arriving event is
+    * scored by a STATELESS narrow map — no shuffle, no state store,
+    * append-mode friendly. The scalar arithmetic is the row form of
+    * the batch column pipeline: same cents quantization, same
+    * `z = (c·n − Σc)/√(n·Σc² − (Σc)²)` ratio of exact integers
+    * (BigInt here, DECIMAL(38,0) there — both cast to double
+    * correctly-rounded), same r6 — stream-vs-batch equality is
+    * asserted in StreamingSpec. Events from groups with n < 2, zero
+    * variance, or absent from the calibration emit z = 0, never
+    * outliers (the batch operator drops them).
+    */
+  def anomalyStream(events: Dataset[ValueEvent], stats: DataFrame,
+                    groupCol: String, threshold: Double): Dataset[AnomalyScore] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0.0d, "threshold must be positive")
+    val calib: Map[String, (Long, BigInt, BigInt)] = stats
+      .select(col(groupCol), col("__n"), col("__s"), col("__varnum"))
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1),
+          BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger)))
+      }.toMap
+    val bc = events.sparkSession.sparkContext.broadcast(calib)
+    events.map { e =>
+      bc.value.get(e.g) match {
+        case Some((n, s, varnum)) if n >= 2 && varnum > 0 =>
+          val c = BigInt(math.floor(e.value * 100.0d + 0.5d).toLong)
+          val z = graft.Num.r6((c * n - s).toDouble / math.sqrt(varnum.toDouble))
+          AnomalyScore(e.event_id, z, math.abs(z) >= threshold)
+        case _ => AnomalyScore(e.event_id, 0.0d, outlier = false)
+      }
+    }
+  }
+
   final case class ScoredDoc(doc_id: Long, ppl: Option[Double], keep: Boolean)
 
   /** Streaming perplexity gate — the crawl-ingest twin of

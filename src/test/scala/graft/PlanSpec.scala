@@ -349,4 +349,23 @@ class PlanSpec extends AnyFunSuite {
     assert(cm.contains("TakeOrderedAndProject"),
       "top-20 must plan as TakeOrdered, not a global sort")
   }
+
+  test("round-11 graph/profile/sample gates: cartesian-free, broadcast stats, TakeOrdered top-k") {
+    for (q <- Seq("graph_triangles", "graph_clustering", "graph_bfs",
+      "graph_link_predict", "load_cdc_apply", "events_retention",
+      "sketch_quantile_hist", "corpus_weighted_sample")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(600)}")
+    }
+    // anomaly stats are a 3-number-per-group relation: must broadcast
+    // back onto the stream, never shuffle it
+    val an = plan("profile_anomaly")
+    assert(an.contains("BroadcastHashJoin"),
+      s"moment state must broadcast: ${an.take(600)}")
+    // weighted sample: top-k is TakeOrdered, not a global sort
+    assert(plan("corpus_weighted_sample").contains("TakeOrderedAndProject"))
+    // CDC apply: no Window node anywhere (max_by partial aggregation)
+    assert(!plan("load_cdc_apply").contains("Window"))
+  }
 }

@@ -679,4 +679,35 @@ class StreamingSpec extends AnyFunSuite {
     // k1: delete at seq 2 wins; k2: delete at 1 then reinsert at 3
     assert(oneShot === Map(2L -> "b3", 3L -> "c2", 4L -> "d1"))
   }
+
+  test("streaming anomaly gate flags exactly the batch z-score outliers, identical z") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic skewed fixture: group a has a 3-sigma spike, group
+    // b is noisy-but-flat, group c too small to score
+    val rows = ((1 to 9).map(i => EventStream.ValueEvent(i.toLong, "a", 10.0)) :+
+      EventStream.ValueEvent(10L, "a", 110.0)) ++
+      (11 to 30).map(i => EventStream.ValueEvent(i.toLong, "b", (i % 5).toDouble)) :+
+      EventStream.ValueEvent(31L, "c", 42.0)
+    val df = rows.toDF()
+    val stats = graft.ops.Profile.momentState(df, "value", Seq("g"))
+
+    val mem = MemoryStream[EventStream.ValueEvent]
+    val scored = EventStream.anomalyStream(mem.toDS(), stats, "g", threshold = 2.0)
+    val q = scored.writeStream.format("memory").queryName("anomaly_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(12): _*); q.processAllAvailable()
+      mem.addData(rows.drop(12): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anomaly_test").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(streamed.length === rows.length, "stateless gate scores every event")
+    val streamedFlagged = streamed.filter(_._3).map(t => t._1 -> t._2).toMap
+
+    val batch = graft.ops.Profile.zscoreOutliers(df, "value", Seq("g"), 2.0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    assert(streamedFlagged === batch)
+    assert(batch.contains(10L), "the spike must be flagged")
+  }
 }
