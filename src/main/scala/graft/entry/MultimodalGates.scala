@@ -227,5 +227,73 @@ private[graft] object MultimodalGates {
          |SELECT id, width, height,
          |       CAST(w * s // 1000 AS INT) AS out_w, CAST(h * s // 1000 AS INT) AS out_h
          |FROM sc""".stripMargin),
+
+    ("multimodal_phash",
+      (s: SparkSession, dir: String) =>
+        // REAL PNG round-trip under the perceptual hash: 36×32 synthetic
+        // photos encoded in executors, decoded through javax.imageio,
+        // area-downsampled 9×8 with pure integer arithmetic, dHash split
+        // into two 32-bit halves. The oracle evaluates the closed-form
+        // raster symbolically — decode losslessness is part of what the
+        // hash equality proves
+        Multimodal.perceptualHash(s,
+          Multimodal.attachPhotoPayload(s,
+            t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF(),
+      phashOracleCtes + "\nSELECT id, phash_hi, phash_lo FROM ph"),
+
+    ("multimodal_phash_neardup",
+      (s: SparkSession, dir: String) => {
+        // image near-dup pairs: ids 100 apart are planted exact pixel
+        // copies (Hamming 0); candidates come only through shared
+        // 16-bit band buckets — never all pairs — then exact
+        // bit_count(xor) verification
+        val hashes = Multimodal.perceptualHash(s,
+          Multimodal.attachPhotoPayload(s,
+            t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF()
+        Multimodal.phashNearDup(hashes, maxHamming = 6)
+      },
+      s"""$phashOracleCtes,
+         |bands AS (
+         |  SELECT id, phash_hi, phash_lo, 0 AS band, phash_lo & 65535 AS key FROM ph
+         |  UNION ALL SELECT id, phash_hi, phash_lo, 1, (phash_lo >> 16) & 65535 FROM ph
+         |  UNION ALL SELECT id, phash_hi, phash_lo, 2, phash_hi & 65535 FROM ph
+         |  UNION ALL SELECT id, phash_hi, phash_lo, 3, (phash_hi >> 16) & 65535 FROM ph),
+         |cand AS (SELECT DISTINCT l.id AS id1, r.id AS id2,
+         |           l.phash_hi AS h1, l.phash_lo AS l1,
+         |           r.phash_hi AS h2, r.phash_lo AS l2
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+         |SELECT id1, id2,
+         |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""".stripMargin),
   )
+
+  /** DuckDB CTE chain ending in `ph(id, phash_hi, phash_lo)` — the
+    * closed-form mirror of [[Multimodal.syntheticPhoto]] +
+    * [[Multimodal.dHash]]: pixel `p(x,y) = (b·(x+1)·(y+3)+x²+b) mod 251`
+    * with `b = id mod 100`, 4×4 integer block means on the 9×8 grid,
+    * horizontal-gradient bits packed into two 32-bit halves.
+    */
+  private lazy val phashOracleCtes: String =
+    s"""WITH ids AS (SELECT doc_id AS id, doc_id % 100 AS b FROM documents
+       |             WHERE doc_id <= 130),
+       |cells AS (SELECT id, b, gi.i, gj.j, gx.dx, gy.dy
+       |          FROM ids, generate_series(0, 8) gi(i), generate_series(0, 7) gj(j),
+       |               generate_series(0, 3) gx(dx), generate_series(0, 3) gy(dy)),
+       |px AS (SELECT id, i, j,
+       |         (b * (4 * i + dx + 1) * (4 * j + dy + 3)
+       |          + (4 * i + dx) * (4 * i + dx) + b) % 251 AS p
+       |       FROM cells),
+       |m AS (SELECT id, i, j, sum(p) // 16 AS v FROM px GROUP BY id, i, j),
+       |bits AS (SELECT a.id, a.i, a.j,
+       |           CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+       |         FROM m a JOIN m n ON a.id = n.id AND a.j = n.j AND n.i = a.i + 1
+       |         WHERE a.i <= 7),
+       |ph AS (SELECT id,
+       |         CAST(sum(CASE WHEN j >= 4
+       |           THEN bit * (CAST(1 AS BIGINT) << ((j - 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_hi,
+       |         CAST(sum(CASE WHEN j < 4
+       |           THEN bit * (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_lo
+       |       FROM bits GROUP BY id)""".stripMargin
 }

@@ -564,6 +564,160 @@ object Multimodal {
       .mapPartitions(decodeMedia)
   }
 
+  // ------------------------------------------------------ perceptual hash
+
+  final case class PHash(id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded image, split into two
+    * 32-bit halves so the value survives every signed-64 engine (a full
+    * 64-bit hash would need bit 63 — negative in a BIGINT, overflow in
+    * an exact-integer oracle sum). The image is area-downsampled to a
+    * 9×8 grid with PURE INTEGER arithmetic — block bounds `i·w/9` /
+    * `j·h/8` by integer division, block mean = pixel-gray sum over the
+    * block divided (integer) by its pixel count, gray = (r+g+b)/3 —
+    * so for a losslessly-coded payload the hash is bit-reproducible
+    * from the raster alone (no float resampling kernels). Bit (j·8+i)
+    * is set when the block right of (i,j) is strictly brighter — the
+    * standard horizontal-gradient dHash, invariant to global brightness
+    * scaling and tolerant of small local edits.
+    *
+    * Returns None for images smaller than the 9×8 grid (no defined
+    * hash) — callers drop them rather than hashing garbage.
+    */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Option[(Long, Long)] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 9 || h < 8) return None
+    val means = Array.ofDim[Long](9, 8)
+    var i = 0
+    while (i < 9) {
+      var j = 0
+      while (j < 8) {
+        val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+        val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            // per-pixel integer gray, as documented — for r=g=b this is
+            // exactly the channel value
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        means(i)(j) = sum / ((x1 - x0).toLong * (y1 - y0))
+        j += 1
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var jj = 0
+    while (jj < 8) {
+      var ii = 0
+      while (ii < 8) {
+        if (means(ii + 1)(jj) > means(ii)(jj)) {
+          if (jj >= 4) hi |= 1L << ((jj - 4) * 8 + ii)
+          else lo |= 1L << (jj * 8 + ii)
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Partition-batched perceptual hashing over image payloads — the
+    * image-dedup front half ([[phashNearDup]] is the pairing back half):
+    * decode (codec work, correctly `mapPartitions`, payloads never leave
+    * executors) → [[dHash]]. Undecodable or sub-grid images are dropped.
+    */
+  def perceptualHash(spark: SparkSession, withPayload: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        try {
+          val img = readImageBounded(r.payload)
+          if (img == null) None
+          else dHash(img).map { case (hi, lo) => PHash(r.id, hi, lo) }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+  }
+
+  /** Near-duplicate image pairs from perceptual hashes: band the 64
+    * bits into four 16-bit keys (pigeonhole: any pair within Hamming
+    * distance 3 shares at least one intact band; wider radii trade
+    * recall exactly like MinHash banding), equi-join per band —
+    * candidates are generated ONLY through shared band buckets, never
+    * all pairs — then verify with the exact Hamming distance
+    * (`bit_count(xor)`, codegen'd) and keep pairs ≤ `maxHamming`.
+    *
+    * @return (id1, id2, hamming) with id1 < id2
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val banded = hashes.select(col("id"), col("phash_hi"), col("phash_lo"),
+      explode(array(
+        struct(lit(0).as("band"), (col("phash_lo").bitwiseAND(lit(0xffffL))).as("key")),
+        struct(lit(1).as("band"), shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)).as("key")),
+        struct(lit(2).as("band"), (col("phash_hi").bitwiseAND(lit(0xffffL))).as("key")),
+        struct(lit(3).as("band"), shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL)).as("key")))).as("b"))
+      .select(col("id"), col("phash_hi"), col("phash_lo"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("id").as("id1"), col("phash_hi").as("h1"),
+      col("phash_lo").as("l1"), col("band"), col("key"))
+    val r = banded.select(col("id").as("id2"), col("phash_hi").as("h2"),
+      col("phash_lo").as("l2"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+          bit_count(col("l1").bitwiseXOR(col("l2")))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** 36×32 synthetic "photo": gray gradient pattern
+    * `p(x,y) = (b·(x+1)·(y+3) + x² + b) mod 251` with `b = id mod 100`,
+    * so ids 100 apart are EXACT pixel copies — the planted duplicates
+    * the pHash gates must find. The closed form is what the DuckDB
+    * oracle evaluates; 36×32 divides the 9×8 dHash grid into exact 4×4
+    * blocks, keeping the downsample integer-exact end to end.
+    */
+  private[graft] def syntheticPhoto(id: Long): java.awt.image.BufferedImage = {
+    val b = id % 100
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val p = ((b * (x + 1) * (y + 3) + x.toLong * x + b) % 251L).toInt
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Attach losslessly-coded (PNG) synthetic photos for the pHash gates
+    * — encode in executors like every payload attach here.
+    */
+  def attachPhotoPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRow(id, encodeImage(syntheticPhoto(id), "png"), "image/png"))
+      .toDF()
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("format")).as("meta"))
+  }
+
   /** Mixed-modality payload attachment: modality assigned
     * deterministically from the id (stand-in for real mime sniffing on
     * `binaryFile` reads).

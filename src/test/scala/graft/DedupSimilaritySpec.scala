@@ -721,4 +721,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val f = feats.head
     assert(f.n_bytes == 2 && f.width == 65 && f.height == 66 && f.mean_byte == 65.5)
   }
+
+  test("perceptual hash: exact copies collide, distinct photos diverge, PNG round-trip is stable") {
+    val ids = Seq(1L, 5L, 42L, 101L, 105L).toDF("doc_id")
+    val hashes = Multimodal.perceptualHash(spark,
+      Multimodal.attachPhotoPayload(spark, ids, "doc_id"))
+      .collect().map(p => p.id -> ((p.phash_hi, p.phash_lo))).toMap
+    // ids 100 apart are planted pixel copies — identical hashes
+    assert(hashes(1L) === hashes(101L))
+    assert(hashes(5L) === hashes(105L))
+    // distinct base patterns hash apart
+    assert(hashes(1L) !== hashes(5L))
+    assert(hashes(1L) !== hashes(42L))
+    // hashing twice (fresh encode+decode) is bit-stable
+    val again = Multimodal.perceptualHash(spark,
+      Multimodal.attachPhotoPayload(spark, ids, "doc_id"))
+      .collect().map(p => p.id -> ((p.phash_hi, p.phash_lo))).toMap
+    assert(again === hashes)
+  }
+
+  test("dHash: brightness-shift invariance, sub-grid images and corrupt payloads are dropped") {
+    // dHash compares neighbor blocks: adding a constant to every pixel
+    // preserves every comparison (saturating at 255 aside — stay below)
+    def img(shift: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val p = (7 * (x + 1) * (y + 3) + x * x + 7) % 180 + shift
+        im.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      im
+    }
+    assert(Multimodal.dHash(img(0)) === Multimodal.dHash(img(50)))
+    // sub-grid image: no defined hash
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.dHash(tiny).isEmpty)
+    // corrupt payload: dropped, not thrown
+    import org.apache.spark.sql.functions.{col, length, lit, struct}
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/png").as("format")).as("meta"))
+    assert(Multimodal.perceptualHash(spark, corrupt).count() === 0L)
+  }
+
+  test("phashNearDup: planted copies found at Hamming 0 through band join only") {
+    val ids = (1L to 30L).union(101L to 110L).toDF("doc_id")
+    val hashes = Multimodal.perceptualHash(spark,
+      Multimodal.attachPhotoPayload(spark, ids, "doc_id")).toDF()
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val planted = (1L to 10L).map(i => (i, i + 100L, 0)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted dups: ${planted -- pairs}")
+    // every reported pair at maxHamming=0 really is hash-identical
+    val hm = hashes.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    pairs.foreach { case (a, b, d) =>
+      assert(d === 0 && hm(a) === hm(b), s"pair ($a,$b) not identical")
+    }
+  }
 }
