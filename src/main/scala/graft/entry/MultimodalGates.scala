@@ -241,6 +241,30 @@ private[graft] object MultimodalGates {
             t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF(),
       phashOracleCtes + "\nSELECT id, phash_hi, phash_lo FROM ph"),
 
+    ("multimodal_audio_fingerprint",
+      (s: SparkSession, dir: String) =>
+        // REAL WAV round-trip under the energy-envelope fingerprint:
+        // 256-sample synthetic tones encoded in executors, decoded
+        // through javax.sound.sampled, 32-window integer energy
+        // envelope, 31 gradient bits. Ids 100 apart are exact sample
+        // copies — identical fingerprints, the audio-dedup key. The
+        // oracle evaluates the closed-form waveform symbolically
+        Multimodal.audioFingerprints(s,
+          Multimodal.attachTonePayload(s,
+            t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF(),
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 100 AS b FROM documents
+        |             WHERE doc_id <= 130),
+        |ts AS (SELECT id, b, g.t FROM ids, generate_series(0, 255) g(t)),
+        |sm AS (SELECT id, t // 8 AS w,
+        |         abs((b * (t + 7) * ((t % 13) + 1) + t * t) % 2001 - 1000) AS a
+        |       FROM ts),
+        |en AS (SELECT id, w, sum(a) AS e FROM sm GROUP BY id, w),
+        |bits AS (SELECT a.id, a.w, CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |         FROM en a JOIN en n ON a.id = n.id AND n.w = a.w + 1
+        |         WHERE a.w <= 30)
+        |SELECT id, CAST(sum(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS afp
+        |FROM bits GROUP BY id""".stripMargin),
+
     ("multimodal_phash_neardup",
       (s: SparkSession, dir: String) => {
         // image near-dup pairs: ids 100 apart are planted exact pixel

@@ -259,6 +259,137 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------ audio fingerprinting
+
+  final case class AudioFp(id: Long, afp: Long)
+
+  /** 31-bit audio fingerprint — the audio analogue of [[dHash]]: the
+    * decoded 16-bit PCM stream (all channels interleaved, |sample|
+    * energy) is framed into 32 windows with integer-division bounds
+    * (`w·n/32`), each window's energy is the exact integer Σ|s|, and
+    * bit w is set when window w+1 is strictly louder than window w —
+    * an energy-envelope gradient, invariant to uniform gain the same
+    * way dHash is invariant to brightness, and exactly reproducible
+    * from the samples (no FFT, no floats). 31 bits keep the value
+    * positive in every signed-64 engine. Streams shorter than 32
+    * samples have no defined envelope and are dropped.
+    */
+  private[graft] def energyFingerprint(samples: Array[Long]): Option[Long] = {
+    val n = samples.length
+    if (n < 32) return None
+    val energy = new Array[Long](32)
+    var w = 0
+    while (w < 32) {
+      val t0 = w * n / 32; val t1 = (w + 1) * n / 32
+      var s = 0L
+      var t = t0
+      while (t < t1) { s += math.abs(samples(t)); t += 1 }
+      energy(w) = s
+      w += 1
+    }
+    var afp = 0L
+    var i = 0
+    while (i < 31) {
+      if (energy(i + 1) > energy(i)) afp |= 1L << i
+      i += 1
+    }
+    Some(afp)
+  }
+
+  /** Partition-batched audio fingerprinting over WAV payloads: real
+    * 16-bit PCM decode (the [[decodeAudio]] codec path and caps), then
+    * [[energyFingerprint]]. Non-WAV, corrupt, or too-short payloads are
+    * dropped — fingerprinting garbage would poison the dedup join.
+    */
+  def audioFingerprints(spark: SparkSession, withPayload: DataFrame): Dataset[AudioFp] = {
+    import spark.implicits._
+    withPayload.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        if (r.format == null || !r.format.startsWith("audio/") ||
+          r.payload == null || !isWav(r.payload)) None
+        else decodeWavSamples(r.payload).flatMap(energyFingerprint)
+          .map(afp => AudioFp(r.id, afp))
+      })
+  }
+
+  /** Decode a RIFF/WAVE payload to its interleaved 16-bit samples under
+    * the [[MaxDecodedPcmBytes]] cap (same trust model as
+    * [[decodeWavReal]]: the header's frame count never sizes anything).
+    */
+  private def decodeWavSamples(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian
+            || fmt.getChannels <= 0) None
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[Long]()
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          var carry = new Array[Byte](0)
+          var n = ais.read(buf)
+          while (n > 0 && total <= MaxDecodedPcmBytes) {
+            total += n
+            val chunk = carry ++ buf.take(n)
+            val usable = chunk.length - chunk.length % 2
+            var i = 0
+            while (i < usable) {
+              out += ((chunk(i) & 0xff) | (chunk(i + 1) << 8)).toShort.toLong
+              i += 2
+            }
+            carry = chunk.drop(usable)
+            n = ais.read(buf)
+          }
+          if (total > MaxDecodedPcmBytes || total == 0) None
+          else Some(out.toArray)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic mono 16-bit "tone": 256 samples at 8 kHz with
+    * `s(t) = ((b·(t+7)·(t mod 13 + 1) + t²) mod 2001) − 1000`,
+    * `b = id mod 100` — ids 100 apart are exact sample copies, the
+    * planted duplicates for the fingerprint gate, and the closed form
+    * is what the oracle evaluates. 256 samples divide the 32-window
+    * envelope into exact 8-sample windows.
+    */
+  private[graft] def syntheticTone(id: Long): Array[Byte] = {
+    val b = id % 100
+    val nFrames = 256
+    val pcm = java.nio.ByteBuffer.allocate(nFrames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < nFrames) {
+      pcm.putShort((((b * (t + 7) * (t % 13 + 1) + t.toLong * t) % 2001L) - 1000L).toShort)
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Attach synthetic-tone WAV payloads for the fingerprint gate. */
+  def attachTonePayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRow(id, syntheticTone(id), "audio/wav"))
+      .toDF()
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("format")).as("meta"))
+  }
+
   /** Attach REAL RIFF/WAVE payloads derived deterministically from the
     * id column; like the image variants, the encode runs in executors.
     */

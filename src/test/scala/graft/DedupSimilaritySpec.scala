@@ -766,6 +766,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(spark, corrupt).count() === 0L)
   }
 
+  test("audio fingerprint: planted tone copies collide, gain-scaled tones collide, others diverge") {
+    val ids = Seq(3L, 17L, 103L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprints(spark,
+      Multimodal.attachTonePayload(spark, ids, "doc_id"))
+      .collect().map(f => f.id -> f.afp).toMap
+    assert(fps(3L) === fps(103L), "ids 100 apart are exact sample copies")
+    assert(fps(3L) !== fps(17L), "distinct tones must fingerprint apart")
+    // gain invariance: doubling every sample preserves every energy
+    // comparison — the envelope-gradient contract
+    val base = (0 until 256).map(t => ((7 * (t + 7) * (t % 13 + 1) + t * t) % 997 - 498).toLong)
+    val doubled = base.map(_ * 2L)
+    assert(Multimodal.energyFingerprint(base.toArray) ===
+      Multimodal.energyFingerprint(doubled.toArray))
+    // too-short streams have no envelope
+    assert(Multimodal.energyFingerprint(Array.fill(31)(5L)).isEmpty)
+    // non-WAV payloads are dropped, not fingerprinted
+    import org.apache.spark.sql.functions.{length, lit, struct}
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          lit("audio/wav").as("format")).as("meta"))
+    assert(Multimodal.audioFingerprints(spark, junk).count() === 0L)
+  }
+
   test("phashNearDup: planted copies found at Hamming 0 through band join only") {
     val ids = (1L to 30L).union(101L to 110L).toDF("doc_id")
     val hashes = Multimodal.perceptualHash(spark,
