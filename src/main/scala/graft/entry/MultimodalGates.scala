@@ -241,6 +241,26 @@ private[graft] object MultimodalGates {
             t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF(),
       phashOracleCtes + "\nSELECT id, phash_hi, phash_lo FROM ph"),
 
+    ("multimodal_scene_cuts",
+      (s: SparkSession, dir: String) =>
+        // REAL AVI/DIB round-trip under the mean-intensity cut
+        // detector: 24-frame clips with planted +63 jumps at frames 8
+        // and 16 (within-scene drift +1); the oracle evaluates the
+        // closed-form per-frame gray symbolically, so the reported
+        // cuts also prove the per-frame decode
+        Multimodal.sceneCuts(s,
+          Multimodal.attachClipPayload(s,
+            t(s, dir, "documents").filter(col("doc_id") <= 60), "doc_id"),
+          threshold = 20L).toDF(),
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 100 AS b FROM documents
+        |             WHERE doc_id <= 60),
+        |fr AS (SELECT id, g.f, (b % 40) + (g.f // 8) * 70 + (g.f % 8) AS gray
+        |       FROM ids, generate_series(0, 23) g(f)),
+        |d AS (SELECT a.id, CAST(n.f AS INT) AS frame,
+        |        CAST(abs(n.gray - a.gray) AS BIGINT) AS diff
+        |      FROM fr a JOIN fr n ON a.id = n.id AND n.f = a.f + 1)
+        |SELECT id, frame, diff FROM d WHERE diff >= 20""".stripMargin),
+
     ("multimodal_audio_fingerprint",
       (s: SparkSession, dir: String) =>
         // REAL WAV round-trip under the energy-envelope fingerprint:

@@ -766,6 +766,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(spark, corrupt).count() === 0L)
   }
 
+  test("scene cuts: planted shot boundaries at frames 8 and 16, nothing else") {
+    val ids = Seq(4L, 29L).toDF("doc_id")
+    val cuts = Multimodal.sceneCuts(spark,
+      Multimodal.attachClipPayload(spark, ids, "doc_id"), threshold = 20L)
+      .collect().map(c => (c.id, c.frame, c.diff)).toSet
+    // +63 jumps at the scene starts; +1 drift elsewhere never triggers
+    assert(cuts === Set((4L, 8, 63L), (4L, 16, 63L), (29L, 8, 63L), (29L, 16, 63L)))
+    // a threshold above the jump size reports nothing
+    assert(Multimodal.sceneCuts(spark,
+      Multimodal.attachClipPayload(spark, ids, "doc_id"), threshold = 64L)
+      .count() === 0L)
+    // corrupt payload: dropped, not thrown
+    import org.apache.spark.sql.functions.{length, lit, struct}
+    val junk = Seq((9L, Array[Byte](82, 73, 70, 70, 1, 2, 3))).toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          lit("video/avi").as("format")).as("meta"))
+    assert(Multimodal.sceneCuts(spark, junk, threshold = 1L).count() === 0L)
+  }
+
   test("audio fingerprint: planted tone copies collide, gain-scaled tones collide, others diverge") {
     val ids = Seq(3L, 17L, 103L).toDF("doc_id")
     val fps = Multimodal.audioFingerprints(spark,
