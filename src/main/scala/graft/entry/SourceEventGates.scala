@@ -169,6 +169,28 @@ private[graft] object SourceEventGates {
         |       CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin),
 
+    ("events_window_sliding",
+      (s: SparkSession, dir: String) =>
+        // SLIDING windows (1 h wide, 15 min slide): each event lands in
+        // exactly 4 overlapping windows — Spark's window() explodes
+        // them; the oracle derives the same 4 epoch-aligned starts
+        // arithmetically. Value sums as integer cents (the money
+        // idiom), so overlap never compounds float noise
+        events(s, dir)
+          .select(window(col("ts"), "1 hour", "15 minutes").as("w"),
+            col("event_type"), col("value"))
+          .groupBy(col("w.start").as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sum_cents")),
+      """WITH e AS (SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        |           FROM events),
+        |w AS (SELECT event_type, value,
+        |        make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - j.j) * 900) * 1000000) AS window_start
+        |      FROM e, generate_series(0, 3) j(j))
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM w GROUP BY window_start, event_type""".stripMargin),
+
     ("events_sessionize",
       (s: SparkSession, dir: String) =>
         graft.streaming.EventStream.sessionizeBatch(
