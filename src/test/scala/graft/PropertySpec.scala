@@ -435,4 +435,49 @@ class PropertySpec extends AnyFunSuite {
     val ascii = UTF8String.fromString("plain ascii only")
     assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
   }
+
+  test("property: CDC apply equals an in-memory latest-wins fold for random logs") {
+    // keys 0..6, ops U/D, unique seqs — the reference replays the log
+    // sorted by seq with plain Map updates
+    val changeGen = for {
+      k <- Gen.chooseNum(0L, 6L)
+      op <- Gen.oneOf("U", "D")
+      v <- Gen.identifier.map(_.take(6))
+    } yield (k, op, v)
+    checkN(12, Prop.forAll(
+      Gen.listOfN(5, Gen.chooseNum(0L, 6L)),
+      Gen.listOfN(12, changeGen)) { (baseKeys, changes) =>
+      val base = baseKeys.distinct.map(k => (k, s"base$k"))
+      val log = changes.zipWithIndex.map { case ((k, op, v), i) =>
+        (k, i.toLong, op, if (op == "D") null else v)
+      }
+      val got = graft.ops.Load.applyChangeLog(
+          base.toDF("k", "v"), log.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ref = log.sortBy(_._2).foldLeft(base.toMap) {
+        case (acc, (k, _, "D", _)) => acc - k
+        case (acc, (k, _, _, v))   => acc + (k -> v)
+      }
+      got == ref
+    })
+  }
+
+  test("property: histogram shard-merge equals one-shot; mass conserved; quantiles monotone") {
+    val valGen = Gen.chooseNum(-50.0, 1050.0) // includes out-of-range clamps
+    checkN(12, Prop.forAll(Gen.nonEmptyListOf(valGen)) { vals =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val one = graft.ops.Sketch.histogram(df, "v", Seq("g"), 0.0, 1000.0, 16)
+      val shards = Seq(0, 1, 2).map(p =>
+        graft.ops.Sketch.histogram(df.filter(pmod(hash(col("v")), lit(3)) === p),
+          "v", Seq("g"), 0.0, 1000.0, 16))
+      val merged = graft.ops.Sketch.histMerge(shards, Seq("g"))
+      val a = one.collect().map(_.toSeq).toSet
+      val b = merged.collect().map(_.toSeq).toSet
+      val mass = merged.agg(sum(col("cnt"))).first().getLong(0)
+      val qs = graft.ops.Sketch.histQuantiles(merged, Seq("g"),
+        0.0, 1000.0, 16, Seq(0.25, 0.5, 0.75, 1.0))
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).sortBy(_._1).map(_._2)
+      a == b && mass == vals.size.toLong && qs.toSeq == qs.sorted.toSeq
+    })
+  }
 }
