@@ -197,6 +197,30 @@ private[graft] object TextCorpusGates {
           .select(col("doc_id")),
       s"SELECT doc_id FROM documents WHERE ${rhSql("text")} % 100 < 30"),
 
+    ("text_bpe_learn",
+      (s: SparkSession, dir: String) =>
+        // distributed BPE merge learning (Sennrich et al. 2016) over
+        // the documents corpus: 8 merges, each one pair-count groupBy
+        // over the DISTINCT-WORD table (O(vocab) per round, not
+        // O(corpus)) + a one-scalar argmax + a narrow replace. The
+        // oracle unrolls the identical 8 rounds in CTEs
+        Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 8),
+      bpeLearnOracle(8)),
+
+    ("text_bpe_encode",
+      (s: SparkSession, dir: String) => {
+        // re-tokenize with the learned merge table: per-document BPE
+        // token counts, the number every packing/budget operator
+        // downstream consumes. The merge table is vocabulary-sized —
+        // collected once, applied as a fold of narrow replaces
+        val d = t(s, dir, "documents")
+        val merges = Bpe.learnMerges(d, "text", nMerges = 8)
+          .orderBy(col("step"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeTokenCounts(d, "doc_id", "text", merges)
+      },
+      bpeEncodeOracle(8)),
+
     ("corpus_weighted_sample",
       (s: SparkSession, dir: String) =>
         // quality-weighted selection without replacement (deterministic
@@ -869,4 +893,57 @@ private[graft] object TextCorpusGates {
          |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
          |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
   )
+
+  /** DuckDB CTE chain `wt → w0 → (p1,m1,w1) … (pN,mN,wN)` mirroring
+    * [[graft.llm.Bpe.learnMerges]]: the distinct `[a-z]+` word table
+    * with `|s1||s2||…|` encodings, then per round the weighted
+    * adjacent-pair counts, the (cnt DESC, a, b) argmax, and the greedy
+    * left-to-right `replace` merge. Shared by the learn and encode
+    * oracles.
+    */
+  private def bpeCtes(n: Int): String = {
+    val step = (i: Int) =>
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+      // four scalar m$i references inside w$i would otherwise expand the
+      // whole w-chain 4^n times (observed as a file-handle explosion)
+      s"""p$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+         |             k -> struct_pack(a := s[k], b := s[k + 1]))) AS p
+         |    FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '||') AS s, freq
+         |          FROM w${i - 1})
+         |    WHERE len(s) >= 2)
+         |  GROUP BY p.a, p.b),
+         |m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT w, freq, replace(enc,
+         |    '|' || (SELECT a FROM m$i) || '||' || (SELECT b FROM m$i) || '|',
+         |    '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|') AS enc
+         |  FROM w${i - 1})""".stripMargin
+    s"""WITH wt AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT w, freq,
+       |    substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'), 1, 3 * length(w)) AS enc
+       |  FROM wt),
+       |${(1 to n).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeLearnOracle(n: Int): String =
+    s"""${bpeCtes(n)}
+       |${(1 to n).map(i =>
+      s"""SELECT CAST($i AS INT) AS step, a AS "left", b AS "right", CAST(cnt AS BIGINT) AS cnt FROM m$i""")
+      .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private def bpeEncodeOracle(n: Int): String =
+    s"""${bpeCtes(n)},
+       |syms AS (SELECT w, CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||')) AS BIGINT) AS n_syms
+       |         FROM w$n),
+       |dw AS (SELECT doc_id, w, count(*) AS n FROM (
+       |         SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |         FROM documents)
+       |       WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id, w),
+       |tok AS (SELECT dw.doc_id, sum(dw.n * syms.n_syms) AS t
+       |        FROM dw JOIN syms ON dw.w = syms.w GROUP BY dw.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(tok.t, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN tok ON d.doc_id = tok.doc_id""".stripMargin
 }

@@ -107,6 +107,55 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("BPE: learned merges match an in-memory reference; greedy-left runs; encode counts") {
+    import graft.llm.Bpe
+    // in-memory reference BPE (word-frequency form, same tie-break)
+    def refMerges(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      var words: Map[List[String], Long] = texts
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.matches("^[a-z]+$"))
+        .groupBy(identity).map { case (w, ws) => w.toList.map(_.toString) -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to n) {
+        val counts = words.toSeq.flatMap { case (syms, f) =>
+          syms.zip(syms.tail).map(p => p -> f)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.minBy { case ((x, y), cnt) => (-cnt, x, y) }
+          out += ((a, b, c))
+          words = words.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toList -> f
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    val texts = Seq("low lower lowest low low", "new newer newest new lower",
+      "aaa aa aaa banana bandana")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.learnMerges(df, "text", 10).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === refMerges(texts, 10))
+    // greedy-left: merging (a,a) in "aaa" yields (aa, a), not (a, aa)
+    val gm = Bpe.learnMerges(Seq((1L, "aaa aaa")).toDF("doc_id", "text"), "text", 2)
+      .orderBy(col("step")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(gm === Seq(("a", "a"), ("aa", "a")),
+      s"greedy-left merge order violated: $gm")
+    // encode: after enough merges every word is one token
+    val full = Bpe.learnMerges(df, "text", 50).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = Bpe.encodeTokenCounts(df, "doc_id", "text", full)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0L -> 5L, 1L -> 5L, 2L -> 5L),
+      s"fully-merged corpus must count one token per word: $counts")
+  }
+
   test("hashSplit partitions rows into stable disjoint splits") {
     val df = (1L to 300L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.hashSplit(df, "text", trainPct = 80, valPct = 10)
