@@ -1065,6 +1065,32 @@ private[graft] object OlapGates {
            |SELECT node, dist FROM b4""".stripMargin
       }),
 
+    ("graph_kcore",
+      (s: SparkSession, dir: String) =>
+        // 3-core of the co-occurrence graph, 12 peeling rounds (GraphSpec
+        // asserts the result is stable under +1 round at every SF —
+        // i.e. the peel HAS converged; the fixed count is what lets the
+        // oracle unroll identically)
+        Graph.kCore(coOccurrenceEdges(s, dir), "u", "v", k = 3, rounds = 12),
+      {
+        // MATERIALIZED is load-bearing: e$i references e$i-1 three times
+        // (directly + via both IN subqueries) — inlined CTEs would
+        // expand the chain 3^12 times (the BPE-oracle failure mode)
+        val step = (i: Int) =>
+          s"""k$i AS MATERIALIZED (SELECT n FROM (
+             |    SELECT n, count(*) AS d FROM (
+             |      SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+             |    GROUP BY n) WHERE d >= 3),
+             |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+             |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))""".stripMargin
+        s"""WITH $coOccurrenceCte,
+           |e0 AS MATERIALIZED (SELECT u, v FROM p),
+           |${(1 to 12).map(step).mkString(",\n")}
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12)
+           |GROUP BY node""".stripMargin
+      }),
+
     ("graph_link_predict",
       (s: SparkSession, dir: String) =>
         // top unlinked part pairs by Adamic–Adar over the co-occurrence

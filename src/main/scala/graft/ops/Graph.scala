@@ -366,6 +366,53 @@ object Graph {
       .select(col("tri")(0).as("d1"), col("tri")(1).as("d2"), col("tri")(2).as("d3"))
   }
 
+  /** k-core peeling over an undirected graph: repeatedly remove nodes
+    * of degree < k (and their incident edges) — the cohesive-subgraph
+    * primitive (spam-farm cores, dense community seeds, the "remove
+    * the stragglers" cleanup before expensive per-edge analytics).
+    *
+    * Spark-first shape: each round is one degree aggregation plus two
+    * LEFT SEMI joins (edges whose BOTH endpoints survive) — plain
+    * key shuffles, no windows; the edge relation only ever SHRINKS, so
+    * round cost is monotonically decreasing; lineage truncates per
+    * round like every iterative operator here. `rounds` is a FIXED
+    * count, not a fixpoint test: cross-engine determinism requires the
+    * oracle to unroll the identical number of rounds, and a converged
+    * peel is simply one whose result is stable under +1 round
+    * (GraphSpec asserts that for the gate's configuration — peeling
+    * converges in O(diameter-ish) rounds on real graphs, and each
+    * no-op round costs one shrunken-relation pass).
+    *
+    * @return (node, deg) — surviving nodes with their in-core degree
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(rounds >= 1, "rounds must be at least 1")
+    var p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select(col("n"))
+      p = p.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      r += 1
+      if (r < rounds) p = p.localCheckpoint(true)
+    }
+    // degrees of the final edge relation, NO extra >= k filter: that
+    // would be half of round rounds+1 — convergence (stability under
+    // +1 round) is asserted in GraphSpec, not silently patched here
+    p.select(col("u").as("node")).union(p.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Link prediction over an undirected graph: score every NON-edge
     * (x, y) that shares at least one neighbor by common-neighbor count
     * and Adamic–Adar (Σ 1/ln(deg w) over the shared neighbors w — rare

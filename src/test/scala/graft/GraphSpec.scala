@@ -226,6 +226,68 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 0L, 0.0d)))
   }
 
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference: peel to the true fixpoint in memory. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(p => keep(p._1) && keep(p._2))
+      changed = next.size != und.size
+      und = next
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("k-core: triangle+pendant peels to the triangle; K4 minus an edge has no 3-core") {
+    // 2-core of triangle {1,2,3} + pendant 3-4: pendant peels off
+    val tri = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    assert(runKCore(tri, k = 2, rounds = 4) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // K4 minus one edge: two deg-2 nodes peel, then everything cascades
+    val k4m = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L)
+    assert(runKCore(k4m, k = 3, rounds = 5) === Map.empty)
+  }
+
+  test("k-core: matches the fixpoint reference on seeded random graphs (with enough rounds)") {
+    for (seed <- Seq(7, 19, 53); k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(70)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      assert(runKCore(edges, k, rounds = 20) === refKCore(edges, k),
+        s"seed=$seed k=$k")
+    }
+  }
+
+  test("k-core gate config has converged: stable under +1 round at sf0.001 and sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val at12 = SparkEntry.queries("graph_kcore")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+          org.apache.spark.sql.functions.col("l_partkey").cast("long").as("pk"))
+        .distinct()
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+        .where(org.apache.spark.sql.functions.col("u") <
+          org.apache.spark.sql.functions.col("v"))
+        .groupBy("u", "v").count().where(org.apache.spark.sql.functions.col("count") >= 2)
+        .select("u", "v")
+      val at13 = graft.ops.Graph.kCore(pairs, "u", "v", k = 3, rounds = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(at12 === at13, s"$dir: 12-round peel not converged")
+    }
+  }
+
   test("link prediction: 4-cycle diagonals score 2 common neighbors; hub cap silences the star") {
     val sqlc = spark
     import sqlc.implicits._
