@@ -404,7 +404,13 @@ object Graph {
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
       r += 1
-      if (r < rounds) p = p.localCheckpoint(true)
+      if (r < rounds) {
+        p = p.localCheckpoint(true)
+        // an empty relation is a fixpoint — the remaining rounds are
+        // no-ops by construction, so skipping them cannot diverge from
+        // the oracle's full unroll
+        if (p.limit(1).count() == 0L) r = rounds
+      }
     }
     // degrees of the final edge relation, NO extra >= k filter: that
     // would be half of round rounds+1 — convergence (stability under
