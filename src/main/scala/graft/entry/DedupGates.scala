@@ -205,6 +205,38 @@ private[graft] object DedupGates {
          |FROM wc a JOIN wc b ON a.h = b.h AND a.h2 = b.h2 AND a.doc < b.doc
          |GROUP BY a.doc, b.doc HAVING count(*) >= 2""".stripMargin),
 
+    ("dedup_prefix_filter",
+      (s: SparkSession, dir: String) =>
+        // EXACT token-Jaccard pairs via prefix filtering (PPJoin
+        // family), recall 1.0: only each doc's n−⌈t·n⌉+1 RAREST tokens
+        // are indexed, so candidates never flow through stopword
+        // posting lists. The oracle is the unfiltered shared-token
+        // join — exact semantics the filter must reproduce verbatim.
+        // t=0.9 because this synthetic corpus is template-generated and
+        // heavily self-similar (86% of doc pairs share Jaccard >= 0.4);
+        // the selectivity demonstration lives in DedupSimilaritySpec on
+        // a diverse fixture — on near-identical data no exact filter
+        // prunes, which is a property of the data, not the algorithm
+        Dedup.prefixFilterJoin(
+          t(s, dir, "documents").filter(col("doc_id") <= 300),
+          "doc_id", "text", threshold = 0.9),
+      {
+        val jac = Num.r6Sql(
+          "CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+        s"""WITH tkb AS (SELECT doc_id AS doc,
+           |         unnest(list_distinct(list_filter(
+           |           string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+           |       FROM documents WHERE text IS NOT NULL AND doc_id <= 300),
+           |szs AS (SELECT doc, count(*) AS sz FROM tkb GROUP BY doc),
+           |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+           |          FROM tkb a JOIN tkb b ON a.tok = b.tok AND a.doc < b.doc
+           |          GROUP BY a.doc, b.doc)
+           |SELECT d1, d2, $jac AS jaccard
+           |FROM inter JOIN szs s1 ON inter.d1 = s1.doc
+           |           JOIN szs s2 ON inter.d2 = s2.doc
+           |WHERE $jac >= 0.9""".stripMargin
+      }),
+
     ("dedup_ngram_jaccard",
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",

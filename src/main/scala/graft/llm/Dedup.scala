@@ -941,4 +941,66 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))
   }
+
+  /** EXACT set-similarity join via prefix filtering (the PPJoin family:
+    * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): every pair of
+    * documents whose DISTINCT-token Jaccard reaches `threshold`, with
+    * recall 1.0 — the exact complement to [[minhashLsh]]'s probabilistic
+    * banding, for the pipelines that must certify "no near-dup above t
+    * survives".
+    *
+    * The filter: order each document's tokens rarest-first (by global
+    * document frequency, ties by token — no global rank ids, so no
+    * single-partition window; the (df, tok) struct IS the sort key) and
+    * index only the PREFIX of length n − ⌈t·n⌉ + 1. Pigeonhole: a pair
+    * with Jaccard ≥ t has |∩| ≥ t·n_i, so a pair sharing NO prefix
+    * token would pack its whole intersection into the ⌈t·n⌉ − 1 suffix
+    * tokens — contradiction; candidates therefore come ONLY from the
+    * prefix-token equi-join, and rarest-first ordering makes those
+    * posting lists the shortest available (the stopword that would
+    * quadratically flood a naive shared-token join is never indexed
+    * unless a doc consists of almost nothing else). Candidates then
+    * verify with one exact intersection count.
+    *
+    * @return (d1, d2, jaccard) with d1 < d2, r6-rounded, recall 1.0
+    */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0.0d && threshold <= 1.0d, "threshold must be in (0, 1]")
+    val tk = graft.Partitioning.spread(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true)
+    val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val prefixes = tk.join(dfreq, "tok")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("syms"),
+        count(lit(1)).as("n"))
+      .select(col("doc"),
+        explode(expr(
+          s"slice(syms, 1, cast(n - ceil($threshold * n) + 1 as int))")).as("s"))
+      .select(col("doc"), col("s.tok").as("tok"))
+    val cand = prefixes.select(col("tok"), col("doc").as("d1"))
+      .join(prefixes.select(col("tok"), col("doc").as("d2")), Seq("tok"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val sizes = tk.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // candidate-restricted verify: expand candidates by d1's tokens
+    // FIRST, then equi-join on (d2, tok) — the raw shared-token
+    // self-join (which the stopword flood lives in) never runs
+    val inter = cand
+      .join(tk.select(col("doc").as("d1"), col("tok")), "d1")
+      .join(tk.select(col("doc").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    val jac = graft.Num.r6(col("i").cast("double") /
+      (col("s1") + col("s2") - col("i")).cast("double"))
+    inter.join(sizes.select(col("doc").as("d1"), col("sz").as("s1")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("s2")), "d2")
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
 }

@@ -766,6 +766,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(spark, corrupt).count() === 0L)
   }
 
+  test("prefix-filter join: recall 1.0 vs brute force on random docs; prunes on diverse data") {
+    def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+      val sets = docs.map { case (id, txt) =>
+        id -> txt.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = Num.r6(sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble)
+        if j >= t
+      } yield (a, b, j)).toSet
+    }
+    def run(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] =
+      Dedup.prefixFilterJoin(docs.toDF("doc_id", "text"), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // recall 1.0 (it's an EXACT algorithm): seeded random docs over a
+    // small vocabulary, several thresholds
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 40L).map(i =>
+      i -> Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      assert(run(docs, t) === brute(docs, t), s"t=$t")
+    }
+    // selectivity: diverse docs sharing ONE stopword — the naive
+    // shared-token join would generate all C(40,2) pairs through it;
+    // the rarest-first prefix never indexes the stopword, so zero
+    // candidates survive (and indeed no pair reaches the threshold)
+    val diverse = (1L to 40L).map(i => i -> s"the unique$i only$i token$i body$i")
+    assert(run(diverse, 0.5).isEmpty)
+    val prefixes = diverse.toDF("doc_id", "text")
+    // the plan's candidate generation must not be a cartesian product
+    val plan = Dedup.prefixFilterJoin(prefixes, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+
   test("scene cuts: planted shot boundaries at frames 8 and 16, nothing else") {
     val ids = Seq(4L, 29L).toDF("doc_id")
     val cuts = Multimodal.sceneCuts(spark,
