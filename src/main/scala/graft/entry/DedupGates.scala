@@ -384,6 +384,26 @@ private[graft] object DedupGates {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_topk_mips",
+      (s: SparkSession, dir: String) => {
+        // max-INNER-PRODUCT neighbors: raw vectors, no normalization —
+        // magnitude participates in the ranking (the recommendation
+        // head semantics), in contrast to similarity_topk's cosine
+        val e = t(s, dir, "embeddings")
+        Similarity.topKMips(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      },
+      {
+        val raw = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH rv AS (SELECT vec_id AS id, $raw AS v FROM embeddings),
+           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |       FROM rv c JOIN rv q ON q.id < 20 AND c.id <> q.id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     ("similarity_topk_lsh",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -180,6 +180,31 @@ object Similarity {
     * vectors (excluding itself when ids collide). Scores rounded to 6
     * decimals; ties broken by corpus id so ordering is deterministic.
     */
+  /** Max-inner-product top-k (MIPS) — the recommendation-scoring
+    * variant where vector MAGNITUDE matters (user·item affinity,
+    * un-normalized retrieval heads): identical shape to [[topK]] but
+    * the raw vectors score directly (cast to double, no
+    * normalization), so a long vector can rank above a better-aligned
+    * short one — exactly the semantics cosine deliberately removes.
+    * Same broadcast-query + salted two-stage merge scale shape. For
+    * sublinear MIPS at corpus scale, the norm-augmentation reduction
+    * (append √(M²−‖x‖²) to each corpus vector, 0 to queries; M = max
+    * norm) turns MIPS into cosine ANN and composes with [[topKLsh]] /
+    * [[topKIvf]] unchanged.
+    */
+  def topKMips(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nSalts: Int = 8): DataFrame = {
+    require(nSalts >= 1, "nSalts must be at least 1")
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, nSalts)
+  }
+
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nSalts: Int = 0): DataFrame = {
     val c = graft.Partitioning.spread(corpus)

@@ -766,6 +766,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(spark, corrupt).count() === 0L)
   }
 
+  test("MIPS top-k: magnitude changes the winner that cosine ignores") {
+    // query (1,0); a = (0.9, 0) perfectly aligned but short;
+    // b = (5, 1) slightly off but long. Cosine ranks a first
+    // (1.0 > 0.98); inner product ranks b first (5.0 > 0.9).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // the query
+      (1L, Array(0.9f, 0.0f)),   // a
+      (2L, Array(5.0f, 1.0f)))   // b
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val mips = Similarity.topKMips(vecs, q, "vec_id", "embedding", k = 2)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(mips.map(_._1).toSeq === Seq(2L, 1L), mips.mkString(","))
+    assert(mips(0)._2 === 5.0d && mips(1)._2 === Num.r6(0.9f.toDouble))
+    val cos = Similarity.topK(vecs, q, "vec_id", "embedding", k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(cos === Seq(1L, 2L), s"cosine must prefer the aligned vector: $cos")
+  }
+
   test("prefix-filter join: recall 1.0 vs brute force on random docs; prunes on diverse data") {
     def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
       val sets = docs.map { case (id, txt) =>
