@@ -630,6 +630,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming histogram refresh equals the one-shot sketch; quantiles match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the quantile-sketch sibling of the incremental-aggregate sink:
+    // each micro-batch's histogram folds into the stored state via
+    // histMerge (bin-wise sums — history never rescanned), and the
+    // read-time quantiles must equal the one-shot sketch over
+    // everything ingested
+    val rows = (1 to 120).map(i => ("g", ((i * 37) % 97).toDouble * 9.7))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = graft.ops.Sketch.histogram(batch, "v", Seq("g"), 0.0, 1000.0, 32)
+        state = Some(graft.ops.Sketch.histMerge(state.toSeq :+ b, Seq("g"))
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      mem.addData(rows.take(40): _*); q.processAllAvailable()
+      mem.addData(rows.slice(40, 80): _*); q.processAllAvailable()
+      mem.addData(rows.drop(80): _*); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = graft.ops.Sketch.histogram(rows.toDF("g", "v"), "v",
+      Seq("g"), 0.0, 1000.0, 32)
+    assert(state.get.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+    val qs = Seq(0.5, 0.9)
+    val a = graft.ops.Sketch.histQuantiles(state.get, Seq("g"), 0.0, 1000.0, 32, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val b = graft.ops.Sketch.histQuantiles(oneShot, Seq("g"), 0.0, 1000.0, 32, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+
   test("cohort retention: offset-0 cells are the cohort sizes; matrix matches by hand") {
     import spark.implicits._
     // 2024-01-01 is a Monday, so each dts below IS its own week start
