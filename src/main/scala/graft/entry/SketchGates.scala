@@ -62,6 +62,40 @@ private[graft] object SketchGates {
            |FROM es JOIN ex ON es.g = ex.g""".stripMargin
       }),
 
+    ("sketch_hll_merged",
+      (s: SparkSession, dir: String) => {
+        // the MERGE path under the oracle: registers built per "daily
+        // batch" (orderkey parity) and combined bucket-wise — register
+        // merge is max, idempotent and overlap-safe, so the estimate is
+        // BIT-IDENTICAL to the one-shot sketch and the one-shot oracle
+        // covers it verbatim (the same pay-off agg_incremental_merge and
+        // sketch_quantile_hist pin for their state kinds: re-aggregable
+        // across days without raw data)
+        val li = t(s, dir, "lineitem")
+        val shards = Seq(0, 1).map(p =>
+          Sketch.hllRegisters(li.filter(pmod(col("l_orderkey"), lit(2)) === p),
+            "l_orderkey", Seq("l_returnflag")))
+        Sketch.hllEstimate(Sketch.hllMerge(shards, Seq("l_returnflag")),
+          Seq("l_returnflag"))
+      },
+      {
+        val alpha = s"CAST(${Sketch.HllAlpha} AS DOUBLE)"
+        s"""WITH h AS (SELECT l_returnflag AS g,
+           |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |  FROM lineitem),
+           |hb AS (SELECT g, (h & 255) AS bucket,
+           |         least(53 - length(bin(h >> 8)), 40) AS rho FROM h),
+           |sk AS (SELECT g, bucket, max(rho) AS m_rho FROM hb GROUP BY g, bucket),
+           |ag AS (SELECT g, count(*) AS present,
+           |         sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << m_rho) AS DOUBLE)) AS sinv
+           |       FROM sk GROUP BY g),
+           |es AS (SELECT g, $alpha * 256.0 * 256.0 / ((256.0 - present) + sinv) AS raw,
+           |         256 - present AS v FROM ag)
+           |SELECT es.g AS l_returnflag,
+           |  ${Num.r6Sql("CASE WHEN raw <= 256.0 * 2.5 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END")} AS est_distinct
+           |FROM es""".stripMargin
+      }),
+
     ("sketch_countmin_topk",
       (s: SparkSession, dir: String) => {
         // heavy suppliers by estimated lineitem frequency: the counter
