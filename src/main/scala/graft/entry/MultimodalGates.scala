@@ -288,29 +288,24 @@ private[graft] object MultimodalGates {
     ("multimodal_phash_neardup",
       (s: SparkSession, dir: String) => {
         // image near-dup pairs: ids 100 apart are planted exact pixel
-        // copies (Hamming 0); candidates come only through shared
-        // 16-bit band buckets — never all pairs — then exact
-        // bit_count(xor) verification
+        // copies (Hamming 0); candidates come only through shared band
+        // buckets — never all pairs — with the band count DERIVED from
+        // the radius (8×8-bit bands at maxHamming=6: pigeonhole
+        // guarantees recall 1.0 through d ≤ 7). The oracle is the
+        // BRUTE-FORCE all-pairs scan, deliberately independent of the
+        // banding, so the recall guarantee is what the hash match proves
         val hashes = Multimodal.perceptualHash(s,
           Multimodal.attachPhotoPayload(s,
             t(s, dir, "documents").filter(col("doc_id") <= 130), "doc_id")).toDF()
         Multimodal.phashNearDup(hashes, maxHamming = 6)
       },
-      s"""$phashOracleCtes,
-         |bands AS (
-         |  SELECT id, phash_hi, phash_lo, 0 AS band, phash_lo & 65535 AS key FROM ph
-         |  UNION ALL SELECT id, phash_hi, phash_lo, 1, (phash_lo >> 16) & 65535 FROM ph
-         |  UNION ALL SELECT id, phash_hi, phash_lo, 2, phash_hi & 65535 FROM ph
-         |  UNION ALL SELECT id, phash_hi, phash_lo, 3, (phash_hi >> 16) & 65535 FROM ph),
-         |cand AS (SELECT DISTINCT l.id AS id1, r.id AS id2,
-         |           l.phash_hi AS h1, l.phash_lo AS l1,
-         |           r.phash_hi AS h2, r.phash_lo AS l2
-         |         FROM bands l JOIN bands r
-         |           ON l.band = r.band AND l.key = r.key AND l.id < r.id)
-         |SELECT id1, id2,
-         |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""".stripMargin),
+      s"""$phashOracleCtes
+         |SELECT l.id AS id1, r.id AS id2,
+         |  CAST(bit_count(xor(l.phash_hi, r.phash_hi))
+         |     + bit_count(xor(l.phash_lo, r.phash_lo)) AS INT) AS hamming
+         |FROM ph l JOIN ph r ON l.id < r.id
+         |WHERE bit_count(xor(l.phash_hi, r.phash_hi))
+         |    + bit_count(xor(l.phash_lo, r.phash_lo)) <= 6""".stripMargin),
   )
 
   /** DuckDB CTE chain ending in `ph(id, phash_hi, phash_lo)` — the

@@ -327,7 +327,11 @@ object Multimodal {
             || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian
             || fmt.getChannels <= 0) None
         else {
-          val out = new scala.collection.mutable.ArrayBuffer[Long]()
+          // primitive collector: an ArrayBuffer[Long] would box every
+          // sample (~0.5-1 GB heap at the MaxDecodedPcmBytes cap) on the
+          // executor hot path
+          val out = new scala.collection.mutable.ArrayBuilder.ofLong
+          out.sizeHint(math.min(bytes.length / 2, MaxDecodedPcmBytes.toInt / 2))
           val buf = new Array[Byte](64 * 1024)
           var total = 0L
           var carry = new Array[Byte](0)
@@ -345,7 +349,7 @@ object Multimodal {
             n = ais.read(buf)
           }
           if (total > MaxDecodedPcmBytes || total == 0) None
-          else Some(out.toArray)
+          else Some(out.result())
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -929,24 +933,44 @@ object Multimodal {
       })
   }
 
+  /** The band count [[phashNearDup]] uses for a radius: pigeonhole
+    * guarantees recall 1.0 only with ≥ maxHamming+1 bands (flipping
+    * ≤ maxHamming bits cannot touch every band), so pick the SMALLEST
+    * of 4 / 8 / 16 equal-width bands that satisfies it — the widest
+    * (most selective) keys the guarantee allows: 16-bit keys up to
+    * radius 3, 8-bit up to 7, 4-bit up to 15.
+    */
+  private[graft] def phashBandsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming must be in [0, 15] — beyond 15 the guaranteed banding " +
+        "degenerates to 2-bit keys; use a different candidate generator")
+    Seq(4, 8, 16).find(_ >= maxHamming + 1).get
+  }
+
   /** Near-duplicate image pairs from perceptual hashes: band the 64
-    * bits into four 16-bit keys (pigeonhole: any pair within Hamming
-    * distance 3 shares at least one intact band; wider radii trade
-    * recall exactly like MinHash banding), equi-join per band —
-    * candidates are generated ONLY through shared band buckets, never
-    * all pairs — then verify with the exact Hamming distance
-    * (`bit_count(xor)`, codegen'd) and keep pairs ≤ `maxHamming`.
+    * bits into equal-width keys — the band COUNT is derived from the
+    * radius ([[phashBandsFor]]), so the pigeonhole guarantee (any pair
+    * within `maxHamming` shares at least one intact band) holds for
+    * every accepted radius and recall is exactly 1.0, never a silent
+    * trade. Candidates are generated ONLY through shared band buckets —
+    * never all pairs — then verified with the exact Hamming distance
+    * (`bit_count(xor)`, codegen'd), keeping pairs ≤ `maxHamming`.
     *
     * @return (id1, id2, hamming) with id1 < id2
     */
   def phashNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val nBands = phashBandsFor(maxHamming)
+    val width = 64 / nBands
+    val mask = (1L << width) - 1L
+    val perHalf = 32 / width // bands per 32-bit half; width ≤ 16 so ≥ 2
+    val bandStructs = (0 until nBands).map { k =>
+      val src = if (k < perHalf) col("phash_lo") else col("phash_hi")
+      val shift = (k % perHalf) * width
+      struct(lit(k).as("band"),
+        shiftright(src, shift).bitwiseAND(lit(mask)).as("key"))
+    }
     val banded = hashes.select(col("id"), col("phash_hi"), col("phash_lo"),
-      explode(array(
-        struct(lit(0).as("band"), (col("phash_lo").bitwiseAND(lit(0xffffL))).as("key")),
-        struct(lit(1).as("band"), shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)).as("key")),
-        struct(lit(2).as("band"), (col("phash_hi").bitwiseAND(lit(0xffffL))).as("key")),
-        struct(lit(3).as("band"), shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL)).as("key")))).as("b"))
+      explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("phash_hi"), col("phash_lo"),
         col("b.band").as("band"), col("b.key").as("key"))
     val l = banded.select(col("id").as("id1"), col("phash_hi").as("h1"),

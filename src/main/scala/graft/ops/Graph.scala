@@ -432,12 +432,20 @@ object Graph {
     * above the cap generates no candidates through itself (the standard
     * flood-cap discipline this engine applies to every pair generator —
     * shingle docFreq, LSH buckets; hubs carry little signal in AA
-    * anyway, 1/ln(deg) → 0). Existing edges are anti-joined out at the
-    * end. The AA sum is float; scores are r6-rounded on the 1e-6 grid
-    * (the [[pageRank]] discipline — summation-order noise is ~1e-16
-    * relative, ten orders below the grid).
+    * anyway, 1/ln(deg) → 0). NOTE the cap is therefore part of the
+    * METRIC, not just candidate generation: both `cn` and `aa` count
+    * only shared neighbors with deg ≤ maxDeg — a pair whose common
+    * neighbors include a hub reports the capped count, not the true
+    * common-neighbor count (the DuckDB oracle computes the identical
+    * filtered metric). Callers needing the exact CN of surviving
+    * candidate pairs can re-score them against the full adjacency list.
+    * Existing edges are anti-joined out at the end. The AA sum is
+    * float; scores are r6-rounded on the 1e-6 grid (the [[pageRank]]
+    * discipline — summation-order noise is ~1e-16 relative, ten orders
+    * below the grid).
     *
-    * @return (u, v, cn: long, aa: double) with u < v, non-edges only
+    * @return (u, v, cn: long, aa: double) with u < v, non-edges only;
+    *         cn/aa computed over the deg ≤ maxDeg middle set
     */
   def linkPrediction(pairs: DataFrame, aCol: String, bCol: String,
                      maxDeg: Int): DataFrame = {

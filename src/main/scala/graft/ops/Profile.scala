@@ -105,7 +105,11 @@ object Profile {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
         sum(col("__c").cast(dec)).as("__s"),
-        sum((col("__c") * col("__c")).cast(dec)).as("__ss"))
+        // square AFTER the decimal cast: cents² overflows long for
+        // |value| ≥ ~3.04e7 (silent non-ANSI wrap), while
+        // DECIMAL(38,0)·DECIMAL(38,0) is exact to 38 digits — the same
+        // cast-before-multiply the oracle's HUGEINT arithmetic does
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ss"))
       .withColumn("__varnum",
         col("__n").cast(dec) * col("__ss") - col("__s") * col("__s"))
   }

@@ -72,12 +72,17 @@ object Sketch {
   }
 
   /** Merge register tables of disjoint (or overlapping — HLL is
-    * idempotent) shards: bucket-wise max.
+    * idempotent) shards: bucket-wise max. Every shard must have been
+    * built by [[hllRegisters]] with the same key column semantics —
+    * the register layout (HllB/HllM) is a library constant, so shard
+    * compatibility is automatic for states built by this object.
     */
-  def hllMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+  def hllMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "hllMerge needs at least one shard")
     shards.reduce(_ unionByName _)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("m_rho")).as("m_rho"))
+  }
 
   /** Estimate per group from a register table: raw harmonic-mean
     * estimate α·m²/Z with the standard small-range linear-counting
@@ -174,11 +179,22 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge histogram states of shards: bin-wise sum. */
-  def histMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+  /** Merge histogram states of shards: bin-wise sum.
+    *
+    * CALLER INVARIANT — the histogram state `(groupCols…, bin, cnt)`
+    * does NOT carry its `(lo, hi, nBins)` parameters: bin indices are
+    * meaningful only relative to the bounds they were built with.
+    * Merging shards built with different bounds, or calling
+    * [[histQuantiles]] with parameters other than the state's, yields
+    * silently wrong quantiles — the caller owns parameter consistency,
+    * exactly as with any fixed-boundary histogram exchange format.
+    */
+  def histMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "histMerge needs at least one shard")
     shards.reduce(_ unionByName _)
       .groupBy((groupCols :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Estimate quantiles per group from a histogram state: for each q,
     * walk the cumulative bin counts to the first bin holding the
@@ -188,7 +204,9 @@ object Sketch {
     * (window-over-sketch, not window-over-data — bounded state is what
     * makes the window admissible at 100 TB). Estimates are exact-integer
     * arithmetic up to the final interpolation, r6-rounded like every
-    * cross-engine float.
+    * cross-engine float. `(lo, hi, nBins)` MUST be the parameters the
+    * state was built with (see the [[histMerge]] caller invariant —
+    * the state does not carry them).
     *
     * @return (groupCols…, q: double, est: double) — one row per group × q
     */

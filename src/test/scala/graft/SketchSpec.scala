@@ -261,4 +261,27 @@ class SketchSpec extends AnyFunSuite {
       .toDF("id", "g", "v")
     assert(graft.ops.Profile.zscoreOutliers(df, "v", Seq("g"), 2.0).count() === 0L)
   }
+
+  test("momentState: cents² beyond Long range stays exact (decimal square, no wrap)") {
+    import spark.implicits._
+    // |v| ≥ ~3.04e7 ⇒ cents² > Long.MaxValue: a long square would wrap
+    // silently (non-ANSI) and a negative __varnum would drop the group.
+    // 9 values at 1e8 + one spike at 2e8 mirrors the small-value test
+    // shape, so the z of the spike is exactly 3.0 if the moments are
+    // exact
+    val rows = (1 to 9).map(i => (i.toLong, "a", 1.0e8)) :+ (10L, "a", 2.0e8)
+    val df = rows.toDF("id", "g", "v")
+    val st = graft.ops.Profile.momentState(df, "v", Seq("g")).collect()
+    assert(st.length === 1)
+    val r = st.head
+    val ss = r.getAs[java.math.BigDecimal]("__ss")
+    // cents = v·100: 1e10 and 2e10; Σc² = 9·(1e10)² + (2e10)² = 1.3e21
+    assert(BigInt(ss.toBigInteger) === BigInt(13) * BigInt(10).pow(20), ss.toString)
+    val varnum = r.getAs[java.math.BigDecimal]("__varnum")
+    assert(BigInt(varnum.toBigInteger) > 0, s"varnum must stay positive, got $varnum")
+    val got = graft.ops.Profile.zscoreOutliers(df, "v", Seq("g"), threshold = 2.0)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("z")).toMap
+    assert(got.keySet === Set(10L), got.toString)
+    assert(got(10L) === 3.0d)
+  }
 }
