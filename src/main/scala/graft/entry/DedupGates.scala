@@ -404,6 +404,24 @@ private[graft] object DedupGates {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_topk_mips_ann",
+      (s: SparkSession, dir: String) => {
+        // SUBLINEAR MIPS: the norm-augmentation reduction (append
+        // √(M²−‖x‖²) to corpus vectors, 0 to queries) turns max-inner-
+        // product search into cosine ANN; candidates come only through
+        // shared (table, bucket) keys over the augmented vectors, then
+        // exact raw-inner-product rescoring. 4 planes × 16 tables —
+        // recall@10 = 0.700 at candidate rate 0.464 measured
+        // (AnnRecallSpec pins BOTH at exactly these parameters, the
+        // same operating point as similarity_topk_lsh: these
+        // embeddings have near-constant norms, so the augmented
+        // geometry matches the cosine one)
+        val e = t(s, dir, "embeddings")
+        Similarity.topKMipsAnn(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nPlanes = 4, nTables = 16)
+      },
+      mipsAnnOracleSql(nPlanes = 4, nTables = 16)),
+
     ("similarity_topk_lsh",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

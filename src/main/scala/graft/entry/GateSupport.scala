@@ -281,6 +281,39 @@ private[graft] object GateSupport {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB SQL for the [[Similarity.topKMipsAnn]] oracle at
+    * (nPlanes, nTables): the norm-augmentation reduction (append
+    * √(M²−‖x‖²) to corpus vectors, 0 to queries — M² a scalar
+    * aggregate), per-table buckets over the UN-normalized augmented
+    * vectors (sign-invariance makes normalize unnecessary on both
+    * sides), cross-table candidate dedup, exact RAW-inner-product
+    * rescoring, rank. The augmented relations are MATERIALIZED: plain
+    * CTEs inline per table reference (the BPE lesson).
+    */
+  private[graft] def mipsAnnOracleSql(nPlanes: Int, nTables: Int): String = {
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    def tables(src: String) = (0 until nTables).map { t =>
+      s"SELECT id, $t AS tbl, " + bucketSql("a", nPlanes, t * nPlanes) +
+        s" AS bucket FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH rv AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n2 AS (SELECT id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn FROM rv),
+       |mx AS (SELECT max(nn) AS m2 FROM n2),
+       |avv AS MATERIALIZED (SELECT id, list_append(v, sqrt(greatest(m2 - nn, CAST(0 AS DOUBLE)))) AS a FROM n2, mx),
+       |aqq AS MATERIALIZED (SELECT id, list_append(v, CAST(0 AS DOUBLE)) AS a FROM rv WHERE id < 20),
+       |bks AS (${tables("avv")}),
+       |qbk AS (${tables("aqq")}),
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
+       |         FROM bks c JOIN qbk q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE c.id <> q.id),
+       |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+       |       FROM cand JOIN rv c ON c.id = cand.nn_id
+       |                 JOIN rv q ON q.id = cand.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** toks + sh0: distinct (doc, n-gram shingle) pairs — the uncapped
     * prefix shared by the string-shingle ([[shingleCte]]) and
     * hashed-shingle ([[minhashCtes]]) families.

@@ -187,10 +187,8 @@ object Similarity {
     * normalization), so a long vector can rank above a better-aligned
     * short one — exactly the semantics cosine deliberately removes.
     * Same broadcast-query + salted two-stage merge scale shape. For
-    * sublinear MIPS at corpus scale, the norm-augmentation reduction
-    * (append √(M²−‖x‖²) to each corpus vector, 0 to queries; M = max
-    * norm) turns MIPS into cosine ANN and composes with [[topKLsh]] /
-    * [[topKIvf]] unchanged.
+    * sublinear MIPS at corpus scale use [[topKMipsAnn]] — the
+    * norm-augmentation reduction implemented below.
     */
   def topKMips(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                k: Int, nSalts: Int = 8): DataFrame = {
@@ -203,6 +201,81 @@ object Similarity {
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
     topKMerge(scored, k, nSalts)
+  }
+
+  /** The MIPS→cosine norm-augmentation front half (Bachrach et al.
+    * 2014): append √(M²−‖x‖²) to every corpus vector (M² = max squared
+    * corpus norm) and 0 to every query. Augmented corpus vectors all
+    * have norm exactly M, so for any query the cosine ordering over
+    * augmented vectors IS the inner-product ordering over the raw ones
+    * — and because random-hyperplane buckets are sign-invariant under
+    * positive scaling, the augmented vectors feed [[hyperplaneBucket]]
+    * directly, un-normalized (also keeps the all-zero corner NaN-free).
+    * M² is ONE 1-row aggregate entering the plan as a literal (the
+    * centroid idiom); `greatest(…, 0)` guards the max-norm row against
+    * a negative-epsilon sqrt. Raw vectors ride along so candidates are
+    * scored with the true inner product.
+    *
+    * @return (corpus(nn_id, cv, av), queries(query_id, qv, aq))
+    */
+  private def mipsAugmented(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val c0 = graft.Partitioning.spread(corpus)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val m2row = c0.agg(max(dot(col("cv"), col("cv")))).first()
+    val m2 = if (m2row.isNullAt(0)) 0.0d else m2row.getDouble(0)
+    val aug = c0.withColumn("av", concat(col("cv"),
+      array(sqrt(greatest(lit(m2) - dot(col("cv"), col("cv")), lit(0.0d))))))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("aq", concat(col("qv"), array(lit(0.0d))))
+    (aug, q)
+  }
+
+  /** Sublinear MIPS: [[mipsAugmented]] reduction + the multi-table
+    * OR-amplified hyperplane bucketing of [[topKLsh]] — candidates must
+    * share a (table, bucket) with the query's AUGMENTED vector, then
+    * are scored with the exact RAW inner product and ranked. Same scale
+    * shape as the cosine LSH path: corpus explodes nTables narrow keys,
+    * queries broadcast, the only exchange is the candidate-pair dedup.
+    * Approximate (recall < 1 — AnnRecallSpec pins the recall floor AND
+    * candidate-rate ceiling at the gate parameters); [[topKMips]] is
+    * the exact linear-scan baseline.
+    */
+  def topKMipsAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nPlanes: Int = 4, nTables: Int = 16,
+                  nSalts: Int = 1): DataFrame = {
+    require(nPlanes >= 1, "nPlanes must be positive")
+    require(nTables >= 1, "nTables must be positive")
+    val (c, q) = mipsAugmented(corpus, queries, idCol, vecCol)
+    val matched = tabled(c, "av", nPlanes, nTables)
+      .join(broadcast(tabled(q, "aq", nPlanes, nTables)), Seq("tbl", "bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    // same pair via several tables: identical score, max() is pure dedup
+    val scored = matched.groupBy(col("query_id"), col("nn_id"))
+      .agg(max(col("score")).as("score"))
+    topKMerge(scored, k, nSalts)
+  }
+
+  /** Distinct (query_id, nn_id) candidate pairs [[topKMipsAnn]] would
+    * score at these parameters — the selectivity diagnostic, mirroring
+    * [[lshCandidatePairs]] (same contract: recall without a candidate
+    * rate is meaningless).
+    */
+  def mipsCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, nPlanes: Int, nTables: Int): DataFrame = {
+    require(nPlanes >= 1 && nTables >= 1, "nPlanes/nTables must be positive")
+    val (c, q) = mipsAugmented(corpus, queries, idCol, vecCol)
+    tabled(c.select(col("nn_id"), col("av")), "av", nPlanes, nTables)
+      .select(col("nn_id"), col("tbl"), col("bucket"))
+      .join(broadcast(tabled(q.select(col("query_id"), col("aq")), "aq", nPlanes, nTables)
+        .select(col("query_id"), col("tbl"), col("bucket"))), Seq("tbl", "bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id")).distinct()
   }
 
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

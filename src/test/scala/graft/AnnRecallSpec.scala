@@ -108,6 +108,47 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(cr <= 0.6, f"gate-config MLSH candidate rate grew to $cr%.3f (ceiling 0.6) — degenerating toward all-pairs")
   }
 
+  test("MIPS-ANN at the similarity_topk_mips_ann GATE config (4 planes x 16 tables): recall floor AND candidate-rate ceiling") {
+    // recall measured against the EXACT max-inner-product top-k (not
+    // the cosine one): the norm-augmentation reduction must retrieve
+    // inner-product neighbors, which is the semantics it claims
+    val exactMips = resultSets(
+      Similarity.topKMips(emb, queries, "vec_id", "embedding", k = K))
+    val ann = Similarity.topKMipsAnn(emb, queries, "vec_id", "embedding",
+      k = K, nPlanes = 4, nTables = 16)
+    val r = recallAt(ann, exactMips)
+    val nPairs = queries.count() * (emb.count() - 1)
+    val cr = Similarity.mipsCandidatePairs(emb, queries, "vec_id", "embedding",
+      4, 16).count().toDouble / nPairs
+    info(f"MIPS-ANN recall@$K = $r%.3f, candidate rate = $cr%.3f (nPlanes=4, nTables=16 — the gate parameters)")
+    assert(r >= 0.65, f"gate-config MIPS-ANN recall@$K degraded to $r%.3f (floor 0.65)")
+    assert(cr <= 0.55, f"gate-config MIPS-ANN candidate rate grew to $cr%.3f (ceiling 0.55) — degenerating toward all-pairs")
+  }
+
+  test("MIPS-ANN retrieves magnitude-ranked neighbors on norm-skewed data") {
+    // cosine ANN alone CANNOT pass this: vectors share one dominant
+    // direction but differ 10x in magnitude, so the true MIPS top-k is
+    // the largest-norm vectors, not the best-aligned ones. The
+    // augmentation must preserve that ordering through the buckets
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val rows: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+      val scale = 0.5 + (i % 10) // norms spread 10x across ids mod 10
+      (i.toLong, (0 until dim).map(d =>
+        (scale * (base(d) + 0.3 * rnd.nextGaussian())).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 5)
+    val exact = resultSets(Similarity.topKMips(df, qs, "vec_id", "embedding", k = K))
+    val ann = Similarity.topKMipsAnn(df, qs, "vec_id", "embedding",
+      k = K, nPlanes = 4, nTables = 16)
+    val r = recallAt(ann, exact)
+    info(f"norm-skewed MIPS-ANN recall@$K = $r%.3f (nPlanes=4, nTables=16)")
+    assert(r >= 0.8, f"norm-skewed MIPS-ANN recall@$K = $r%.3f (floor 0.8) — augmentation lost the magnitude ordering")
+  }
+
   test("clustered data: LSH genuinely prunes — high recall at LOW candidate rate") {
     // 20 tight gaussian clusters of 25 vectors: the data regime LSH is
     // FOR. The same 8x8 config that manages recall 0.42 on the
