@@ -962,31 +962,28 @@ object Dedup {
     * unless a doc consists of almost nothing else). Candidates then
     * verify with one exact intersection count.
     *
+    * With `ppjoinFilters` on (the default) the candidate join also
+    * applies PPJoin's LENGTH filter (Jaccard ≥ t needs
+    * t·max(n1,n2) ≤ min(n1,n2) — sizes ride the prefix relation) and
+    * POSITIONAL filter (a token shared at 1-based sorted positions
+    * p1/p2 bounds the overlap by 1 + min(n1−p1, n2−p2); a pair
+    * survives iff SOME shared prefix token's bound reaches the overlap
+    * the threshold requires). Both filters are EXACT-INTEGER
+    * inequalities derived from the r6-rounded output condition
+    * `floor(i·1e6/u + ½) ≥ t·1e6  ⟺  2e6·i ≥ (2·t6−1)·u`, so the
+    * OUTPUT IS PROVABLY IDENTICAL — candidates shrink, recall stays
+    * 1.0 (the first-shared-intersection-token argument holds for docs
+    * under 2e6 distinct tokens, far past any real document;
+    * DedupSimilaritySpec asserts the candidate drop and the unchanged
+    * result on a skewed fixture).
+    *
     * @return (d1, d2, jaccard) with d1 < d2, r6-rounded, recall 1.0
     */
   def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, ppjoinFilters: Boolean = true): DataFrame = {
     require(threshold > 0.0d && threshold <= 1.0d, "threshold must be in (0, 1]")
-    val tk = graft.Partitioning.spread(df)
-      .where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
-      .where(col("tok") =!= "")
-      .localCheckpoint(true)
-    val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
-    val prefixes = tk.join(dfreq, "tok")
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("syms"),
-        count(lit(1)).as("n"))
-      .select(col("doc"),
-        explode(expr(
-          s"slice(syms, 1, cast(n - ceil($threshold * n) + 1 as int))")).as("s"))
-      .select(col("doc"), col("s.tok").as("tok"))
-    val cand = prefixes.select(col("tok"), col("doc").as("d1"))
-      .join(prefixes.select(col("tok"), col("doc").as("d2")), Seq("tok"))
-      .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
-      .distinct()
+    val tk = prefixTokens(df, idCol, textCol)
+    val cand = prefixFilterCandidatesFrom(tk, threshold, ppjoinFilters)
     val sizes = tk.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     // candidate-restricted verify: expand candidates by d1's tokens
     // FIRST, then equi-join on (d2, tok) — the raw shared-token
@@ -1002,5 +999,61 @@ object Dedup {
       .withColumn("jaccard", jac)
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Distinct lowercase whitespace tokens per doc, checkpointed —
+    * the shared base relation of the prefix-filter family.
+    */
+  private def prefixTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Partitioning.spread(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint(true)
+
+  /** Candidate (d1, d2) pairs the verify stage would score — exposed so
+    * DedupSimilaritySpec can assert the PPJoin filters shrink this set
+    * without touching the verified output.
+    */
+  private[graft] def prefixFilterCandidates(df: DataFrame, idCol: String,
+                                            textCol: String, threshold: Double,
+                                            ppjoinFilters: Boolean): DataFrame =
+    prefixFilterCandidatesFrom(prefixTokens(df, idCol, textCol), threshold, ppjoinFilters)
+
+  private def prefixFilterCandidatesFrom(tk: DataFrame, threshold: Double,
+                                         ppjoinFilters: Boolean): DataFrame = {
+    // t on the r6 grid: output membership is the exact-integer condition
+    // 2e6·i ≥ (2·t6−1)·u, which is what the filters must never violate
+    val t6 = math.ceil(threshold * 1e6 - 1e-9).toLong
+    val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val prefixes = tk.join(dfreq, "tok")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("syms"),
+        count(lit(1)).as("n"))
+      .select(col("doc"), col("n"),
+        posexplode(expr(
+          s"slice(syms, 1, cast(n - ceil($threshold * n) + 1 as int))")))
+      .select(col("doc"), col("n"), (col("pos") + 1).as("p"), col("col.tok").as("tok"))
+    val l = prefixes.select(col("tok"), col("doc").as("d1"),
+      col("n").as("n1"), col("p").as("p1"))
+    val r = prefixes.select(col("tok"), col("doc").as("d2"),
+      col("n").as("n2"), col("p").as("p2"))
+    val joined = l.join(r, Seq("tok")).where(col("d1") < col("d2"))
+    val filtered = if (!ppjoinFilters) joined else {
+      // LENGTH: jac ≥ t forces the sizes within a factor t of each other
+      // (i ≤ min, u ≥ max). POSITIONAL: tokens of the intersection all
+      // sort at-or-after the first shared one, so the overlap is capped
+      // by what remains after (p1, p2); the output condition rearranged
+      // over that cap is one integer inequality. Both are necessary
+      // conditions of the EXACT output predicate — pure pruning
+      val twoT1 = lit(2L * t6 - 1L)
+      joined
+        .where(lit(2000000L) * least(col("n1"), col("n2")) >=
+          twoT1 * greatest(col("n1"), col("n2")))
+        .where((lit(1L) + least(col("n1") - col("p1"), col("n2") - col("p2"))) *
+          lit(2000000L + 2L * t6 - 1L) >= twoT1 * (col("n1") + col("n2")))
+    }
+    filtered.select(col("d1"), col("d2")).distinct()
   }
 }

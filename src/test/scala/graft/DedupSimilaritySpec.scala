@@ -821,6 +821,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(500))
   }
 
+  test("PPJoin length+positional filters: candidates shrink, verified output identical") {
+    // skewed fixture: sizes spread 3..30 (length-filter work — a pair
+    // with size ratio below t cannot clear the threshold) over a small
+    // vocabulary (shared prefix tokens at deep positions — positional-
+    // filter work). The filters are necessary conditions of the exact
+    // output predicate, so the verified result must be bit-identical
+    // with them on or off; only the candidate set may differ.
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val docs = (1L to 50L).map { i =>
+      val n = 3 + rnd.nextInt(28)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val t = 0.7
+    val candOff = Dedup.prefixFilterCandidates(df, "doc_id", "text", t,
+      ppjoinFilters = false).count()
+    val candOn = Dedup.prefixFilterCandidates(df, "doc_id", "text", t,
+      ppjoinFilters = true).count()
+    info(s"candidate pairs: $candOff unfiltered -> $candOn with PPJoin filters")
+    assert(candOn < candOff,
+      s"filters must prune candidates on this fixture ($candOff -> $candOn)")
+    def collectPairs(pp: Boolean): Set[(Long, Long, Double)] =
+      Dedup.prefixFilterJoin(df, "doc_id", "text", t, ppjoinFilters = pp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collectPairs(true) === collectPairs(false),
+      "PPJoin filters changed the verified output — they must be pure pruning")
+  }
+
   test("scene cuts: planted shot boundaries at frames 8 and 16, nothing else") {
     val ids = Seq(4L, 29L).toDF("doc_id")
     val cuts = Multimodal.sceneCuts(spark,
