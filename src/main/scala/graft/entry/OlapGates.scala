@@ -47,6 +47,32 @@ private[graft] object OlapGates {
        |SELECT node, rank FROM r5""".stripMargin
   }
 
+  /** Unrolled level-sync BFS oracle: each round expands the full
+    * reached set (same min-dist fixpoint as the Spark side's
+    * frontier-only expansion, just more oracle work). Shared by
+    * `graph_bfs` and its bucketed-layout twin — identical distances by
+    * construction.
+    */
+  private lazy val bfsOracleSql: String = {
+    val step = (i: Int) =>
+      s"""b$i AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+         |  SELECT node, dist FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, $i AS dist
+         |  FROM e JOIN b${i - 1} f ON e.src = f.node)
+         |GROUP BY node)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM eb
+       |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
+       |b0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS INT) AS dist
+       |       FROM customer WHERE c_custkey <= 3),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT node, dist FROM b4""".stripMargin
+  }
+
   /** Bidirectional customer↔part co-purchase edge list (orders ⋈
     * lineitem): the crawl-prioritization shape a training-data pipeline
     * runs on its host link graph. Part node ids are offset by 10M to
@@ -1042,28 +1068,24 @@ private[graft] object OlapGates {
           t(s, dir, "customer").filter(col("c_custkey") <= 3)
             .select(col("c_custkey")),
           "c_custkey", maxHops = 4),
-      {
-        // unrolled level-sync BFS: each round expands the full reached
-        // set (same min-dist fixpoint as the Spark side's
-        // frontier-only expansion, just more oracle work)
-        val step = (i: Int) =>
-          s"""b$i AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM (
-             |  SELECT node, dist FROM b${i - 1}
-             |  UNION ALL
-             |  SELECT e.dst AS node, $i AS dist
-             |  FROM e JOIN b${i - 1} f ON e.src = f.node)
-             |GROUP BY node)""".stripMargin
-        s"""WITH eb AS (
-           |  SELECT CAST(o_custkey AS BIGINT) AS src,
-           |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |e AS (SELECT src, dst FROM eb
-           |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
-           |b0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS INT) AS dist
-           |       FROM customer WHERE c_custkey <= 3),
-           |${(1 to 4).map(step).mkString(",\n")}
-           |SELECT node, dist FROM b4""".stripMargin
-      }),
+      bfsOracleSql),
+
+    ("graph_bfs_bucketed",
+      (s: SparkSession, dir: String) => {
+        // same distances, production layout: the edge list is written
+        // ONCE bucketed by src and every hop's edges⋈frontier join then
+        // reads the bucketed scan exchange-free — at 100 TB the per-hop
+        // shuffle drops from |E| (frontier out-edges) to the frontier
+        // itself (≤|V| rows). The pageRankBucketed pattern applied to
+        // reachability; GraphSpec asserts strictly fewer exchanges.
+        val table = s"graft_bfs_edges_${dirSuffix(dir)}"
+        Graph.writeEdges(coPurchaseEdges(s, dir), "src", "dst", table, nBuckets = 8)
+        Graph.bfsBucketed(s, table,
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", maxHops = 4)
+      },
+      bfsOracleSql),
 
     ("graph_kcore",
       (s: SparkSession, dir: String) =>

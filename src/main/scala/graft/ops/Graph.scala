@@ -284,7 +284,8 @@ object Graph {
     *
     * At 100 TB the same layout lever applies: over a src-bucketed edge
     * table the per-hop edge-side exchange disappears and only the
-    * frontier (≤|V| rows) shuffles.
+    * frontier (≤|V| rows) shuffles — that twin is [[bfsBucketed]]
+    * (GraphSpec asserts its strictly-fewer-exchanges plan).
     *
     * Directed semantics; pass both directions for undirected. Source
     * nodes need not appear in the edge list (isolated sources report
@@ -294,9 +295,27 @@ object Graph {
     */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    bfsLoop(e, sources, sourceCol, maxHops)
+  }
+
+  /** [[bfs]] over a [[writeEdges]]-bucketed (or [[ingestEdges]]-logged)
+    * edge table: bit-identical distances, but each hop's edges⋈frontier
+    * join reads the src-bucketed scan directly — no per-hop edge-side
+    * exchange, only the frontier (≤|V| rows) shuffles. The edge
+    * relation is NOT checkpointed here: truncating it would discard
+    * exactly the bucketed output partitioning this twin exists to
+    * exploit (the per-hop state still checkpoints, as in [[bfs]]).
+    */
+  def bfsBucketed(spark: SparkSession, edgeTable: String,
+                  sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame =
+    bfsLoop(spark.table(edgeTable).select(col("src"), col("dst")),
+      sources, sourceCol, maxHops)
+
+  private def bfsLoop(e: DataFrame, sources: DataFrame, sourceCol: String,
+                      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
     var reached = sources.select(col(sourceCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
     var frontier = reached
@@ -305,13 +324,21 @@ object Graph {
       hop += 1
       val expand = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), lit(hop).as("dist"))
-      // ONE checkpoint per hop: the frontier is a filter over the
-      // checkpointed state, not a second materialization
       val next = reached.union(expand)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-      frontier = next.where(col("dist") === hop)
-      reached = next
+      if (hop < maxHops) {
+        // ONE checkpoint per hop: the frontier is a filter over the
+        // checkpointed state, not a second materialization
+        val ck = next.localCheckpoint(true)
+        frontier = ck.where(col("dist") === hop)
+        reached = ck
+      } else {
+        // the LAST hop stays lazy (the pageRank discipline): the
+        // caller's sink job materializes it and the hop-join plan —
+        // including the bucketed twin's exchange-free edge side —
+        // stays inspectable
+        reached = next
+      }
     }
     reached
   }

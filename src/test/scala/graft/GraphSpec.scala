@@ -95,6 +95,24 @@ class GraphSpec extends AnyFunSuite {
       s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
   }
 
+  test("bucketed BFS twin: identical distances, strictly fewer exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("graph_bfs")(spark, dir)
+    val bucketed = SparkEntry.queries("graph_bfs_bucketed")(spark, dir)
+    // bit-identical output: same hop arithmetic over the same edges
+    val pm = plain.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bm = bucketed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pm === bm)
+    assert(pm.nonEmpty && pm.values.exists(_ > 0), "fixture must actually expand")
+    // the visible (final-hop) plan joins the bucketed scan exchange-free
+    // on the edge side — strictly fewer exchanges than the plain twin
+    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
+    val pPlain = plain.queryExecution.executedPlan.toString
+    val pBucketed = bucketed.queryExecution.executedPlan.toString
+    assert(exchanges(pBucketed) < exchanges(pPlain),
+      s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
+  }
+
   test("tolerance termination: grid fixed point stops with delta 0, stable under +1 iteration") {
     val sqlc = spark
     import sqlc.implicits._
