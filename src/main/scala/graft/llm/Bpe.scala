@@ -92,14 +92,30 @@ object Bpe {
     * tokens were never trained) are excluded on both sides by
     * construction.
     *
+    * The fold is CHUNKED: every `checkpointEvery` merges the word
+    * table localCheckpoints, bounding any single plan at
+    * `checkpointEvery` nested `replace` calls — a realistic 30k-merge
+    * table would otherwise build one plan containing every merge (an
+    * analysis/codegen blowup); the word table is |vocab|-sized, so the
+    * per-chunk materialization is the cheap side of that trade.
+    * Chunk boundaries cannot change the result (the fold is a strict
+    * left-to-right composition either way — CorpusSpec asserts boundary
+    * invariance and scalar-reference parity at a 500-merge table).
+    *
     * @return (idCol, n_bpe_tokens: long) — documents with no eligible
     *         words report 0
     */
   def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-                        merges: Seq[(String, String)]): DataFrame = {
-    val words = merges.foldLeft(wordTable(df, textCol)) { case (acc, (a, b)) =>
-      acc.withColumn("enc", expr(s"replace(enc, '|$a||$b|', '|$a$b|')"))
-    }.select(col("w"),
+                        merges: Seq[(String, String)],
+                        checkpointEvery: Int = 100): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    var acc = wordTable(df, textCol)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      acc = acc.withColumn("enc", expr(s"replace(enc, '|$a||$b|', '|$a$b|')"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.size)
+        acc = acc.localCheckpoint(true)
+    }
+    val words = acc.select(col("w"),
       size(expr("split(substring(enc, 2, length(enc) - 2), '\\\\|\\\\|')"))
         .cast("long").as("n_syms"))
     val docWords = df

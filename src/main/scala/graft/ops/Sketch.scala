@@ -150,6 +150,20 @@ object Sketch {
       .select(col("i"), col("bucket"), col("cnt"))
   }
 
+  /** Merge count-min counter tables of shards: counter-wise sum —
+    * exact, because each shard's counter (i, bucket) counts disjoint
+    * occurrences under the SAME hash constants (a library constant, so
+    * shard compatibility is automatic like [[hllMerge]]'s). Unlike HLL
+    * this merge is NOT idempotent: merging a shard twice double-counts,
+    * the standard linear-sketch contract.
+    */
+  def countMinMerge(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "countMinMerge needs at least one shard")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   // ------------------------------------------------- Histogram quantiles
 
   /** Fixed-boundary histogram sketch over `[lo, hi)`: per group, one

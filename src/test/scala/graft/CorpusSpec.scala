@@ -156,6 +156,48 @@ class CorpusSpec extends AnyFunSuite {
       s"fully-merged corpus must count one token per word: $counts")
   }
 
+  test("BPE encode with a 500-merge table: chunked fold, boundary-invariant, scalar parity") {
+    import graft.llm.Bpe
+    // a realistic merge table is 30k entries; the encode fold must not
+    // build one plan containing every merge. 500 merges exercises the
+    // chunking (5 plan segments at the default checkpointEvery=100) in
+    // bounded time; counts must be bit-identical to an in-memory
+    // scalar reference of the same replace fold, and invariant to
+    // where the chunk boundaries fall
+    val texts = Seq("abcd abab cdcd abcdabcd", "aabb ccdd aabbccdd dcba",
+      "abc bcd cda dab abcd", "ab cd abcd dddd")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // real learned head + deterministic padding to 500 (padding pairs
+    // still cost one replace each — exactly the plan-size load the
+    // chunking bounds; most are no-ops, which is what a long tail of a
+    // real merge table looks like against any one word)
+    val learned = Bpe.learnMerges(df, "text", 12).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val pad = (learned.size until 500).map(i => (s"q${"x" * (i % 7)}", "q"))
+    val merges = learned ++ pad
+    assert(merges.size === 500)
+    // in-memory scalar reference: the identical left-to-right replace
+    // fold over each distinct word's initial encoding
+    def scalarCount(w: String): Long = {
+      val enc0 = w.map(c => s"|$c|").mkString
+      val folded = merges.foldLeft(enc0) { case (e, (a, b)) =>
+        e.replace(s"|$a||$b|", s"|$a$b|") }
+      folded.substring(1, folded.length - 1).split("\\|\\|").length.toLong
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.split("\\s+").filter(_.matches("[a-z]+"))
+        .map(scalarCount).sum
+    }.toMap
+    val got = Bpe.encodeTokenCounts(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"distributed counts diverged from scalar reference")
+    // chunk-boundary invariance: a different checkpoint cadence cannot
+    // change the fold's result
+    val got37 = Bpe.encodeTokenCounts(df, "doc_id", "text", merges, checkpointEvery = 37)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got37 === got)
+  }
+
   test("hashSplit partitions rows into stable disjoint splits") {
     val df = (1L to 300L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.hashSplit(df, "text", trainPct = 80, valPct = 10)

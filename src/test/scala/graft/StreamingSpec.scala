@@ -665,6 +665,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("streaming HLL register maintenance equals the one-shot sketch, estimate bit-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the cardinality-sketch sibling of the histogram-refresh sink:
+    // each micro-batch's registers fold into the stored state via
+    // hllMerge (bucket-wise max — idempotent, so replayed or
+    // overlapping batches cannot corrupt the estimate), and the
+    // read-time estimate must be BIT-identical to the one-shot sketch
+    // over everything ingested (register-max plus the ρ-cap's exact
+    // dyadic sums make the estimator order-independent)
+    val rows = (1 to 150).map(i => (s"g${i % 2}", (i * 17 % 97).toLong))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("g", "k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = graft.ops.Sketch.hllRegisters(batch, "k", Seq("g"))
+        state = Some(graft.ops.Sketch.hllMerge(state.toSeq :+ b, Seq("g"))
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      mem.addData(rows.take(50): _*); q.processAllAvailable()
+      mem.addData(rows.slice(50, 100): _*); q.processAllAvailable()
+      // deliberate OVERLAP with batch 2: hllMerge is idempotent, the
+      // folded state must not drift
+      mem.addData(rows.drop(80): _*); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = graft.ops.Sketch.hllRegisters(rows.toDF("g", "k"), "k", Seq("g"))
+    assert(state.get.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet,
+      "stream-folded registers must equal the one-shot register table")
+    val a = graft.ops.Sketch.hllEstimate(state.get, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = graft.ops.Sketch.hllEstimate(oneShot, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a === b, "estimates must be bit-identical across the two states")
+  }
+
+  test("streaming count-min maintenance equals the one-shot sketch; point estimates match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the frequency-sketch sibling: counter-wise SUM folding (linear
+    // sketch — NOT idempotent, batches must partition the stream, the
+    // caller's exactly-once contract shared with Incremental)
+    val rows = (1 to 200).map(i => Tuple1((i % 13).toLong))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[Tuple1[Long]]
+    val q = mem.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = graft.ops.Sketch.countMinSketch(batch, "k")
+        state = Some(graft.ops.Sketch.countMinMerge(state.toSeq :+ b)
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      mem.addData(rows.take(70): _*); q.processAllAvailable()
+      mem.addData(rows.slice(70, 140): _*); q.processAllAvailable()
+      mem.addData(rows.drop(140): _*); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = graft.ops.Sketch.countMinSketch(rows.toDF("k"), "k")
+    assert(state.get.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet,
+      "stream-folded counters must equal the one-shot counter table")
+    val keys = (0L until 13L).map(Tuple1(_)).toDF("k")
+    val a = graft.ops.Sketch.countMinEstimate(state.get, keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.ops.Sketch.countMinEstimate(oneShot, keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // one-sided error: estimates never undercount the true frequency
+    val truth = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, c) => assert(a(k) >= c, s"undercount at $k") }
+  }
+
   test("cohort retention: offset-0 cells are the cohort sizes; matrix matches by hand") {
     import spark.implicits._
     // 2024-01-01 is a Monday, so each dts below IS its own week start
