@@ -369,6 +369,22 @@ private[graft] object DedupGates {
            |FROM qv""".stripMargin
       }),
 
+    ("embedding_cluster_assign",
+      (s: SparkSession, dir: String) => {
+        // deterministic k-means clustering as a FIRST-CLASS product
+        // (topical grouping for corpus curation — the SemDeDup/IVF
+        // front half exposed): lowest-id seeds + 2 exact-integer
+        // Lloyd's rounds, assignment by literal-centroid argmax — a
+        // narrow corpus scan, zero per-vector exchange
+        val e = t(s, dir, "embeddings")
+        val (c, cent) = Similarity.quantizedCorpus(e, "vec_id", "embedding",
+          nCentroids = 16, kmeansIters = 2)
+        Similarity.assignClusters(c, cent)
+          .select(col("nn_id").as("vec_id"), col("cluster"))
+      },
+      s"""WITH ${ivfAsgCtes(16, 2)}
+         |SELECT nn_id AS vec_id, cluster FROM asg""".stripMargin),
+
     ("similarity_topk",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")
@@ -421,6 +437,22 @@ private[graft] object DedupGates {
           "vec_id", "embedding", k = 5, nPlanes = 4, nTables = 16)
       },
       mipsAnnOracleSql(nPlanes = 4, nTables = 16)),
+
+    ("similarity_topk_mips_ivf",
+      (s: SparkSession, dir: String) => {
+        // MIPS through the IVF quantizer: the same norm-augmentation
+        // reduction, but candidates come from the query's nProbe
+        // nearest k-means cells over the normalized augmented vectors
+        // (constant norm M — normalization is a pure rescale, so the
+        // quantizer sees the cosine geometry it expects), rescored
+        // with the exact raw inner product. Mirrors similarity_topk_ivf's
+        // parameters; AnnRecallSpec pins the recall floor
+        val e = t(s, dir, "embeddings")
+        Similarity.topKMipsAnnIvf(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+          kmeansIters = 2)
+      },
+      mipsIvfOracleSql(nCentroids = 16, iters = 2, nProbe = 4)),
 
     ("similarity_topk_lsh",
       (s: SparkSession, dir: String) => {

@@ -205,7 +205,16 @@ private[graft] object GateSupport {
     * Ends in asg(nn_id, cv, cluster); shared by the IVF-ANN and
     * SemDeDup oracles.
     */
-  private[graft] def ivfAsgCtes(nCentroids: Int, iters: Int): String = {
+  private[graft] def ivfAsgCtes(nCentroids: Int, iters: Int): String =
+    ivfAsgCtesOver(
+      s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+      nCentroids, iters)
+
+  /** [[ivfAsgCtes]] with the `nv` source CTE supplied by the caller —
+    * the MIPS-IVF oracle feeds normalized AUGMENTED vectors through the
+    * identical k-means chain.
+    */
+  private[graft] def ivfAsgCtesOver(nvDef: String, nCentroids: Int, iters: Int): String = {
     val kmeansCtes = (0 until iters).map { i =>
       s"""a$i AS (SELECT id, v, cid FROM (
          |  SELECT nn.id, nn.v, c.cid,
@@ -220,7 +229,7 @@ private[graft] object GateSupport {
          |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
          |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+    s"""$nvDef,
        |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT $nCentroids)),
        |$kmeansCtes,
        |cent AS (SELECT cid, centv AS cv FROM c$iters),
@@ -290,17 +299,25 @@ private[graft] object GateSupport {
     * rescoring, rank. The augmented relations are MATERIALIZED: plain
     * CTEs inline per table reference (the BPE lesson).
     */
+  /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:
+    * `rv` (raw double vectors) → `avv` (corpus augmented with
+    * √(M²−‖x‖²)) and `aqq` (queries augmented with 0). MATERIALIZED:
+    * plain CTEs inline per reference (the BPE lesson).
+    */
+  private[graft] val mipsAugCtes: String =
+    s"""rv AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n2 AS (SELECT id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn FROM rv),
+       |mx AS (SELECT max(nn) AS m2 FROM n2),
+       |avv AS MATERIALIZED (SELECT id, list_append(v, sqrt(greatest(m2 - nn, CAST(0 AS DOUBLE)))) AS a FROM n2, mx),
+       |aqq AS MATERIALIZED (SELECT id, list_append(v, CAST(0 AS DOUBLE)) AS a FROM rv WHERE id < 20)""".stripMargin
+
   private[graft] def mipsAnnOracleSql(nPlanes: Int, nTables: Int): String = {
     val score = Num.r6Sql(dotSql("c.v", "q.v"))
     def tables(src: String) = (0 until nTables).map { t =>
       s"SELECT id, $t AS tbl, " + bucketSql("a", nPlanes, t * nPlanes) +
         s" AS bucket FROM $src"
     }.mkString("\n  UNION ALL ")
-    s"""WITH rv AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n2 AS (SELECT id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn FROM rv),
-       |mx AS (SELECT max(nn) AS m2 FROM n2),
-       |avv AS MATERIALIZED (SELECT id, list_append(v, sqrt(greatest(m2 - nn, CAST(0 AS DOUBLE)))) AS a FROM n2, mx),
-       |aqq AS MATERIALIZED (SELECT id, list_append(v, CAST(0 AS DOUBLE)) AS a FROM rv WHERE id < 20),
+    s"""WITH $mipsAugCtes,
        |bks AS (${tables("avv")}),
        |qbk AS (${tables("aqq")}),
        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
@@ -309,6 +326,30 @@ private[graft] object GateSupport {
        |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
        |       FROM cand JOIN rv c ON c.id = cand.nn_id
        |                 JOIN rv q ON q.id = cand.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB SQL for the [[Similarity.topKMipsAnnIvf]] oracle: the
+    * augmentation CTEs feed the IDENTICAL k-means chain as the cosine
+    * IVF gates ([[ivfAsgCtesOver]] with nv = normalized augmented
+    * vectors), probes rank centroids by the normalized augmented query,
+    * and candidates rescore with the exact RAW inner product.
+    */
+  private[graft] def mipsIvfOracleSql(nCentroids: Int, iters: Int, nProbe: Int): String = {
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH $mipsAugCtes,
+       |${ivfAsgCtesOver(s"nv AS (SELECT id, ${nvSql("a")} AS v FROM avv)", nCentroids, iters)},
+       |qn AS (SELECT id, ${nvSql("a")} AS nq FROM aqq),
+       |probes AS (SELECT id AS query_id, cid AS cluster FROM (
+       |  SELECT q.id, c.cid,
+       |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.nq", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM qn q CROSS JOIN cent c) WHERE rn <= $nProbe),
+       |sc AS (SELECT p.query_id, a.nn_id, $score AS score
+       |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id
+       |                  JOIN rv c ON c.id = a.nn_id
+       |                  JOIN rv q ON q.id = p.query_id)
        |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
        |WHERE rank <= 5""".stripMargin

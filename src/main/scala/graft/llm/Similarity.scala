@@ -261,6 +261,44 @@ object Similarity {
     topKMerge(scored, k, nSalts)
   }
 
+  /** Sublinear MIPS, IVF variant: the same [[mipsAugmented]] reduction
+    * quantized by the deterministic k-means coarse quantizer — the
+    * cluster-bounded cost/recall trade of [[topKIvf]] applied to
+    * inner-product search. The quantizer and probes run over the
+    * NORMALIZED augmented vectors (every augmented corpus vector has
+    * norm exactly M, so normalization is a pure rescale and the
+    * quantizer sees the cosine geometry it expects); the assignment is
+    * the same narrow literal-centroid argmax, carrying the RAW vector
+    * along so candidates are rescored with the exact inner product —
+    * no join-back against the corpus. Recall < 1 like any IVF; raise
+    * `nProbe` (AnnRecallSpec pins the floor at the gate parameters).
+    */
+  def topKMipsAnnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCentroids: Int = 16,
+                     nProbe: Int = 4, kmeansIters: Int = 2,
+                     nSalts: Int = 1): DataFrame = {
+    val (aug0, q0) = mipsAugmented(corpus, queries, idCol, vecCol)
+    val aug = if (kmeansIters > 0) graft.Partitioning.pinForReuse(corpus, aug0) else aug0
+    val cq = aug.select(col("nn_id"), normalize(col("av")).as("cv"))
+    val cent = coarseQuantizer(cq, nCentroids, kmeansIters)
+    val assign = aug.select(col("nn_id"), col("cv"),
+      graft.functions.CentroidArgmax.argmax(normalize(col("av")), typedLit(cent))
+        .as("cluster"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = q0.select(col("query_id"), col("qv"),
+        normalize(col("aq")).as("nq"), explode(typedLit(cent)).as("ct"))
+      .select(col("query_id"), col("qv"), col("nq"),
+        col("ct").getField("_1").as("cid"), col("ct").getField("_2").as("centv"))
+      .withColumn("sim", dot(col("nq"), col("centv")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+    val scored = assign.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, nSalts)
+  }
+
   /** Distinct (query_id, nn_id) candidate pairs [[topKMipsAnn]] would
     * score at these parameters — the selectivity diagnostic, mirroring
     * [[lshCandidatePairs]] (same contract: recall without a candidate

@@ -125,6 +125,16 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(cr <= 0.55, f"gate-config MIPS-ANN candidate rate grew to $cr%.3f (ceiling 0.55) — degenerating toward all-pairs")
   }
 
+  test("MIPS-IVF at the similarity_topk_mips_ivf GATE config (16 centroids, nProbe=4) holds its floor") {
+    val exactMips = resultSets(
+      Similarity.topKMips(emb, queries, "vec_id", "embedding", k = K))
+    val ivf = Similarity.topKMipsAnnIvf(emb, queries, "vec_id", "embedding",
+      k = K, nCentroids = 16, nProbe = 4, kmeansIters = 2)
+    val r = recallAt(ivf, exactMips)
+    info(f"MIPS-IVF recall@$K = $r%.3f (nCentroids=16, nProbe=4, kmeansIters=2 — the gate parameters)")
+    assert(r >= 0.75, f"gate-config MIPS-IVF recall@$K degraded to $r%.3f (floor 0.75)")
+  }
+
   test("MIPS-ANN retrieves magnitude-ranked neighbors on norm-skewed data") {
     // cosine ANN alone CANNOT pass this: vectors share one dominant
     // direction but differ 10x in magnitude, so the true MIPS top-k is
