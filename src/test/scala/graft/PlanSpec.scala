@@ -37,7 +37,10 @@ class PlanSpec extends AnyFunSuite {
       "events_funnel", "similarity_topk_mlsh", "multimodal_decode_gif",
       "corpus_pack_edges", "corpus_pack_segments",
       "corpus_decontaminate_report", "corpus_batch_by_length",
-      "corpus_select_budget")) {
+      "corpus_select_budget",
+      "similarity_topk_mips_ann", "similarity_topk_mips_ivf",
+      "embedding_cluster_assign", "dedup_prefix_filter",
+      "multimodal_phash_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
