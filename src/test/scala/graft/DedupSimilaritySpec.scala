@@ -848,6 +848,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(collectPairs(true) === collectPairs(false),
       "PPJoin filters changed the verified output — they must be pure pruning")
+    // exactness sweep: across thresholds (including near the exact-
+    // boundary regime) and a second random corpus, filters on === off
+    val rnd2 = new scala.util.Random(123)
+    val docs2 = (1L to 40L).map { i =>
+      val n = 2 + rnd2.nextInt(20)
+      i -> Seq.fill(n)(s"t${rnd2.nextInt(12)}").mkString(" ")
+    }
+    val df2 = docs2.toDF("doc_id", "text")
+    for (th <- Seq(0.3, 0.5, 0.8, 0.95); d <- Seq(df, df2)) {
+      def run(pp: Boolean) =
+        Dedup.prefixFilterJoin(d, "doc_id", "text", th, ppjoinFilters = pp)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(run(true) === run(false), s"filters changed output at t=$th")
+    }
   }
 
   test("scene cuts: planted shot boundaries at frames 8 and 16, nothing else") {

@@ -54,6 +54,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("similarity_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("MIPS-ANN candidate joins broadcast the query side on equi-keys") {
+    // the bucket join must be a broadcast HASH join on (tbl, bucket) —
+    // corpus side streams, query side broadcast; the IVF variant
+    // likewise broadcasts its probes on the cluster key
+    val ann = plan("similarity_topk_mips_ann")
+    assert(ann.contains("BroadcastHashJoin"), ann.take(400))
+    val ivf = plan("similarity_topk_mips_ivf")
+    assert(ivf.contains("BroadcastHashJoin"), ivf.take(400))
+  }
+
   test("q17/q20 correlated-aggregate shapes: broadcast join-backs, no cartesian") {
     val p17 = plan("tpch_q17")
     // part filter and the per-part threshold both broadcast; the fact
