@@ -22,6 +22,28 @@ private[graft] object SketchGates {
     Sketch.cmConstants.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  /** CTE chain `{p}sk → {p}es(g, est)` — the per-group HLL estimate of
+    * distinct `l_orderkey` over lineitem rows passing `where`, the
+    * identical arithmetic as the hll gates (60-bit md5 hash, m=256,
+    * ρ-capped dyadic sums, linear-counting branch), r6-rounded.
+    */
+  private def hllEstCtes(p: String, where: String): String = {
+    val alpha = s"CAST(${Sketch.HllAlpha} AS DOUBLE)"
+    s"""${p}h AS (SELECT l_returnflag AS g,
+       |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM lineitem $where),
+       |${p}sk AS (SELECT g, (h & 255) AS bucket,
+       |         max(least(53 - length(bin(h >> 8)), 40)) AS m_rho
+       |       FROM ${p}h GROUP BY g, (h & 255)),
+       |${p}ag AS (SELECT g, count(*) AS present,
+       |         sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << m_rho) AS DOUBLE)) AS sinv
+       |       FROM ${p}sk GROUP BY g),
+       |${p}es AS (SELECT g,
+       |  ${Num.r6Sql("CASE WHEN raw <= 256.0 * 2.5 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END")} AS est
+       |  FROM (SELECT g, $alpha * 256.0 * 256.0 / ((256.0 - present) + sinv) AS raw,
+       |               256 - present AS v FROM ${p}ag))""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     ("sketch_hll_distinct",
@@ -95,6 +117,44 @@ private[graft] object SketchGates {
            |  ${Num.r6Sql("CASE WHEN raw <= 256.0 * 2.5 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END")} AS est_distinct
            |FROM es""".stripMargin
       }),
+
+    ("sketch_hll_intersect",
+      (s: SparkSession, dir: String) => {
+        // set-OVERLAP estimation by inclusion–exclusion over mergeable
+        // registers — the "how much of shard A's keys are also in B"
+        // rate a 100 TB contamination audit asks WITHOUT shipping raw
+        // keys (each side is ≤ 256 registers per group). A = even
+        // orderkeys, B = multiples of 3 → true overlap = multiples of
+        // 6, ~1/6 of keys; the exact intersection rides along as the
+        // in-row witness like sketch_hll_distinct's
+        val li = t(s, dir, "lineitem")
+        val ra = Sketch.hllRegisters(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          "l_orderkey", Seq("l_returnflag"))
+        val rb = Sketch.hllRegisters(li.filter(pmod(col("l_orderkey"), lit(3)) === 0),
+          "l_orderkey", Seq("l_returnflag"))
+        val exact = li.filter(pmod(col("l_orderkey"), lit(6)) === 0)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_intersect"))
+        Sketch.hllIntersectEstimate(ra, rb, Seq("l_returnflag"))
+          .join(exact, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"), col("est_a"), col("est_b"),
+            col("est_union"), col("est_intersect"),
+            coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      },
+      s"""WITH ${hllEstCtes("a", "WHERE l_orderkey % 2 = 0")},
+         |${hllEstCtes("b", "WHERE l_orderkey % 3 = 0")},
+         |${hllEstCtes("u", "WHERE l_orderkey % 2 = 0 OR l_orderkey % 3 = 0")},
+         |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_intersect
+         |       FROM lineitem WHERE l_orderkey % 6 = 0 GROUP BY 1)
+         |SELECT ues.g AS l_returnflag,
+         |  COALESCE(aes.est, CAST(0 AS DOUBLE)) AS est_a,
+         |  COALESCE(bes.est, CAST(0 AS DOUBLE)) AS est_b,
+         |  ues.est AS est_union,
+         |  ${Num.r6Sql("greatest(COALESCE(aes.est, CAST(0 AS DOUBLE)) + COALESCE(bes.est, CAST(0 AS DOUBLE)) - ues.est, CAST(0 AS DOUBLE))")} AS est_intersect,
+         |  CAST(COALESCE(ex.exact_intersect, 0) AS BIGINT) AS exact_intersect
+         |FROM ues LEFT JOIN aes ON ues.g = aes.g
+         |         LEFT JOIN bes ON ues.g = bes.g
+         |         LEFT JOIN ex ON ues.g = ex.g""".stripMargin),
 
     ("sketch_countmin_topk",
       (s: SparkSession, dir: String) => {

@@ -110,6 +110,43 @@ object Sketch {
   def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
     hllEstimate(hllRegisters(df, keyCol, groupCols), groupCols)
 
+  /** Set-OVERLAP estimate from two register tables by inclusion–
+    * exclusion: est(A∩B) = est(A) + est(B) − est(A∪B), the union's
+    * registers being the bucket-wise max ([[hllMerge]]) — the
+    * "how contaminated is this training shard against that eval set"
+    * RATE estimator that never touches raw keys (each side is ≤ m
+    * registers per group; pair it with the exact n-gram decontaminate
+    * operators when membership, not rate, is the question). Error
+    * compounds — roughly the union's standard error scaled by
+    * |A∪B|/|A∩B| — so small overlaps read noisily; the estimate is
+    * clamped at 0 (inclusion–exclusion of independent sketches can go
+    * negative). Groups present on one side only report their one-sided
+    * estimate and intersect 0-ish via a full outer join. All arithmetic
+    * is the exact expression the DuckDB oracle runs; every estimate is
+    * r6-rounded BEFORE the combination (and the combination r6-rounded
+    * again), so the output is bit-reproducible cross-engine.
+    *
+    * @return (groupCols…, est_a, est_b, est_union, est_intersect)
+    */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame,
+                           groupCols: Seq[String]): DataFrame = {
+    val ea = hllEstimate(a, groupCols)
+      .withColumnRenamed("est_distinct", "est_a")
+    val eb = hllEstimate(b, groupCols)
+      .withColumnRenamed("est_distinct", "est_b")
+    val eu = hllEstimate(hllMerge(Seq(a, b), groupCols), groupCols)
+      .withColumnRenamed("est_distinct", "est_union")
+    ea.join(eb, groupCols, "full_outer")
+      .join(eu, groupCols, "inner") // union covers every group by construction
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("est_a"), lit(0.0d)).as("est_a"),
+        coalesce(col("est_b"), lit(0.0d)).as("est_b"),
+        col("est_union"),
+        Num.r6(greatest(
+          coalesce(col("est_a"), lit(0.0d)) + coalesce(col("est_b"), lit(0.0d))
+            - col("est_union"), lit(0.0d))).as("est_intersect")): _*)
+  }
+
   // ------------------------------------------------------------ Count-min
 
   /** Count-min depth (independent hash rows) and width (buckets per

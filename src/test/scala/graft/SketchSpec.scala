@@ -262,6 +262,33 @@ class SketchSpec extends AnyFunSuite {
     assert(graft.ops.Profile.zscoreOutliers(df, "v", Seq("g"), 2.0).count() === 0L)
   }
 
+  test("HLL intersect estimate: known overlap within tolerance; self = identity; disjoint clamps to ~0") {
+    import spark.implicits._
+    // A = 1..4000, B = 3001..7000 → |A∩B| = 1000, |A∪B| = 7000. The
+    // estimator's error is the union's (~6.5% s.e. at m=256) scaled by
+    // |A∪B|/|A∩B| = 7 — allow 3 scaled standard errors
+    val a = (1L to 4000L).map(Tuple1(_)).toDF("k")
+    val b = (3001L to 7000L).map(Tuple1(_)).toDF("k")
+    val ra = Sketch.hllRegisters(a.withColumn("g", lit("x")), "k", Seq("g"))
+    val rb = Sketch.hllRegisters(b.withColumn("g", lit("x")), "k", Seq("g"))
+    val row = Sketch.hllIntersectEstimate(ra, rb, Seq("g")).collect().head
+    val est = row.getAs[Double]("est_intersect")
+    val tol = 3.0 * 0.065 * 7000.0
+    assert(math.abs(est - 1000.0) <= tol, s"est_intersect $est vs true 1000 (tol $tol)")
+    // self-intersection: union = A, so est(A∩A) = est(A) exactly
+    // (register-max idempotence makes the arithmetic collapse)
+    val self = Sketch.hllIntersectEstimate(ra, ra, Seq("g")).collect().head
+    assert(self.getAs[Double]("est_intersect") === self.getAs[Double]("est_a"))
+    // disjoint sets: inclusion–exclusion noise clamps at 0, never
+    // reports a materially negative or large phantom overlap
+    val c = (100001L to 104000L).map(Tuple1(_)).toDF("k")
+    val rc = Sketch.hllRegisters(c.withColumn("g", lit("x")), "k", Seq("g"))
+    val dj = Sketch.hllIntersectEstimate(ra, rc, Seq("g")).collect().head
+    val djEst = dj.getAs[Double]("est_intersect")
+    assert(djEst >= 0.0 && djEst <= 3.0 * 0.065 * 8000.0,
+      s"disjoint overlap estimate $djEst out of noise band")
+  }
+
   test("momentState: cents² beyond Long range stays exact (decimal square, no wrap)") {
     import spark.implicits._
     // |v| ≥ ~3.04e7 ⇒ cents² > Long.MaxValue: a long square would wrap
