@@ -289,6 +289,38 @@ private[graft] object SketchGates {
            |${Seq(0.5, 0.9, 0.99).map(per).mkString("\nUNION ALL\n")}""".stripMargin
       }),
 
+    ("profile_trend",
+      (s: SparkSession, dir: String) =>
+        // per-return-flag OLS fit of extendedprice against quantity —
+        // the drift/trend profiling pass: ONE partial-aggregated
+        // groupBy producing six exact-integer moments per group, slope/
+        // intercept/r² as identical int→double casts + IEEE ops in both
+        // engines (the momentState discipline, two-variable form)
+        Profile.linearFit(t(s, dir, "lineitem"),
+          "l_quantity", "l_extendedprice", Seq("l_returnflag")),
+      {
+        val slope = "(covxy / varx)"
+        s"""WITH c AS (SELECT l_returnflag AS g,
+           |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xc,
+           |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc
+           |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+           |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(xc AS HUGEINT)) AS sx, sum(CAST(yc AS HUGEINT)) AS sy,
+           |    sum(CAST(xc AS HUGEINT) * CAST(yc AS HUGEINT)) AS sxy,
+           |    sum(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS sxx,
+           |    sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS syy
+           |  FROM c GROUP BY g),
+           |d AS (SELECT *,
+           |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS varx,
+           |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vary,
+           |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS covxy FROM m)
+           |SELECT g AS l_returnflag, n,
+           |  ${Num.r6Sql(slope)} AS slope,
+           |  ${Num.r6Sql(s"(CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / (100.0 * CAST(n AS DOUBLE))")} AS intercept,
+           |  ${Num.r6Sql("CASE WHEN vary > 0 THEN covxy * covxy / (varx * vary) ELSE CAST(0 AS DOUBLE) END")} AS r2
+           |FROM d WHERE n >= 2 AND varx > 0""".stripMargin
+      }),
+
     ("profile_anomaly",
       (s: SparkSession, dir: String) =>
         // per-event-type z-score outliers over the events stream: the

@@ -114,6 +114,57 @@ object Profile {
         col("__n").cast(dec) * col("__ss") - col("__s") * col("__s"))
   }
 
+  /** Per-group ordinary-least-squares line fit y = slope·x + intercept
+    * with r² — the drift/trend detector of a profiling pass ("is price
+    * per unit moving", "is latency trending up"), and the closed-form
+    * regression a 100 TB pass can afford: ONE partial-aggregated
+    * groupBy producing six numbers per group, nothing else.
+    *
+    * The [[momentState]] determinism discipline, extended to two
+    * variables: x and y quantize to integer cents and all five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) aggregate as DECIMAL(38,0) — exact in any
+    * order (products are taken AFTER the decimal cast; cents² overflows
+    * long). The cents scale then cancels out of the slope
+    * (cov_c/var_c = 100²cov/100²var), and slope, intercept, and r² are
+    * computed by the IDENTICAL sequence of exact-int→double casts and
+    * IEEE ops in both engines, r6-rounded on output.
+    *
+    * Groups need n ≥ 2 and nonzero x-variance (a vertical line has no
+    * OLS fit); r² of a zero-y-variance group is reported 0 by the
+    * 0/0-guard (the flat line explains nothing of nothing). NULL x or
+    * y rows are ignored.
+    *
+    * @return (groupCols…, n: long, slope, intercept, r2) — r6 doubles
+    */
+  def linearFit(df: DataFrame, xCol: String, yCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "linearFit needs at least one group column")
+    val xc = floor(col(xCol) * 100.0d + 0.5d).cast("long")
+    val yc = floor(col(yCol) * 100.0d + 0.5d).cast("long")
+    val m = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(xc.as("__x"), yc.as("__y")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+    val nD = col("__n").cast(dec)
+    val varx = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vary = (nD * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val covxy = (nD * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val slope = covxy / varx
+    val intercept = (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+      (lit(100.0d) * col("__n").cast("double"))
+    val r2 = when(vary > 0.0d, covxy * covxy / (varx * vary)).otherwise(lit(0.0d))
+    m.where(col("__n") >= 2 && varx > 0.0d)
+      .select(groupCols.map(col) ++ Seq(col("__n").as("n"),
+        graft.Num.r6(slope).as("slope"),
+        graft.Num.r6(intercept).as("intercept"),
+        graft.Num.r6(r2).as("r2")): _*)
+  }
+
   def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
                      threshold: Double): DataFrame = {
     require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")

@@ -289,6 +289,31 @@ class SketchSpec extends AnyFunSuite {
       s"disjoint overlap estimate $djEst out of noise band")
   }
 
+  test("linearFit: perfect line recovered exactly; noise lowers r2; degenerate groups dropped") {
+    import spark.implicits._
+    // group a: y = 2.5x + 7 exactly (cents-exact inputs) → slope/
+    // intercept recovered on the r6 grid, r2 = 1
+    val lineRows = (1 to 20).map(i => ("a", i.toDouble, 2.5 * i + 7.0))
+    // group b: same line with a planted off-line point → r2 < 1
+    val noisy = (1 to 19).map(i => ("b", i.toDouble, 2.5 * i + 7.0)) :+ (("b", 20.0, 500.0))
+    // group c: zero x-variance (vertical) → no OLS fit, dropped
+    // group d: n = 1 → dropped
+    val degen = Seq(("c", 4.0, 1.0), ("c", 4.0, 9.0), ("d", 1.0, 2.0))
+    val df = (lineRows ++ noisy ++ degen).toDF("g", "x", "y")
+    val got = graft.ops.Profile.linearFit(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set("a", "b"), s"degenerate groups must drop: $got")
+    val (na, sa, ia, ra) = got("a")
+    assert(na === 20L && sa === 2.5d && ia === 7.0d && ra === 1.0d, got("a").toString)
+    val (_, _, _, rb) = got("b")
+    assert(rb < 0.9d, s"planted outlier must depress r2, got $rb")
+    // flat-y group: slope 0, r2 reported 0 by the 0/0 guard
+    val flat = (1 to 5).map(i => ("f", i.toDouble, 3.0)).toDF("g", "x", "y")
+    val f = graft.ops.Profile.linearFit(flat, "x", "y", Seq("g")).collect().head
+    assert(f.getDouble(2) === 0.0d && f.getDouble(4) === 0.0d)
+  }
+
   test("momentState: cents² beyond Long range stays exact (decimal square, no wrap)") {
     import spark.implicits._
     // |v| ≥ ~3.04e7 ⇒ cents² > Long.MaxValue: a long square would wrap
