@@ -47,6 +47,43 @@ private[graft] object OlapGates {
        |SELECT node, rank FROM r5""".stripMargin
   }
 
+  /** Personalized-PageRank oracle: the [[pageRankOracleSql]] chain with
+    * the teleport restricted to the seed set (customers ≤ 3) — seeded
+    * init 1/|S|, per-round teleport (1−d)/|S| on seeds and 0 elsewhere,
+    * association `seedTp + d·(insum + 0)` mirroring the Spark side
+    * bit-for-bit (the bidirectional graph has no dangling nodes).
+    */
+  private lazy val pprOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val seedTp = s"CASE WHEN nd.seed THEN (1 - $d) / (SELECT n FROM ns) ELSE CAST(0 AS DOUBLE) END"
+    val step = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    ${Num.r6Sql(s"$seedTp + $d * (COALESCE(s.insum, CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")} AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / dg.deg) AS insum
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN dg ON e.src = dg.src
+         |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM eb
+       |      UNION ALL SELECT dst AS src, src AS dst FROM eb),
+       |sd AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node
+       |       FROM customer WHERE c_custkey <= 3),
+       |nd AS (SELECT n.node, (n.node IN (SELECT node FROM sd)) AS seed FROM (
+       |         SELECT src AS node FROM e UNION SELECT dst FROM e
+       |         UNION SELECT node FROM sd) n),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd),
+       |dg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CASE WHEN seed THEN CAST(1 AS DOUBLE) / (SELECT n FROM ns)
+       |                         ELSE CAST(0 AS DOUBLE) END AS rank FROM nd),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node, rank FROM r5""".stripMargin
+  }
+
   /** Unrolled level-sync BFS oracle: each round expands the full
     * reached set (same min-dist fixpoint as the Spark side's
     * frontier-only expansion, just more oracle work). Shared by
@@ -949,6 +986,18 @@ private[graft] object OlapGates {
         Graph.pageRankIngested(s, log, degT, iters = 5, damping = 0.85d)
       },
       pageRankOracleSql),
+
+    ("graph_pagerank_personalized",
+      (s: SparkSession, dir: String) =>
+        // seed-relative authority: teleport restricted to customers
+        // 1-3 — "rank everything relative to these trusted nodes", the
+        // query global PageRank cannot express. Same join+agg iteration
+        // shape; nodes outside the seeds' reach legitimately rank 0
+        Graph.pageRankPersonalized(coPurchaseEdges(s, dir), "src", "dst",
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", iters = 5, damping = 0.85d),
+      pprOracleSql),
 
     ("graph_pagerank_directed",
       (s: SparkSession, dir: String) => {

@@ -152,6 +152,78 @@ object Graph {
                        tol: Double = 0.0d): DataFrame =
     iterate(spark.table(edgeTable), iters, damping, tol)._1
 
+  /** Personalized PageRank (PPR): rank mass teleports to a SEED SET
+    * instead of uniformly — "authority relative to these trusted
+    * hosts", the crawl-prioritization and related-entity primitive
+    * standard PageRank cannot express (its ranking is global). Seeds
+    * need not appear in the edge list (isolated seeds are dangling
+    * nodes and their mass re-teleports to the seed set, the standard
+    * PPR convention); nodes outside every seed's reach legitimately
+    * rank 0.
+    *
+    * Same Spark shape as [[pageRank]]: per iteration one equi-join +
+    * one aggregation, dangling mass as a 1-row broadcast scalar,
+    * lineage truncated, every rank on the r6 grid. The update is
+    * written as `seedTp + d·(insum + seedDm)` — EXACTLY the standard
+    * formula's association — so PPR with seeds = all nodes is
+    * bit-identical to [[pageRank]] (GraphSpec asserts it, dangling
+    * case included).
+    *
+    * @return (node: long, rank: double) — every node of edges ∪ seeds
+    */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int, damping: Double = 0.85d): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint(true)
+    val nS = sd.count()
+    require(nS > 0L, "personalized PageRank needs at least one seed")
+    val nSD = nS.toDouble
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
+      .union(sd.select(col("node")))
+      .distinct()
+      .join(sd.select(col("node"), lit(true).as("__s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
+      .localCheckpoint(true)
+    val danglingNodes = nodes
+      .join(eDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0L
+    val tp = (1.0d - damping) / nSD
+    var ranks = nodes.select(col("node"), col("seed"),
+      when(col("seed"), lit(1.0d / nSD)).otherwise(lit(0.0d)).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("insum"))
+        .select(col("dst").as("node"), col("insum"))
+      val base = nodes.join(contribs, Seq("node"), "left")
+      val withDm =
+        if (hasDangling) {
+          val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0d)).as("dm"))
+          base.crossJoin(broadcast(dm))
+        } else base.withColumn("dm", lit(0.0d))
+      val newRank = Num.r6(
+        when(col("seed"), lit(tp)).otherwise(lit(0.0d)) +
+          lit(damping) * (coalesce(col("insum"), lit(0.0d)) +
+            when(col("seed"), col("dm") / lit(nSD)).otherwise(lit(0.0d))))
+      ranks = withDm.select(col("node"), col("seed"), newRank.as("rank"))
+      i += 1
+      if (i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each iteration a node adopts the
     * most frequent label among its in-neighbors, ties broken to the

@@ -95,6 +95,47 @@ class GraphSpec extends AnyFunSuite {
       s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
   }
 
+  test("personalized PageRank with seeds = all nodes is bit-identical to standard (dangling included)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // node 4 is dangling (no out-edges) — exercises PPR's dangling-mass
+    // re-teleport against standard PageRank's, whose association the
+    // PPR update deliberately mirrors
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 5L -> 1L)
+    val df = edges.toDF("s", "d")
+    val allNodes = (1L to 5L).map(Tuple1(_)).toDF("n")
+    val std = graft.ops.Graph.pageRank(df, "s", "d", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppr = graft.ops.Graph.pageRankPersonalized(df, "s", "d", allNodes, "n", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr === std, "uniform-seed PPR must collapse to standard PageRank exactly")
+  }
+
+  test("personalized PageRank: rank stays with the seed component; mass conserved") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // two disconnected 3-cycles; the seed sits in the first — the
+    // second component must rank exactly 0 (PPR locality, the property
+    // global PageRank cannot express) and total mass stays ~1
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val df = edges.toDF("s", "d")
+    val got = graft.ops.Graph.pageRankPersonalized(
+      df, "s", "d", Seq(1L).toDF("n"), "n", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(got(_) === 0.0d),
+      s"unreachable component must rank 0: $got")
+    assert(Seq(1L, 2L, 3L).forall(got(_) > 0.0d), got.toString)
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0d) < 1e-4, s"mass $mass drifted off 1 beyond grid noise")
+    // isolated seed (not in the edge list): dangling by construction,
+    // still ranks — its mass re-teleports to the seed set, never leaks
+    val got2 = graft.ops.Graph.pageRankPersonalized(
+      df, "s", "d", Seq(99L).toDF("n"), "n", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2(99L) > 0.9d, s"isolated seed must retain its mass: $got2")
+    assert(got2.values.count(_ > 0.0d) === 1, s"nothing else is reachable: $got2")
+  }
+
   test("bucketed BFS twin: identical distances, strictly fewer exchanges") {
     val dir = "/root/testdata/sf0.001"
     val plain = SparkEntry.queries("graph_bfs")(spark, dir)
