@@ -438,6 +438,44 @@ private[graft] object DedupGates {
       },
       mipsAnnOracleSql(nPlanes = 4, nTables = 16)),
 
+    ("retrieval_hybrid_rrf",
+      (s: SparkSession, dir: String) => {
+        // hybrid retrieval: reciprocal-rank fusion of the cosine and
+        // inner-product top-10 rankings (a pure function of RANKS, so
+        // the incomparable score scales never matter); reciprocals are
+        // r6'd and summed in exact micro-units — aggregation-order
+        // independent, the repo-wide float-sum discipline
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val cos = Similarity.topK(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("nn_id").as("doc"), col("rank"))
+        val mips = Similarity.topKMips(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("nn_id").as("doc"), col("rank"))
+        Retrieval.rrfFuse(Seq(cos, mips), topK = 5)
+      },
+      {
+        val recipMicro = s"CAST(floor(${Num.r6Sql("CAST(1 AS DOUBLE) / (60 + CAST(rank AS DOUBLE))")} * 1000000.0 + 0.5) AS BIGINT)"
+        def rankChain(p: String, vecExpr: String) = {
+          val score = Num.r6Sql(dotSql("c.v", "q.v"))
+          s"""${p}v AS (SELECT vec_id AS id, $vecExpr AS v FROM embeddings),
+             |${p}sc AS (SELECT q.id AS query_id, c.id AS doc, $score AS score
+             |       FROM ${p}v c JOIN ${p}v q ON q.id < 20 AND c.id <> q.id),
+             |${p}rk AS (SELECT query_id, doc, rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM ${p}sc)
+             |  WHERE rank <= 10)""".stripMargin
+        }
+        s"""WITH ${rankChain("c", nvSql("embedding"))},
+           |${rankChain("m", "list_transform(embedding, x -> CAST(x AS DOUBLE))")},
+           |mic AS (SELECT query_id, doc, $recipMicro AS micro FROM crk
+           |        UNION ALL SELECT query_id, doc, $recipMicro FROM mrk),
+           |fs AS (SELECT query_id, doc,
+           |         ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
+           |       FROM mic GROUP BY query_id, doc)
+           |SELECT query_id, doc, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM fs)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     ("similarity_topk_mips_ivf",
       (s: SparkSession, dir: String) => {
         // MIPS through the IVF quantizer: the same norm-augmentation

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword and hybrid retrieval over a document corpus — the exact
+  * lexical complement to [[Similarity]]'s embedding ANN (a training-data
+  * pipeline needs both: BM25 for "find documents containing these
+  * terms", ANN for "find documents like this one", and rank fusion to
+  * combine them — the standard hybrid-retrieval stack).
+  *
+  * Scale shape: BM25 is the classic posting-list join — the corpus
+  * tokenizes once into (doc, term, tf), query terms (tiny) broadcast
+  * onto it, and scoring is one partial-aggregated groupBy per
+  * (query, doc). Corpus statistics (N, avgdl) ride as a 1-row broadcast
+  * scalar (the tpch_q15 idiom); document frequency joins on the term
+  * key. Nothing is ever all-pairs: a document with no query term in
+  * common is never touched past the equi-join.
+  *
+  * Determinism discipline: every float that crosses an aggregation
+  * boundary is first rounded to the 1e-6 grid and converted to integer
+  * micro-units, so per-(query, doc) score sums are EXACT in any
+  * aggregation order — and `ln` (last-ulp divergent across engines) is
+  * r6-rounded the moment it is computed, the repo-wide rule.
+  */
+object Retrieval {
+
+  /** Render a driver double as SQL that parses to the identical IEEE
+    * value in DuckDB (shortest round-trip repr → correctly-rounded
+    * decimal parse on both sides).
+    */
+  def litSql(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  /** BM25 scores of every (query, document) pair sharing at least one
+    * term, top `topK` documents per query (ties broken by doc id).
+    * Standard Robertson/Sparck-Jones BM25:
+    * idf(t) = ln((N − df + ½)/(df + ½) + 1) (the Lucene non-negative
+    * form), term score idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)).
+    *
+    * @return (query_id, doc, score, rank)
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qTextCol: String,
+               topK: Int, k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    require(k1 >= 0.0d && b >= 0.0d && b <= 1.0d, "k1 >= 0 and b in [0, 1]")
+    val toks = graft.Partitioning.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .localCheckpoint(true)
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    // N and avgdl from the SAME relation as a 1-row broadcast scalar:
+    // a doc with text but zero tokens contributes to neither, on both
+    // engines, by construction
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(split(lower(col(qTextCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "").distinct()
+    val nD = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / nD
+    val idf = graft.Num.r6(
+      log((nD - col("df").cast("double") + lit(0.5d)) /
+        (col("df").cast("double") + lit(0.5d)) + lit(1.0d)))
+    val tfD = col("tf").cast("double")
+    val norm = tfD + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val term = graft.Num.r6(col("idf") * (tfD * lit(k1 + 1.0d)) / norm)
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq.crossJoin(broadcast(stats))
+        .select(col("term"), idf.as("idf"))), Seq("term"))
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      // exact-integer micro-units so the per-(query, doc) sum is
+      // aggregation-order independent
+      .select(col("query_id"), col("doc"),
+        floor(term * lit(1000000.0d) + lit(0.5d)).cast("long").as("micro"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("micro")).as("micro"))
+      .select(col("query_id"), col("doc"),
+        graft.Num.r6(col("micro").cast("double") / lit(1000000.0d)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    * lists `(query_id, doc, rank)` — the standard hybrid-retrieval
+    * combiner (BM25 ⊕ ANN): fused score = Σ over lists of
+    * 1/(kRrf + rank), a pure function of RANKS so incomparable score
+    * scales never matter. Each reciprocal is r6-rounded and summed in
+    * exact micro-units (order-independent); top `topK` per query, ties
+    * by doc id.
+    *
+    * @return (query_id, doc, score, rank)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK >= 1 && kRrf >= 0, "topK must be positive, kRrf non-negative")
+    val contribs = rankings.map { r =>
+      val recip = graft.Num.r6(lit(1.0d) /
+        (lit(kRrf.toDouble) + col("rank").cast("double")))
+      r.select(col("query_id"), col("doc"),
+        floor(recip * lit(1000000.0d) + lit(0.5d)).cast("long").as("micro"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("micro")).as("micro"))
+      .select(col("query_id"), col("doc"),
+        graft.Num.r6(col("micro").cast("double") / lit(1000000.0d)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.Retrieval
+
+/** BM25 / rank-fusion semantics: scalar-reference score parity, the
+  * classic IR orderings (rare term wins, shorter doc wins at equal tf),
+  * and RRF's consensus property.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def topDocs(df: DataFrame, qid: String): Seq[Long] =
+    df.filter(col("query_id") === qid).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+
+  test("BM25: scalar-reference score parity on a hand-built corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox jumps"),
+      (2L, "red red dog"),
+      (3L, "blue whale swims far away today")).toDF("doc_id", "text")
+    val qs = Seq(("q", "red")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", topK = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // scalar replica of the exact arithmetic: N=3, df(red)=2, dl=3/3/6,
+    // avgdl=4; idf and term r6'd, micro-summed
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val idf = r6(math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0))
+    def score(tf: Double, dl: Double) = {
+      val term = r6(idf * (tf * 2.2d) / (tf + 1.2d * (0.25d + 0.75d * dl / 4.0d)))
+      r6(math.floor(term * 1e6 + 0.5) / 1e6)
+    }
+    assert(got === Map(1L -> score(1, 3), 2L -> score(2, 3)),
+      s"got $got, doc 3 (no match) must be absent")
+    assert(got(2L) > got(1L), "higher tf at equal length must score higher")
+  }
+
+  test("BM25: rare term outranks ubiquitous term; shorter doc wins at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "common theta iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    // 'rare' df=1, 'common' df=4: the doc holding the rare term must
+    // rank first for a rare+common query
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(("q", "rare common")).toDF("qid", "qtext"), "qid", "qtext", topK = 4)
+    assert(topDocs(got, "q").head === 1L)
+    // common-only query: equal tf=1 everywhere, so the SHORTEST doc
+    // scores highest (b=0.75 length normalization) and the longest last
+    val common = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(("c", "common")).toDF("qid", "qtext"), "qid", "qtext", topK = 4)
+    val order = topDocs(common, "c")
+    assert(order.last === 4L, s"longest doc must rank last: $order")
+  }
+
+  test("RRF: consensus across lists beats a single-list ranking; self-fusion preserves order") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,4,5 — doc 2 (rank 2 in
+    // both) must beat doc 1 (rank 1 in only one list): 2/(60+2) > 1/61
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3)).toDF("query_id", "doc", "rank")
+    val b = Seq(("q", 2L, 2), ("q", 4L, 1), ("q", 5L, 3)).toDF("query_id", "doc", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), topK = 5)
+    val order = topDocs(fused, "q")
+    assert(order.head === 2L, s"consensus doc must lead: $order")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val s2 = fused.filter(col("doc") === 2L).collect().head.getDouble(2)
+    assert(s2 === r6(2 * math.floor(r6(1.0 / 62.0) * 1e6 + 0.5) / 1e6))
+    // fusing a list with itself: scores double, order unchanged
+    val selfFused = Retrieval.rrfFuse(Seq(a, a), topK = 3)
+    assert(topDocs(selfFused, "q") === Seq(1L, 2L, 3L))
+  }
+}
