@@ -385,6 +385,27 @@ private[graft] object DedupGates {
       s"""WITH ${ivfAsgCtes(16, 2)}
          |SELECT nn_id AS vec_id, cluster FROM asg""".stripMargin),
 
+    ("embedding_random_project",
+      (s: SparkSession, dir: String) =>
+        // deterministic JL random projection 32→8: the dim-reduction
+        // front half of the ANN family — per-row folds against
+        // literal-seeded LCG components, zero shuffle, no RNG state,
+        // so the projection is a stable cross-engine storage format
+        Similarity.randomProject(t(s, dir, "embeddings"),
+          "vec_id", "embedding", outDim = 8)
+          .select(col("id").as("vec_id"), col("dim"), col("value")),
+      {
+        val scale = Retrieval.litSql(math.sqrt(12.0d / 8.0d))
+        val dims = (0 until 8).map { j =>
+          val comp = s"((((${Similarity.ProjectPlaneBase + j} * 4096 + (i - 1)) * 1103515245 + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+          val proj = s"list_reduce(list_transform(v, (x, i) -> x * $comp), (p_, q_) -> p_ + q_)"
+          s"SELECT id, CAST($j AS INT) AS dim, ${Num.r6Sql(s"$scale * $proj")} AS value FROM rv"
+        }.mkString("\nUNION ALL ")
+        s"""WITH rv AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |            FROM embeddings WHERE embedding IS NOT NULL)
+           |SELECT id AS vec_id, dim, value FROM ($dims)""".stripMargin
+      }),
+
     ("similarity_topk",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -110,6 +110,48 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Plane id offset for the [[randomProject]] matrix — far above any
+    * plane index the LSH families use (nPlanes·nTables tops out well
+    * under 100), so projection rows and bucket hyperplanes never share
+    * LCG seeds.
+    */
+  val ProjectPlaneBase = 500
+
+  /** Deterministic Johnson–Lindenstrauss random projection to `outDim`
+    * dimensions: out_j = √(12/outDim) · Σ_i v_i · r(j, i), with
+    * r(j, i) the [[planeComponent]] LCG uniform on [−0.5, 0.5)
+    * (variance 1/12 — the √(12/k) scale makes E‖out‖² = ‖v‖², the JL
+    * norm-preservation contract). The storage/compute lever BEFORE the
+    * ANN family: every downstream dot product and bucket costs ∝ dim,
+    * and a 32→8 projection cuts that 4× at a bounded distance
+    * distortion (AnnRecallSpec-style empirical pins live in
+    * DedupSimilaritySpec). Entirely narrow — per-row folds against
+    * literal-seeded components, no shuffle, no state — and
+    * deterministic anywhere (no RNG): the same vector projects to the
+    * same output on any engine, which is what makes the projection a
+    * stable STORAGE format, not just a transform.
+    *
+    * @return (id, dim: int 0-based, value: double r6) — long form, one
+    *         row per output component
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int): DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val scale = math.sqrt(12.0d / outDim.toDouble)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val comps = (0 until outDim).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(ProjectPlaneBase + j, i.cast("long"))),
+        lit(0.0d), (acc, x) => acc + x)
+      graft.Num.r6(lit(scale) * proj)
+    }
+    graft.Partitioning.spread(df)
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(array(comps: _*)))
+      .select(col("id"), col("pos").cast("int").as("dim"), col("col").as("value"))
+  }
+
   /** Two-stage per-query top-k: stage 1 takes the top k within each
     * (query, salt) slice — `nSalts`-way parallel, so no single task ever
     * sees more than ~N/nSalts corpus rows per query; stage 2 merges the

@@ -821,6 +821,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(500))
   }
 
+  test("JL random projection: norm preserved in expectation, bounded per-pair distortion") {
+    // 80 seeded random 32-dim vectors projected to k=16: the JL
+    // contract is E||proj||² = ||v||² with per-vector distortion
+    // concentrating as k grows. Deterministic fixture → no flake; the
+    // tolerances are loose enough for k=16's distortion tail
+    val rnd = new scala.util.Random(271)
+    val dim = 32
+    val rows: Seq[(Long, Seq[Float])] = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.sortBy(_._2).map(_._3).toArray }
+    assert(proj.size === 80 && proj.values.forall(_.length === 16))
+    val inNorm2 = rows.map { case (id, v) =>
+      id -> v.map(x => x.toDouble * x.toDouble).sum }.toMap
+    val ratios = proj.map { case (id, p) =>
+      p.map(x => x * x).sum / inNorm2(id) }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean off the JL expectation")
+    assert(ratios.forall(r => r > 0.15 && r < 3.5),
+      s"per-vector distortion out of the k=16 band: ${ratios.min}..${ratios.max}")
+    // determinism: projecting again is bit-identical (no RNG state)
+    val again = Similarity.randomProject(df, "vec_id", "embedding", outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    proj.foreach { case (id, p) =>
+      p.zipWithIndex.foreach { case (v, d) => assert(again((id, d)) === v) }
+    }
+  }
+
   test("PPJoin length+positional filters: candidates shrink, verified output identical") {
     // skewed fixture: sizes spread 3..30 (length-filter work — a pair
     // with size ratio below t cannot clear the threshold) over a small
