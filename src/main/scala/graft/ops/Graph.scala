@@ -183,7 +183,9 @@ object Graph {
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .localCheckpoint(true)
     val nS = sd.count()
-    require(nS > 0L, "personalized PageRank needs at least one seed")
+    // no seeds → nothing to personalize toward: empty ranking, the
+    // same graceful empty-input contract as pageRank on empty edges
+    if (nS == 0L) return sd.withColumn("rank", lit(0.0d))
     val nSD = nS.toDouble
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
