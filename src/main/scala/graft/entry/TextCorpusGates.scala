@@ -25,6 +25,39 @@ private[graft] object TextCorpusGates {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
+    ("text_pmi_bigrams",
+      (s: SparkSession, dir: String) =>
+        // top bigram collocations by PMI — multi-word-expression /
+        // boilerplate-phrase detection: one tokenized scan feeds both
+        // count relations, totals ride as a 1-row broadcast scalar,
+        // minCount filters rare-pair noise before any join
+        TextAnalysis.pmiBigrams(
+          t(s, dir, "documents").select(col("text")), "text",
+          minCount = 5L, topN = 20),
+      {
+        val pmi = Num.r6Sql(
+          "ln((CAST(c_ab AS DOUBLE) * CAST(t_tot AS DOUBLE) * CAST(t_tot AS DOUBLE)) / " +
+            "(CAST(b_tot AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))")
+        s"""WITH tkr AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+           |             FROM documents WHERE text IS NOT NULL),
+           |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+           |        FROM (SELECT unnest(tk) AS t FROM tkr) GROUP BY t),
+           |bg AS (SELECT split_part(bgs, ' ', 1) AS a, split_part(bgs, ' ', 2) AS b,
+           |         CAST(count(*) AS BIGINT) AS c_ab
+           |       FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+           |                             i -> tk[i] || ' ' || tk[i + 1])) AS bgs
+           |             FROM tkr WHERE len(tk) >= 2)
+           |       GROUP BY 1, 2),
+           |tt AS (SELECT sum(c) AS t_tot FROM uni),
+           |bt AS (SELECT sum(c_ab) AS b_tot FROM bg),
+           |f AS (SELECT bg.a, bg.b, bg.c_ab, ua.c AS ca, ub.c AS cb, t_tot, b_tot
+           |      FROM bg JOIN uni ua ON bg.a = ua.t
+           |              JOIN uni ub ON bg.b = ub.t, tt, bt
+           |      WHERE c_ab >= 5)
+           |SELECT a, b, c_ab, $pmi AS pmi FROM f
+           |ORDER BY $pmi DESC, a, b LIMIT 20""".stripMargin
+      }),
+
     ("retrieval_bm25",
       (s: SparkSession, dir: String) => {
         // keyword retrieval over the corpus — the exact lexical

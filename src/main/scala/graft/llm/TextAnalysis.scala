@@ -12,6 +12,59 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Top bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(P(ab)/(P(a)·P(b))) over adjacent token pairs, the
+    * classic corpus-statistics diagnostic (multi-word expressions,
+    * tokenizer-merge candidates, boilerplate phrase detection).
+    *
+    * Scale shape: ONE tokenized scan feeds both the bigram and unigram
+    * counts (adjacent pairs only — linear in corpus size, never a
+    * co-occurrence window explosion); corpus totals (T tokens,
+    * B bigrams) ride as a 1-row broadcast scalar; the unigram joins are
+    * plain key shuffles on the term. `minCount` filters bigrams BEFORE
+    * the joins — rare-pair noise (PMI's known failure mode) never
+    * travels. PMI reduces to ln(c_ab·T²/(B·c_a·c_b)) over exact integer
+    * counts cast to double in a fixed operation order, ln r6-rounded at
+    * the source (the cross-engine rule); top-N compiles to
+    * TakeOrderedAndProject.
+    *
+    * @return (a, b, c_ab: long, pmi: double) — topN by PMI desc, ties
+    *         (a, b) asc
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+                 topN: Int): DataFrame = {
+    require(minCount >= 1L, "minCount must be positive")
+    require(topN >= 1, "topN must be positive")
+    val tk = graft.Partitioning.spread(df)
+      .where(col(textCol).isNotNull)
+      .select(split(lower(col(textCol)), "\\s+").as("tk"))
+      .select(filter(col("tk"), t => t =!= "").as("tk"))
+      .localCheckpoint(true)
+    val uni = tk.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val big0 = tk.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+          "(x, y) -> struct(x AS a, y AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val big = big0.where(col("c_ab") >= minCount)
+    // B is the total over ALL bigrams — the probability denominator
+    // must not shrink with the minCount noise filter
+    val totals = uni.agg(sum(col("c")).as("t_tot"))
+      .crossJoin(big0.agg(sum(col("c_ab")).as("b_tot")))
+    val pmi = graft.Num.r6(log(
+      (col("c_ab").cast("double") * col("t_tot").cast("double") * col("t_tot").cast("double")) /
+        (col("b_tot").cast("double") * col("ca").cast("double") * col("cb").cast("double"))))
+    big
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(topN)
+  }
+
   /** Deterministic polynomial rolling hash of a string:
     * h = fold(chars)(h0=7)((h,c) => (h*131 + codepoint(c)) mod 1e9+7).
     * Kept below 2^30 so every intermediate product fits comfortably in a

@@ -198,6 +198,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got37 === got)
   }
 
+  test("PMI bigrams: planted collocation leads; scalar-reference value parity") {
+    import graft.llm.TextAnalysis
+    // 'new' and 'york' appear ONLY together (10×); every filler word
+    // recurs in several contexts, so no other pair is exclusive — the
+    // planted collocation must lead and its PMI must equal the scalar
+    // replica of the identical arithmetic
+    val docs = (1 to 10).map(i =>
+      s"new york alpha beta gamma delta alpha gamma the delta").toDF("text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 5L, topN = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head._1 === "new" && got.head._2 === "york", got.mkString(","))
+    // scalar replica: T = 100 tokens, B = 90 bigrams, c(new)=c(york)=10,
+    // c_ab(new,york)=10 → PMI = ln(10·100²/(90·10·10))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = r6(math.log((10.0 * 100.0 * 100.0) / (90.0 * 10.0 * 10.0)))
+    assert(got.head._4 === expected, s"${got.head._4} vs $expected")
+    assert(got.head._3 === 10L)
+    // every reported pair meets the count floor
+    assert(got.forall(_._3 >= 5L))
+  }
+
   test("hashSplit partitions rows into stable disjoint splits") {
     val df = (1L to 300L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.hashSplit(df, "text", trainPct = 80, valPct = 10)
