@@ -40,7 +40,9 @@ class PlanSpec extends AnyFunSuite {
       "corpus_select_budget",
       "similarity_topk_mips_ann", "similarity_topk_mips_ivf",
       "embedding_cluster_assign", "dedup_prefix_filter",
-      "multimodal_phash_neardup")) {
+      "multimodal_phash_neardup", "profile_trend",
+      "graph_pagerank_personalized", "embedding_random_project",
+      "sketch_hll_intersect")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

@@ -739,6 +739,64 @@ class StreamingSpec extends AnyFunSuite {
     truth.foreach { case (k, c) => assert(a(k) >= c, s"undercount at $k") }
   }
 
+  test("streaming posting-list maintenance: folded BM25 inputs equal the one-shot index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the retrieval sibling of the sketch-maintenance sinks: the BM25
+    // inputs — (doc, term, tf), (doc, dl) — are count states, mergeable
+    // by SUM per key, so a crawl can fold new documents into its index
+    // without rescanning history; df and the corpus stats derive from
+    // the folded tf state at read time. Scores over the folded index
+    // must be bit-identical to indexing everything at once
+    val docs = (1L to 60L).map(i =>
+      (i, s"term${i % 7} term${i % 5} filler${i % 3} term${i % 7} common"))
+    var tfState: Option[org.apache.spark.sql.DataFrame] = None
+    var dlState: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val toks = batch.where(col("text").isNotNull)
+          .select(col("doc_id").as("doc"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .where(col("term") =!= "")
+        val tfB = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+        val dlB = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+        tfState = Some((tfState.toSeq :+ tfB).reduce(_ unionByName _)
+          .groupBy(col("doc"), col("term")).agg(sum(col("tf")).as("tf"))
+          .localCheckpoint(true))
+        dlState = Some((dlState.toSeq :+ dlB).reduce(_ unionByName _)
+          .groupBy(col("doc")).agg(sum(col("dl")).as("dl"))
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      mem.addData(docs.take(20): _*); q.processAllAvailable()
+      mem.addData(docs.slice(20, 40): _*); q.processAllAvailable()
+      mem.addData(docs.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val full = docs.toDF("doc_id", "text")
+    val oneTf = full.select(col("doc_id").as("doc"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    assert(tfState.get.collect().map(_.toSeq).toSet ===
+      oneTf.collect().map(_.toSeq).toSet,
+      "folded tf state must equal the one-shot posting lists")
+    // end-to-end: BM25 over the full corpus equals BM25 over a corpus
+    // reconstructed from nothing but the folded states (tf carries all
+    // token multiplicity — rebuild doc texts from it)
+    val rebuilt = tfState.get
+      .select(col("doc").as("doc_id"),
+        expr("array_join(transform(sequence(1, cast(tf as int)), x -> term), ' ')").as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("piece")))).as("text"))
+    val qs = Seq(("q", "term1 common")).toDF("qid", "qtext")
+    def score(corpus: org.apache.spark.sql.DataFrame) =
+      graft.llm.Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", topK = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(score(rebuilt) === score(full),
+      "BM25 over the folded index must equal one-shot indexing")
+  }
+
   test("cohort retention: offset-0 cells are the cohort sizes; matrix matches by hand") {
     import spark.implicits._
     // 2024-01-01 is a Monday, so each dts below IS its own week start
