@@ -84,9 +84,29 @@ object Retrieval {
       .agg(sum(col("micro")).as("micro"))
       .select(col("query_id"), col("doc"),
         graft.Num.r6(col("micro").cast("double") / lit(1000000.0d)).as("score"))
-    val w = Window.partitionBy(col("query_id"))
+    saltedTopK(scored, topK, nSalts = 8)
+  }
+
+  /** Two-stage per-query top-k over (query_id, doc, score) — the
+    * [[Similarity]] salted-merge discipline applied to retrieval: a
+    * plain `Window.partitionBy(query_id)` would funnel EVERY matching
+    * document for a query through one task (at corpus scale a common
+    * term matches millions of documents); stage 1 takes the top k
+    * within each (query, salt) slice, stage 2 merges the ≤ nSalts·k
+    * survivors. Bit-identical output to the single-window form (the
+    * global top-k of a union of per-slice top-ks, deterministic ties
+    * by doc).
+    */
+  private def saltedTopK(scored: DataFrame, topK: Int, nSalts: Int): DataFrame = {
+    val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val partial = if (nSalts <= 1) scored else {
+      val w1 = Window.partitionBy(col("query_id"), pmod(col("doc"), lit(nSalts)))
+        .orderBy(col("score").desc, col("doc").asc)
+      scored.withColumn("_r", row_number().over(w1))
+        .filter(col("_r") <= topK).drop("_r")
+    }
+    partial.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc"), col("score"), col("rank"))
   }
@@ -114,10 +134,9 @@ object Retrieval {
       .agg(sum(col("micro")).as("micro"))
       .select(col("query_id"), col("doc"),
         graft.Num.r6(col("micro").cast("double") / lit(1000000.0d)).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc").asc)
-    fused.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("doc"), col("score"), col("rank"))
+    // no salted pre-stage: fused candidates are bounded by the input
+    // rank lists (≤ Σ per-list k rows per query by construction), so
+    // the per-query window never sees corpus-scale input
+    saltedTopK(fused, topK, nSalts = 1)
   }
 }
