@@ -57,11 +57,19 @@ object Retrieval {
     // a doc with text but zero tokens contributes to neither, on both
     // engines, by construction
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries
       .select(col(qidCol).as("query_id"),
         explode(split(lower(col(qTextCol)), "\\s+")).as("term"))
       .where(col("term") =!= "").distinct()
+    // ONLY query-term postings participate past this point: df is
+    // aggregated over the restricted posting lists (≤ |query terms|
+    // rows, never a full-vocabulary aggregate) and the idf table is
+    // broadcast at query-term size — broadcasting a corpus-wide
+    // vocabulary would be a scale bug at 100 TB (billions of distinct
+    // terms). Query terms absent from the corpus have no postings and
+    // drop out naturally.
+    val posting = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    val dfreq = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nD = col("n").cast("double")
     val avgdl = col("sumdl").cast("double") / nD
     val idf = graft.Num.r6(
@@ -70,7 +78,7 @@ object Retrieval {
     val tfD = col("tf").cast("double")
     val norm = tfD + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl)
     val term = graft.Num.r6(col("idf") * (tfD * lit(k1 + 1.0d)) / norm)
-    val scored = tf
+    val scored = posting
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq.crossJoin(broadcast(stats))
         .select(col("term"), idf.as("idf"))), Seq("term"))
