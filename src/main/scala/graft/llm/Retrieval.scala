@@ -61,33 +61,49 @@ object Retrieval {
       .select(col(qidCol).as("query_id"),
         explode(split(lower(col(qTextCol)), "\\s+")).as("term"))
       .where(col("term") =!= "").distinct()
-    // ONLY query-term postings participate past this point: df is
-    // aggregated over the restricted posting lists (≤ |query terms|
-    // rows, never a full-vocabulary aggregate) and the idf table is
-    // broadcast at query-term size — broadcasting a corpus-wide
-    // vocabulary would be a scale bug at 100 TB (billions of distinct
-    // terms). Query terms absent from the corpus have no postings and
-    // drop out naturally.
-    val posting = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-    val dfreq = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nD = col("n").cast("double")
-    val avgdl = col("sumdl").cast("double") / nD
-    val idf = graft.Num.r6(
-      log((nD - col("df").cast("double") + lit(0.5d)) /
-        (col("df").cast("double") + lit(0.5d)) + lit(1.0d)))
+    // Corpus stats and per-query-term idf are collected as DRIVER
+    // SCALARS (the centroid idiom): stats is one row, and df is
+    // aggregated over ONLY the query-term posting lists (≤ |query
+    // terms| rows — never a full-vocabulary aggregate, which at 100 TB
+    // would mean billions of distinct terms). Both re-enter the scoring
+    // plan as literals, so the posting pass is a single stage: one
+    // broadcast join for the query expansion, one doc-keyed join for
+    // lengths — no broadcast-subplan ever re-derives the tf aggregate.
+    // Query terms absent from the corpus have no postings and drop out
+    // naturally. The scalar arithmetic is bit-identical to the column
+    // form (same IEEE ops: java Math.log IS Spark's log).
+    val statsRow = stats.first()
+    val n = statsRow.getLong(0)
+    val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val qtermSet = qterms.select(col("term")).distinct()
+    val dfRows = tf.join(broadcast(qtermSet), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect()
+    val nD = n.toDouble
+    val idfMap: Map[String, Double] = dfRows.map { r =>
+      val dfD = r.getLong(1).toDouble
+      r.getString(0) -> graft.Num.r6(
+        math.log((nD - dfD + 0.5d) / (dfD + 0.5d) + 1.0d))
+    }.toMap
+    if (idfMap.isEmpty) {
+      // no query term matches anything (or empty corpus): empty result
+      // with the contract schema
+      return qterms.select(col("query_id"), lit(0L).as("doc"),
+        lit(0.0d).as("score"), lit(0).as("rank")).where(lit(false))
+    }
+    val avgdlD = sumdl.toDouble / nD
     val tfD = col("tf").cast("double")
-    val norm = tfD + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl)
-    val term = graft.Num.r6(col("idf") * (tfD * lit(k1 + 1.0d)) / norm)
-    val scored = posting
+    val norm = tfD + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / lit(avgdlD))
+    val term = graft.Num.r6(
+      element_at(typedLit(idfMap), col("term")) * (tfD * lit(k1 + 1.0d)) / norm)
+    val scored = tf
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq.crossJoin(broadcast(stats))
-        .select(col("term"), idf.as("idf"))), Seq("term"))
       .join(dl, "doc")
-      .crossJoin(broadcast(stats))
       // exact-integer micro-units so the per-(query, doc) sum is
       // aggregation-order independent
       .select(col("query_id"), col("doc"),
         floor(term * lit(1000000.0d) + lit(0.5d)).cast("long").as("micro"))
+      .where(col("micro").isNotNull) // terms with no idf never score
       .groupBy(col("query_id"), col("doc"))
       .agg(sum(col("micro")).as("micro"))
       .select(col("query_id"), col("doc"),
