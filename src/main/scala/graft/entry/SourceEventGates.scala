@@ -159,6 +159,32 @@ private[graft] object SourceEventGates {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin),
 
+    ("events_decayed_sum",
+      (s: SparkSession, dir: String) =>
+        // recency-weighted value sums per event type: bucketed
+        // exponential decay (weight halves per elapsed halflife) —
+        // integer k makes every weight a dyadic rational, so
+        // cents·2^(40−k) sums EXACTLY in any order (DECIMAL/HUGEINT)
+        // and only the final division touches floats
+        graft.streaming.EventStream.decayedSum(
+          events(s, dir), "ts", "value", Seq("event_type"), halflifeDays = 7),
+      {
+        val pow2 = Retrieval.litSql(math.pow(2.0d, 40.0d))
+        s"""WITH e AS (SELECT event_type,
+           |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc,
+           |             CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+           |           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |mx AS (SELECT max(d) AS ref FROM e),
+           |n AS (SELECT event_type,
+           |        CAST(cc AS HUGEINT) *
+           |          (CAST(1 AS BIGINT) << CAST(40 - least(date_diff('day', d, (SELECT ref FROM mx)) // 7, 40) AS INT)) AS num
+           |      FROM e),
+           |s AS (SELECT event_type, sum(num) AS num FROM n GROUP BY event_type)
+           |SELECT event_type,
+           |  ${Num.r6Sql(s"CAST(num AS DOUBLE) / $pow2 / 100.0")} AS decayed_sum
+           |FROM s""".stripMargin
+      }),
+
     ("events_window_agg",
       (s: SparkSession, dir: String) =>
         events(s, dir)

@@ -19,6 +19,51 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
+  /** Recency-weighted (exponentially decayed) value sums per group —
+    * the feature-engineering primitive behind "recent activity counts
+    * more" signals (host freshness, user engagement, drift-weighted
+    * quality): each event's value is weighted by 2^(−k), where
+    * k = ⌊Δdays / halflifeDays⌋ from the corpus's most recent event —
+    * BUCKETED exponential decay (the weight halves once per full
+    * elapsed halflife), which is exactly what makes it cross-engine
+    * exact: with integer k, the weight is a dyadic rational, so
+    * cents·2^(maxK−k) is an INTEGER, the per-group sum aggregates as
+    * DECIMAL(38,0)/HUGEINT exactly in any order, and one final division
+    * by 2^maxK·100 is correctly rounded — the same order-independence
+    * contract as the z-score moments. k clamps at `maxK` (default 40:
+    * weight 2⁻⁴⁰ ≈ 1e-12 — clamped, not zeroed, so ordering by recency
+    * never inverts). NULL values/timestamps are ignored. The reference
+    * date is the max event date — ONE 1-row broadcast aggregate.
+    *
+    * @return (groupCols…, decayed_sum: double r6)
+    */
+  def decayedSum(events: DataFrame, tsCol: String, valueCol: String,
+                 groupCols: Seq[String], halflifeDays: Int,
+                 maxK: Int = 40): DataFrame = {
+    require(groupCols.nonEmpty, "decayedSum needs at least one group column")
+    require(halflifeDays >= 1, "halflifeDays must be positive")
+    require(maxK >= 1 && maxK <= 62, "maxK must be in [1, 62] (single-long shifts)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = events
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(groupCols.map(col) :+
+        floor(col(valueCol) * 100.0d + 0.5d).cast("long").as("__cc") :+
+        to_date(col(tsCol)).as("__d"): _*)
+    val ref = base.agg(max(col("__d")).as("__ref"))
+    val pow2 = lit(math.pow(2.0d, maxK.toDouble)) // exact: maxK ≤ 62
+    base.crossJoin(broadcast(ref))
+      .select(groupCols.map(col) :+
+        (col("__cc").cast(dec) *
+          expr(s"cast(shiftleft(cast(1 as bigint), cast($maxK - " +
+            s"least(datediff(__ref, __d) div $halflifeDays, $maxK) as int)) as decimal(38, 0))"))
+          .as("__num"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__num")).as("__num"))
+      .select(groupCols.map(col) :+
+        graft.Num.r6(col("__num").cast("double") / pow2 / lit(100.0d))
+          .as("decayed_sum"): _*)
+  }
+
   /** Tumbling 1-hour window counts + value min/max per event type, with a
     * 2-hour watermark for late data. Works on both streaming and batch
     * DataFrames (same plan, Catalyst picks the stateful version under

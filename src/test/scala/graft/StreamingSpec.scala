@@ -739,6 +739,30 @@ class StreamingSpec extends AnyFunSuite {
     truth.foreach { case (k, c) => assert(a(k) >= c, s"undercount at $k") }
   }
 
+  test("decayedSum: hand-computed bucketed decay, clamped tail, nulls ignored") {
+    import spark.implicits._
+    def ts(day: String) = Timestamp.valueOf(s"$day 12:00:00")
+    val rows = Seq(
+      ("a", Some(100.0), Some(ts("2024-03-01"))), // k=0, weight 1
+      ("a", Some(50.0), Some(ts("2024-02-23"))),  // 7d → k=1, weight 1/2
+      ("a", Some(40.0), Some(ts("2024-02-10"))),  // 20d → k=2, weight 1/4
+      ("a", Some(80.0), Some(ts("2023-01-26"))),  // 400d → k=57, clamps to 40
+      ("a", None, Some(ts("2024-03-01"))),        // null value ignored
+      ("a", Some(9.0), None),                     // null ts ignored
+      ("b", Some(8.0), Some(ts("2024-02-27"))))   // 3d → k=0 (same ref: corpus max)
+    val df = rows.toDF("g", "value", "ts")
+    val got = graft.streaming.EventStream.decayedSum(df, "ts", "value", Seq("g"), 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact replica: Σ cents·2^(40−k), then the identical two divisions
+    val num = BigInt(10000) * BigInt(2).pow(40) + BigInt(5000) * BigInt(2).pow(39) +
+      BigInt(4000) * BigInt(2).pow(38) + BigInt(8000)
+    val expA = Num.r6(num.toDouble / math.pow(2.0, 40.0) / 100.0)
+    assert(got === Map("a" -> expA, "b" -> 8.0d), got.toString)
+    // the clamped 400-day-old event contributes BELOW the r6 grid but
+    // the dominant terms are exact: 100 + 25 + 10
+    assert(got("a") === 135.0d)
+  }
+
   test("streaming posting-list maintenance: folded BM25 inputs equal the one-shot index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
