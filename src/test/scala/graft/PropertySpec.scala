@@ -462,6 +462,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: decayedSum is input-order invariant; later timestamps never weigh less") {
+    val rowGen = for {
+      v <- Gen.chooseNum(-500.0, 500.0)
+      day <- Gen.chooseNum(0, 120)
+    } yield (v, day)
+    checkN(10, Prop.forAll(Gen.nonEmptyListOf(rowGen),
+      Gen.chooseNum(0, 120), Gen.chooseNum(0, 120)) { (rows, d1, d2) =>
+      def run(rs: List[(Double, Int)]): Double = {
+        val df = rs.map { case (v, d) =>
+          ("g", v, java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong)))
+        }.toDF("g", "value", "ts")
+        graft.streaming.EventStream.decayedSum(df, "ts", "value", Seq("g"), 7)
+          .collect().head.getDouble(1)
+      }
+      // exact-integer accumulation ⇒ permutation cannot change the sum
+      val orderInv = run(rows) == run(scala.util.Random.shuffle(rows))
+      // recency monotonicity: with the reference date pinned by a
+      // zero-value day-120 anchor, the SAME positive event weighs at
+      // least as much at a more recent day (its dyadic weight can only
+      // grow; every other event's k is unchanged)
+      val anchor = (0.0, 120)
+      val lo = math.min(d1, d2); val hi = math.max(d1, d2)
+      val mono = run(anchor :: (1.0, hi) :: rows) >= run(anchor :: (1.0, lo) :: rows)
+      orderInv && mono
+    })
+  }
+
+  test("property: PPJoin filters only ever shrink the candidate set") {
+    val docGen = for {
+      n <- Gen.chooseNum(2, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf((0 until 10).map(i => s"w$i")))
+    } yield toks.mkString(" ")
+    checkN(8, Prop.forAll(Gen.listOfN(12, docGen), Gen.oneOf(0.5, 0.7, 0.9)) { (texts, t) =>
+      val df = texts.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("doc_id", "text")
+      def cands(pp: Boolean) =
+        graft.llm.Dedup.prefixFilterCandidates(df, "doc_id", "text", t, pp)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val off = cands(false)
+      val on = cands(true)
+      // pure pruning: a subset, and never below the verified output set
+      val out = graft.llm.Dedup.prefixFilterJoin(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      on.subsetOf(off) && out.subsetOf(on)
+    })
+  }
+
   test("property: histogram shard-merge equals one-shot; mass conserved; quantiles monotone") {
     val valGen = Gen.chooseNum(-50.0, 1050.0) // includes out-of-range clamps
     checkN(12, Prop.forAll(Gen.nonEmptyListOf(valGen)) { vals =>
