@@ -290,15 +290,6 @@ private[graft] object GateSupport {
        |WHERE rank <= 5""".stripMargin
   }
 
-  /** DuckDB SQL for the [[Similarity.topKMipsAnn]] oracle at
-    * (nPlanes, nTables): the norm-augmentation reduction (append
-    * √(M²−‖x‖²) to corpus vectors, 0 to queries — M² a scalar
-    * aggregate), per-table buckets over the UN-normalized augmented
-    * vectors (sign-invariance makes normalize unnecessary on both
-    * sides), cross-table candidate dedup, exact RAW-inner-product
-    * rescoring, rank. The augmented relations are MATERIALIZED: plain
-    * CTEs inline per table reference (the BPE lesson).
-    */
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:
     * `rv` (raw double vectors) → `avv` (corpus augmented with
     * √(M²−‖x‖²)) and `aqq` (queries augmented with 0). MATERIALIZED:
@@ -311,6 +302,12 @@ private[graft] object GateSupport {
        |avv AS MATERIALIZED (SELECT id, list_append(v, sqrt(greatest(m2 - nn, CAST(0 AS DOUBLE)))) AS a FROM n2, mx),
        |aqq AS MATERIALIZED (SELECT id, list_append(v, CAST(0 AS DOUBLE)) AS a FROM rv WHERE id < 20)""".stripMargin
 
+  /** DuckDB SQL for the [[Similarity.topKMipsAnn]] oracle at
+    * (nPlanes, nTables): [[mipsAugCtes]], per-table buckets over the
+    * UN-normalized augmented vectors (sign-invariance makes normalize
+    * unnecessary on both sides), cross-table candidate dedup, exact
+    * RAW-inner-product rescoring, rank.
+    */
   private[graft] def mipsAnnOracleSql(nPlanes: Int, nTables: Int): String = {
     val score = Num.r6Sql(dotSql("c.v", "q.v"))
     def tables(src: String) = (0 until nTables).map { t =>

@@ -51,7 +51,17 @@ private[graft] object OlapGates {
     * the teleport restricted to the seed set (customers ≤ 3) — seeded
     * init 1/|S|, per-round teleport (1−d)/|S| on seeds and 0 elsewhere,
     * association `seedTp + d·(insum + 0)` mirroring the Spark side
-    * bit-for-bit (the bidirectional graph has no dangling nodes).
+    * bit-for-bit.
+    *
+    * PRECONDITION (gate-side, asserted in the gate fn): the dangling
+    * term is hardcoded to 0 here, valid only because every node of the
+    * bidirectional co-purchase graph — seeds included — appears as an
+    * edge source. `Graph.pageRankPersonalized` computes real dangling
+    * redistribution, so a future gate edit that introduces a dangling
+    * or isolated seed would make this oracle diverge from the
+    * implementation (which would be CORRECT) rather than from the
+    * truth; the gate's require() turns that silent divergence into a
+    * loud failure.
     */
   private lazy val pprOracleSql: String = {
     val d = "CAST(0.85 AS DOUBLE)"
@@ -988,15 +998,26 @@ private[graft] object OlapGates {
       pageRankOracleSql),
 
     ("graph_pagerank_personalized",
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
         // seed-relative authority: teleport restricted to customers
         // 1-3 — "rank everything relative to these trusted nodes", the
         // query global PageRank cannot express. Same join+agg iteration
         // shape; nodes outside the seeds' reach legitimately rank 0
-        Graph.pageRankPersonalized(coPurchaseEdges(s, dir), "src", "dst",
-          t(s, dir, "customer").filter(col("c_custkey") <= 3)
-            .select(col("c_custkey")),
-          "c_custkey", iters = 5, damping = 0.85d),
+        val edges = coPurchaseEdges(s, dir)
+        val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 3)
+          .select(col("c_custkey"))
+        // pprOracleSql hardcodes dangling mass to 0 — valid only while
+        // every seed appears as an edge source (bidirectional graph ⇒
+        // no dangling nodes). Guard the assumption loudly (one tiny
+        // anti-join count over the seed set, not the corpus).
+        val orphan = seeds.select(col("c_custkey").cast("long").as("src"))
+          .join(edges.select(col("src")), Seq("src"), "left_anti").limit(1).count()
+        require(orphan == 0L,
+          "graph_pagerank_personalized oracle assumes every seed has out-edges; " +
+            "a dangling/isolated seed would diverge from the zero-dangling oracle")
+        Graph.pageRankPersonalized(edges, "src", "dst", seeds,
+          "c_custkey", iters = 5, damping = 0.85d)
+      },
       pprOracleSql),
 
     ("graph_pagerank_directed",

@@ -87,9 +87,14 @@ object Retrieval {
     }.toMap
     if (idfMap.isEmpty) {
       // no query term matches anything (or empty corpus): empty result
-      // with the contract schema
-      return qterms.select(col("query_id"), lit(0L).as("doc"),
-        lit(0.0d).as("score"), lit(0).as("rank")).where(lit(false))
+      // built from the REAL relations, so the doc column inherits the
+      // input id type exactly like the non-empty path — a lit(0L)
+      // placeholder would pin BIGINT and make the result schema depend
+      // on whether any query term matched
+      return tf.join(broadcast(qterms), Seq("term"))
+        .select(col("query_id"), col("doc"),
+          lit(0.0d).as("score"), lit(0).as("rank"))
+        .where(lit(false))
     }
     val avgdlD = sumdl.toDouble / nD
     val tfD = col("tf").cast("double")
@@ -125,7 +130,12 @@ object Retrieval {
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc").asc)
     val partial = if (nSalts <= 1) scored else {
-      val w1 = Window.partitionBy(col("query_id"), pmod(col("doc"), lit(nSalts)))
+      // salt on hash(doc), not doc itself: pmod over a STRING id would
+      // cast to null and collapse every doc into one salt slice —
+      // silently voiding the anti-funnel property for non-numeric ids.
+      // Output is unaffected by salt assignment (union of per-slice
+      // top-ks re-ranked globally), so this is purely the scale shape.
+      val w1 = Window.partitionBy(col("query_id"), pmod(hash(col("doc")), lit(nSalts)))
         .orderBy(col("score").desc, col("doc").asc)
       scored.withColumn("_r", row_number().over(w1))
         .filter(col("_r") <= topK).drop("_r")
