@@ -14,6 +14,27 @@ import GateSupport._
   * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]].
   */
 private[graft] object DedupGates {
+
+  /** Cosine-IVF top-k oracle at the gate parameters (16 centroids, 2
+    * Lloyd's rounds, nProbe 4, k 5) — shared by `similarity_topk_ivf`
+    * and its ingested-index twin, which is bit-identical by
+    * construction (the persisted centroids/assignments ARE the
+    * per-run quantizer's output, parquet round-trips doubles exactly).
+    */
+  private lazy val ivfTopKOracleSql: String = {
+    val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
+    s"""WITH ${ivfAsgCtes(16, 2)},
+       |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
+       |  SELECT q.id, q.v, c.cid,
+       |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM nv q CROSS JOIN cent c WHERE q.id < 20) WHERE rn <= 4),
+       |sc AS (SELECT p.query_id, a.nn_id, $score AS score
+       |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- dedup family -----------------------------------------------------
     ("dedup_exact",
@@ -554,18 +575,26 @@ private[graft] object DedupGates {
         Similarity.topKIvf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
       },
-      {
-        val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
-        s"""WITH ${ivfAsgCtes(16, 2)},
-           |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
-           |  SELECT q.id, q.v, c.cid,
-           |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
-           |  FROM nv q CROSS JOIN cent c WHERE q.id < 20) WHERE rn <= 4),
-           |sc AS (SELECT p.query_id, a.nn_id, $score AS score
-           |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id)
-           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
-           |WHERE rank <= 5""".stripMargin
-      }),
+      ivfTopKOracleSql),
+
+    ("similarity_topk_ivf_ingested",
+      (s: SparkSession, dir: String) => {
+        // same neighbors, PRODUCTION layout: the coarse quantizer runs
+        // ONCE at ingest — corpus written bucketed by cluster id with
+        // the centroid sidecar alongside — and the probe batch serves
+        // against the persisted index with no Lloyd's rounds, no
+        // assignment pass, no corpus-side exchange (the
+        // graph_pagerank_bucketed pattern applied to ANN; at 100 TB
+        // the quantizer build is the pay-once cost, not a per-batch
+        // one). Table name carries the SHA-256 dir digest so
+        // concurrent suites on different fixture dirs never race.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_corpus_${dirSuffix(dir)}"
+        Similarity.ingestIvf(e, "vec_id", "embedding", table,
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      ivfTopKOracleSql),
   )
 }

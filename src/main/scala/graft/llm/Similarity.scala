@@ -528,6 +528,72 @@ object Similarity {
     (c, coarseQuantizer(c, nCentroids, kmeansIters))
   }
 
+  /** Persist the IVF index ONCE — the pay-once-at-ingest layout twin
+    * the graph family already has ([[graft.ops.Graph.writeEdges]]):
+    * run the deterministic coarse quantizer over the corpus, write the
+    * assigned corpus `(nn_id, cv, cluster)` as a parquet table BUCKETED
+    * by cluster id, and the `nCentroids × dim` centroid table
+    * `<table>_centroids (cid, centv)` as a plain sidecar. Every
+    * [[topKIvfIngested]] probe batch then serves WITHOUT re-running
+    * Lloyd's rounds (kmeansIters full corpus scans + one aggregation
+    * each), without re-normalizing or re-assigning the corpus, and
+    * without the seed TakeOrdered collect — at 100 TB the quantizer
+    * build is exactly the cost you pay once, not per query batch. The
+    * cluster bucketing additionally pre-co-locates each inverted list,
+    * so maintenance jobs keyed on cluster (list compaction, per-cell
+    * stats, SemDeDup sweeps) read it exchange-free.
+    *
+    * Determinism contract: centroids are the exact-integer Lloyd's
+    * output ([[coarseQuantizer]]) and parquet round-trips doubles
+    * bit-exactly, so a probe against the ingested index is
+    * BIT-IDENTICAL to [[topKIvf]] at the same (nCentroids, kmeansIters,
+    * nProbe) — the gate shares one oracle. Same
+    * single-writer-per-table contract as
+    * [[graft.ops.Bucketing.writeBucketed]].
+    */
+  def ingestIvf(corpus: DataFrame, idCol: String, vecCol: String, table: String,
+                nCentroids: Int, kmeansIters: Int, nBuckets: Int): Unit = {
+    val (c, cent) = quantizedCorpus(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    graft.ops.Bucketing.writeBucketed(assignClusters(c, cent), table,
+      "cluster", nBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      cent.toDF("cid", "centv"), s"${table}_centroids")
+  }
+
+  /** Serve a query batch against an [[ingestIvf]] index: the centroid
+    * sidecar (nCentroids × dim by construction) is collected once and
+    * probes rank it as a plan literal exactly like [[topKIvf]]; the
+    * corpus side is ONE cluster-bucketed scan feeding the broadcast
+    * candidate join — no quantizer build, no assignment pass, no
+    * corpus-side exchange of any kind. Output is bit-identical to
+    * [[topKIvf]] at the index's (nCentroids, kmeansIters) and this
+    * nProbe (AnnRecallSpec asserts parity and runs the recall floor
+    * against the persisted index).
+    */
+  def topKIvfIngested(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int = 4, nSalts: Int = 0): DataFrame = {
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cent.nonEmpty, s"empty centroid table ${table}_centroids")
+    val assign = spark.table(table)
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = q.select(col("query_id"), col("qv"), explode(typedLit(cent)).as("ct"))
+      .select(col("query_id"), col("qv"),
+        col("ct").getField("_1").as("cid"), col("ct").getField("_2").as("centv"))
+      .withColumn("sim", dot(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+    val scored = assign.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, salts)
+  }
+
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
               kmeansIters: Int = 0): DataFrame = {

@@ -70,6 +70,23 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Write a SMALL (dimension-sized by contract) managed parquet table
+    * un-bucketed — the sidecar half of a pay-once index layout (e.g.
+    * the IVF centroid table next to its cluster-bucketed corpus). Same
+    * drop + orphan-location-delete idempotence and the same
+    * single-writer-per-table contract as [[writeBucketed]].
+    */
+  def writeSmall(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Join two same-key, same-bucket-count tables written by
     * [[writeBucketed]]: a plain equi-join — bucketing makes Catalyst
     * plan it exchange-free on both sides.

@@ -185,6 +185,38 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(cr <= 0.3, f"clustered-data LSH candidate rate = $cr%.3f (ceiling 0.3) — pruning lost")
   }
 
+  test("ingested IVF index: bit-identical to per-run IVF, quantizer-free probe plan") {
+    val table = "graft_ivf_annspec_idx"
+    Similarity.ingestIvf(emb, "vec_id", "embedding", table,
+      nCentroids = 16, kmeansIters = 2, nBuckets = 4)
+    val ing = Similarity.topKIvfIngested(spark, table, queries,
+      "vec_id", "embedding", k = K, nProbe = 4)
+    val per = Similarity.topKIvf(emb, queries, "vec_id", "embedding",
+      k = K, nCentroids = 16, nProbe = 4, kmeansIters = 2)
+    // bit parity: the persisted centroids/assignments ARE the per-run
+    // quantizer's output (parquet round-trips doubles exactly), so the
+    // full (query, neighbor, score, rank) tuples must agree exactly
+    assert(ing.collect().toSet == per.collect().toSet,
+      "ingested-index probe diverged from the per-run IVF")
+    // recall floor holds against the PERSISTED index (the config the
+    // gate serves), not just the in-memory path
+    val r = recallAt(ing, exactSets)
+    info(f"ingested-IVF recall@$K = $r%.3f (nCentroids=16, nProbe=4, persisted index)")
+    assert(r >= 0.75, f"ingested-IVF recall@$K degraded to $r%.3f (floor 0.75)")
+    // the probe plan must contain NO quantizer work: no assignment
+    // argmax over the corpus (that happened at ingest) and strictly
+    // fewer exchanges than the per-run plan (whose corpus side is
+    // spread/normalized per call; the ingested side is one bucketed
+    // scan feeding the broadcast candidate join)
+    val pIng = ing.queryExecution.executedPlan.toString
+    val pPer = per.queryExecution.executedPlan.toString
+    assert(!pIng.toLowerCase.contains("centroidargmax"),
+      "probe plan re-ran the corpus assignment argmax")
+    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges(pIng) < exchanges(pPer),
+      s"ingested=${exchanges(pIng)} per-run=${exchanges(pPer)}")
+  }
+
   test("LSH table amplification is monotone: more tables never retrieve less") {
     val r1 = recallAt(Similarity.topKLsh(emb, queries, "vec_id", "embedding",
       k = K, nPlanes = 2, nTables = 1), exactSets)
