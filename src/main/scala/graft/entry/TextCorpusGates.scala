@@ -23,6 +23,47 @@ private[graft] object TextCorpusGates {
     ("q2", "hash merge sort"),
     ("q3", "customer query table"))
 
+  /** BM25 oracle at the gate parameters (k1=1.2, b=0.75, topK=10) over
+    * the three literal queries — shared by `retrieval_bm25` and its
+    * ingested-index twin, which is bit-identical by construction (the
+    * persisted posting/length/stats tables ARE the per-run tokenizer's
+    * output; parquet round-trips the integer counts exactly).
+    */
+  private lazy val bm25OracleSql: String = {
+    val k1 = 1.2d; val b = 0.75d
+    val K1 = Retrieval.litSql(k1); val K1P1 = Retrieval.litSql(k1 + 1.0d)
+    val B = Retrieval.litSql(b); val OMB = Retrieval.litSql(1.0d - b)
+    val qvals = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    val idf = Num.r6Sql(
+      "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + CAST(1 AS DOUBLE))")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val term = Num.r6Sql(
+      s"idf * (CAST(tf AS DOUBLE) * $K1P1) / (CAST(tf AS DOUBLE) + $K1 * ($OMB + $B * CAST(dl AS DOUBLE) / $avgdl))")
+    s"""WITH toks AS (SELECT doc, term FROM (
+       |    SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |    FROM documents WHERE text IS NOT NULL) WHERE term <> ''),
+       |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc, term),
+       |dlr AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sumdl FROM dlr),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT DISTINCT * FROM (VALUES $qvals) v(query_id, term)),
+       |idfr AS (SELECT term, $idf AS idf FROM dfq, st),
+       |mic AS (SELECT qt.query_id, tf.doc,
+       |          CAST(floor($term * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |        FROM tf JOIN qt ON tf.term = qt.term
+       |                JOIN idfr ON tf.term = idfr.term
+       |                JOIN dlr ON tf.doc = dlr.doc, st),
+       |sc AS (SELECT query_id, doc,
+       |         ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
+       |       FROM mic GROUP BY query_id, doc)
+       |SELECT query_id, doc, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM sc)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     ("text_pmi_bigrams",
@@ -73,40 +114,26 @@ private[graft] object TextCorpusGates {
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext",
           topK = 10)
       },
-      {
-        val k1 = 1.2d; val b = 0.75d
-        val K1 = Retrieval.litSql(k1); val K1P1 = Retrieval.litSql(k1 + 1.0d)
-        val B = Retrieval.litSql(b); val OMB = Retrieval.litSql(1.0d - b)
-        val qvals = bm25Queries.flatMap { case (qid, text) =>
-          text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-            .map(t => s"('$qid', '$t')")
-        }.mkString(", ")
-        val idf = Num.r6Sql(
-          "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + CAST(1 AS DOUBLE))")
-        val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
-        val term = Num.r6Sql(
-          s"idf * (CAST(tf AS DOUBLE) * $K1P1) / (CAST(tf AS DOUBLE) + $K1 * ($OMB + $B * CAST(dl AS DOUBLE) / $avgdl))")
-        s"""WITH toks AS (SELECT doc, term FROM (
-           |    SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS term
-           |    FROM documents WHERE text IS NOT NULL) WHERE term <> ''),
-           |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc, term),
-           |dlr AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc),
-           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sumdl FROM dlr),
-           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-           |qt AS (SELECT DISTINCT * FROM (VALUES $qvals) v(query_id, term)),
-           |idfr AS (SELECT term, $idf AS idf FROM dfq, st),
-           |mic AS (SELECT qt.query_id, tf.doc,
-           |          CAST(floor($term * 1000000.0 + 0.5) AS BIGINT) AS micro
-           |        FROM tf JOIN qt ON tf.term = qt.term
-           |                JOIN idfr ON tf.term = idfr.term
-           |                JOIN dlr ON tf.doc = dlr.doc, st),
-           |sc AS (SELECT query_id, doc,
-           |         ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
-           |       FROM mic GROUP BY query_id, doc)
-           |SELECT query_id, doc, score, CAST(rank AS INT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM sc)
-           |WHERE rank <= 10""".stripMargin
-      }),
+      bm25OracleSql),
+
+    ("retrieval_bm25_ingested",
+      (s: SparkSession, dir: String) => {
+        // same ranking, PRODUCTION layout: the corpus is tokenized ONCE
+        // at ingest into a term-bucketed posting table + doc-bucketed
+        // length table + 1-row stats sidecar, and the probe serves
+        // against those tables without ever scanning documents.parquet
+        // (PlanSpec asserts it) — at 100 TB tokenization is the
+        // dominant per-query cost this twin pays once. Table names
+        // carry the SHA-256 dir digest (concurrent-suite discipline).
+        import s.implicits._
+        val table = s"graft_bm25_postings_${dirSuffix(dir)}"
+        Retrieval.ingestBm25(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", table, nBuckets = 8)
+        Retrieval.bm25TopKIngested(s, table,
+          bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+      },
+      bm25OracleSql),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>

@@ -59,6 +59,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(order.last === 4L, s"longest doc must rank last: $order")
   }
 
+  test("ingested BM25 index: bit-identical to tokenize-per-call, corpus never re-scanned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val qs = Seq(("q1", "spark window join"), ("q2", "hash merge sort"))
+      .toDF("qid", "qtext")
+    val table = "graft_bm25_retrievalspec_idx"
+    Retrieval.ingestBm25(docs, "doc_id", "text", table, nBuckets = 4)
+    val ing = Retrieval.bm25TopKIngested(spark, table, qs, "qid", "qtext", topK = 10)
+    val per = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", topK = 10)
+    // parity: the persisted postings ARE the per-call tokenizer's
+    // output (integer counts round-trip parquet exactly), and the
+    // scoring half is literally shared code
+    assert(ing.collect().toSet == per.collect().toSet,
+      "ingested-index BM25 diverged from the tokenize-per-call path")
+    // the probe plan must not read the document corpus — tokenization
+    // happened once at ingest (the twin's entire point)
+    val p = ing.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "ingested BM25 probe re-scanned the document corpus")
+  }
+
   test("RRF: consensus across lists beats a single-list ranking; self-fusion preserves order") {
     import spark.implicits._
     // list A ranks docs 1,2,3; list B ranks 2,4,5 — doc 2 (rank 2 in
