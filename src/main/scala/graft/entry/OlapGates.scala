@@ -94,6 +94,74 @@ private[graft] object OlapGates {
        |SELECT node, rank FROM r5""".stripMargin
   }
 
+  /** Weighted-PageRank oracle: the [[pageRankOracleSql]] chain with
+    * per-edge contribution rank·wµ/Wµ — weights (l_quantity) in exact
+    * integer micro-units so the per-source total is order-independent,
+    * the one double division associated exactly like the Spark column
+    * ((rank · wd) / degd). sum(BIGINT) → HUGEINT in DuckDB, so degmu
+    * is CAST back to BIGINT before the double cast (type-parity
+    * discipline). Bidirectional graph with all quantities ≥ 1 ⇒ no
+    * dropped edges, no dangling nodes.
+    */
+  private lazy val weightedPrOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val step = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    ${Num.r6Sql(s"(1 - $d) / (SELECT n FROM nn) + $d * COALESCE(s.insum, CAST(0 AS DOUBLE))")} AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           sum(r.rank * CAST(e.wmu AS DOUBLE) / CAST(dg.degmu AS DOUBLE)) AS insum
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN dg ON e.src = dg.src
+         |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst,
+       |         CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS wmu
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst, wmu FROM (
+       |        SELECT src, dst, wmu FROM eb
+       |        UNION ALL SELECT dst AS src, src AS dst, wmu FROM eb)
+       |      WHERE wmu > 0),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |dg AS (SELECT src, CAST(sum(wmu) AS BIGINT) AS degmu FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node, rank FROM r5""".stripMargin
+  }
+
+  /** Unrolled frontier-free Bellman–Ford SSSP oracle: each round folds
+    * the FULL reached set expanded one hop with a min aggregate — the
+    * same micro-exact fixpoint as the Spark side's improved-only
+    * frontier, just more oracle work. Rounds are MATERIALIZED (each
+    * b$i is referenced twice — plain CTEs would inline 2^iters times,
+    * the kCore lesson).
+    */
+  private lazy val ssspOracleSql: String = {
+    val step = (i: Int) =>
+      s"""b$i AS MATERIALIZED (SELECT node, min(distmu) AS distmu FROM (
+         |  SELECT node, distmu FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, f.distmu + e.wmu AS distmu
+         |  FROM e JOIN b${i - 1} f ON e.src = f.node)
+         |GROUP BY node)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst,
+       |         CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS wmu
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst, wmu FROM (
+       |        SELECT src, dst, wmu FROM eb
+       |        UNION ALL SELECT dst AS src, src AS dst, wmu FROM eb)
+       |      WHERE wmu IS NOT NULL),
+       |b0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS distmu
+       |       FROM customer WHERE c_custkey <= 3),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT node, ${Num.r6Sql("CAST(distmu AS DOUBLE) / 1000000.0")} AS dist FROM b4""".stripMargin
+  }
+
   /** Unrolled level-sync BFS oracle: each round expands the full
     * reached set (same min-dist fixpoint as the Spark side's
     * frontier-only expansion, just more oracle work). Shared by
@@ -137,6 +205,25 @@ private[graft] object OlapGates {
       struct(col("src"), col("dst")),
       struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** [[coPurchaseEdges]] carrying the line quantity as the edge weight
+    * — co-purchase VOLUME, the natural link-prominence signal for the
+    * weighted graph gates; both directions carry the same weight.
+    */
+  private def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ol = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + lit(10000000L)).cast("long").as("dst"),
+        col("l_quantity").as("w"))
+    ol.select(explode(array(
+      struct(col("src"), col("dst"), col("w")),
+      struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
   }
 
   /** Undirected part–part co-occurrence graph with support ≥ 2: parts
@@ -1019,6 +1106,31 @@ private[graft] object OlapGates {
           "c_custkey", iters = 5, damping = 0.85d)
       },
       pprOracleSql),
+
+    ("graph_pagerank_weighted",
+      (s: SparkSession, dir: String) =>
+        // co-purchase VOLUME as link prominence: src's rank splits
+        // proportionally to l_quantity instead of uniformly — weights
+        // in exact integer micro-units so the per-source total is
+        // aggregation-order independent; same loop, teleport, and r6
+        // discipline as graph_pagerank (unit weights reproduce it,
+        // GraphSpec asserts)
+        Graph.pageRankWeighted(coPurchaseEdgesWeighted(s, dir),
+          "src", "dst", "w", iters = 5, damping = 0.85d),
+      weightedPrOracleSql),
+
+    ("graph_sssp",
+      (s: SparkSession, dir: String) =>
+        // quantity-weighted shortest distance from customer seeds 1-3:
+        // bfs's weighted twin — frontier Bellman–Ford over micro-exact
+        // integer path lengths, min-fold state, 4 relaxation rounds
+        // (a cheaper multi-hop path legitimately beats a direct edge,
+        // which hop-count BFS cannot express; GraphSpec pins that case)
+        Graph.sssp(coPurchaseEdgesWeighted(s, dir), "src", "dst", "w",
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", maxIters = 4),
+      ssspOracleSql),
 
     ("graph_pagerank_directed",
       (s: SparkSession, dir: String) => {

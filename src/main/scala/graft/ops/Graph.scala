@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Num
@@ -152,6 +152,47 @@ object Graph {
                        tol: Double = 0.0d): DataFrame =
     iterate(spark.table(edgeTable), iters, damping, tol)._1
 
+  /** Weighted PageRank: each out-edge carries a weight and src's rank
+    * splits PROPORTIONALLY to weight instead of uniformly — the
+    * link-graph curation semantics where link prominence matters
+    * (anchor count, click share, co-purchase volume). Contribution of
+    * edge (s→t, w) is rank(s)·w/W(s) with W(s) = Σ out-weights of s.
+    *
+    * Exactness discipline: weights are converted ONCE to integer
+    * micro-units (floor(w·1e6+0.5), the repo-wide grid) so the
+    * per-source weight total is an EXACT integer sum — aggregation
+    * order can never move it — and the per-edge share wµ/Wµ is then
+    * one double division both engines reproduce bit-identically.
+    * Edges with null or non-positive weight are DROPPED: a zero-weight
+    * edge carries no rank mass, and a source left without positive
+    * out-edges becomes dangling (its mass redistributes) — the
+    * documented semantics, mirrored by the oracle's WHERE wµ > 0.
+    * Everything else — teleport, dangling handling, per-iteration r6
+    * rounding, tol-based termination, lineage truncation — is the
+    * shared [[pageRank]] loop ([[iterate]] with a weighted
+    * contribution); with every weight equal the share wµ/Wµ equals
+    * 1/deg up to one rounding (GraphSpec asserts rank equality with
+    * [[pageRank]] on the r6 grid). The same storage lever applies at
+    * 100 TB: persist (src, dst, wµ, Wµ) bucketed by src
+    * ([[writeEdges]]'s baked-in-degree pattern) and the per-iteration
+    * edge-side exchange disappears.
+    *
+    * @return (node: long, rank: double) — ranks on the 1e-6 grid
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int, damping: Double = 0.85d,
+                       tol: Double = 0.0d): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("wmu"))
+      .where(col("wmu") > 0L)
+    val deg = e.groupBy("src").agg(sum(col("wmu")).as("degmu"))
+    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol,
+      contrib = col("rank") * col("wmu").cast("double")
+        / col("degmu").cast("double"))._1
+  }
+
   /** Personalized PageRank (PPR): rank mass teleports to a SEED SET
     * instead of uniformly — "authority relative to these trusted
     * hosts", the crawl-prioritization and related-entity primitive
@@ -281,7 +322,8 @@ object Graph {
     * over the checkpointed result. The loop stops when delta < tol.
     */
   private def iterate(eDeg: DataFrame, iters: Int, damping: Double,
-                      tol: Double = 0.0d): (DataFrame, Int) = {
+                      tol: Double = 0.0d,
+                      contrib: Column = col("rank") / col("deg")): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
     require(tol >= 0.0d, "tol must be non-negative")
@@ -306,7 +348,7 @@ object Graph {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("insum"))
+        .agg(sum(contrib).as("insum"))
         .select(col("dst").as("node"), col("insum"))
       // tol mode carries the previous rank through the SAME join (ranks
       // covers exactly the node set, so the row set is identical)
@@ -415,6 +457,74 @@ object Graph {
       }
     }
     reached
+  }
+
+  /** Single-source shortest path over NON-NEGATIVE edge weights —
+    * [[bfs]]'s weighted twin (link-distance features where hop count is
+    * too coarse: latency-weighted crawl distance, cost-weighted
+    * reachability). Frontier-based Bellman–Ford relaxation: the state
+    * is (node, distµ) min-distance in EXACT integer micro-units (the
+    * [[pageRankWeighted]] grid — weights floor(w·1e6+0.5), so every
+    * path length is an exact long and min() is order-independent);
+    * each round expands only the nodes whose distance IMPROVED last
+    * round along the edge list (one equi-join on src), folds with a
+    * min aggregate, and derives the next frontier from the
+    * improvement join. State is |V|-bounded by construction; rounds
+    * stop early at the fixpoint (no improvement), `maxIters` capping
+    * — the oracle's full unroll is identical because converged rounds
+    * are no-ops under min (the [[kCore]] argument). Negative weights
+    * are REJECTED loudly (one cheap limit-1 probe): with the early
+    * exit this frontier loop is Dijkstra-correct only for w ≥ 0, and
+    * a negative cycle would never converge. Null-weight edges drop
+    * (no defined length). The bucketed-edge layout lever applies
+    * unchanged: over a src-bucketed table the per-round edge-side
+    * exchange disappears ([[bfsBucketed]]'s shape).
+    *
+    * Directed semantics; pass both directions for undirected. Isolated
+    * sources report dist 0; unreached nodes are absent. The last
+    * round stays lazy (the [[bfs]] discipline).
+    *
+    * @return (node: long, dist: double) — micro-exact lengths on the
+    *         1e-6 grid, dist ≤ shortest reachable within maxIters hops
+    */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           sources: DataFrame, sourceCol: String, maxIters: Int): DataFrame = {
+    require(maxIters >= 0, "maxIters must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("wmu"))
+      .where(col("wmu").isNotNull)
+      .localCheckpoint(true)
+    require(e.where(col("wmu") < 0L).limit(1).count() == 0L,
+      "sssp requires non-negative edge weights")
+    var reached = sources.select(col(sourceCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("distmu")).localCheckpoint(true)
+    var frontier = reached
+    var it = 0
+    var result = reached
+    while (it < maxIters && frontier.limit(1).count() > 0L) {
+      it += 1
+      val expand = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("distmu") + col("wmu")).as("distmu"))
+      val next = reached.union(expand)
+        .groupBy("node").agg(min(col("distmu")).as("distmu"))
+      if (it < maxIters) {
+        val ck = next.localCheckpoint(true)
+        // frontier = nodes whose best distance improved (or are new):
+        // only they can improve a neighbor next round
+        frontier = ck.join(
+            reached.withColumnRenamed("distmu", "prevmu"), Seq("node"), "left")
+          .where(col("prevmu").isNull || col("distmu") < col("prevmu"))
+          .select(col("node"), col("distmu"))
+        reached = ck
+        result = ck
+      } else {
+        result = next // last round lazy: caller's sink materializes it
+      }
+    }
+    result.select(col("node"),
+      Num.r6(col("distmu").cast("double") / lit(1000000.0d)).as("dist"))
   }
 
   /** Triangle enumeration over an undirected edge list — the cohesion

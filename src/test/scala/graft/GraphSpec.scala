@@ -419,8 +419,113 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted PageRank: unit weights reproduce standard PageRank on the r6 grid") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L), (2L, 4L))
+    val unit = edges.map { case (s, d) => (s, d, 1.0d) }
+    val got = graft.ops.Graph.pageRankWeighted(
+      unit.toDF("s", "d", "w"), "s", "d", "w", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === run(edges, iters = 5),
+      "unit-weight proportional split must equal the uniform split")
+  }
+
+  test("weighted PageRank: rank follows weight; zero-weight edges drop (source may go dangling)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // 1 splits 9:1 between 2 and 3; both return all mass to 1
+    val skew = Seq((1L, 2L, 9.0d), (1L, 3L, 1.0d), (2L, 1L, 1.0d), (3L, 1L, 1.0d))
+    val got = graft.ops.Graph.pageRankWeighted(
+      skew.toDF("s", "d", "w"), "s", "d", "w", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(3L), s"9:1 split must rank 2 above 3: $got")
+    assert(math.abs(got.values.sum - 1.0d) < 6 * 5e-6 * got.size, s"mass conserved: $got")
+    // a multi-edge carrying weight k equals one edge of weight k
+    val multi = Seq((1L, 2L, 3.0d), (1L, 2L, 3.0d), (1L, 3L, 2.0d), (2L, 1L, 1.0d), (3L, 1L, 1.0d))
+    val merged = Seq((1L, 2L, 6.0d), (1L, 3L, 2.0d), (2L, 1L, 1.0d), (3L, 1L, 1.0d))
+    val gm = graft.ops.Graph.pageRankWeighted(multi.toDF("s", "d", "w"), "s", "d", "w", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gs = graft.ops.Graph.pageRankWeighted(merged.toDF("s", "d", "w"), "s", "d", "w", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gm === gs, "weight-k multi-edge must equal a single weight-k edge")
+    // node 4's only out-edge has weight 0 → dropped → 4 is dangling;
+    // its mass redistributes and ranks still sum to ~1
+    val z = Seq((1L, 4L, 1.0d), (4L, 1L, 0.0d), (1L, 2L, 1.0d), (2L, 1L, 1.0d))
+    val gz = graft.ops.Graph.pageRankWeighted(z.toDF("s", "d", "w"), "s", "d", "w", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gz.keySet === Set(1L, 2L, 4L))
+    assert(math.abs(gz.values.sum - 1.0d) < 1e-3, s"dangling mass lost: $gz")
+  }
+
+  /** Brute Bellman–Ford over micro-long weights — the sssp reference. */
+  private def refSssp(edges: Seq[(Long, Long, Double)], sources: Seq[Long],
+                      iters: Int): Map[Long, Double] = {
+    val e = edges.map { case (s, d, w) =>
+      (s, d, math.floor(w * 1e6 + 0.5).toLong) }
+    var dist = sources.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val expand = e.flatMap { case (s, d, w) => dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ expand).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist.map { case (n, mu) => n -> Num.r6(mu.toDouble / 1e6) }
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Double)], sources: Seq[Long],
+                      iters: Int): Map[Long, Double] = {
+    val sqlc = spark
+    import sqlc.implicits._
+    graft.ops.Graph.sssp(edges.toDF("s", "d", "w"), "s", "d", "w",
+      sources.toDF("n"), "n", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("sssp: cheaper multi-hop path beats the direct edge (what BFS cannot express)") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 2+1.5+1.5 = 5
+    val e = Seq((1L, 4L, 10.0d), (1L, 2L, 2.0d), (2L, 3L, 1.5d), (3L, 4L, 1.5d))
+    val got = runSssp(e, Seq(1L), 4)
+    assert(got === Map(1L -> 0.0d, 2L -> 2.0d, 3L -> 3.5d, 4L -> 5.0d), got.toString)
+    // with only 1 relaxation round the direct edge wins — the cap is
+    // real (and the oracle unrolls the identical count)
+    assert(runSssp(e, Seq(1L), 1)(4L) === 10.0d)
+  }
+
+  test("sssp: unit weights reproduce BFS hop distances; isolated source reports 0") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    val unit = edges.map { case (s, d) => (s, d, 1.0d) }
+    val got = runSssp(unit, Seq(1L, 99L), 5)
+    val hops = runBfs(edges, Seq(1L, 99L), 5)
+    assert(got === hops.map { case (n, h) => n -> h.toDouble }, s"got=$got hops=$hops")
+  }
+
+  test("sssp: matches brute Bellman–Ford on seeded random weighted digraphs") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(70)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+        (rnd.nextInt(40) + 1) * 0.25d))
+      val sources = Seq(rnd.nextInt(20).toLong)
+      for (iters <- Seq(0, 1, 3, 6)) {
+        assert(runSssp(edges, sources, iters) === refSssp(edges, sources, iters),
+          s"seed=$seed iters=$iters")
+      }
+    }
+  }
+
+  test("sssp: negative weights rejected loudly") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val bad = Seq((1L, 2L, -1.0d)).toDF("s", "d", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.sssp(bad, "s", "d", "w",
+        Seq(1L).toDF("n"), "n", 3)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
   test("gate plans: checkpointed iterations stay cartesian-free") {
-    for (q <- Seq("graph_pagerank", "graph_communities")) {
+    for (q <- Seq("graph_pagerank", "graph_communities",
+      "graph_pagerank_weighted", "graph_sssp")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
