@@ -118,6 +118,39 @@ private[graft] object SketchGates {
            |FROM es""".stripMargin
       }),
 
+    ("sketch_quantile_sample",
+      (s: SparkSession, dir: String) => {
+        // RANK-based quantile sketch — no (lo, hi) a priori, unlike
+        // sketch_quantile_hist: per order status, the bottom-64 rows
+        // by md5-hash of the (unique) order key form a deterministic
+        // uniform sample whose order statistics estimate the
+        // o_totalprice quantiles; state is 64 data rows per group,
+        // built with the salted two-stage bottom-k (no full-group
+        // window anywhere). SketchSpec proves shard-merge ≡ one-shot
+        // (the hllMerge discipline) and pins the empirical rank error
+        val st = Sketch.quantileSample(t(s, dir, "orders"),
+          "o_orderkey", "o_totalprice", Seq("o_orderstatus"), k = 64)
+        Sketch.quantileSampleEstimate(st, Seq("o_orderstatus"),
+          Seq(0.25d, 0.5d, 0.75d, 0.95d, 1.0d))
+      },
+      {
+        val qSel = Seq(0.25d, 0.5d, 0.75d, 0.95d, 1.0d).map(q =>
+          s"""SELECT g AS o_orderstatus, CAST($q AS DOUBLE) AS q, v AS est
+             |FROM rk WHERE rk = CAST(ceil(CAST($q AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)""".stripMargin)
+          .mkString("\nUNION ALL ")
+        s"""WITH s AS (SELECT o_orderstatus AS g,
+           |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+           |    CAST(o_totalprice AS DOUBLE) AS v
+           |  FROM orders WHERE o_totalprice IS NOT NULL),
+           |bk AS (SELECT g, h, v FROM (
+           |         SELECT g, h, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+           |         FROM s) WHERE rn <= 64),
+           |rk AS (SELECT g, v,
+           |         row_number() OVER (PARTITION BY g ORDER BY v, h) AS rk,
+           |         count(*) OVER (PARTITION BY g) AS n FROM bk)
+           |$qSel""".stripMargin
+      }),
+
     ("sketch_hll_intersect",
       (s: SparkSession, dir: String) => {
         // set-OVERLAP estimation by inclusion–exclusion over mergeable

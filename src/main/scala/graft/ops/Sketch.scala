@@ -283,6 +283,113 @@ object Sketch {
     }.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------- Rank-based quantile sample
+
+  /** Deterministic bottom-k-by-hash quantile sample — the RANK-based
+    * quantile sketch: unlike [[histogram]] it needs NO (lo, hi) bounds
+    * a priori, because its state is k actual data rows chosen by a
+    * content hash, not fixed bins. Per group, keep the `k` rows whose
+    * [[hash60]] of a UNIQUE row id is smallest — a uniform
+    * without-replacement sample of the group (the hash is a random
+    * uniform rank), so the sample's order statistics estimate the
+    * group's quantiles with rank error O(1/√k) whp, the standard
+    * sample-quantile bound.
+    *
+    * Why not KLL or GK: KLL's compactors are RANDOMIZED and
+    * merge-order-dependent, GK is inherently sequential — neither
+    * yields the bit-reproducible, aggregation-order-independent state
+    * this engine's cross-engine oracle contract requires. Bottom-k by
+    * deterministic hash has every property that matters at 100 TB —
+    * bounded state (k rows/group), one-pass build, exact associative
+    * idempotent merge ([[quantileSampleMerge]]: bottom-k of a union of
+    * bottom-ks IS the union's bottom-k, the [[hllMerge]] property) —
+    * and is reproducible anywhere, at a k-vs-accuracy trade (KLL's
+    * space advantage buys error ε in O(1/ε·√log) vs the sample's
+    * O(1/ε²); at k ≤ a few thousand rows of state per group, the
+    * simpler sketch's cost is noise).
+    *
+    * Scale shape: the per-group bottom-k is the salted two-stage merge
+    * (stage 1 bottom-k inside (group, hash-salt) slices so no task
+    * ever windows a full group; stage 2 merges ≤ nSalts·k survivors) —
+    * the [[graft.llm.Similarity]] topKMerge discipline. `idCol` must
+    * be unique per row (duplicate ids bias the sample toward their
+    * rows — same contract as the IVF family's unique-id rule); NULL
+    * values are excluded (no rank is defined for them).
+    *
+    * @return (groupCols…, h: long, v: double) — ≤ k rows per group
+    */
+  def quantileSample(df: DataFrame, idCol: String, valueCol: String,
+                     groupCols: Seq[String], k: Int,
+                     nSalts: Int = 8): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ hash60(col(idCol)).as("h")
+        :+ col(valueCol).cast("double").as("v"): _*)
+    bottomK(base, groupCols, k, nSalts)
+  }
+
+  /** The salted two-stage per-group bottom-k by (h, v): bit-identical
+    * to a single global window (union of per-slice bottom-ks re-ranked)
+    * but no task ever sorts more than ~1/nSalts of a group.
+    */
+  private def bottomK(rows: DataFrame, groupCols: Seq[String], k: Int,
+                      nSalts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("h").asc, col("v").asc)
+    val partial = if (nSalts <= 1) rows else {
+      val w1 = Window.partitionBy((groupCols.map(col) :+
+        pmod(col("h"), lit(nSalts.toLong))): _*).orderBy(ord: _*)
+      rows.withColumn("__r", row_number().over(w1))
+        .filter(col("__r") <= k).drop("__r")
+    }
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    partial.withColumn("__r", row_number().over(w2))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
+  /** Merge quantile-sample states: bottom-k of the deduplicated union.
+    * EXACT and idempotent — a row kept by any shard re-enters the
+    * ranking with its original hash, so merging overlapping shards (or
+    * the same shard twice) cannot skew the sample: duplicates collapse
+    * on (group, h, v) first (the same physical row always carries the
+    * same pair; distinct rows colliding on both h AND v are
+    * indistinguishable to the order statistics anyway). The window
+    * input is ≤ shards·k rows per group — sketch-sized, never
+    * data-sized. Same caller invariant as [[histMerge]]: every shard
+    * must have been built with the same idCol/valueCol semantics and
+    * the same k.
+    */
+  def quantileSampleMerge(shards: Seq[DataFrame], groupCols: Seq[String],
+                          k: Int): DataFrame = {
+    require(shards.nonEmpty, "quantileSampleMerge needs at least one shard")
+    bottomK(shards.reduce(_ unionByName _).distinct(), groupCols, k, nSalts = 1)
+  }
+
+  /** Per-group quantile estimates from a sample state: for each q, the
+    * ⌈q·n'⌉-th smallest sampled VALUE (n' = sample size) — an actual
+    * data value, so no arithmetic and no rounding discipline is needed
+    * at all; ties in v break by h for a deterministic row (the
+    * estimate is the same either way). The rank window runs over ≤ k
+    * rows per group — window-over-sketch, the [[histQuantiles]]
+    * admissibility argument.
+    *
+    * @return (groupCols…, q: double, est: double) — one row per group × q
+    */
+  def quantileSampleEstimate(state: DataFrame, groupCols: Seq[String],
+                             qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0d && q <= 1.0d),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = state
+      .withColumn("__rk", row_number().over(grp.orderBy(col("v").asc, col("h").asc)))
+      .withColumn("__n", count(lit(1)).over(grp))
+    qs.map { q =>
+      ranked.where(col("__rk") === ceil(lit(q) * col("__n").cast("double")))
+        .select(groupCols.map(col) :+ lit(q).as("q") :+ col("v").as("est"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Point-estimate the frequency of each key in `keys` (a one-column
     * relation of candidate keys): min over the d rows of the counter
     * each hash maps the key to, absent counters reading 0. The sketch

@@ -229,6 +229,64 @@ class SketchSpec extends AnyFunSuite {
     assert(ordered === ordered.sorted, ordered.toString)
   }
 
+  test("quantile sample: shard merge ≡ one-shot, idempotent under re-merge") {
+    import spark.implicits._
+    // unique ids, skewed values, two groups of very different sizes
+    val rows = (1 to 2400).map(i =>
+      (i.toLong, if (i % 4 == 0) "big" else "small", (i * i % 997).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val k = 32
+    val oneShot = Sketch.quantileSample(df, "id", "v", Seq("g"), k)
+    val shards = Seq(0, 1, 2).map(p =>
+      Sketch.quantileSample(df.filter(pmod(col("id"), lit(3)) === p),
+        "id", "v", Seq("g"), k))
+    val merged = Sketch.quantileSampleMerge(shards, Seq("g"), k)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet,
+      "bottom-k of shard bottom-ks must equal the one-shot bottom-k")
+    // idempotence (the hllMerge property): re-merging a shard — and the
+    // merged state itself — changes nothing
+    val remerged = Sketch.quantileSampleMerge(
+      Seq(merged, shards.head, merged), Seq("g"), k)
+    assert(remerged.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet, "overlap-safe merge broken")
+    // the salted and unsalted builds are bit-identical (pure scale shape)
+    val unsalted = Sketch.quantileSample(df, "id", "v", Seq("g"), k, nSalts = 1)
+    assert(unsalted.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+  }
+
+  test("quantile sample: empirical rank error within the O(1/√k) band; exact when k ≥ group") {
+    import spark.implicits._
+    val n = 4000
+    val rows = (1 to n).map(i => (i.toLong, "g", (i * 37 % 4001).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val k = 256
+    val qs = Seq(0.25d, 0.5d, 0.75d, 0.95d)
+    val est = Sketch.quantileSampleEstimate(
+      Sketch.quantileSample(df, "id", "v", Seq("g"), k), Seq("g"), qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = rows.map(_._3).sorted
+    qs.foreach { q =>
+      // realized rank of the estimate in the FULL data
+      val rank = sorted.count(_ <= est(q)).toDouble / n
+      // 3/√k ≈ 0.19 would be the 3-sigma band; the deterministic
+      // md5-hash sample lands well inside it — pin 0.15
+      assert(math.abs(rank - q) <= 0.15,
+        s"q=$q est=${est(q)} realized rank=$rank (k=$k)")
+    }
+    // monotone in q
+    val ordered = qs.map(est)
+    assert(ordered === ordered.sorted, ordered.toString)
+    // k ≥ group size degenerates to EXACT quantiles of the data
+    val small = (1 to 50).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val exact = Sketch.quantileSampleEstimate(
+      Sketch.quantileSample(small, "id", "v", Seq("g"), 64), Seq("g"),
+      Seq(0.5d, 1.0d))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(exact === Map(0.5d -> 25.0d, 1.0d -> 50.0d), exact.toString)
+  }
+
   test("histogram clamps out-of-range values into edge bins (no dropped mass)") {
     import spark.implicits._
     val df = Seq(("g", -50.0), ("g", 0.0), ("g", 999.0), ("g", 5000.0))
