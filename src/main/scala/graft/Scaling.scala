@@ -39,8 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  /** Id stride between replicas — far above every base key range. */
-  private val Stride = 10000000L
+  /** Id stride between replicas — far above every base key range AND
+    * above the co-purchase gates' +1e7 part-node offset (a 1e7 stride
+    * would alias replica k's customer node ids onto replica k−1's part
+    * node ids, silently chaining the replicas into one component).
+    */
+  private val Stride = 100000000L
 
   private[graft] val hotSet = Seq(
     "graph_pagerank", "graph_bfs", "graph_pagerank_bucketed",
