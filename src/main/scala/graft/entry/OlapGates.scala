@@ -1132,6 +1132,36 @@ private[graft] object OlapGates {
           "c_custkey", maxIters = 4),
       ssspOracleSql),
 
+    ("graph_sssp_bucketed",
+      (s: SparkSession, dir: String) => {
+        // same distances, production layout: the validated weighted
+        // edge relation is written ONCE bucketed by src and every
+        // relaxation round's edges⋈frontier join reads the bucketed
+        // scan exchange-free — the graph_bfs_bucketed pattern for the
+        // weighted family (SCALING.md measures why the layout matters)
+        val table = s"graft_wedges_${dirSuffix(dir)}"
+        Graph.writeWeightedEdges(coPurchaseEdgesWeighted(s, dir),
+          "src", "dst", "w", table, nBuckets = 8)
+        Graph.ssspBucketed(s, table,
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", maxIters = 4)
+      },
+      ssspOracleSql),
+
+    ("graph_pagerank_weighted_bucketed",
+      (s: SparkSession, dir: String) => {
+        // weighted ranks over the same pay-once layout: weight totals
+        // baked in at write time (recomputing them per run would
+        // re-shuffle the edges the bucketing exists to avoid), each
+        // iteration's join exchange-free on the edge side
+        val table = s"graft_wedges_pr_${dirSuffix(dir)}"
+        Graph.writeWeightedEdges(coPurchaseEdgesWeighted(s, dir),
+          "src", "dst", "w", table, nBuckets = 8)
+        Graph.pageRankWeightedBucketed(s, table, iters = 5, damping = 0.85d)
+      },
+      weightedPrOracleSql),
+
     ("graph_pagerank_directed",
       (s: SparkSession, dir: String) => {
         // DIRECTED customer→part edges only: every part node is a sink,

@@ -193,6 +193,41 @@ object Graph {
         / col("degmu").cast("double"))._1
   }
 
+  /** [[writeEdges]] for the WEIGHTED family: the micro-unit weighted
+    * edge relation `(src, dst, wmu, degmu)` bucketed by src, weight
+    * totals baked in at write time. Weights are validated ONCE here —
+    * nulls and non-positive weights dropped (the [[pageRankWeighted]]
+    * semantics), negativity rejected loudly — so the per-run probes
+    * ([[pageRankWeightedBucketed]], [[ssspBucketed]]) read a
+    * trusted-by-construction table and never re-scan to validate.
+    */
+  def writeWeightedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: String, table: String, nBuckets: Int): Unit = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
+        .cast("long").as("wmu"))
+    require(e0.where(col("wmu") < 0L).limit(1).count() == 0L,
+      "writeWeightedEdges requires non-negative edge weights")
+    val e = e0.where(col("wmu") > 0L)
+    val deg = e.groupBy("src").agg(sum(col("wmu")).as("degmu"))
+    Bucketing.writeBucketed(e.join(deg, "src"), table, "src", nBuckets)
+  }
+
+  /** [[pageRankWeighted]] over a [[writeWeightedEdges]] table:
+    * bit-identical ranks, but each iteration's edges⋈ranks join reads
+    * the src-bucketed scan exchange-free — only the rank relation
+    * (|V| rows) shuffles per round, the [[pageRankBucketed]] property
+    * SCALING.md measures (the plain loop's per-iteration edge
+    * exchange+sort is the one superlinear term in the curve).
+    */
+  def pageRankWeightedBucketed(spark: SparkSession, table: String,
+                               iters: Int, damping: Double = 0.85d,
+                               tol: Double = 0.0d): DataFrame =
+    iterate(spark.table(table), iters, damping, tol,
+      contrib = col("rank") * col("wmu").cast("double")
+        / col("degmu").cast("double"))._1
+
   /** Personalized PageRank (PPR): rank mass teleports to a SEED SET
     * instead of uniformly — "authority relative to these trusted
     * hosts", the crawl-prioritization and related-entity primitive
@@ -489,7 +524,6 @@ object Graph {
     */
   def sssp(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
            sources: DataFrame, sourceCol: String, maxIters: Int): DataFrame = {
-    require(maxIters >= 0, "maxIters must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
@@ -498,6 +532,25 @@ object Graph {
       .localCheckpoint(true)
     require(e.where(col("wmu") < 0L).limit(1).count() == 0L,
       "sssp requires non-negative edge weights")
+    ssspLoop(e, sources, sourceCol, maxIters)
+  }
+
+  /** [[sssp]] over a [[writeWeightedEdges]]-bucketed table: identical
+    * distances, but each relaxation round's edges⋈frontier join reads
+    * the src-bucketed scan exchange-free — only the frontier (≤|V|
+    * rows) shuffles, the [[bfsBucketed]] shape. The edge relation is
+    * NOT checkpointed (truncation would discard the bucketing) and not
+    * re-validated: the write rejected negative weights once at ingest.
+    */
+  def ssspBucketed(spark: SparkSession, edgeTable: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxIters: Int): DataFrame =
+    ssspLoop(spark.table(edgeTable).select(col("src"), col("dst"), col("wmu")),
+      sources, sourceCol, maxIters)
+
+  private def ssspLoop(e: DataFrame, sources: DataFrame, sourceCol: String,
+                       maxIters: Int): DataFrame = {
+    require(maxIters >= 0, "maxIters must be non-negative")
     var reached = sources.select(col(sourceCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("distmu")).localCheckpoint(true)
     var frontier = reached

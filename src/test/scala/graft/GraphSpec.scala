@@ -512,6 +512,36 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted bucketed twins: identical results, strictly fewer exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    // SSSP: bit-identical distances, exchange-free edge side per round
+    val sp = SparkEntry.queries("graph_sssp")(spark, dir)
+    val sb = SparkEntry.queries("graph_sssp_bucketed")(spark, dir)
+    assert(sp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      sb.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges(sb.queryExecution.executedPlan.toString) <
+      exchanges(sp.queryExecution.executedPlan.toString))
+    // weighted PageRank: same parity + plan property
+    val wp = SparkEntry.queries("graph_pagerank_weighted")(spark, dir)
+    val wb = SparkEntry.queries("graph_pagerank_weighted_bucketed")(spark, dir)
+    assert(wp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      wb.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    assert(exchanges(wb.queryExecution.executedPlan.toString) <
+      exchanges(wp.queryExecution.executedPlan.toString))
+  }
+
+  test("writeWeightedEdges rejects negative weights at ingest") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val bad = Seq((1L, 2L, -0.5d)).toDF("s", "d", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.writeWeightedEdges(bad, "s", "d", "w",
+        "graft_wedges_graphspec_bad", 2)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
   test("sssp: negative weights rejected loudly") {
     val sqlc = spark
     import sqlc.implicits._
