@@ -552,6 +552,24 @@ private[graft] object DedupGates {
       },
       mlshOracleSql(nPlanes = 4, nTables = 16)),
 
+    ("similarity_topk_lsh_ingested",
+      (s: SparkSession, dir: String) => {
+        // same neighbors as similarity_topk_lsh, PRODUCTION layout:
+        // the corpus is normalized and band-key-exploded ONCE at
+        // ingest (the dominant per-batch cost — nTables × nPlanes ×
+        // dim fused-loop work per vector), written bucketed by bucket
+        // with a (nplanes, ntables) sidecar so probes can never hash
+        // queries with mismatched planes; the probe hashes only the
+        // 20-query batch and reads the banded scan
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_bands_${dirSuffix(dir)}"
+        Similarity.ingestLsh(e, "vec_id", "embedding", table,
+          nPlanes = 4, nTables = 16, nBuckets = 8)
+        Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      },
+      mlshOracleSql(nPlanes = 4, nTables = 16)),
+
     ("similarity_topk_mlsh",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

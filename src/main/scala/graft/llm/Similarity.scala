@@ -594,6 +594,57 @@ object Similarity {
     topKMerge(scored, k, salts)
   }
 
+  /** Persist the multi-table LSH index ONCE — [[ingestIvf]]'s sibling
+    * for the hyperplane family: normalize the corpus and explode its
+    * `nTables` (tbl, bucket) band keys a single time, writing the
+    * banded relation `(nn_id, cv, tbl, bucket)` bucketed by bucket
+    * (co-locating each posting list for maintenance sweeps), with a
+    * 1-row `(nplanes, ntables)` parameter sidecar so a probe can NEVER
+    * hash its queries with mismatched planes (the histMerge
+    * parameter-consistency failure mode, closed by construction).
+    * Every [[topKLshIngested]] batch then skips the corpus-side
+    * hashing entirely — nTables × nPlanes × dim fused-loop work per
+    * corpus vector, the dominant per-batch cost — and reads the banded
+    * scan directly.
+    */
+  def ingestLsh(corpus: DataFrame, idCol: String, vecCol: String, table: String,
+                nPlanes: Int, nTables: Int, nBuckets: Int): Unit = {
+    require(nPlanes >= 1 && nTables >= 1, "nPlanes/nTables must be positive")
+    val c0 = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    graft.ops.Bucketing.writeBucketed(tabled(c0, "cv", nPlanes, nTables),
+      table, "bucket", nBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      Seq((nPlanes, nTables)).toDF("nplanes", "ntables"), s"${table}_meta")
+  }
+
+  /** Serve a query batch against an [[ingestLsh]] index: queries hash
+    * with the SIDE-CAR's (nPlanes, nTables) — parameter mismatch is
+    * impossible — and broadcast onto the banded scan; candidates dedup
+    * and rank exactly like [[topKLsh]]'s multi-table path, so output
+    * is bit-identical to the per-run operator at the index parameters
+    * (shared gate oracle; AnnRecallSpec asserts parity and that the
+    * probe plan hashes only the query side).
+    */
+  def topKLshIngested(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nSalts: Int = 0): DataFrame = {
+    val meta = spark.table(s"${table}_meta").first()
+    val nPlanes = meta.getInt(meta.fieldIndex("nplanes"))
+    val nTables = meta.getInt(meta.fieldIndex("ntables"))
+    val banded = spark.table(table)
+    val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
+    val matched = banded
+      .join(broadcast(tabled(q0, "qv", nPlanes, nTables)), Seq("tbl", "bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    val scored = matched.groupBy(col("query_id"), col("nn_id"))
+      .agg(max(col("score")).as("score"))
+    topKMerge(scored, k, salts)
+  }
+
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4, nSalts: Int = 0,
               kmeansIters: Int = 0): DataFrame = {

@@ -210,11 +210,33 @@ class AnnRecallSpec extends AnyFunSuite {
     // scan feeding the broadcast candidate join)
     val pIng = ing.queryExecution.executedPlan.toString
     val pPer = per.queryExecution.executedPlan.toString
-    assert(!pIng.toLowerCase.contains("centroidargmax"),
-      "probe plan re-ran the corpus assignment argmax")
+    def argmaxes(p: String) = "graft_centroid_argmax".r.findAllIn(p).size
+    assert(argmaxes(pPer) > 0, "per-run plan must contain the assignment argmax")
+    assert(argmaxes(pIng) == 0, "probe plan re-ran the corpus assignment argmax")
     def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
     assert(exchanges(pIng) < exchanges(pPer),
       s"ingested=${exchanges(pIng)} per-run=${exchanges(pPer)}")
+  }
+
+  test("ingested LSH index: bit-identical to per-run LSH, corpus-side hashing paid once") {
+    val table = "graft_lsh_annspec_idx"
+    Similarity.ingestLsh(emb, "vec_id", "embedding", table,
+      nPlanes = 4, nTables = 16, nBuckets = 4)
+    val ing = Similarity.topKLshIngested(spark, table, queries,
+      "vec_id", "embedding", k = K)
+    val per = Similarity.topKLsh(emb, queries, "vec_id", "embedding",
+      k = K, nPlanes = 4, nTables = 16)
+    assert(ing.collect().toSet == per.collect().toSet,
+      "ingested-index LSH diverged from the per-run path")
+    // the probe must hash ONLY the query side: the per-run plan
+    // evaluates hyperplane buckets on both corpus and queries, the
+    // ingested plan on queries alone — strictly fewer occurrences
+    def buckets(p: String) = "graft_hyperplane_bucket".r.findAllIn(p).size
+    val pIng = ing.queryExecution.executedPlan.toString
+    val pPer = per.queryExecution.executedPlan.toString
+    assert(buckets(pIng) > 0, "query side must still hash")
+    assert(buckets(pIng) < buckets(pPer),
+      s"ingested=${buckets(pIng)} per-run=${buckets(pPer)}")
   }
 
   test("LSH table amplification is monotone: more tables never retrieve less") {

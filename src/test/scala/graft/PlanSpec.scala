@@ -43,7 +43,8 @@ class PlanSpec extends AnyFunSuite {
       "multimodal_phash_neardup", "profile_trend",
       "graph_pagerank_personalized", "embedding_random_project",
       "sketch_hll_intersect", "similarity_topk_ivf_ingested",
-      "retrieval_bm25_ingested", "sketch_quantile_sample")) {
+      "retrieval_bm25_ingested", "sketch_quantile_sample",
+      "similarity_topk_lsh_ingested")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
