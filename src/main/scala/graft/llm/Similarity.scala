@@ -577,9 +577,18 @@ object Similarity {
                       k: Int, nProbe: Int = 4, nSalts: Int = 0): DataFrame = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    require(cent.nonEmpty, s"empty centroid table ${table}_centroids")
     val assign = spark.table(table)
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    if (cent.isEmpty) {
+      // an index built over an EMPTY corpus has no centroids and no
+      // neighbors: empty result with the contract schema, id types
+      // inherited from the real relations (the bm25TopK empty-path
+      // discipline — a lit() placeholder would pin the wrong type)
+      return assign.select(col("nn_id")).crossJoin(q.select(col("query_id")))
+        .select(col("query_id"), col("nn_id"),
+          lit(0.0d).as("score"), lit(0).as("rank"))
+        .where(lit(false))
+    }
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cid").asc)
     val probes = q.select(col("query_id"), col("qv"), explode(typedLit(cent)).as("ct"))
