@@ -1009,6 +1009,56 @@ private[graft] object OlapGates {
          |       CASE WHEN d1 > 250 THEN d2 ELSE d1 END AS d_old, jaccard
          |FROM mh_pairs WHERE (d1 <= 250) <> (d2 <= 250)""".stripMargin),
 
+    ("dedup_incremental_neardup_ingested",
+      (s: SparkSession, dir: String) => {
+        // the PERSISTED-INDEX twin of dedup_incremental_neardup: the
+        // existing corpus (id ≤ 250) is shingle-hashed, flood-capped,
+        // and banded ONCE at ingest (three bucketed tables + parameter
+        // sidecar); the new batch (id > 250) probes with batch-sized
+        // work only — no corpus re-tokenize, none of the k MinHash
+        // permutations re-run. Flood semantics differ deliberately
+        // from the incremental twin (cap fixed at ingest over the
+        // index corpus, not recomputed over the union — what a
+        // persisted crawl index can actually promise); the oracle
+        // mirrors exactly that.
+        val d = t(s, dir, "documents")
+        val table = s"graft_mh_idx_${dirSuffix(dir)}"
+        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 250),
+          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+          maxDocFreq = Some(20), table, nBuckets = 8)
+        Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
+          "doc_id", "text", threshold = 0.3)
+      },
+      {
+        val perms = (0 until 16).map(i =>
+          s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
+        val jac = Num.r6Sql("CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+        // flood set from the EXISTING side only (ingest-time cap);
+        // both sides' shingles then filter against it — the persisted
+        // index's exact semantics
+        s"""WITH ${GateSupport.tokenShingleCte(3)},
+           |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+           |fe AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0
+           |                      WHERE doc <= 250 GROUP BY h) WHERE c > 20),
+           |h1 AS (SELECT doc, h FROM h0 WHERE h NOT IN (SELECT h FROM fe)),
+           |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
+           |perms(i, a, b) AS (VALUES $perms),
+           |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM h1 CROSS JOIN perms GROUP BY doc, i),
+           |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+           |          FROM mh GROUP BY doc, i // 4),
+           |cand AS (SELECT DISTINCT nw.doc AS d_new, ol.doc AS d_old
+           |         FROM bands nw JOIN bands ol ON nw.band = ol.band AND nw.bkey = ol.bkey
+           |         WHERE nw.doc > 250 AND ol.doc <= 250),
+           |inter AS (SELECT a.doc AS d_new, b.doc AS d_old, count(*) AS i
+           |          FROM h1 a JOIN h1 b USING (h)
+           |          JOIN cand c ON a.doc = c.d_new AND b.doc = c.d_old
+           |          GROUP BY a.doc, b.doc)
+           |SELECT d_new, d_old, $jac AS jaccard
+           |FROM inter JOIN sizes s1 ON inter.d_new = s1.doc
+           |           JOIN sizes s2 ON inter.d_old = s2.doc
+           |WHERE $jac >= 0.3""".stripMargin
+      }),
+
     ("profile_skew",
       (s: SparkSession, dir: String) =>
         Profile.keySkew(t(s, dir, "orders"), "o_custkey", topN = 10),

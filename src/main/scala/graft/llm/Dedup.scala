@@ -403,6 +403,97 @@ object Dedup {
     jaccardVerify(ds, cand, "d_new", "d_old", threshold, ordered = false)
   }
 
+  /** Persist the MinHash near-dup index ONCE — the pay-once layout twin
+    * for the dedup family ([[graft.llm.Similarity.ingestIvf]]'s
+    * pattern): shingle-hash the corpus a single time, compute its flood
+    * set (shingles above `maxDocFreq` — the cap is fixed AT INGEST over
+    * the index corpus, a crawl index's honest semantics: see the
+    * contrast note on [[minhashLshIngested]]), and write three tables —
+    * the capped `(doc, h)` shingle relation bucketed by h (the verify
+    * intersection join's key), the `(doc, bkey, bkey2)` band relation
+    * bucketed by bkey (the candidate join's key), and the flood set —
+    * plus an `(n, k, rows_per_band)` parameter sidecar so a probe can
+    * never band a batch with mismatched parameters. Each
+    * [[minhashLshIngested]] batch then skips corpus tokenization,
+    * shingle hashing, and all k MinHash permutations over the corpus —
+    * the dominant per-ingest cost — touching only batch-sized inputs
+    * plus bucketed scans.
+    */
+  def ingestMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, rowsPerBand: Int,
+                         maxDocFreq: Option[Long], table: String,
+                         nBuckets: Int): Unit = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val spark = corpus.sparkSession
+    val raw = docShinglesHashed(corpus, idCol, textCol, n, None)
+      .localCheckpoint()
+    val flood = maxDocFreq match {
+      case None => raw.select(col("h")).where(lit(false))
+      case Some(cap) => raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("h"))
+    }
+    graft.ops.Bucketing.writeBucketed(
+      raw.join(flood, Seq("h"), "left_anti"),
+      s"${table}_shingles", "h", nBuckets)
+    graft.ops.Bucketing.writeBucketed(
+      bandKeys(spark.table(s"${table}_shingles"), k, rowsPerBand),
+      table, "bkey", nBuckets)
+    graft.ops.Bucketing.writeSmall(flood, s"${table}_flood")
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"),
+      s"${table}_meta")
+  }
+
+  /** Near-dup admission of a new batch against an [[ingestMinhashIndex]]
+    * index: the batch is shingle-hashed, filtered against the PERSISTED
+    * flood set, banded with the sidecar's parameters, and its bands
+    * join the persisted band table (cross-side only — the index is
+    * never self-joined); candidate pairs verify with exact Jaccard over
+    * persisted-∪-batch shingles, both sides candidate-restricted first
+    * (the [[minhashLsh]] verify). Per ingest the corpus-side work is
+    * two bucketed scans — no re-tokenize, no re-hash, none of the k
+    * permutations.
+    *
+    * SEMANTIC CONTRAST with [[minhashLshIncremental]] (both are
+    * supported, for different deployments): the incremental batch twin
+    * recomputes the doc-frequency cap over existing ∪ new each call —
+    * bit-identical to a batch run on the union, but it re-reads the
+    * whole corpus. This ingested twin fixes the flood set at ingest
+    * (new-batch shingles are filtered against the INDEX's flood set;
+    * the batch's own contributions don't retroactively cap the index's
+    * signatures), which is what a persisted crawl index can actually
+    * promise — and is itself exactly mirrored by the gate's oracle.
+    * Batch ids must be distinct from index ids.
+    *
+    * @return (d_new, d_old, jaccard) with jaccard ≥ threshold
+    */
+  def minhashLshIngested(spark: org.apache.spark.sql.SparkSession, table: String,
+                         newBatch: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    val meta = spark.table(s"${table}_meta").first()
+    val n = meta.getInt(meta.fieldIndex("n"))
+    val k = meta.getInt(meta.fieldIndex("k"))
+    val rpb = meta.getInt(meta.fieldIndex("rows_per_band"))
+    val flood = spark.table(s"${table}_flood")
+    val dsOld = spark.table(s"${table}_shingles")
+    // no broadcast hint: the flood set is usually tiny (shingles above
+    // the cap) and Catalyst broadcasts it from table stats, but on a
+    // boilerplate-heavy corpus it can grow past broadcast size — let
+    // the planner decide rather than pinning an assumption
+    val dsNew = docShinglesHashed(newBatch, idCol, textCol, n, None)
+      .join(flood, Seq("h"), "left_anti")
+      .localCheckpoint()
+    val cand = bandKeys(dsNew, k, rpb)
+      .select(col("doc").as("d_new"), col("bkey"), col("bkey2"))
+      .join(spark.table(table)
+        .select(col("doc").as("d_old"), col("bkey"), col("bkey2")),
+        Seq("bkey", "bkey2"))
+      .select(col("d_new"), col("d_old")).distinct()
+    jaccardVerify(dsOld.unionByName(dsNew), cand, "d_new", "d_old",
+      threshold, ordered = false)
+  }
+
   /** SimHash over token hashes: bit b of the signature is 1 iff the count
     * of tokens with bit b set exceeds half the token count. The rolling
     * hash is < 2^30, so bits above 29 come from a SECOND hash family

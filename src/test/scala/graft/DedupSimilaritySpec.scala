@@ -953,4 +953,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(d === 0 && hm(a) === hm(b), s"pair ($a,$b) not identical")
     }
   }
+
+  test("ingested MinHash index: parity with the incremental twin below the cap; planted near-dup found") {
+    // distinct texts, every shingle df far below the cap — in this
+    // regime the ingest-time and union-time flood sets are both empty,
+    // so the persisted-index probe must match minhashLshIncremental
+    // bit-for-bit
+    val existing = (1L to 25L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("id", "text")
+    val newBatch = Seq(
+      (101L, "intro pad alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3"),
+      (102L, "wholly novel content nothing shared with any existing doc here"))
+      .toDF("id", "text")
+    val table = "graft_mh_dedupspec_idx"
+    Dedup.ingestMinhashIndex(existing, "id", "text", n = 3, k = 16,
+      rowsPerBand = 4, maxDocFreq = Some(20), table, nBuckets = 2)
+    val ing = Dedup.minhashLshIngested(spark, table, newBatch, "id", "text",
+      threshold = 0.3)
+    val inc = Dedup.minhashLshIncremental(existing, newBatch, "id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+    assert(ing.collect().map(_.toSeq).toSet === inc.collect().map(_.toSeq).toSet,
+      "below the cap the persisted index must reproduce the incremental twin")
+    val pairs = ing.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 3L)), s"planted near-dup missing: $pairs")
+    assert(!pairs.exists(_._1 == 102L), "novel doc must admit cleanly")
+  }
+
+  test("ingested MinHash index: flood set is fixed at ingest — a batch cannot re-cap the index") {
+    // cap = 3; the index holds exactly 3 copies of one boilerplate text
+    // (df = 3 ≤ cap → kept), and the new batch adds a 4th copy.
+    // Union-cap semantics (minhashLshIncremental) drop every shingle
+    // (df = 4 > 3) and find NOTHING; the persisted index's ingest-time
+    // flood set keeps them, and the new copy is caught — the exact
+    // admission behavior a crawl index must have (an attacker batch
+    // can never flood the index's own signatures away)
+    val existing = (1L to 3L).map(i =>
+      (i, "shared boilerplate run of tokens that repeats verbatim in each copy"))
+      .toDF("id", "text")
+    val newBatch = Seq(
+      (201L, "shared boilerplate run of tokens that repeats verbatim in each copy"))
+      .toDF("id", "text")
+    val table = "graft_mh_dedupspec_flood"
+    Dedup.ingestMinhashIndex(existing, "id", "text", n = 3, k = 16,
+      rowsPerBand = 4, maxDocFreq = Some(3), table, nBuckets = 2)
+    val ing = Dedup.minhashLshIngested(spark, table, newBatch, "id", "text",
+      threshold = 0.3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ing === Set((201L, 1L), (201L, 2L), (201L, 3L)),
+      s"ingest-capped index must catch the 4th copy: $ing")
+    val inc = Dedup.minhashLshIncremental(existing, newBatch, "id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(3))
+      .count()
+    assert(inc === 0L,
+      "union-cap twin must drop the now-over-cap shingles (the documented contrast)")
+  }
 }
