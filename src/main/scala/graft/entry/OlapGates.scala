@@ -1009,6 +1009,45 @@ private[graft] object OlapGates {
          |       CASE WHEN d1 > 250 THEN d2 ELSE d1 END AS d_old, jaccard
          |FROM mh_pairs WHERE (d1 <= 250) <> (d2 <= 250)""".stripMargin),
 
+    ("join_fuzzy_edit",
+      (s: SparkSession, dir: String) => {
+        // entity resolution: a "dirty" batch (every name with one
+        // deterministic character substitution) matched against the
+        // clean reference within 1 edit — the PassJoin segment filter
+        // generates candidates (constant ≤(k+1)²(2k+1) keys per
+        // string, plain equi-join), banded levenshtein verifies. The
+        // oracle is the BRUTE-FORCE exact join (length prefilter +
+        // plain levenshtein, deliberately filter-independent), so the
+        // hash match proves completeness, not just determinism.
+        // Bounded key subset keeps the oracle's quadratic verify
+        // tractable at every SF.
+        val base = t(s, dir, "part").filter(col("p_partkey") < 2000)
+          .select(col("p_partkey").as("k"),
+            concat(col("p_name"), lit("#"), col("p_partkey")).as("nm"))
+        val clean = base.select(col("k").as("id"), col("nm"))
+        val dirty = base
+          .withColumn("pos", pmod(col("k"), length(col("nm"))).cast("int") + 1)
+          .select((col("k") + 100000L).as("id"),
+            concat(expr("substring(nm, 1, pos - 1)"), lit("q"),
+              expr("substring(nm, pos + 1, length(nm) - pos)")).as("nm"))
+        FuzzyJoin.editDistanceJoin(dirty, "id", "nm", clean, "id", "nm",
+          maxDist = 1)
+          .select(col("l_id").as("dirty_id"), col("r_id").as("clean_id"),
+            col("dist"))
+      },
+      """WITH base AS (SELECT p_partkey AS k,
+        |                     p_name || '#' || CAST(p_partkey AS VARCHAR) AS nm
+        |              FROM part WHERE p_partkey < 2000),
+        |clean AS (SELECT k AS id, nm FROM base),
+        |dirty AS (SELECT k + 100000 AS id,
+        |                 substr(nm, 1, CAST(k % length(nm) AS INT)) || 'q' ||
+        |                 substr(nm, CAST(k % length(nm) AS INT) + 2) AS nm
+        |          FROM base)
+        |SELECT d.id AS dirty_id, c.id AS clean_id,
+        |       CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
+        |FROM dirty d JOIN clean c ON abs(length(d.nm) - length(c.nm)) <= 1
+        |WHERE levenshtein(d.nm, c.nm) <= 1""".stripMargin),
+
     ("dedup_incremental_neardup_ingested",
       (s: SparkSession, dir: String) => {
         // the PERSISTED-INDEX twin of dedup_incremental_neardup: the

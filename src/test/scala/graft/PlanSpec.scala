@@ -44,7 +44,8 @@ class PlanSpec extends AnyFunSuite {
       "graph_pagerank_personalized", "embedding_random_project",
       "sketch_hll_intersect", "similarity_topk_ivf_ingested",
       "retrieval_bm25_ingested", "sketch_quantile_sample",
-      "similarity_topk_lsh_ingested", "dedup_incremental_neardup_ingested")) {
+      "similarity_topk_lsh_ingested", "dedup_incremental_neardup_ingested",
+      "join_fuzzy_edit")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
