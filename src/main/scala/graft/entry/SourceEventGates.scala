@@ -234,6 +234,31 @@ private[graft] object SourceEventGates {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    ("load_scd2",
+      (s: SparkSession, dir: String) =>
+        // SCD2 history build from the event change log: one version row
+        // per user_id per event_type CHANGE, validity interval = [this
+        // change, next change), open-ended current row — the warehouse
+        // twin of load_cdc_apply (which folds to latest state only).
+        // Null-safe change detection (IS DISTINCT FROM semantics on
+        // both engines); duplicate (key, ts) rows collapse
+        // deterministically to the smallest value first
+        Load.scd2History(events(s, dir), "user_id", "ts", Seq("event_type")),
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+        |           FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT user_id, ts, event_type FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_type NULLS FIRST) AS rn
+        |        FROM e) WHERE rn = 1),
+        |ch AS (SELECT user_id, ts, event_type FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS idx,
+        |               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+        |        FROM b) WHERE idx = 1 OR event_type IS DISTINCT FROM pv)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM ch""".stripMargin),
+
     ("events_funnel",
       (s: SparkSession, dir: String) =>
         graft.streaming.EventStream.funnel(events(s, dir),

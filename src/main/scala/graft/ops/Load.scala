@@ -138,6 +138,55 @@ object Load {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** SCD2 history build — the warehouse twin of [[applyChangeLog]]:
+    * where CDC-apply folds a change log to the LATEST state, this
+    * expands it into slowly-changing-dimension type-2 VERSION rows
+    * `(key, valueCols…, valid_from, valid_to, is_current)` — one row
+    * per value change per key, valid_to = the next change's timestamp
+    * (NULL = current). Consecutive rows with unchanged values collapse
+    * into one version (the SCD2 semantic: only CHANGES open versions);
+    * comparison is null-safe (`<=>`), so a value→null transition opens
+    * a version and null→null does not — the oracle mirrors with
+    * `IS DISTINCT FROM`.
+    *
+    * Determinism: duplicate (key, ts) rows collapse FIRST to the row
+    * with the smallest valueCols tuple (a window over the tiny
+    * (key, ts) cohort), so input multiplicity can never leak into
+    * version boundaries. Rows with a null timestamp drop (no position
+    * in history). Scale shape: every window partitions by key (or
+    * (key, ts)) and per-key version counts are change-log-bounded —
+    * window-over-history, not window-over-corpus; a pathological key
+    * with millions of versions funnels its own history through one
+    * task, which is inherent to ordering that key's timeline.
+    *
+    * @return (keyCol, valueCols…, valid_from, valid_to, is_current)
+    */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2History needs at least one value column")
+    import org.apache.spark.sql.expressions.Window
+    val v = struct(valueCols.map(col): _*)
+    val wd = Window.partitionBy(col("__k"), col("__ts"))
+      .orderBy(valueCols.map(col): _*)
+    val base = df.where(col(tsCol).isNotNull)
+      .select(Seq(col(keyCol).as("__k"), col(tsCol).as("__ts")) ++
+        valueCols.map(col): _*)
+      .withColumn("__rn", row_number().over(wd))
+      .where(col("__rn") === 1)
+      .select(col("__k"), col("__ts"), v.as("__v"))
+    val wk = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+    val changes = base
+      .withColumn("__idx", row_number().over(wk))
+      .withColumn("__pv", lag(col("__v"), 1).over(wk))
+      .where(col("__idx") === 1 || !(col("__v") <=> col("__pv")))
+    changes
+      .withColumn("valid_to", lead(col("__ts"), 1).over(wk))
+      .select(Seq(col("__k").as(keyCol)) ++
+        valueCols.map(c => col(s"__v.$c").as(c)) ++
+        Seq(col("__ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** S8 RDBMS sink: append a DataFrame to a JDBC table (bind-parameter
     * writes — no hand-escaped SQL, unlike the reference's string-built
     * INSERTs at src/main/etl.js:770-790). Combine with [[loadOrdered]]

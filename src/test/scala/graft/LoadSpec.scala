@@ -201,4 +201,46 @@ class LoadSpec extends AnyFunSuite {
     assert(plan.contains("partial_max_by") || plan.contains("HashAggregate"),
       s"expected a partial aggregate reduction: ${plan.take(600)}")
   }
+
+  test("scd2History: versions on change only, null-safe transitions, contiguous intervals") {
+    val rows = Seq(
+      (1L, 1L, Some("a")),  // opens v1
+      (1L, 2L, Some("a")),  // unchanged — collapses
+      (1L, 3L, Some("b")),  // opens v2
+      (1L, 4L, None),       // value→null OPENS a version (null-safe)
+      (1L, 5L, None),       // null→null collapses
+      (1L, 6L, Some("a")),  // null→value opens v4
+      (2L, 7L, Some("x")))  // second key, single current version
+      .toDF("k", "t", "v")
+    val got = Load.scd2History(rows, "k", "t", Seq("v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(got === Set(
+      (1L, Some("a"), 1L, Some(3L), false),
+      (1L, Some("b"), 3L, Some(4L), false),
+      (1L, None,      4L, Some(6L), false),
+      (1L, Some("a"), 6L, None,     true),
+      (2L, Some("x"), 7L, None,     true)), got.toString)
+    // exactly one current row per key; intervals tile the timeline
+    val byKey = got.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      assert(vs.count(_._5) === 1, s"key $k must have one current row")
+      val sorted = vs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap in key $k history")
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2History: duplicate (key, ts) rows collapse deterministically; null ts drops") {
+    val rows = Seq(
+      (1L, Some(1L), Some("z")), (1L, Some(1L), Some("a")), // same instant: min value wins
+      (1L, Some(2L), Some("b")),
+      (1L, Option.empty[Long], Some("ghost")))              // no position — dropped
+      .toDF("k", "t", "v")
+    val got = Load.scd2History(rows, "k", "t", Seq("v")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", 1L), ("b", 2L)), got.toString)
+  }
 }
