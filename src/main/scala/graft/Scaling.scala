@@ -149,22 +149,93 @@ object Scaling {
         (f, d)
       }
 
-    dirs.foreach { case (f, dir) =>
-      val results = only.flatMap { name =>
+    def timeSet(names: Seq[String], dir: String, f: Int,
+                tag: String): Seq[(String, Double)] =
+      names.flatMap { name =>
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(spark, dir).count()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
-            System.err.println(s"[scaling] ERROR $name@x$f: ${e.getMessage}")
+            System.err.println(s"[scaling] ERROR $name@x$f$tag: ${e.getMessage}")
             None
           }
         }
         if (times.size < runs) None else Some(name -> median(times))
       }
+    def emit(metric: String, f: Int, dir: String,
+             results: Seq[(String, Double)]): Unit = {
       val qs = results.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"scaling","factor":$f,"dir":"$dir","runs":$runs,"queries":$qs,"total":${fmt(results.map(_._2).sum)}}""")
+      println(s"""{"metric":"$metric","factor":$f,"dir":"$dir","runs":$runs,"queries":$qs,"total":${fmt(results.map(_._2).sum)}}""")
+    }
+
+    // SPARK_GRAFT_PARTSCALE: comma-separated queries to RE-time with
+    // spark.sql.shuffle.partitions scaled ∝ factor (32·f) — the one
+    // knob a real cluster scales with executor count but the local
+    // harness otherwise pins, separating "the plan scales" from "the
+    // partition count scales" (e.g. how much of plain pageRank's
+    // superlinear per-round exchange+sort the partition knob recovers
+    // vs the bucketed-layout lever).
+    val partScale = sys.env.get("SPARK_GRAFT_PARTSCALE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(partScale.toSet.diff(SparkEntry.queries.keySet).isEmpty,
+      "unknown SPARK_GRAFT_PARTSCALE queries")
+    // SPARK_GRAFT_PROBES=1: additionally time the PROBE phase of the
+    // ingested indexes with the index PRE-BUILT per factor (untimed) —
+    // the pay-once claim predicts near-flat probe cost for IVF
+    // (cluster-bounded candidates) and sublinear-in-corpus for BM25
+    // (query-term posting lists only); the gates can't show this
+    // because they time ingest+probe together.
+    val probes = sys.env.get("SPARK_GRAFT_PROBES").contains("1")
+
+    dirs.foreach { case (f, dir) =>
+      emit("scaling", f, dir, timeSet(only, dir, f, ""))
+
+      if (partScale.nonEmpty) {
+        val base = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", (base.toInt * f).toString)
+        try emit("scaling_partscaled", f, dir, timeSet(partScale, dir, f, " partscaled"))
+        finally spark.conf.set("spark.sql.shuffle.partitions", base)
+      }
+
+      if (probes) {
+        import spark.implicits._
+        val sfx = GateSupport.dirSuffix(dir)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val ivfT = s"graft_scaling_ivf_$sfx"
+        val bm25T = s"graft_scaling_bm25_$sfx"
+        System.err.println(s"[scaling] building probe indexes @x$f (untimed) ...")
+        llm.Similarity.ingestIvf(emb, "vec_id", "embedding", ivfT,
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        llm.Retrieval.ingestBm25(docs, "doc_id", "text", bm25T, nBuckets = 8)
+        val qBatch = emb.filter(col("vec_id") < 20)
+        val qText = Seq((1L, "the quick brown fox"), (2L, "model training data"),
+          (3L, "distributed query engine"), (4L, "language identification"))
+          .toDF("qid", "qtext")
+        val thunks: Seq[(String, () => Long)] = Seq(
+          "probe_ivf_ingested" -> (() => llm.Similarity.topKIvfIngested(
+            spark, ivfT, qBatch, "vec_id", "embedding", k = 5, nProbe = 4).count()),
+          "probe_bm25_ingested" -> (() => llm.Retrieval.bm25TopKIngested(
+            spark, bm25T, qText, "qid", "qtext", topK = 10).count()))
+        val results = thunks.flatMap { case (name, thunk) =>
+          // one untimed warm call per factor: the probe plan's codegen
+          // compiles here, not inside the first timed run
+          try thunk() catch { case _: Throwable => () }
+          val times = (1 to runs).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { thunk(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[scaling] ERROR $name@x$f: ${e.getMessage}")
+              None
+            }
+          }
+          if (times.size < runs) None else Some(name -> median(times))
+        }
+        emit("scaling_probe", f, dir, results)
+      }
     }
     spark.stop()
   }

@@ -21,9 +21,9 @@ private[graft] object DedupGates {
     * construction (the persisted centroids/assignments ARE the
     * per-run quantizer's output, parquet round-trips doubles exactly).
     */
-  private lazy val ivfTopKOracleSql: String = {
+  private def ivfProbeOracleSql(asgCtes: String): String = {
     val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
-    s"""WITH ${ivfAsgCtes(16, 2)},
+    s"""WITH $asgCtes,
        |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
        |  SELECT q.id, q.v, c.cid,
        |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
@@ -34,6 +34,18 @@ private[graft] object DedupGates {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
        |WHERE rank <= 5""".stripMargin
   }
+
+  private lazy val ivfTopKOracleSql: String = ivfProbeOracleSql(ivfAsgCtes(16, 2))
+
+  /** The ingest-then-append IVF oracle: quantizer trained on the
+    * EVEN-id half (the ingested corpus), assignment over the full
+    * corpus — exactly `ingestIvf(even); appendIvf(odd)`'s frozen-
+    * centroid semantics. Probe half identical to [[ivfTopKOracleSql]].
+    */
+  private lazy val ivfTopKAppendedOracleSql: String = ivfProbeOracleSql(
+    ivfAsgCtesTrainOn(
+      s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+      "id % 2 = 0", 16, 2))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- dedup family -----------------------------------------------------
@@ -614,5 +626,27 @@ private[graft] object DedupGates {
           "vec_id", "embedding", k = 5, nProbe = 4)
       },
       ivfTopKOracleSql),
+
+    ("similarity_ivf_appended",
+      (s: SparkSession, dir: String) => {
+        // the APPEND maintenance half of the pay-once index: ingest the
+        // even-id half (quantizer trained there, centroids frozen),
+        // append the odd-id half with batch-sized work — assignment
+        // against the frozen centroid sidecar only, no Lloyd's rounds,
+        // no corpus re-scan — then probe the combined index. The
+        // oracle bakes in exactly the frozen-centroid semantics
+        // (k-means over the even half, assignment over the union);
+        // centroid drift is the documented rebuild trigger.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_app_${dirSuffix(dir)}"
+        Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      ivfTopKAppendedOracleSql),
   )
 }

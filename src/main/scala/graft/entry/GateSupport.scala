@@ -214,12 +214,21 @@ private[graft] object GateSupport {
     * the MIPS-IVF oracle feeds normalized AUGMENTED vectors through the
     * identical k-means chain.
     */
-  private[graft] def ivfAsgCtesOver(nvDef: String, nCentroids: Int, iters: Int): String = {
+  private[graft] def ivfAsgCtesOver(nvDef: String, nCentroids: Int, iters: Int): String =
+    ivfAsgCtesTrainOn(nvDef, "TRUE", nCentroids, iters)
+
+  /** [[ivfAsgCtesOver]] with the quantizer TRAINED on the `trainWhere`
+    * subset of `nv` but the final assignment over ALL of `nv` — the
+    * `ingestIvf(A); appendIvf(B)` semantics (centroids frozen from the
+    * ingested half, appended batch assigned against them).
+    */
+  private[graft] def ivfAsgCtesTrainOn(nvDef: String, trainWhere: String,
+                                       nCentroids: Int, iters: Int): String = {
     val kmeansCtes = (0 until iters).map { i =>
       s"""a$i AS (SELECT id, v, cid FROM (
          |  SELECT nn.id, nn.v, c.cid,
          |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
-         |  FROM nv nn CROSS JOIN c$i c) WHERE rn = 1),
+         |  FROM nvt nn CROSS JOIN c$i c) WHERE rn = 1),
          |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
          |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
          |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
@@ -230,7 +239,8 @@ private[graft] object GateSupport {
          |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
     }.mkString(",\n")
     s"""$nvDef,
-       |c0 AS (SELECT id AS cid, v AS centv FROM nv WHERE id IN (SELECT id FROM nv ORDER BY id LIMIT $nCentroids)),
+       |nvt AS (SELECT id, v FROM nv WHERE $trainWhere),
+       |c0 AS (SELECT id AS cid, v AS centv FROM nvt WHERE id IN (SELECT id FROM nvt ORDER BY id LIMIT $nCentroids)),
        |$kmeansCtes,
        |cent AS (SELECT cid, centv AS cv FROM c$iters),
        |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (

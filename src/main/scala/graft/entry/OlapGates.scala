@@ -256,6 +256,42 @@ private[graft] object OlapGates {
        |       GROUP BY a.pk, b.pk),
        |p AS (SELECT u, v FROM p0 WHERE sup >= 2)""".stripMargin
 
+  /** Persisted-MinHash-index admission oracle, shared by the ingested
+    * gate (`floodUpper` = the whole existing corpus, 250) and the
+    * ingest-then-append gate (`floodUpper` = the INGESTED half, 125 —
+    * appended docs filter against the flood set frozen there). The
+    * flood set is computed over docs ≤ floodUpper ONLY; both sides'
+    * shingles then filter against it — the persisted index's exact
+    * semantics. Admission batch = docs > 250 vs index = docs ≤ 250 in
+    * both gates.
+    */
+  private def mhIngestedOracleSql(floodUpper: Int): String = {
+    val perms = (0 until 16).map(i =>
+      s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
+    val jac = Num.r6Sql("CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+    s"""WITH ${GateSupport.tokenShingleCte(3)},
+       |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+       |fe AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0
+       |                      WHERE doc <= $floodUpper GROUP BY h) WHERE c > 20),
+       |h1 AS (SELECT doc, h FROM h0 WHERE h NOT IN (SELECT h FROM fe)),
+       |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
+       |perms(i, a, b) AS (VALUES $perms),
+       |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM h1 CROSS JOIN perms GROUP BY doc, i),
+       |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |          FROM mh GROUP BY doc, i // 4),
+       |cand AS (SELECT DISTINCT nw.doc AS d_new, ol.doc AS d_old
+       |         FROM bands nw JOIN bands ol ON nw.band = ol.band AND nw.bkey = ol.bkey
+       |         WHERE nw.doc > 250 AND ol.doc <= 250),
+       |inter AS (SELECT a.doc AS d_new, b.doc AS d_old, count(*) AS i
+       |          FROM h1 a JOIN h1 b USING (h)
+       |          JOIN cand c ON a.doc = c.d_new AND b.doc = c.d_old
+       |          GROUP BY a.doc, b.doc)
+       |SELECT d_new, d_old, $jac AS jaccard
+       |FROM inter JOIN sizes s1 ON inter.d_new = s1.doc
+       |           JOIN sizes s2 ON inter.d_old = s2.doc
+       |WHERE $jac >= 0.3""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- OLAP composites over the TPC-H-shaped tables --------------------
     // float-sum discipline: l_quantity is integral (exact in float, any
@@ -1068,35 +1104,34 @@ private[graft] object OlapGates {
         Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
           "doc_id", "text", threshold = 0.3)
       },
-      {
-        val perms = (0 until 16).map(i =>
-          s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
-        val jac = Num.r6Sql("CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
-        // flood set from the EXISTING side only (ingest-time cap);
-        // both sides' shingles then filter against it — the persisted
-        // index's exact semantics
-        s"""WITH ${GateSupport.tokenShingleCte(3)},
-           |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
-           |fe AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0
-           |                      WHERE doc <= 250 GROUP BY h) WHERE c > 20),
-           |h1 AS (SELECT doc, h FROM h0 WHERE h NOT IN (SELECT h FROM fe)),
-           |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
-           |perms(i, a, b) AS (VALUES $perms),
-           |mh AS (SELECT doc, i, min((a * h + b) % 2147483647) AS mh FROM h1 CROSS JOIN perms GROUP BY doc, i),
-           |bands AS (SELECT doc, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
-           |          FROM mh GROUP BY doc, i // 4),
-           |cand AS (SELECT DISTINCT nw.doc AS d_new, ol.doc AS d_old
-           |         FROM bands nw JOIN bands ol ON nw.band = ol.band AND nw.bkey = ol.bkey
-           |         WHERE nw.doc > 250 AND ol.doc <= 250),
-           |inter AS (SELECT a.doc AS d_new, b.doc AS d_old, count(*) AS i
-           |          FROM h1 a JOIN h1 b USING (h)
-           |          JOIN cand c ON a.doc = c.d_new AND b.doc = c.d_old
-           |          GROUP BY a.doc, b.doc)
-           |SELECT d_new, d_old, $jac AS jaccard
-           |FROM inter JOIN sizes s1 ON inter.d_new = s1.doc
-           |           JOIN sizes s2 ON inter.d_old = s2.doc
-           |WHERE $jac >= 0.3""".stripMargin
-      }),
+      mhIngestedOracleSql(floodUpper = 250)),
+
+    ("dedup_neardup_appended",
+      (s: SparkSession, dir: String) => {
+        // the APPEND maintenance half of the persisted near-dup index:
+        // ingest docs ≤ 125 (flood set computed — and FROZEN — there),
+        // append docs 126..250 with batch-sized work (shingle-hash the
+        // batch, filter against the frozen flood set, append bucketed
+        // files — no corpus re-tokenize, none of the k permutations
+        // re-run), then admit the > 250 batch against the combined
+        // index. The oracle bakes in exactly the frozen-flood
+        // semantics: its doc-freq cap is computed over the ingested
+        // half ONLY, every side then filters against it — what a
+        // continuously-appended crawl index actually promises (the
+        // periodic ingestMinhashIndex rebuild is the flood-refresh
+        // trigger, the centroid-drift trade made explicit).
+        val d = t(s, dir, "documents")
+        val table = s"graft_mh_app_${dirSuffix(dir)}"
+        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
+          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+          maxDocFreq = Some(20), table, nBuckets = 8)
+        Dedup.appendMinhashIndex(s, table,
+          d.filter(col("doc_id") > 125 && col("doc_id") <= 250),
+          "doc_id", "text")
+        Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
+          "doc_id", "text", threshold = 0.3)
+      },
+      mhIngestedOracleSql(floodUpper = 125)),
 
     ("profile_skew",
       (s: SparkSession, dir: String) =>

@@ -259,6 +259,89 @@ private[graft] object SourceEventGates {
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
         |FROM ch""".stripMargin),
 
+    ("load_scd2_asof",
+      (s: SparkSession, dir: String) => {
+        // point-in-time lookup against the SCD2 version table — the
+        // natural consumer of load_scd2: each fact resolves the version
+        // whose validity interval contains its timestamp. Expressed as
+        // the AsOfJoin against (user_id, valid_from): for an SCD2 table
+        // the last version STARTING at-or-before ts IS the interval
+        // match (valid_from ≤ ts < valid_to — intervals partition time
+        // per key), and asOf's tie rule (right rows sort before left at
+        // equal ts) lands a fact AT a boundary in the NEW version,
+        // exactly the half-open contract. The oracle is deliberately
+        // the independent formulation — a DuckDB RANGE join on the
+        // interval predicate — so the hash match proves the
+        // asOf-equals-interval-lookup claim, not just determinism.
+        // Probe facts: every event (change-log events land exactly ON
+        // version boundaries — the boundary battery) plus early probes
+        // shifted 1000 days before any version (LEFT semantics: null
+        // version).
+        val e = events(s, dir)
+        val hist = Load.scd2History(e, "user_id", "ts", Seq("event_type"))
+        val facts = e.select(col("event_id").cast("long").as("event_id"),
+            col("user_id"), col("ts"))
+          .unionByName(e.filter(col("event_id") < 50)
+            .select((col("event_id").cast("long") + 1000000L).as("event_id"),
+              col("user_id"),
+              (col("ts") - expr("INTERVAL 1000 DAYS")).as("ts")))
+        AsOfJoin.asOf(facts,
+          hist.select(col("user_id"), col("valid_from").as("ts"),
+            col("event_type").as("etype_asof")),
+          "user_id", "ts", Seq("etype_asof" -> "etype_asof"))
+      },
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+        |           FROM events),
+        |en AS (SELECT user_id, ts, event_type FROM e WHERE ts IS NOT NULL),
+        |b AS (SELECT user_id, ts, event_type FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_type NULLS FIRST) AS rn
+        |        FROM en) WHERE rn = 1),
+        |ch AS (SELECT user_id, ts, event_type FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS idx,
+        |               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+        |        FROM b) WHERE idx = 1 OR event_type IS DISTINCT FROM pv),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |      FROM ch),
+        |f AS (SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts FROM e
+        |      UNION ALL
+        |      SELECT CAST(event_id + 1000000 AS BIGINT), user_id,
+        |             ts - INTERVAL 1000 DAY
+        |      FROM e WHERE event_id < 50)
+        |SELECT f.event_id, f.user_id, f.ts, v.event_type AS etype_asof
+        |FROM f LEFT JOIN v ON f.user_id = v.user_id AND v.valid_from <= f.ts
+        |                  AND (f.ts < v.valid_to OR v.valid_to IS NULL)""".stripMargin),
+
+    ("load_stream_exactly_once",
+      (s: SparkSession, dir: String) => {
+        // exactly-once streaming ingest into the bucketed log: the
+        // events table arrives as four foreachBatch deliveries with
+        // batch 1 RE-DELIVERED (Structured Streaming's at-least-once
+        // replay after failure); the commit-log sidecar makes the
+        // duplicate a no-op, so the aggregate over the log equals the
+        // aggregate over the plain table — which is exactly what the
+        // shared-style oracle checks (a doubled batch would shift every
+        // count and sum). StreamingSpec drives the same sink from a
+        // real MemoryStream with a replayed batch id.
+        val table = s"graft_evlog_${dirSuffix(dir)}"
+        Bucketing.dropManaged(s, table)
+        Bucketing.dropManaged(s, s"${table}_commits")
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val deliver = graft.streaming.BucketedLogSink.sink(table, "user_id", 8)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 2), 2L)
+        s.table(table).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sum_cents"))
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin),
+
     ("events_funnel",
       (s: SparkSession, dir: String) =>
         graft.streaming.EventStream.funnel(events(s, dir),

@@ -134,6 +134,27 @@ private[graft] object TextCorpusGates {
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
       bm25OracleSql),
+
+    ("retrieval_bm25_appended",
+      (s: SparkSession, dir: String) => {
+        // the APPEND maintenance half of the pay-once index: ingest the
+        // even-id half, append the odd-id half (batch tokenization +
+        // bucketed file appends + exact-integer stats refresh — never
+        // a corpus re-scan), probe the combined index. ingest(A);
+        // append(B) is row-identical to ingest(A∪B) for disjoint doc
+        // ids, so this gate SHARES the whole-corpus BM25 oracle — the
+        // hash match IS the equivalence proof.
+        import s.implicits._
+        val table = s"graft_bm25_app_${dirSuffix(dir)}"
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Retrieval.ingestBm25(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", table, nBuckets = 8)
+        Retrieval.appendBm25(d.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", table)
+        Retrieval.bm25TopKIngested(s, table,
+          bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+      },
+      bm25OracleSql),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>

@@ -438,11 +438,53 @@ object Dedup {
     graft.ops.Bucketing.writeBucketed(
       bandKeys(spark.table(s"${table}_shingles"), k, rowsPerBand),
       table, "bkey", nBuckets)
-    graft.ops.Bucketing.writeSmall(flood, s"${table}_flood")
+    // the flood set is NOT written via writeSmall: writeSmall's
+    // contract is dimension-sized-by-contract, but a boilerplate-heavy
+    // corpus can push the flood set past broadcast size. Bucketing it
+    // by h — the probe's anti-join key — keeps minhashLshIngested's
+    // flood filter exchange-free on the index side regardless of size
+    // (only the batch side shuffles, and it is batch-sized).
+    graft.ops.Bucketing.writeBucketed(flood, s"${table}_flood", "h", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"),
       s"${table}_meta")
+  }
+
+  /** Append a new batch into an [[ingestMinhashIndex]] index — the
+    * maintenance half of the pay-once layout: shingle-hash ONLY the
+    * batch with the sidecar's parameters (mismatch impossible by
+    * construction), filter it against the FROZEN flood set, and append
+    * its capped shingles and band keys into the two bucketed tables
+    * (bucket counts read from the catalog). Per append every input is
+    * batch-sized — no corpus re-tokenization, none of the k
+    * permutations re-run over the index.
+    *
+    * The flood set stays frozen at its ingest-time value — the natural
+    * continuation of the ingest contract (an adversarial batch cannot
+    * flood the index's own signatures away): `ingestMinhashIndex(A);
+    * appendMinhashIndex(B)` equals an index over A∪B whose doc-freq
+    * cap was computed over A ONLY. Appended boilerplate that would
+    * newly cross the cap accumulates until the periodic
+    * [[ingestMinhashIndex]] rebuild refreshes the flood set — the
+    * centroid-drift trade of [[graft.llm.Similarity.appendIvf]], made
+    * explicit. Batch ids must be distinct from index ids. Same
+    * single-writer contract as the ingest.
+    */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, batch: DataFrame,
+                         idCol: String, textCol: String): Unit = {
+    val meta = spark.table(s"${table}_meta").first()
+    val n = meta.getInt(meta.fieldIndex("n"))
+    val k = meta.getInt(meta.fieldIndex("k"))
+    val rpb = meta.getInt(meta.fieldIndex("rows_per_band"))
+    val dsNew = docShinglesHashed(batch, idCol, textCol, n, None)
+      .join(spark.table(s"${table}_flood"), Seq("h"), "left_anti")
+      .localCheckpoint() // two consumers: shingle append + band append
+    graft.ops.Bucketing.appendBucketed(dsNew, s"${table}_shingles", "h",
+      graft.ops.Bucketing.bucketCountOf(spark, s"${table}_shingles"))
+    graft.ops.Bucketing.appendBucketed(bandKeys(dsNew, k, rpb), table, "bkey",
+      graft.ops.Bucketing.bucketCountOf(spark, table))
   }
 
   /** Near-dup admission of a new batch against an [[ingestMinhashIndex]]

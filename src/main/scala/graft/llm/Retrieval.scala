@@ -166,6 +166,48 @@ object Retrieval {
       s"${table}_stats")
   }
 
+  /** Append a new document batch into an [[ingestBm25]] index — the
+    * maintenance half of the pay-once layout (the fold itself is the
+    * one StreamingSpec's posting-maintenance twin proves): tokenize
+    * ONLY the batch, append its `(term, doc, tf)` postings and
+    * `(doc, dl)` lengths into the bucketed tables (bucket counts read
+    * from the catalog — mismatch impossible by construction), and
+    * refresh the 1-row stats sidecar by exact integer addition. Per
+    * append every input is batch-sized: no corpus re-scan, no
+    * re-tokenization, and the df/idf side needs no maintenance at all
+    * because [[bm25TopKIngested]] derives df from the posting lists at
+    * probe time.
+    *
+    * `ingestBm25(A); appendBm25(B)` produces tables ROW-IDENTICAL to
+    * `ingestBm25(A ∪ B)` when batch doc ids are distinct from index
+    * doc ids (the caller contract — a re-appended doc would
+    * double-count its postings; pair with the exactly-once streaming
+    * sink for at-least-once sources). Appends add bucket FILES, not
+    * rewritten buckets; compact small files per bucket periodically
+    * (exchange-free — the bucketed layout makes compaction a
+    * per-bucket local rewrite). Same single-writer contract as the
+    * ingest.
+    */
+  def appendBm25(batch: DataFrame, idCol: String, textCol: String,
+                 table: String): Unit = {
+    val spark = batch.sparkSession
+    val (tf, dl0) = postings(batch, idCol, textCol)
+    val dl = dl0.localCheckpoint() // two consumers: stats + append
+    // read the old stats BEFORE the sidecar overwrite drops the table
+    val st = spark.table(s"${table}_stats").first()
+    val bs = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sumdl")).first()
+    graft.ops.Bucketing.appendBucketed(tf, table, "term",
+      graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Bucketing.appendBucketed(dl, s"${table}_dl", "doc",
+      graft.ops.Bucketing.bucketCountOf(spark, s"${table}_dl"))
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      Seq((st.getLong(st.fieldIndex("n")) + bs.getLong(0),
+        st.getLong(st.fieldIndex("sumdl")) + bs.getLong(1))).toDF("n", "sumdl"),
+      s"${table}_stats")
+  }
+
   /** BM25 over an [[ingestBm25]] index: bit-identical scores and ranks
     * to [[bm25TopK]] on the same corpus (identical scoring half, and
     * parquet round-trips the integer postings exactly), but the probe

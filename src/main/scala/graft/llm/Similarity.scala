@@ -167,7 +167,13 @@ object Similarity {
     // nSalts == 1 means the caller established per-query candidates are
     // already small (e.g. LSH-bucketed): one window, no salted pre-stage
     val partial = if (nSalts <= 1) scored else {
-      val salted = scored.withColumn("_salt", pmod(col("nn_id"), lit(nSalts)))
+      // salt on a HASH of the id, not the id itself: pmod over a raw
+      // string id is null/zero for non-numeric ids, which would collapse
+      // every candidate into one salt slice and silently void the
+      // anti-funnel property (output stays correct — the merge window
+      // re-ranks — but stage 1 degenerates to the skew it exists to
+      // prevent). Same fix as Retrieval.saltedTopK.
+      val salted = scored.withColumn("_salt", pmod(hash(col("nn_id")), lit(nSalts)))
       val w1 = Window.partitionBy(col("query_id"), col("_salt"))
         .orderBy(col("score").desc, col("nn_id").asc)
       salted.withColumn("_rank", row_number().over(w1))
@@ -560,6 +566,43 @@ object Similarity {
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       cent.toDF("cid", "centv"), s"${table}_centroids")
+  }
+
+  /** Append a new batch into an [[ingestIvf]] index — the maintenance
+    * half of the pay-once story (a crawl pipeline ingests batches
+    * continuously; a 100 TB index cannot be rebuilt per batch). The
+    * batch is normalized and assigned against the FROZEN centroid
+    * sidecar (collected once — nCentroids × dim, bounded) and appended
+    * into the cluster-bucketed corpus table; per append the work is
+    * batch-sized — no Lloyd's rounds, no corpus re-assignment, no
+    * corpus scan of any kind. The bucket count is read from the
+    * catalog ([[graft.ops.Bucketing.bucketCountOf]]) so layout
+    * mismatch is impossible by construction.
+    *
+    * Semantics: `ingestIvf(A); appendIvf(B)` yields the SAME table as
+    * assigning A∪B against centroids(A) — cluster assignment is a pure
+    * function of the frozen centroids, so existing rows never change
+    * and probes stay bit-identical to [[topKIvf]] RUN WITH A's
+    * centroids over the union. CENTROID DRIFT is the rebuild trigger:
+    * the frozen quantizer's cells grow unbalanced as the appended
+    * distribution shifts (monitor per-cluster counts — the table is
+    * cluster-bucketed precisely so that stat is exchange-free); when
+    * skew exceeds tolerance, re-run [[ingestIvf]]. Batch ids must be
+    * distinct from index ids (duplicate ids would yield duplicate
+    * index rows). Same single-writer contract as the ingest.
+    */
+  def appendIvf(spark: org.apache.spark.sql.SparkSession, table: String,
+                batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cent.nonEmpty,
+      s"appendIvf: index '$table' has an empty centroid sidecar — an " +
+        "empty-corpus index defines no quantizer; rebuild with ingestIvf")
+    val c = graft.Partitioning.spread(batch)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    graft.ops.Bucketing.appendBucketed(assignClusters(c, cent), table,
+      "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
   }
 
   /** Serve a query batch against an [[ingestIvf]] index: the centroid

@@ -40,20 +40,26 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val spark = df.sparkSession
-    // A managed-table dir left behind by a previous JVM is invisible to
-    // this JVM's fresh in-memory catalog, so saveAsTable would fail with
-    // LOCATION_ALREADY_EXISTS; drop the catalog entry and delete any
-    // orphan location so the write is idempotent across processes.
+    dropManaged(df.sparkSession, table)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** DROP TABLE IF EXISTS plus default-location cleanup. A managed-table
+    * dir left behind by a previous JVM is invisible to this JVM's fresh
+    * in-memory catalog, so a later CREATE of the same name fails with
+    * LOCATION_ALREADY_EXISTS; deleting the orphan location makes table
+    * (re)creation idempotent across processes. Every create path here
+    * routes through this.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
-      .bucketBy(nBuckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
   }
 
   /** Append into an existing [[writeBucketed]] table (Spark validates
@@ -70,6 +76,20 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** The bucket count a [[writeBucketed]] table was written with, read
+    * from the catalog — append paths derive it from the table itself
+    * instead of trusting a caller-passed value, so a bucket-count
+    * mismatch (which would silently break bucket-wise co-location for
+    * every later join) is impossible by construction, the parameter-
+    * sidecar principle applied to the physical layout.
+    */
+  def bucketCountOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$table' has no bucket spec — not written by writeBucketed"))
+
   /** Write a SMALL (dimension-sized by contract) managed parquet table
     * un-bucketed — the sidecar half of a pay-once index layout (e.g.
     * the IVF centroid table next to its cluster-bucketed corpus). Same
@@ -77,14 +97,37 @@ object Bucketing {
     * single-writer-per-table contract as [[writeBucketed]].
     */
   def writeSmall(df: DataFrame, table: String): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropManaged(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Compact a [[writeBucketed]] table whose buckets have accumulated
+    * small files from repeated [[appendBucketed]] batches (each append
+    * adds files per bucket; a long-lived ingest log degrades scans and
+    * the merge-join's sort-elision, which needs files-per-bucket = 1).
+    *
+    * EXCHANGE-FREE by the bucketed layout: the scan of a bucketed table
+    * yields one partition per bucket (all of a bucket's files merged),
+    * so each write task holds exactly one whole bucket and emits exactly
+    * one file — a per-bucket local rewrite, no shuffle (BucketingSpec
+    * asserts the no-Exchange plan and content identity). The rewrite
+    * goes to a staging table first, then swaps via catalog rename —
+    * never a read-from-self overwrite. Same single-writer contract.
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+    val n = bucketCountOf(spark, table)
+    val tmp = s"${table}__compacting"
+    // force the bucketed scan: the auto heuristic falls back to a plain
+    // size-split file read when the plan has no join/agg to exploit the
+    // bucketing — which would hand the writer mixed-bucket partitions
+    // and re-fragment the output (task count files, not bucket count)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try writeBucketed(spark.table(table), tmp, key, n)
+    finally spark.conf.set(conf, prev)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
   /** Join two same-key, same-bucket-count tables written by

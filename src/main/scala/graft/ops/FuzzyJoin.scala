@@ -85,8 +85,16 @@ object FuzzyJoin {
         (segStart(col("__i") + 1, col("__ls"), k)
           - segStart(col("__i"), col("__ls"), k)).as("__slen"))
       .select(col("__id"), col("__s"), col("__i"), col("__ls"), col("__slen"),
+        // degenerate zero-length segments (strings shorter than k+1
+        // chars) would otherwise enumerate up to 2k+1 IDENTICAL empty
+        // grams — duplicate join keys that multiply candidate-pair
+        // volume quadratically within tiny-string length cohorts before
+        // the final distinct(). Every position yields the same '' key,
+        // so one row carries the full match semantics: collapse the
+        // position range to a point when __slen = 0.
         explode(seq0(greatest(col("__si") - k, lit(0)),
-          least(col("__si") + k, col("__len") - col("__slen")))).as("__p"))
+          when(col("__slen") === 0, greatest(col("__si") - k, lit(0)))
+            .otherwise(least(col("__si") + k, col("__len") - col("__slen"))))).as("__p"))
       .select(col("__id"), col("__i"), col("__ls"),
         expr("substring(__s, __p + 1, __slen)").as("__gram"))
   }
@@ -116,24 +124,47 @@ object FuzzyJoin {
                        maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 4, "maxDist must be in [0, 4]")
     val k = maxDist
-    val l = graft.Partitioning.spread(left)
-      .where(col(leftStr).isNotNull)
-      .select(col(leftId).as("l_id"), col(leftStr).as("l_s"))
-    val r = graft.Partitioning.spread(right)
-      .where(col(rightStr).isNotNull)
-      .select(col(rightId).as("r_id"), col(rightStr).as("r_s"))
-    // left-shorter-or-equal direction + right-strictly-shorter direction
+    val l = prepped(left, leftId, leftStr, "l_id", "l_s")
+    val r = prepped(right, rightId, rightStr, "r_id", "r_s")
+    candidatePairs(l, r, k).join(l, "l_id").join(r, "r_id")
+      .where(abs(length(col("l_s")) - length(col("r_s"))) <= k)
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s"), k))
+      .where(col("dist") >= 0) // banded levenshtein returns -1 past k
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
+
+  /** The PassJoin candidate relation `(l_id, r_id)` BEFORE the banded-
+    * levenshtein verify — the selectivity diagnostic, exposed on the
+    * [[graft.llm.Similarity.mipsCandidatePairs]] contract: completeness
+    * is proven elsewhere (the gate's brute-force oracle); this measures
+    * how far below all-pairs the segment filter actually lands, so the
+    * candidate rate is a PINNED number (FuzzyJoinSpec), not a claim.
+    * Exactly the relation [[editDistanceJoin]] verifies.
+    */
+  def editCandidatePairs(left: DataFrame, leftId: String, leftStr: String,
+                         right: DataFrame, rightId: String, rightStr: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 4, "maxDist must be in [0, 4]")
+    candidatePairs(prepped(left, leftId, leftStr, "l_id", "l_s"),
+      prepped(right, rightId, rightStr, "r_id", "r_s"), maxDist)
+  }
+
+  private def prepped(df: DataFrame, idCol: String, strCol: String,
+                      idAs: String, strAs: String): DataFrame =
+    graft.Partitioning.spread(df)
+      .where(col(strCol).isNotNull)
+      .select(col(idCol).as(idAs), col(strCol).as(strAs))
+
+  /** Distinct candidate pairs over prepped sides: left-shorter-or-equal
+    * direction plus right-strictly-shorter direction.
+    */
+  private def candidatePairs(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
     val lr = candidates(l, "l_id", "l_s", r, "r_id", "r_s", k,
       strictlyLonger = false)
       .select(col("__sid").as("l_id"), col("__lid").as("r_id"))
     val rl = candidates(r, "r_id", "r_s", l, "l_id", "l_s", k,
       strictlyLonger = true)
       .select(col("__lid").as("l_id"), col("__sid").as("r_id"))
-    val cand = lr.union(rl).distinct()
-    cand.join(l, "l_id").join(r, "r_id")
-      .where(abs(length(col("l_s")) - length(col("r_s"))) <= k)
-      .withColumn("dist", levenshtein(col("l_s"), col("r_s"), k))
-      .where(col("dist") >= 0) // banded levenshtein returns -1 past k
-      .select(col("l_id"), col("r_id"), col("dist"))
+    lr.union(rl).distinct()
   }
 }

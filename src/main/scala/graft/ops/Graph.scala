@@ -200,6 +200,12 @@ object Graph {
     * semantics), negativity rejected loudly — so the per-run probes
     * ([[pageRankWeightedBucketed]], [[ssspBucketed]]) read a
     * trusted-by-construction table and never re-scan to validate.
+    * Provenance is recorded in a 1-row `(wmu_scale, validated)` sidecar
+    * (the ingestLsh parameter-sidecar pattern): the probes verify it
+    * before trusting the table, so pointing them at a table NOT written
+    * here — different micro-unit scale, unvalidated negative weights
+    * that would break sssp's w ≥ 0 precondition — fails loudly instead
+    * of silently yielding wrong distances/ranks.
     */
   def writeWeightedEdges(edges: DataFrame, srcCol: String, dstCol: String,
                          wCol: String, table: String, nBuckets: Int): Unit = {
@@ -212,6 +218,26 @@ object Graph {
     val e = e0.where(col("wmu") > 0L)
     val deg = e.groupBy("src").agg(sum(col("wmu")).as("degmu"))
     Bucketing.writeBucketed(e.join(deg, "src"), table, "src", nBuckets)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Bucketing.writeSmall(
+      Seq((1000000L, true)).toDF("wmu_scale", "validated"), s"${table}_meta")
+  }
+
+  /** Verify a table was written by [[writeWeightedEdges]] (sidecar
+    * present, expected scale, validated flag) before a bucketed probe
+    * trusts its unchecked preconditions. 1-row read, bounded.
+    */
+  private def requireWeightedTable(spark: SparkSession, table: String): Unit = {
+    val ok =
+      try {
+        val m = spark.table(s"${table}_meta").first()
+        m.getLong(m.fieldIndex("wmu_scale")) == 1000000L &&
+          m.getBoolean(m.fieldIndex("validated"))
+      } catch { case _: Exception => false }
+    require(ok, s"table '$table' was not written by writeWeightedEdges " +
+      s"(missing or mismatched ${table}_meta sidecar); the bucketed probes " +
+      "rely on its at-ingest weight validation and micro-unit scale")
   }
 
   /** [[pageRankWeighted]] over a [[writeWeightedEdges]] table:
@@ -223,10 +249,12 @@ object Graph {
     */
   def pageRankWeightedBucketed(spark: SparkSession, table: String,
                                iters: Int, damping: Double = 0.85d,
-                               tol: Double = 0.0d): DataFrame =
+                               tol: Double = 0.0d): DataFrame = {
+    requireWeightedTable(spark, table)
     iterate(spark.table(table), iters, damping, tol,
       contrib = col("rank") * col("wmu").cast("double")
         / col("degmu").cast("double"))._1
+  }
 
   /** Personalized PageRank (PPR): rank mass teleports to a SEED SET
     * instead of uniformly — "authority relative to these trusted
@@ -540,13 +568,18 @@ object Graph {
     * the src-bucketed scan exchange-free — only the frontier (≤|V|
     * rows) shuffles, the [[bfsBucketed]] shape. The edge relation is
     * NOT checkpointed (truncation would discard the bucketing) and not
-    * re-validated: the write rejected negative weights once at ingest.
+    * re-validated: the write rejected negative weights once at ingest
+    * (provenance verified via the `_meta` sidecar — a foreign table
+    * with unvalidated weights would violate the w ≥ 0 precondition
+    * silently).
     */
   def ssspBucketed(spark: SparkSession, edgeTable: String,
                    sources: DataFrame, sourceCol: String,
-                   maxIters: Int): DataFrame =
+                   maxIters: Int): DataFrame = {
+    requireWeightedTable(spark, edgeTable)
     ssspLoop(spark.table(edgeTable).select(col("src"), col("dst"), col("wmu")),
       sources, sourceCol, maxIters)
+  }
 
   private def ssspLoop(e: DataFrame, sources: DataFrame, sourceCol: String,
                        maxIters: Int): DataFrame = {

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Retrieval, Similarity}
+import graft.ops.Bucketing
+
+/** The APPEND maintenance half of the persisted-index layer: a crawl
+  * pipeline ingests batches continuously, and a 100 TB index cannot be
+  * rebuilt per batch. These specs pin the fold claims the gates verify
+  * cross-engine: `ingest(A); append(B)` against `ingest(A∪B)` — exact
+  * equivalence where the ingest freezes no corpus-dependent state (BM25,
+  * capless MinHash), and the DOCUMENTED divergence where it does (frozen
+  * flood set, frozen centroids) — plus the bucketed-log compaction that
+  * keeps an append-only layout scan-healthy.
+  */
+class AppendMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def dropAll(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  test("appendBm25: ingest(A)+append(B) is row-identical to ingest(A∪B) — tables, stats, and probe") {
+    import spark.implicits._
+    val tA = "graft_bm25_appspec"; val tU = "graft_bm25_unionspec"
+    val deps = Seq(tA, s"${tA}_dl", s"${tA}_stats", tU, s"${tU}_dl", s"${tU}_stats")
+    dropAll(deps: _*)
+    try {
+      Retrieval.ingestBm25(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tA, nBuckets = 4)
+      Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", tA)
+      Retrieval.ingestBm25(docs, "doc_id", "text", tU, nBuckets = 4)
+      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+        "posting tables diverge")
+      assert(rows(spark.table(s"${tA}_dl")) == rows(spark.table(s"${tU}_dl")),
+        "doc-length tables diverge")
+      assert(rows(spark.table(s"${tA}_stats")) == rows(spark.table(s"${tU}_stats")),
+        "stats sidecars diverge — the exact-integer refresh must equal a recount")
+      val q = Seq((1L, "the quick brown fox"), (2L, "model training data"))
+        .toDF("qid", "qtext")
+      assert(rows(Retrieval.bm25TopKIngested(spark, tA, q, "qid", "qtext", topK = 5)) ==
+        rows(Retrieval.bm25TopKIngested(spark, tU, q, "qid", "qtext", topK = 5)),
+        "probe rankings diverge")
+    } finally dropAll(deps: _*)
+  }
+
+  test("appendIvf: appended table IS the frozen-centroid assignment of the union; empty index rejects") {
+    val tA = "graft_ivf_appspec"
+    val deps = Seq(tA, s"${tA}_centroids")
+    dropAll(deps: _*)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    try {
+      Similarity.ingestIvf(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", tA, nCentroids = 8, kmeansIters = 1, nBuckets = 4)
+      Similarity.appendIvf(spark, tA, emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      // the equivalence appendIvf promises: table == assignment of the
+      // FULL corpus against the centroids frozen at ingest (assignment
+      // is a pure per-row function of the centroid literals, so the
+      // ingested half's rows are unchanged and the appended half slots
+      // into the same partition of the id space)
+      val cent = spark.table(s"${tA}_centroids")
+        .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val expected = Similarity.assignClusters(
+        emb.where(col("embedding").isNotNull)
+          .select(col("vec_id").as("nn_id"),
+            Similarity.normalize(col("embedding")).as("cv")),
+        cent)
+      assert(rows(spark.table(tA)) == rows(expected))
+      // an index over an empty corpus has no quantizer — append must
+      // reject loudly, not write unassignable rows
+      val tE = "graft_ivf_emptyspec"
+      dropAll(tE, s"${tE}_centroids")
+      try {
+        Similarity.ingestIvf(emb.where(lit(false)), "vec_id", "embedding",
+          tE, nCentroids = 8, kmeansIters = 1, nBuckets = 4)
+        intercept[IllegalArgumentException] {
+          Similarity.appendIvf(spark, tE, emb.limit(5), "vec_id", "embedding")
+        }
+      } finally dropAll(tE, s"${tE}_centroids")
+    } finally dropAll(deps: _*)
+  }
+
+  test("appendMinhashIndex: capless ingest(A)+append(B) ≡ ingest(A∪B) — tables and admission probe") {
+    val tA = "graft_mh_appspec"; val tU = "graft_mh_unionspec"
+    val deps = Seq(tA, tU).flatMap(t =>
+      Seq(t, s"${t}_shingles", s"${t}_flood", s"${t}_meta"))
+    dropAll(deps: _*)
+    val idx = docs.filter(col("doc_id") <= 100)
+    val batch = docs.filter(col("doc_id") > 100 && col("doc_id") <= 120)
+    try {
+      // no flood cap -> the frozen flood set is empty = the recomputed
+      // one, so the append equivalence is EXACT here
+      Dedup.ingestMinhashIndex(idx.filter(col("doc_id") <= 50),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
+        maxDocFreq = None, tA, nBuckets = 4)
+      Dedup.appendMinhashIndex(spark, tA, idx.filter(col("doc_id") > 50),
+        "doc_id", "text")
+      Dedup.ingestMinhashIndex(idx, "doc_id", "text", n = 3, k = 8,
+        rowsPerBand = 2, maxDocFreq = None, tU, nBuckets = 4)
+      assert(rows(spark.table(s"${tA}_shingles")) == rows(spark.table(s"${tU}_shingles")))
+      assert(rows(spark.table(tA)) == rows(spark.table(tU)))
+      assert(rows(Dedup.minhashLshIngested(spark, tA, batch, "doc_id", "text", 0.3)) ==
+        rows(Dedup.minhashLshIngested(spark, tU, batch, "doc_id", "text", 0.3)),
+        "admission probes diverge")
+    } finally dropAll(deps: _*)
+  }
+
+  test("appendMinhashIndex: the flood set stays FROZEN at ingest — appended boilerplate is not retro-capped") {
+    import spark.implicits._
+    val tA = "graft_mh_frozspec"; val tU = "graft_mh_refrspec"
+    val deps = Seq(tA, tU).flatMap(t =>
+      Seq(t, s"${t}_shingles", s"${t}_flood", s"${t}_meta"))
+    dropAll(deps: _*)
+    val a = docs.filter(col("doc_id") <= 50)
+    // an adversarial appended batch: many copies of one boilerplate
+    // string whose shingles cross the cap only WITH the batch's own
+    // contribution
+    val boiler = (0 until 30).map(i =>
+      (10000L + i, "flood flood flood flood flood flood")).toDF("doc_id", "text")
+    try {
+      Dedup.ingestMinhashIndex(a, "doc_id", "text", n = 3, k = 8,
+        rowsPerBand = 2, maxDocFreq = Some(5), tA, nBuckets = 4)
+      Dedup.appendMinhashIndex(spark, tA, boiler, "doc_id", "text")
+      Dedup.ingestMinhashIndex(a.unionByName(boiler), "doc_id", "text",
+        n = 3, k = 8, rowsPerBand = 2, maxDocFreq = Some(5), tU, nBuckets = 4)
+      // frozen semantics: the appended index keeps the boilerplate
+      // shingles (its flood set predates them — an adversarial batch
+      // cannot flood the index's signatures away); the full REBUILD
+      // recomputes the cap over the union and drops them. This is the
+      // documented contrast, not a bug: rebuild is the flood-refresh.
+      val frozen = spark.table(s"${tA}_shingles").count()
+      val rebuilt = spark.table(s"${tU}_shingles").count()
+      assert(frozen > rebuilt,
+        s"expected frozen index ($frozen rows) to retain boilerplate the rebuild drops ($rebuilt rows)")
+      // and the frozen flood table really is A's: identical to the
+      // rebuilt index's flood MINUS the batch-induced entries
+      val floodA = rows(spark.table(s"${tA}_flood"))
+      val floodU = rows(spark.table(s"${tU}_flood"))
+      assert(floodA.toSet.subsetOf(floodU.toSet))
+      assert(floodU.size > floodA.size)
+    } finally dropAll(deps: _*)
+  }
+
+  test("compactBucketed: content-identical, one file per bucket, layout intact") {
+    val t = "graft_compact_spec"
+    dropAll(t)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+    try {
+      // an append-heavy log: 4 batches -> files-per-bucket > 1
+      Bucketing.writeBucketed(orders.filter(col("o_orderkey") % 4 === 0),
+        t, "custkey", nBuckets = 4)
+      (1 to 3).foreach(i =>
+        Bucketing.appendBucketed(orders.filter(col("o_orderkey") % 4 === i),
+          t, "custkey", 4))
+      val before = rows(spark.table(t))
+      def dataFiles(): Int = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(s => s.getPath.getName.endsWith(".parquet"))
+      }
+      assert(dataFiles() > 4, "fixture must start with files-per-bucket > 1")
+      Bucketing.compactBucketed(spark, t, "custkey")
+      assert(dataFiles() == 4,
+        "compaction must leave exactly one file per bucket — each task " +
+          "holds one whole bucket (bucketed scan), so the rewrite is " +
+          "local, no exchange")
+      assert(rows(spark.table(t)) == before, "compaction changed content")
+      assert(Bucketing.bucketCountOf(spark, t) == 4, "bucket spec lost")
+      // the post-compaction table still joins exchange-free against a
+      // same-key bucketed sibling (the property compaction preserves)
+      val sib = "graft_compact_sib_spec"
+      dropAll(sib)
+      try {
+        Bucketing.writeBucketed(
+          spark.read.parquet(s"$dir/customer.parquet")
+            .select(col("c_custkey").as("custkey"), col("c_nationkey")),
+          sib, "custkey", nBuckets = 4)
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val p = Bucketing.bucketedJoin(spark, t, sib, "custkey")
+            .queryExecution.executedPlan.toString
+          assert(!p.contains("Exchange"), p.take(800))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      } finally dropAll(sib)
+    } finally dropAll(t)
+  }
+}

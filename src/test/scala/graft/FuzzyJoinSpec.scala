@@ -76,4 +76,47 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val rs = (101L to 140L).map(i => (i, s"zzzzzzz$i"))
     assert(run(ls, rs, 2) === Set.empty)
   }
+
+  test("segment-filter selectivity is PINNED on the entity-resolution fixture: candidate rate ≪ 1") {
+    // the join_fuzzy_edit gate proves completeness (brute-force oracle);
+    // this pins the other half — how far below all-pairs the PassJoin
+    // segment filter actually lands on realistic keyed names — so
+    // selectivity is a measured number, not a scaladoc claim
+    val base = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey").as("k"),
+        concat(col("p_name"), lit("#"), col("p_partkey")).as("nm"))
+    val clean = base.select(col("k").as("id"), col("nm"))
+    val dirty = base
+      .withColumn("pos", pmod(col("k"), length(col("nm"))).cast("int") + 1)
+      .select((col("k") + 100000L).as("id"),
+        concat(expr("substring(nm, 1, pos - 1)"), lit("q"),
+          expr("substring(nm, pos + 1, length(nm) - pos)")).as("nm"))
+    val nPairs = dirty.count() * clean.count()
+    val cand = FuzzyJoin.editCandidatePairs(dirty, "id", "nm",
+      clean, "id", "nm", maxDist = 1).count()
+    val matches = FuzzyJoin.editDistanceJoin(dirty, "id", "nm",
+      clean, "id", "nm", maxDist = 1).count()
+    assert(cand >= matches, "candidates must cover every verified pair")
+    val rate = cand.toDouble / nPairs.toDouble
+    info(f"candidate rate = $rate%.5f ($cand candidates / $nPairs pairs, $matches true)")
+    assert(rate < 0.02,
+      f"segment filter lost selectivity: candidate rate $rate%.4f on the gate fixture")
+  }
+
+  test("tiny-string cohort: zero-length segments emit ONE empty-gram key, results stay exact") {
+    // strings shorter than k+1 chars have zero-length segments; the
+    // position explode collapses to a single row there (duplicate ''
+    // join keys would otherwise multiply candidate volume quadratically
+    // within the cohort) — completeness must be unaffected
+    val ls = Seq((1L, ""), (2L, "a"), (3L, "b"), (4L, "ab"), (5L, "ba"))
+    val rs = Seq((11L, ""), (12L, "a"), (13L, "ab"), (14L, "bb"), (15L, "abc"))
+    for (k <- 1 to 3)
+      assert(run(ls, rs, k) === brute(ls, rs, k), s"k=$k")
+    // candidate volume within the all-tiny cohort stays ≤ all-pairs
+    val cand = FuzzyJoin.editCandidatePairs(ls.toDF("id", "s"), "id", "s",
+      rs.toDF("id", "s"), "id", "s", maxDist = 3).count()
+    assert(cand <= ls.size.toLong * rs.size,
+      s"degenerate empty grams multiplied candidates: $cand")
+  }
 }

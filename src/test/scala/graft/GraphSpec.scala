@@ -542,6 +542,34 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("bucketed weighted probes reject tables not written by writeWeightedEdges") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // a foreign table with the right COLUMNS but no provenance sidecar:
+    // its weights were never validated (negatives would silently break
+    // sssp's w >= 0 precondition) and its scale is unknown — the probe
+    // must refuse rather than compute wrong distances/ranks
+    val t = "graft_wedges_foreign_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    spark.sql(s"DROP TABLE IF EXISTS `${t}_meta`")
+    try {
+      graft.ops.Bucketing.writeBucketed(
+        Seq((1L, 2L, 500000L, 500000L)).toDF("src", "dst", "wmu", "degmu"),
+        t, "src", 2)
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.Graph.ssspBucketed(spark, t, Seq(1L).toDF("n"), "n", 3)
+      }
+      assert(ex.getMessage.contains("writeWeightedEdges"))
+      val ex2 = intercept[IllegalArgumentException] {
+        graft.ops.Graph.pageRankWeightedBucketed(spark, t, iters = 2)
+      }
+      assert(ex2.getMessage.contains("writeWeightedEdges"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}_meta`")
+    }
+  }
+
   test("sssp: negative weights rejected loudly") {
     val sqlc = spark
     import sqlc.implicits._

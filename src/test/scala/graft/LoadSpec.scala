@@ -243,4 +243,25 @@ class LoadSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getLong(2))).toSet
     assert(got === Set(("a", 1L), ("b", 2L)), got.toString)
   }
+
+  test("SCD2 point-in-time lookup: boundary facts land in the NEW version (valid_from ≤ ts < valid_to)") {
+    // versions for key 1: a@[10,20), b@[20,30), c@[30,∞)
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 15L, "x")).toDF("k", "t", "v")
+    val hist = Load.scd2History(log, "k", "t", Seq("v"))
+    // probe battery: before-first (null), exactly at first, strictly
+    // inside, EXACTLY AT each boundary (the half-open contract: the new
+    // version, never the closing one), exactly at the open end, after
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 15L),
+      (103L, 1L, 20L), (104L, 1L, 29L), (105L, 1L, 30L), (106L, 1L, 99L),
+      (107L, 2L, 15L), (108L, 2L, 14L)).toDF("fid", "k", "t")
+    val got = graft.ops.AsOfJoin.asOf(facts,
+        hist.select(col("k"), col("valid_from").as("t"), col("v").as("v_asof")),
+        "k", "t", Seq("v_asof" -> "v_asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got === Map(
+      100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("b"), 105L -> Some("c"),
+      106L -> Some("c"), 107L -> Some("x"), 108L -> None), got.toString)
+  }
 }

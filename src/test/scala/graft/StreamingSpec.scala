@@ -901,4 +901,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFlagged === batch)
     assert(batch.contains(10L), "the spike must be flagged")
   }
+
+  test("exactly-once bucketed log sink: a re-delivered batch does NOT double rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = "graft_xonce_log_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    spark.sql(s"DROP TABLE IF EXISTS `${t}_commits`")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .foreachBatch(graft.streaming.BucketedLogSink.sink(t, "k", 4))
+        .start()
+      try {
+        mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+        mem.addData((3L, "c")); q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table(t).count() === 3L)
+      val lastBatch = spark.table(s"${t}_commits")
+        .agg(max(col("batch_id"))).first().getLong(0)
+      // simulate Structured Streaming's at-least-once replay after a
+      // failure: the SAME batch id is delivered again — the commit-log
+      // check must make it a no-op
+      val replayed = graft.streaming.BucketedLogSink.exactlyOnceAppend(
+        Seq((3L, "c")).toDF("k", "v"), lastBatch, t, "k", 4)
+      assert(!replayed, "re-delivered batch id must be skipped")
+      assert(spark.table(t).count() === 3L, "replay doubled rows")
+      // a genuinely NEW batch id still appends
+      assert(graft.streaming.BucketedLogSink.exactlyOnceAppend(
+        Seq((4L, "d")).toDF("k", "v"), lastBatch + 1, t, "k", 4))
+      assert(spark.table(t).count() === 4L)
+      // and the log keeps the bucketed layout appends rely on
+      assert(graft.ops.Bucketing.bucketCountOf(spark, t) === 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}_commits`")
+    }
+  }
 }
