@@ -648,5 +648,48 @@ private[graft] object DedupGates {
           "vec_id", "embedding", k = 5, nProbe = 4)
       },
       ivfTopKAppendedOracleSql),
+
+    ("similarity_lsh_appended",
+      (s: SparkSession, dir: String) => {
+        // LSH append needs no frozen-state caveats: band keys are a
+        // pure per-vector function of the sidecar's (nplanes, ntables),
+        // so ingest(even)+append(odd) is ROW-identical to a full ingest
+        // and the gate shares the per-run MLSH oracle outright — the
+        // hash match IS the equivalence proof. Append work is
+        // batch-sized: hash + explode the batch, append bucketed files.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_app_${dirSuffix(dir)}"
+        Similarity.ingestLsh(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      },
+      mlshOracleSql(nPlanes = 4, nTables = 16)),
+
+    ("similarity_ivf_stats",
+      (s: SparkSession, dir: String) => {
+        // the centroid-drift monitor over the ingest-then-append index:
+        // per-cluster membership counts (bounded, nCentroids rows; the
+        // aggregation key is the table's bucket key, so the scan feeds
+        // the groupBy exchange-free). Emptied cells report 0 — exactly
+        // the drift signal that triggers the documented rebuild.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_stats_${dirSuffix(dir)}"
+        Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.ivfClusterStats(s, table)
+      },
+      s"""WITH ${ivfAsgCtesTrainOn(
+        s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+        "id % 2 = 0", 16, 2)}
+         |SELECT c.cid AS cluster, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
+         |FROM cent c LEFT JOIN (SELECT cluster, count(*) AS n FROM asg
+         |                       GROUP BY cluster) cnt
+         |  ON c.cid = cnt.cluster""".stripMargin),
   )
 }

@@ -334,6 +334,11 @@ private[graft] object SourceEventGates {
         deliver(e.filter(pmod(col("event_id"), lit(3)) === 1), 1L)
         deliver(e.filter(pmod(col("event_id"), lit(3)) === 1), 1L) // replayed
         deliver(e.filter(pmod(col("event_id"), lit(3)) === 2), 2L)
+        // the append-only log has accumulated one file per (batch,
+        // bucket): compact to one file per bucket — a per-bucket local
+        // rewrite (forced bucketed scan, no exchange) that must be
+        // content-neutral, which the shared oracle then checks
+        Bucketing.compactBucketed(s, table, "user_id")
         s.table(table).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sum_cents"))

@@ -595,12 +595,19 @@ object Similarity {
                 batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    require(cent.nonEmpty,
-      s"appendIvf: index '$table' has an empty centroid sidecar — an " +
-        "empty-corpus index defines no quantizer; rebuild with ingestIvf")
     val c = graft.Partitioning.spread(batch)
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    if (cent.isEmpty) {
+      // an empty-corpus index defines no quantizer. Appending NOTHING
+      // to it is a legitimate no-op (the empty-pipeline degradation
+      // every gate promises); appending actual rows would write
+      // unassignable vectors — reject loudly, rebuild with ingestIvf
+      require(c.limit(1).count() == 0L,
+        s"appendIvf: index '$table' has an empty centroid sidecar — an " +
+          "empty-corpus index defines no quantizer; rebuild with ingestIvf")
+      return
+    }
     graft.ops.Bucketing.appendBucketed(assignClusters(c, cent), table,
       "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
   }
@@ -671,6 +678,49 @@ object Similarity {
     graft.ops.Bucketing.writeSmall(
       Seq((nPlanes, nTables)).toDF("nplanes", "ntables"), s"${table}_meta")
   }
+
+  /** Append a new batch into an [[ingestLsh]] index — the maintenance
+    * half of the banded layout. Unlike [[appendIvf]]/
+    * [[graft.llm.Dedup.appendMinhashIndex]], LSH ingest freezes NO
+    * corpus-dependent state: band keys are a pure per-vector function
+    * of the sidecar's (nPlanes, nTables), so `ingestLsh(A);
+    * appendLsh(B)` is ROW-IDENTICAL to `ingestLsh(A∪B)` — no drift, no
+    * rebuild trigger, the gate shares the per-run operator's oracle
+    * outright. Per append the work is batch-sized: normalize + band-key
+    * the batch with the sidecar parameters (mismatch impossible by
+    * construction) and append bucketed files. Batch ids must be
+    * distinct from index ids. Same single-writer contract.
+    */
+  def appendLsh(spark: org.apache.spark.sql.SparkSession, table: String,
+                batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val meta = spark.table(s"${table}_meta").first()
+    val nPlanes = meta.getInt(meta.fieldIndex("nplanes"))
+    val nTables = meta.getInt(meta.fieldIndex("ntables"))
+    val c = graft.Partitioning.spread(batch)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    graft.ops.Bucketing.appendBucketed(tabled(c, "cv", nPlanes, nTables),
+      table, "bucket", graft.ops.Bucketing.bucketCountOf(spark, table))
+  }
+
+  /** Per-cluster membership counts of an [[ingestIvf]]/[[appendIvf]]
+    * index — the CENTROID-DRIFT monitor the append contract names as
+    * its rebuild trigger: the frozen quantizer's cells grow unbalanced
+    * as the appended distribution shifts, and this is the bounded
+    * (nCentroids rows), exchange-free probe that watches it — the
+    * aggregation key IS the table's bucket key, so the cluster-bucketed
+    * layout feeds the groupBy without an exchange (every centroid is
+    * reported, including emptied cells: size 0 is exactly the drift
+    * signal a count-over-members query would silently hide).
+    *
+    * @return (cluster: long, n_members: long) — one row per centroid
+    */
+  def ivfClusterStats(spark: org.apache.spark.sql.SparkSession,
+                      table: String): DataFrame =
+    spark.table(s"${table}_centroids")
+      .select(col("cid").as("cluster"))
+      .join(spark.table(table).groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n")), Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n_members"))
 
   /** Serve a query batch against an [[ingestLsh]] index: queries hash
     * with the SIDE-CAR's (nPlanes, nTables) — parameter mismatch is

@@ -154,6 +154,48 @@ class AppendMaintenanceSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("appendLsh: ingest(A)+append(B) is row-identical to ingest(A∪B) — no frozen state in the banded layout") {
+    val tA = "graft_lsh_appspec"; val tU = "graft_lsh_unionspec"
+    val deps = Seq(tA, s"${tA}_meta", tU, s"${tU}_meta")
+    dropAll(deps: _*)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", tA, nPlanes = 3, nTables = 4, nBuckets = 4)
+      Similarity.appendLsh(spark, tA, emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      Similarity.ingestLsh(emb, "vec_id", "embedding", tU,
+        nPlanes = 3, nTables = 4, nBuckets = 4)
+      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+        "banded tables diverge — band keys must be a pure function of the sidecar params")
+      assert(rows(Similarity.topKLshIngested(spark, tA,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)) ==
+        rows(Similarity.topKLshIngested(spark, tU,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)))
+    } finally dropAll(deps: _*)
+  }
+
+  test("ivfClusterStats: every centroid reported, emptied cells as 0, totals match the corpus") {
+    val t = "graft_ivf_statsspec"
+    val deps = Seq(t, s"${t}_centroids")
+    dropAll(deps: _*)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    try {
+      Similarity.ingestIvf(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", t, nCentroids = 8, kmeansIters = 1, nBuckets = 4)
+      Similarity.appendIvf(spark, t, emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      val stats = Similarity.ivfClusterStats(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stats.size == 8, "one row per centroid, including empty cells")
+      assert(stats.values.sum == spark.table(t).count(),
+        "membership counts must partition the indexed corpus")
+      assert(stats.values.forall(_ >= 0L))
+    } finally dropAll(deps: _*)
+  }
+
   test("compactBucketed: content-identical, one file per bucket, layout intact") {
     val t = "graft_compact_spec"
     dropAll(t)
