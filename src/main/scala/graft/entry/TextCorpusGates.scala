@@ -155,6 +155,30 @@ private[graft] object TextCorpusGates {
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
       bm25OracleSql),
+
+    ("retrieval_bm25_streamed",
+      (s: SparkSession, dir: String) => {
+        // the full maintenance loop under streaming delivery semantics:
+        // the corpus arrives as four foreachBatch deliveries with batch
+        // 1 RE-delivered (at-least-once replay after failure) — batch 0
+        // ingests, later batches append, the replay is a commit-log
+        // no-op. A doubled batch would shift tf, df, dl, N and avgdl at
+        // once, so sharing the whole-corpus BM25 oracle makes the gate
+        // a sharp exactly-once check, not just a smoke test.
+        import s.implicits._
+        val table = s"graft_bm25_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_dl", s"${table}_stats", s"${table}_commits")
+          .foreach(Bucketing.dropManaged(s, _))
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val deliver = Retrieval.bm25Sink(table, "doc_id", "text", nBuckets = 8)
+        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        Retrieval.bm25TopKIngested(s, table,
+          bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+      },
+      bm25OracleSql),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>

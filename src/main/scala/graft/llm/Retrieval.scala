@@ -208,6 +208,31 @@ object Retrieval {
       s"${table}_stats")
   }
 
+  /** Exactly-once streaming maintenance of a BM25 index — the full
+    * loop: `docStream.writeStream.foreachBatch(Retrieval.bm25Sink(...))
+    * .start()`. The first delivered batch builds the index
+    * ([[ingestBm25]]); every later batch folds in with batch-sized work
+    * ([[appendBm25]]); a RE-delivered batch id (Structured Streaming's
+    * at-least-once replay after failure) is a no-op via the
+    * `<table>_commits` log ([[graft.streaming.ExactlyOnce]]) — without
+    * it a replayed batch would double its postings and every BM25
+    * score over them would silently shift. The index a replayed stream
+    * produces is therefore bit-identical to [[ingestBm25]] over the
+    * union (disjoint doc ids across batches, the [[appendBm25]]
+    * contract; the gate proves it against the whole-corpus oracle).
+    */
+  def bm25Sink(table: String, idCol: String, textCol: String,
+               nBuckets: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (spark.catalog.tableExists(table))
+          appendBm25(batch, idCol, textCol, table)
+        else ingestBm25(batch, idCol, textCol, table, nBuckets)
+      }
+      ()
+    }
+
   /** BM25 over an [[ingestBm25]] index: bit-identical scores and ranks
     * to [[bm25TopK]] on the same corpus (identical scoring half, and
     * parquet round-trips the integer postings exactly), but the probe

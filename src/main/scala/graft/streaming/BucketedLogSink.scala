@@ -47,11 +47,8 @@ object BucketedLogSink {
     * the commit log is batches-sized by construction.
     */
   def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
-                       table: String, batchId: Long): Boolean = {
-    val ct = commitsTable(table)
-    spark.catalog.tableExists(ct) &&
-      spark.table(ct).where(col("batch_id") === batchId).limit(1).count() > 0L
-  }
+                       table: String, batchId: Long): Boolean =
+    ExactlyOnce.committed(spark, commitsTable(table), batchId)
 
   /** Idempotently append one micro-batch into the bucketed log `table`.
     * First-ever batch creates the table ([[Bucketing.writeBucketed]]);
@@ -62,22 +59,11 @@ object BucketedLogSink {
   def exactlyOnceAppend(batch: DataFrame, batchId: Long, table: String,
                         key: String, nBuckets: Int): Boolean = {
     val spark = batch.sparkSession
-    if (alreadyCommitted(spark, table, batchId)) false
-    else {
+    ExactlyOnce.once(spark, commitsTable(table), batchId) {
       if (spark.catalog.tableExists(table))
         Bucketing.appendBucketed(batch, table, key,
           Bucketing.bucketCountOf(spark, table))
       else Bucketing.writeBucketed(batch, table, key, nBuckets)
-      // first commit of a fresh log: clear any orphan commit-log dir a
-      // previous JVM's in-memory catalog left behind (the dropManaged
-      // discipline every create path follows) — append-create would
-      // otherwise fail with LOCATION_ALREADY_EXISTS
-      val ct = commitsTable(table)
-      if (!spark.catalog.tableExists(ct)) Bucketing.dropManaged(spark, ct)
-      import spark.implicits._
-      Seq(batchId).toDF("batch_id").write.mode("append")
-        .format("parquet").saveAsTable(ct)
-      true
     }
   }
 

@@ -45,7 +45,11 @@ class PlanSpec extends AnyFunSuite {
       "sketch_hll_intersect", "similarity_topk_ivf_ingested",
       "retrieval_bm25_ingested", "sketch_quantile_sample",
       "similarity_topk_lsh_ingested", "dedup_incremental_neardup_ingested",
-      "join_fuzzy_edit")) {
+      "join_fuzzy_edit",
+      "retrieval_bm25_appended", "retrieval_bm25_streamed",
+      "similarity_ivf_appended", "similarity_lsh_appended",
+      "similarity_ivf_stats", "dedup_neardup_appended",
+      "load_scd2_asof", "load_stream_exactly_once")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

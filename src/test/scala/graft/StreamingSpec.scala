@@ -938,4 +938,44 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS `${t}_commits`")
     }
   }
+
+  test("streamed BM25 maintenance with a replayed batch is bit-identical to a batch ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = "graft_bm25_stream_spec"; val ref = "graft_bm25_streamref_spec"
+    val all = Seq(t, ref).flatMap(x =>
+      Seq(x, s"${x}_dl", s"${x}_stats", s"${x}_commits"))
+    all.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    val b1 = Seq((1L, "spark shuffles data across executors"),
+      (2L, "posting lists make retrieval fast"))
+    val b2 = Seq((3L, "spark buckets co locate joins"))
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(graft.llm.Retrieval.bm25Sink(t, "doc_id", "text", 4))
+        .start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // at-least-once replay of the LAST batch id must be a no-op
+      val lastBatch = spark.table(s"${t}_commits")
+        .agg(max(col("batch_id"))).first().getLong(0)
+      graft.llm.Retrieval.bm25Sink(t, "doc_id", "text", 4)(
+        b2.toDF("doc_id", "text"), lastBatch)
+      graft.llm.Retrieval.ingestBm25((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", ref, nBuckets = 4)
+      def rows(x: String) =
+        spark.table(x).collect().map(_.toString).sorted.toSeq
+      assert(rows(t) == rows(ref), "postings diverge after replay")
+      assert(rows(s"${t}_dl") == rows(s"${ref}_dl"))
+      assert(rows(s"${t}_stats") == rows(s"${ref}_stats"),
+        "a replayed batch shifted N/sumdl")
+      val qdf = Seq((1L, "spark retrieval")).toDF("qid", "qtext")
+      assert(graft.llm.Retrieval.bm25TopKIngested(spark, t, qdf,
+          "qid", "qtext", topK = 3).collect().map(_.toString).sorted.toSeq ==
+        graft.llm.Retrieval.bm25TopKIngested(spark, ref, qdf,
+          "qid", "qtext", topK = 3).collect().map(_.toString).sorted.toSeq)
+    } finally all.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+  }
 }
