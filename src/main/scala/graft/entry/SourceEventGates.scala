@@ -347,6 +347,33 @@ private[graft] object SourceEventGates {
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin),
 
+    ("load_stream_snapshot",
+      (s: SparkSession, dir: String) => {
+        // reproducible snapshot reads of the ingest log: every appended
+        // row is stamped with its batch id, so "the corpus AS OF batch
+        // 1" is a narrow filter (parquet min/max stats skip newer batch
+        // files) — the training-reproducibility primitive. Three
+        // deliveries land, the snapshot reads only the first two; the
+        // oracle aggregates exactly those source rows, so a snapshot
+        // that leaked batch 2 (or dropped part of batch 1) cannot pass.
+        val table = s"graft_evsnap_${dirSuffix(dir)}"
+        Bucketing.dropManaged(s, table)
+        Bucketing.dropManaged(s, s"${table}_commits")
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val deliver = graft.streaming.BucketedLogSink.sink(table, "user_id", 8)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("event_id"), lit(3)) === 2), 2L)
+        graft.streaming.BucketedLogSink.asOf(s, table, 1L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sum_cents"))
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id % 3 IN (0, 1) GROUP BY event_type""".stripMargin),
+
     ("events_funnel",
       (s: SparkSession, dir: String) =>
         graft.streaming.EventStream.funnel(events(s, dir),

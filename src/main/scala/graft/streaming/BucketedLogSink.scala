@@ -60,12 +60,35 @@ object BucketedLogSink {
                         key: String, nBuckets: Int): Boolean = {
     val spark = batch.sparkSession
     ExactlyOnce.once(spark, commitsTable(table), batchId) {
+      // every row is stamped with its batch id: provenance is free at
+      // write time and unrecoverable later (plain parquet has no
+      // file→batch mapping), and it is what makes [[asOf]] snapshots —
+      // "train on the corpus as of batch N", the reproducibility story
+      // a training pipeline needs — a narrow filter instead of an
+      // impossible reconstruction. One long column per row; at 100 TB
+      // it dictionary/RLE-compresses to near nothing per batch file.
+      val stamped = batch.withColumn("_batch_id", lit(batchId))
       if (spark.catalog.tableExists(table))
-        Bucketing.appendBucketed(batch, table, key,
+        Bucketing.appendBucketed(stamped, table, key,
           Bucketing.bucketCountOf(spark, table))
-      else Bucketing.writeBucketed(batch, table, key, nBuckets)
+      else Bucketing.writeBucketed(stamped, table, key, nBuckets)
     }
   }
+
+  /** The log AS OF `batchId`: rows of every committed batch ≤ batchId —
+    * a reproducible snapshot (re-running a job pinned to a batch id
+    * reads the identical corpus no matter how many batches landed
+    * since). A narrow predicate on the stamped column; parquet min/max
+    * stats skip newer batch files entirely, so a snapshot scan costs
+    * what the snapshot contains, not what the log has grown to.
+    * Compaction note: [[graft.ops.Bucketing.compactBucketed]] preserves
+    * the column (content-neutral) but merges files across batches, so
+    * run it only when snapshots older than the compaction horizon are
+    * no longer needed — or compact per batch range.
+    */
+  def asOf(spark: org.apache.spark.sql.SparkSession, table: String,
+           batchId: Long): DataFrame =
+    spark.table(table).where(col("_batch_id") <= batchId).drop("_batch_id")
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
     * BucketedLogSink.sink(table, key, n)).start()`.

@@ -49,7 +49,8 @@ class PlanSpec extends AnyFunSuite {
       "retrieval_bm25_appended", "retrieval_bm25_streamed",
       "similarity_ivf_appended", "similarity_lsh_appended",
       "similarity_ivf_stats", "dedup_neardup_appended",
-      "load_scd2_asof", "load_stream_exactly_once")) {
+      "load_scd2_asof", "load_stream_exactly_once",
+      "load_stream_snapshot")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

@@ -933,6 +933,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table(t).count() === 4L)
       // and the log keeps the bucketed layout appends rely on
       assert(graft.ops.Bucketing.bucketCountOf(spark, t) === 4)
+      // snapshot reads: AS OF a batch id sees exactly the batches ≤ it,
+      // and stays stable as later batches land (reproducibility)
+      val asOf0 = graft.streaming.BucketedLogSink.asOf(spark, t, 0L)
+      assert(asOf0.count() === 2L)
+      assert(!asOf0.columns.contains("_batch_id"), "stamp column must not leak")
+      assert(graft.streaming.BucketedLogSink.asOf(spark, t, lastBatch).count() === 3L)
+      assert(graft.streaming.BucketedLogSink.asOf(spark, t, lastBatch + 1).count() === 4L)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       spark.sql(s"DROP TABLE IF EXISTS `${t}_commits`")
