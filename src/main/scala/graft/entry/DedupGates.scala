@@ -47,6 +47,20 @@ private[graft] object DedupGates {
       s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
       "id % 2 = 0", 16, 2))
 
+  /** Per-cluster membership counts of the ingest-then-append index —
+    * the drift monitor's oracle replays the frozen-centroid assignment
+    * (k-means over the even half, assignment over the union) and
+    * counts members per centroid, emptied cells as 0.
+    */
+  private lazy val ivfStatsOracleSql: String =
+    s"""WITH ${ivfAsgCtesTrainOn(
+      s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+      "id % 2 = 0", 16, 2)}
+       |SELECT c.cid AS cluster, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
+       |FROM cent c LEFT JOIN (SELECT cluster, count(*) AS n FROM asg
+       |                       GROUP BY cluster) cnt
+       |  ON c.cid = cnt.cluster""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     // ---- dedup family -----------------------------------------------------
     ("dedup_exact",
@@ -684,12 +698,32 @@ private[graft] object DedupGates {
           "vec_id", "embedding")
         Similarity.ivfClusterStats(s, table)
       },
-      s"""WITH ${ivfAsgCtesTrainOn(
+      ivfStatsOracleSql),
+
+    ("similarity_ivf_streamed",
+      (s: SparkSession, dir: String) => {
+        // the corpus arrives as three foreachBatch deliveries with
+        // batch 1 RE-delivered: batch 0 trains the quantizer (centroids
+        // freeze there — the oracle trains its k-means on exactly that
+        // subset), later batches assign against the frozen sidecar, the
+        // replay is a commit-log no-op. Sharp by construction: a
+        // doubled batch appends duplicate corpus rows and the probe's
+        // top-k burns ranks on them — the oracle has no duplicates.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_centroids", s"${table}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Similarity.ivfSink(table, "vec_id", "embedding",
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      ivfProbeOracleSql(ivfAsgCtesTrainOn(
         s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
-        "id % 2 = 0", 16, 2)}
-         |SELECT c.cid AS cluster, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members
-         |FROM cent c LEFT JOIN (SELECT cluster, count(*) AS n FROM asg
-         |                       GROUP BY cluster) cnt
-         |  ON c.cid = cnt.cluster""".stripMargin),
+        "id % 3 = 0", 16, 2))),
   )
 }

@@ -265,14 +265,21 @@ private[graft] object OlapGates {
     * semantics. Admission batch = docs > 250 vs index = docs ≤ 250 in
     * both gates.
     */
-  private def mhIngestedOracleSql(floodUpper: Int): String = {
+  private def mhIngestedOracleSql(floodUpper: Int): String =
+    mhIngestedOracleWhere(s"doc <= $floodUpper")
+
+  /** [[mhIngestedOracleSql]] with an arbitrary flood-set predicate —
+    * the streamed gate freezes the flood over its FIRST DELIVERED
+    * batch (`doc <= 250 AND doc % 3 = 0`), not an id prefix.
+    */
+  private def mhIngestedOracleWhere(floodWhere: String): String = {
     val perms = (0 until 16).map(i =>
       s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
     val jac = Num.r6Sql("CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
     s"""WITH ${GateSupport.tokenShingleCte(3)},
        |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
        |fe AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0
-       |                      WHERE doc <= $floodUpper GROUP BY h) WHERE c > 20),
+       |                      WHERE $floodWhere GROUP BY h) WHERE c > 20),
        |h1 AS (SELECT doc, h FROM h0 WHERE h NOT IN (SELECT h FROM fe)),
        |sizes AS (SELECT doc, count(*) AS sz FROM h1 GROUP BY doc),
        |perms(i, a, b) AS (VALUES $perms),
@@ -1132,6 +1139,32 @@ private[graft] object OlapGates {
           "doc_id", "text", threshold = 0.3)
       },
       mhIngestedOracleSql(floodUpper = 125)),
+
+    ("dedup_neardup_streamed",
+      (s: SparkSession, dir: String) => {
+        // the index corpus (docs ≤ 250) arrives as three foreachBatch
+        // deliveries with batch 1 RE-delivered; the first batch builds
+        // the index and freezes the flood set THERE (doc % 3 = 0 — the
+        // oracle's cap predicate mirrors it exactly), later batches
+        // fold in batch-sized, the replay is a commit-log no-op. The
+        // replay guard is load-bearing: a doubled batch duplicates
+        // (doc, h) shingle rows and every Jaccard intersection
+        // double-counts — this gate's oracle would catch it.
+        val d = t(s, dir, "documents")
+        val table = s"graft_mh_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_shingles", s"${table}_flood", s"${table}_meta",
+          s"${table}_commits").foreach(Bucketing.dropManaged(s, _))
+        val idx = d.filter(col("doc_id") <= 250)
+        val deliver = Dedup.minhashSink(table, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, maxDocFreq = Some(20), nBuckets = 8)
+        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
+          "doc_id", "text", threshold = 0.3)
+      },
+      mhIngestedOracleWhere("doc <= 250 AND doc % 3 = 0")),
 
     ("profile_skew",
       (s: SparkSession, dir: String) =>

@@ -487,6 +487,32 @@ object Dedup {
       graft.ops.Bucketing.bucketCountOf(spark, table))
   }
 
+  /** Exactly-once streaming maintenance of a MinHash near-dup index —
+    * [[graft.llm.Retrieval.bm25Sink]]'s sibling: the first delivered
+    * batch builds the index ([[ingestMinhashIndex]] — the flood set is
+    * computed there and FROZEN, the ingest contract), later batches
+    * fold in batch-sized ([[appendMinhashIndex]]), and a RE-delivered
+    * batch id is a commit-log no-op. The replay guard is load-bearing
+    * for correctness, not just cost: a doubled batch would duplicate
+    * (doc, h) shingle rows and every Jaccard intersection over them
+    * would double-count — the streamed gate's shared oracle catches
+    * exactly that.
+    */
+  def minhashSink(table: String, idCol: String, textCol: String,
+                  n: Int, k: Int, rowsPerBand: Int,
+                  maxDocFreq: Option[Long], nBuckets: Int)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (spark.catalog.tableExists(table))
+          appendMinhashIndex(spark, table, batch, idCol, textCol)
+        else ingestMinhashIndex(batch, idCol, textCol, n, k, rowsPerBand,
+          maxDocFreq, table, nBuckets)
+      }
+      ()
+    }
+
   /** Near-dup admission of a new batch against an [[ingestMinhashIndex]]
     * index: the batch is shingle-hashed, filtered against the PERSISTED
     * flood set, banded with the sidecar's parameters, and its bands

@@ -612,6 +612,31 @@ object Similarity {
       "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
   }
 
+  /** Exactly-once streaming maintenance of an IVF index —
+    * [[graft.llm.Retrieval.bm25Sink]]'s sibling: the first delivered
+    * batch builds the index ([[ingestIvf]] — the quantizer trains there
+    * and its centroids FREEZE), later batches assign against the frozen
+    * sidecar ([[appendIvf]], batch-sized), and a RE-delivered batch id
+    * is a commit-log no-op. The replay guard is correctness-critical: a
+    * doubled batch would append duplicate corpus rows, and every probe
+    * top-k over them would burn ranks on duplicates — the streamed
+    * gate's oracle catches exactly that. Centroid drift remains the
+    * rebuild trigger ([[ivfClusterStats]]).
+    */
+  def ivfSink(table: String, idCol: String, vecCol: String,
+              nCentroids: Int, kmeansIters: Int, nBuckets: Int)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (spark.catalog.tableExists(table))
+          appendIvf(spark, table, batch, idCol, vecCol)
+        else ingestIvf(batch, idCol, vecCol, table, nCentroids, kmeansIters,
+          nBuckets)
+      }
+      ()
+    }
+
   /** Serve a query batch against an [[ingestIvf]] index: the centroid
     * sidecar (nCentroids × dim by construction) is collected once and
     * probes rank it as a plan literal exactly like [[topKIvf]]; the
