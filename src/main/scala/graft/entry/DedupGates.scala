@@ -682,6 +682,29 @@ private[graft] object DedupGates {
       },
       mlshOracleSql(nPlanes = 4, nTables = 16)),
 
+    ("similarity_lsh_streamed",
+      (s: SparkSession, dir: String) => {
+        // three deliveries with batch 1 RE-delivered; no frozen state
+        // in the banded layout (band keys are a pure function of the
+        // sidecar params), so the streamed index is bit-identical to a
+        // batch ingest over the union and this gate shares the per-run
+        // MLSH oracle outright — a doubled batch would duplicate banded
+        // rows and burn probe ranks on duplicate candidates.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_meta", s"${table}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Similarity.lshSink(table, "vec_id", "embedding",
+          nPlanes = 4, nTables = 16, nBuckets = 8)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      },
+      mlshOracleSql(nPlanes = 4, nTables = 16)),
+
     ("similarity_ivf_stats",
       (s: SparkSession, dir: String) => {
         // the centroid-drift monitor over the ingest-then-append index:

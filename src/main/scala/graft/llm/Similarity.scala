@@ -727,6 +727,28 @@ object Similarity {
       table, "bucket", graft.ops.Bucketing.bucketCountOf(spark, table))
   }
 
+  /** Exactly-once streaming maintenance of an LSH index — the fourth
+    * and simplest sink of the family: band keys are a pure function of
+    * the FIRST batch's (nPlanes, nTables) sidecar, so unlike
+    * [[ivfSink]]/[[graft.llm.Dedup.minhashSink]] there is no frozen
+    * corpus-dependent state and the streamed index is bit-identical to
+    * a batch [[ingestLsh]] over the union. Replays are commit-log
+    * no-ops (a doubled batch would duplicate banded rows and burn probe
+    * ranks on duplicate candidates).
+    */
+  def lshSink(table: String, idCol: String, vecCol: String,
+              nPlanes: Int, nTables: Int, nBuckets: Int)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (spark.catalog.tableExists(table))
+          appendLsh(spark, table, batch, idCol, vecCol)
+        else ingestLsh(batch, idCol, vecCol, table, nPlanes, nTables, nBuckets)
+      }
+      ()
+    }
+
   /** Per-cluster membership counts of an [[ingestIvf]]/[[appendIvf]]
     * index — the CENTROID-DRIFT monitor the append contract names as
     * its rebuild trigger: the frozen quantizer's cells grow unbalanced

@@ -51,7 +51,7 @@ class PlanSpec extends AnyFunSuite {
       "similarity_ivf_stats", "dedup_neardup_appended",
       "load_scd2_asof", "load_stream_exactly_once",
       "load_stream_snapshot", "dedup_neardup_streamed",
-      "similarity_ivf_streamed")) {
+      "similarity_ivf_streamed", "similarity_lsh_streamed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
