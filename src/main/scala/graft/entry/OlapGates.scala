@@ -1319,6 +1319,49 @@ private[graft] object OlapGates {
       },
       weightedPrOracleSql),
 
+    ("graph_pagerank_weighted_ingested",
+      (s: SparkSession, dir: String) => {
+        // the APPEND path the full-rebuild layout cannot offer: the
+        // weighted co-purchase edges arrive as TWO batches into the
+        // (log, degree) pair — baked degmu would go stale, so weight
+        // totals live in their own src-bucketed table rebuilt
+        // exchange-free from the log per ingest. Ranks are
+        // bit-identical to the batch operator on the union (weight
+        // merging is a sum — batch boundaries cannot move it), so the
+        // gate shares the weighted-PageRank oracle.
+        val log = s"graft_wlog_${dirSuffix(dir)}"
+        val degT = s"graft_wdeg_${dirSuffix(dir)}"
+        Seq(log, s"${log}_meta", degT).foreach(Bucketing.dropManaged(s, _))
+        val e = coPurchaseEdgesWeighted(s, dir)
+        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 0),
+          "src", "dst", "w", log, degT, nBuckets = 8)
+        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 1),
+          "src", "dst", "w", log, degT, nBuckets = 8)
+        Graph.pageRankWeightedIngested(s, log, degT, iters = 5, damping = 0.85d)
+      },
+      weightedPrOracleSql),
+
+    ("graph_sssp_ingested",
+      (s: SparkSession, dir: String) => {
+        // shortest paths over the same two-batch weighted log — sssp
+        // needs no degree totals, so the probe reads the src-bucketed
+        // log alone; shares the sssp oracle (edge-set union is
+        // batch-order independent)
+        val log = s"graft_wlog_sp_${dirSuffix(dir)}"
+        val degT = s"graft_wdeg_sp_${dirSuffix(dir)}"
+        Seq(log, s"${log}_meta", degT).foreach(Bucketing.dropManaged(s, _))
+        val e = coPurchaseEdgesWeighted(s, dir)
+        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 0),
+          "src", "dst", "w", log, degT, nBuckets = 8)
+        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 1),
+          "src", "dst", "w", log, degT, nBuckets = 8)
+        Graph.ssspIngested(s, log,
+          t(s, dir, "customer").filter(col("c_custkey") <= 3)
+            .select(col("c_custkey")),
+          "c_custkey", maxIters = 4)
+      },
+      ssspOracleSql),
+
     ("graph_pagerank_directed",
       (s: SparkSession, dir: String) => {
         // DIRECTED customer→part edges only: every part node is a sink,

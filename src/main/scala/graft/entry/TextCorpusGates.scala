@@ -29,6 +29,23 @@ private[graft] object TextCorpusGates {
     * persisted posting/length/stats tables ARE the per-run tokenizer's
     * output; parquet round-trips the integer counts exactly).
     */
+  /** Decontamination oracle over the %37 benchmark slice — shared by
+    * the per-run gate and the ingested-index twin (ingest ∪ append of
+    * overlapping slices is the same distinct eval hash SET, so both
+    * compute identical verdicts).
+    */
+  private lazy val decontamOracleSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+       |              UNION ALL SELECT 99991, NULL),
+       |${tokenShingleCte(8, "docs")},
+       |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
+       |ev AS (SELECT DISTINCT h FROM h0 WHERE doc % 37 = 0),
+       |hits AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM h0 JOIN ev USING (h) GROUP BY doc)
+       |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
+       |       COALESCE(n_hits, 0) < 1 AS keep
+       |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin
+
   private lazy val bm25OracleSql: String = {
     val k1 = 1.2d; val b = 0.75d
     val K1 = Retrieval.litSql(k1); val K1P1 = Retrieval.litSql(k1 + 1.0d)
@@ -479,16 +496,32 @@ private[graft] object TextCorpusGates {
         Corpus.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0),
           "doc_id", "text", n = 8)
       },
-      s"""WITH docs AS (SELECT doc_id, text FROM documents
-         |              UNION ALL SELECT 99991, NULL),
-         |${tokenShingleCte(8, "docs")},
-         |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
-         |ev AS (SELECT DISTINCT h FROM h0 WHERE doc % 37 = 0),
-         |hits AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
-         |         FROM h0 JOIN ev USING (h) GROUP BY doc)
-         |SELECT doc_id AS doc, COALESCE(n_hits, 0) AS n_hits,
-         |       COALESCE(n_hits, 0) < 1 AS keep
-         |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin),
+      decontamOracleSql),
+
+    ("corpus_decontaminate_ingested",
+      (s: SparkSession, dir: String) => {
+        // decontamination's pay-once index: the eval suite's distinct
+        // 8-gram hash set is tokenized ONCE into an h-bucketed table
+        // (+n sidecar) and the admission probe reads it exchange-free —
+        // at 100 TB the per-run operator re-hashes the eval suite per
+        // batch and assumes it broadcasts; this twin does neither.
+        // Built as ingest(every-74th) + append(every-37th): the append
+        // anti-joins hashes already present, so OVERLAPPING benchmark
+        // batches (the %74 set is a subset of the %37 set) land exactly
+        // once — a duplicated h row would double-count n_hits and
+        // silently tighten admission. ingest+append ≡ the per-run
+        // operator's eval hash set, so this SHARES its oracle.
+        import s.implicits._
+        val table = s"graft_decontam_${dirSuffix(dir)}"
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 74 === 0),
+          "doc_id", "text", n = 8, table, nBuckets = 8)
+        Corpus.appendDecontamIndex(s, table,
+          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+        Corpus.decontaminateIngested(s, table, docs, "doc_id", "text")
+      },
+      decontamOracleSql),
 
     ("corpus_decontaminate_report",
       (s: SparkSession, dir: String) => {

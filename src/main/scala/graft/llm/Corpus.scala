@@ -164,6 +164,76 @@ object Corpus {
         (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
   }
 
+  /** Persist the eval suite's distinct n-gram hash set ONCE —
+    * decontamination's pay-once index (the `ingestBm25` pattern applied
+    * to eval integrity): the benchmark suite is FIXED while the corpus
+    * streams in, so tokenizing and hashing the eval set per admission
+    * batch is pure waste, and for a very large eval suite the per-run
+    * operator's broadcast assumption stops holding. The hash set is
+    * written bucketed by h — exactly the probe's join key — so
+    * [[decontaminateIngested]] reads it exchange-free regardless of
+    * size (only the batch side shuffles, and it is batch-sized). A
+    * 1-row `n` sidecar makes probing with a mismatched n-gram order
+    * impossible by construction.
+    */
+  def ingestDecontamIndex(evalSet: DataFrame, idCol: String, textCol: String,
+                          n: Int, table: String, nBuckets: Int): Unit = {
+    require(n > 0, "n must be positive")
+    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
+      .select(col("h")).distinct()
+    graft.ops.Bucketing.writeBucketed(evalH, table, "h", nBuckets)
+    val spark = evalSet.sparkSession
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(Seq(n).toDF("n"), s"${table}_meta")
+  }
+
+  /** Fold a NEW benchmark batch into an [[ingestDecontamIndex]] index —
+    * eval suites grow too (each new benchmark release must start
+    * gating admission immediately, without re-hashing the whole
+    * suite). The batch's distinct hashes anti-join the persisted set
+    * first (index side exchange-free — bucketed on h) so hashes shared
+    * WITH EXISTING BENCHMARKS are not duplicated: a duplicate h row
+    * would double-count every training doc's `n_hits` against it,
+    * silently tightening the admission rule. `ingest(A); append(B)` is
+    * therefore row-identical to `ingest(A ∪ B)` — the index is a SET.
+    */
+  def appendDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, evalBatch: DataFrame,
+                          idCol: String, textCol: String): Unit = {
+    val meta = spark.table(s"${table}_meta").first()
+    val n = meta.getInt(meta.fieldIndex("n"))
+    val newH = Dedup.docShinglesHashed(evalBatch, idCol, textCol, n)
+      .select(col("h")).distinct()
+      .join(spark.table(table), Seq("h"), "left_anti")
+    graft.ops.Bucketing.appendBucketed(newH, table, "h",
+      graft.ops.Bucketing.bucketCountOf(spark, table))
+  }
+
+  /** [[decontaminate]] against an [[ingestDecontamIndex]] index:
+    * bit-identical verdicts (the index IS the per-run operator's
+    * distinct eval hash set, parquet round-trips longs exactly — the
+    * gate shares the oracle), but the probe never re-tokenizes the
+    * eval suite and never assumes it broadcasts: the hit join reads
+    * the h-bucketed scan exchange-free and only the batch side
+    * shuffles. n comes from the sidecar — parameter mismatch
+    * impossible.
+    */
+  def decontaminateIngested(spark: org.apache.spark.sql.SparkSession,
+                            table: String, train: DataFrame, idCol: String,
+                            textCol: String, minHits: Long = 1L): DataFrame = {
+    require(minHits > 0, "minHits must be positive")
+    val meta = spark.table(s"${table}_meta").first()
+    val n = meta.getInt(meta.fieldIndex("n"))
+    val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n)
+    val hits = trainSh.join(spark.table(table), Seq("h"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
+    graft.Partitioning.spread(train).select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
+  }
+
   /** Contamination ATTRIBUTION report — the auditor view behind
     * [[decontaminate]]: for each (benchmark doc, training doc) pair
     * sharing at least `minShared` distinct word n-grams, the shared

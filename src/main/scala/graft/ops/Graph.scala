@@ -224,6 +224,72 @@ object Graph {
       Seq((1000000L, true)).toDF("wmu_scale", "validated"), s"${table}_meta")
   }
 
+  /** [[ingestEdges]] for the WEIGHTED family — the append path
+    * [[writeWeightedEdges]] (a full rebuild) cannot offer, because its
+    * baked-in `degmu` totals go stale the moment an existing source
+    * gains an edge. The log layout splits the concerns exactly like
+    * the unweighted twin: the `(src, dst, wmu)` edge log APPENDS
+    * batch-sized (validated per batch — negatives rejected loudly,
+    * non-positives dropped, the [[pageRankWeighted]] semantics), and
+    * the `(src, degmu)` weight-total table REBUILDS from the log via
+    * an exchange-free bucketed groupBy (both tables bucketed by src,
+    * same count — the probes' log⋈degrees join co-locates). The
+    * provenance sidecar rides on the LOG table so the probes'
+    * [[requireWeightedTable]] guard covers the pair.
+    */
+  def ingestWeightedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                          wCol: String, logTable: String, degTable: String,
+                          nBuckets: Int): Unit = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
+        .cast("long").as("wmu"))
+    require(e0.where(col("wmu") < 0L).limit(1).count() == 0L,
+      "ingestWeightedEdges requires non-negative edge weights")
+    val e = e0.where(col("wmu") > 0L)
+    if (spark.catalog.tableExists(logTable))
+      Bucketing.appendBucketed(e, logTable, "src", nBuckets)
+    else Bucketing.writeBucketed(e, logTable, "src", nBuckets)
+    Bucketing.writeBucketed(
+      spark.table(logTable).groupBy("src").agg(sum(col("wmu")).as("degmu")),
+      degTable, "src", nBuckets)
+    import spark.implicits._
+    Bucketing.writeSmall(
+      Seq((1000000L, true)).toDF("wmu_scale", "validated"),
+      s"${logTable}_meta")
+  }
+
+  /** [[pageRankWeighted]] over an [[ingestWeightedEdges]] log:
+    * bit-identical ranks to the batch operator on the concatenation of
+    * every ingested batch (weight merging is a SUM — batch boundaries
+    * cannot move it); the log⋈degrees join co-locates bucket-wise, so
+    * per round only the rank relation shuffles.
+    */
+  def pageRankWeightedIngested(spark: SparkSession, logTable: String,
+                               degTable: String, iters: Int,
+                               damping: Double = 0.85d,
+                               tol: Double = 0.0d): DataFrame = {
+    requireWeightedTable(spark, logTable)
+    iterate(spark.table(logTable).join(spark.table(degTable), "src"),
+      iters, damping, tol,
+      contrib = col("rank") * col("wmu").cast("double")
+        / col("degmu").cast("double"))._1
+  }
+
+  /** [[sssp]] over an [[ingestWeightedEdges]] log — shortest paths need
+    * no degree totals, so the probe reads the src-bucketed log alone;
+    * relaxation rounds are exchange-free on the edge side exactly like
+    * [[ssspBucketed]].
+    */
+  def ssspIngested(spark: SparkSession, logTable: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxIters: Int): DataFrame = {
+    requireWeightedTable(spark, logTable)
+    ssspLoop(spark.table(logTable).select(col("src"), col("dst"), col("wmu")),
+      sources, sourceCol, maxIters)
+  }
+
   /** Verify a table was written by [[writeWeightedEdges]] (sidecar
     * present, expected scale, validated flag) before a bucketed probe
     * trusts its unchecked preconditions. 1-row read, bounded.

@@ -196,6 +196,32 @@ class AppendMaintenanceSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("decontam index: append is a SET fold — overlapping eval batches never double-count hits") {
+    val tA = "graft_dc_appspec"; val tU = "graft_dc_unionspec"
+    val deps = Seq(tA, s"${tA}_meta", tU, s"${tU}_meta")
+    dropAll(deps: _*)
+    val ev = docs.filter(col("doc_id") % 37 === 0)
+    try {
+      // appended batch OVERLAPS the ingested one (the %74 set ⊂ %37
+      // set, plus the full %37 set re-appended) — the anti-join must
+      // land every hash exactly once
+      graft.llm.Corpus.ingestDecontamIndex(
+        docs.filter(col("doc_id") % 74 === 0), "doc_id", "text",
+        n = 8, tA, nBuckets = 4)
+      graft.llm.Corpus.appendDecontamIndex(spark, tA, ev, "doc_id", "text")
+      graft.llm.Corpus.ingestDecontamIndex(ev, "doc_id", "text",
+        n = 8, tU, nBuckets = 4)
+      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+        "hash sets diverge — duplicates would double-count n_hits")
+      val probe = docs.filter(col("doc_id") < 200)
+      val got = graft.llm.Corpus.decontaminateIngested(spark, tA, probe,
+        "doc_id", "text")
+      val ref = graft.llm.Corpus.decontaminate(probe, ev, "doc_id", "text", n = 8)
+      assert(rows(got) == rows(ref),
+        "ingested probe must be bit-identical to the per-run operator")
+    } finally dropAll(deps: _*)
+  }
+
   test("compactBucketed: content-identical, one file per bucket, layout intact") {
     val t = "graft_compact_spec"
     dropAll(t)

@@ -570,6 +570,43 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestWeightedEdges: two-batch log matches one-shot weighted ranks and distances") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val log = "graft_wlog_graphspec"; val degT = "graft_wdeg_graphspec"
+    Seq(log, s"${log}_meta", degT)
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    val edges = Seq((1L, 2L, 1.5d), (2L, 3L, 2.0d), (3L, 1L, 0.5d),
+      (1L, 3L, 1.0d), (2L, 1L, 1.0d), (3L, 2L, 3.0d)).toDF("s", "d", "w")
+    try {
+      // the split puts src 1 in BOTH batches — its weight total must
+      // merge across ingests (stale baked degmu is exactly the failure
+      // the log/degree-table split exists to prevent)
+      graft.ops.Graph.ingestWeightedEdges(
+        edges.filter(($"s" + $"d") % 2 === 0), "s", "d", "w", log, degT, 2)
+      graft.ops.Graph.ingestWeightedEdges(
+        edges.filter(($"s" + $"d") % 2 === 1), "s", "d", "w", log, degT, 2)
+      val got = graft.ops.Graph.pageRankWeightedIngested(spark, log, degT, 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = graft.ops.Graph.pageRankWeighted(edges, "s", "d", "w", 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === ref, "two-batch ingest diverged from the batch operator")
+      val gotD = graft.ops.Graph.ssspIngested(spark, log,
+          Seq(1L).toDF("n"), "n", 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val refD = graft.ops.Graph.sssp(edges, "s", "d", "w",
+          Seq(1L).toDF("n"), "n", 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(gotD === refD)
+      // negative weights rejected per batch, before anything lands
+      intercept[IllegalArgumentException] {
+        graft.ops.Graph.ingestWeightedEdges(
+          Seq((9L, 8L, -1.0d)).toDF("s", "d", "w"), "s", "d", "w", log, degT, 2)
+      }
+    } finally Seq(log, s"${log}_meta", degT)
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
+  }
+
   test("sssp: negative weights rejected loudly") {
     val sqlc = spark
     import sqlc.implicits._

@@ -51,7 +51,9 @@ class PlanSpec extends AnyFunSuite {
       "similarity_ivf_stats", "dedup_neardup_appended",
       "load_scd2_asof", "load_stream_exactly_once",
       "load_stream_snapshot", "dedup_neardup_streamed",
-      "similarity_ivf_streamed", "similarity_lsh_streamed")) {
+      "similarity_ivf_streamed", "similarity_lsh_streamed",
+      "corpus_decontaminate_ingested",
+      "graph_pagerank_weighted_ingested", "graph_sssp_ingested")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
