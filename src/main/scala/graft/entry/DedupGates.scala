@@ -613,6 +613,81 @@ private[graft] object DedupGates {
       },
       mlshOracleSql(nPlanes = 3, nTables = 8)),
 
+    ("retrieval_eval_ann",
+      (s: SparkSession, dir: String) => {
+        // the retrieval-QA harness as a first-class operator: evaluate
+        // the production ANN ranking (LSH 4×16 — the similarity_topk_lsh
+        // operating point) against the exact cosine ranking with
+        // recall@5 / MRR / nDCG@5 per query. This is what a pipeline
+        // runs after every index build, on a SAMPLED query set — truth
+        // is exact brute-force over the corpus, affordable because the
+        // query batch (not the corpus) is the small side; the metric
+        // aggregation itself is k-bounded per query with no windows.
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val sys = Similarity.topKLsh(e, q, "vec_id", "embedding",
+          k = 5, nPlanes = 4, nTables = 16)
+        val tr = Similarity.topK(e, q, "vec_id", "embedding", k = 5)
+        Retrieval.evalRanking(sys, tr, k = 5)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        def g(e: String) = s"CAST(floor((${Num.r6Sql(s"1.0 / log2(CAST($e AS DOUBLE) + 1.0)")}) * 1000000.0 + 0.5) AS BIGINT)"
+        s"""WITH ${mlshRankCtes(4, 16, 5)},
+           |exsc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |         FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+           |exrk AS (SELECT query_id, nn_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM exsc)
+           |  WHERE rank <= 5),
+           |trg AS (SELECT query_id, count(*) AS n_rel FROM exrk GROUP BY query_id),
+           |idcg AS (SELECT query_id, n_rel,
+           |           list_reduce(list_transform(generate_series(1, n_rel), i -> ${g("i")}),
+           |                       (a, b) -> a + b) AS idcgm
+           |         FROM trg),
+           |hits AS (SELECT s.query_id, s.rank FROM lshrk s
+           |         JOIN exrk tr ON s.query_id = tr.query_id AND s.nn_id = tr.nn_id),
+           |hm AS (SELECT query_id, count(*) AS n_hits, min(rank) AS first_rank,
+           |              sum(${g("rank")}) AS dcgm FROM hits GROUP BY query_id)
+           |SELECT i.query_id, CAST(i.n_rel AS INT) AS n_rel,
+           |  CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+           |  ${Num.r6Sql("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(i.n_rel AS DOUBLE)")} AS recall,
+           |  CASE WHEN h.first_rank IS NULL THEN 0.0 ELSE ${Num.r6Sql("1.0 / CAST(h.first_rank AS DOUBLE)")} END AS mrr,
+           |  CASE WHEN h.dcgm IS NULL THEN 0.0 ELSE ${Num.r6Sql("CAST(h.dcgm AS DOUBLE) / CAST(i.idcgm AS DOUBLE)")} END AS ndcg
+           |FROM idcg i LEFT JOIN hm h USING (query_id)""".stripMargin
+      }),
+
+    ("similarity_topk_sq8",
+      (s: SparkSession, dir: String) => {
+        // two-tier scalar-quantized search: coarse top-20 per query over
+        // the int8-dequantized corpus (the 4×-smaller scan a 100 TB
+        // embedding store actually reads), exact rescore of those
+        // candidates only. Scores in the output are EXACT cosines; the
+        // quantization decides only which candidates reach the rescore.
+        val e = t(s, dir, "embeddings")
+        Similarity.topKSq8(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nCandidates = 20)
+      },
+      {
+        val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+        val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |qz AS (SELECT id, v, list_reduce(list_transform(v, x -> abs(x)),
+           |                                 (a, b) -> greatest(a, b)) / 127.0 AS sc FROM nv),
+           |dqv AS (SELECT id, list_transform(v, x ->
+           |          greatest(-127.0, least(127.0, floor(x / sc + 0.5))) * sc) AS dv FROM qz),
+           |csc AS (SELECT q.id AS query_id, c.id AS nn_id, $coarse AS score
+           |        FROM dqv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+           |cnd AS (SELECT query_id, nn_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
+           |  WHERE rn <= 20),
+           |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
+           |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
+           |                 JOIN nv q ON q.id = cnd.query_id)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     ("similarity_topk_ivf",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -280,24 +280,34 @@ private[graft] object GateSupport {
     * candidate dedup, exact rescoring, rank. Table t hashes with planes
     * [t*nPlanes, (t+1)*nPlanes), matching the Scala side.
     */
-  private[graft] def mlshOracleSql(nPlanes: Int, nTables: Int): String = {
+  private[graft] def mlshOracleSql(nPlanes: Int, nTables: Int): String =
+    s"""WITH ${mlshRankCtes(nPlanes, nTables, 5)}
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank FROM lshrk""".stripMargin
+
+  /** The [[mlshOracleSql]] body as a reusable CTE chain ending in
+    * `lshrk(query_id, nn_id, score, rank ≤ k)` (rank still BIGINT) with
+    * the normalized corpus available as `nv` — composed by the ranking
+    * gates directly and by the eval-metrics oracle, which joins the LSH
+    * ranking against the exact one.
+    */
+  private[graft] def mlshRankCtes(nPlanes: Int, nTables: Int, k: Int): String = {
     val score = Num.r6Sql(dotSql("c.v", "q.v"))
     val tables = (0 until nTables).map { t =>
       val sel = if (t == 0) "SELECT id, v, 0 AS tbl, " else s"SELECT id, v, $t, "
       sel + bucketSql("v", nPlanes, t * nPlanes) +
         (if (t == 0) " AS bucket FROM nv" else " FROM nv")
     }.mkString("\n  UNION ALL ")
-    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+    s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |bks AS ($tables),
        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
        |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
        |         WHERE q.id < 20 AND c.id <> q.id),
-       |sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+       |lsc AS (SELECT cand.query_id, cand.nn_id, $score AS score
        |       FROM cand JOIN nv c ON c.id = cand.nn_id
-       |                 JOIN nv q ON q.id = cand.query_id)
-       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
-       |WHERE rank <= 5""".stripMargin
+       |                 JOIN nv q ON q.id = cand.query_id),
+       |lshrk AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM lsc)
+       |  WHERE rank <= $k)""".stripMargin
   }
 
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:

@@ -543,6 +543,80 @@ private[graft] object TextCorpusGates {
          |FROM h0 JOIN ev USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
+    ("corpus_dsir",
+      (s: SparkSession, dir: String) => {
+        // DSIR importance weights: the every-7th-doc slice plays the
+        // target domain, the full table is the raw pool. 64 hash
+        // buckets keep the λ table literal-sized at any corpus scale
+        // (the hashing trick) while leaving real signal at the fixture
+        // size. Target docs themselves score high — the sanity property
+        // DsirSpec pins.
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Corpus.dsirWeights(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", nBuckets = 64)
+          .select(col("id").as("doc_id"), col("logw"))
+      },
+      {
+        val lamExpr = Num.r6Sql(
+          "ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))"
+            + " - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE))")
+        s"""WITH tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                                        t -> t <> '') AS tk
+           |             FROM documents WHERE text IS NOT NULL),
+           |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
+           |       UNION ALL
+           |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+           |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |       FROM tkz),
+           |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
+           |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+           |tc AS (SELECT b, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+           |tot AS (SELECT (SELECT count(*) FROM fb) AS tr,
+           |               (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt),
+           |lam AS (SELECT rc.b,
+           |          CAST(floor(($lamExpr) * 1000000.0 + 0.5) AS BIGINT) AS lam
+           |        FROM rc LEFT JOIN tc USING (b), tot),
+           |db AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b)
+           |SELECT doc_id, ${Num.r6Sql("CAST(sum(c * lam) AS DOUBLE) / 1000000.0")} AS logw
+           |FROM db JOIN lam USING (b) GROUP BY doc_id""".stripMargin
+      }),
+
+    ("similarity_bitext_margin",
+      (s: SparkSession, dir: String) => {
+        // margin-based bitext mining (Artetxe & Schwenk): even vec_ids
+        // play the source language, odd the target; ratio margin over
+        // forward ∪ backward top-4 lists; rank 1 per src is the mined
+        // pair. The full ranked candidate table is the gate output so
+        // the oracle pins margins and order, not just the argmax.
+        val e = t(s, dir, "embeddings")
+        Similarity.bitextMine(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", k = 4)
+      },
+      {
+        val score = Num.r6Sql(dotSql("y.v", "x.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |fsc AS (SELECT x.id AS src_id, y.id AS tgt_id, $score AS score
+           |        FROM nv x JOIN nv y ON x.id % 2 = 0 AND y.id % 2 = 1),
+           |frk AS (SELECT src_id, tgt_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rn FROM fsc)
+           |  WHERE rn <= 4),
+           |brk AS (SELECT src_id, tgt_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rn FROM fsc)
+           |  WHERE rn <= 4),
+           |sx AS (SELECT src_id, sum(m) AS sxm FROM frk GROUP BY src_id),
+           |sy AS (SELECT tgt_id, sum(m) AS sym FROM brk GROUP BY tgt_id),
+           |cand AS (SELECT src_id, tgt_id, max(m) AS m FROM (
+           |  SELECT src_id, tgt_id, m FROM frk UNION ALL SELECT src_id, tgt_id, m FROM brk)
+           |  GROUP BY src_id, tgt_id),
+           |mg AS (SELECT c.src_id, c.tgt_id,
+           |         ${Num.r6Sql("CAST(c.m AS DOUBLE) / 1000000.0")} AS score,
+           |         ${Num.r6Sql("CAST(c.m * 8 AS DOUBLE) / CAST(sx.sxm + sy.sym AS DOUBLE)")} AS margin
+           |       FROM cand c JOIN sx ON c.src_id = sx.src_id
+           |                   JOIN sy ON c.tgt_id = sy.tgt_id)
+           |SELECT src_id, tgt_id, score, margin, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM mg)""".stripMargin
+      }),
+
     ("corpus_select_budget",
       (s: SparkSession, dir: String) => {
         // quality-prioritized token-budget cut over the standard scorer;

@@ -882,4 +882,67 @@ object Corpus {
       .filter(col("rank_in_domain") <= maxPerDomain)
       .unionByName(passthrough.withColumn("rank_in_domain", lit(null).cast("int")))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how target-domain-like its hashed n-gram distribution
+    * is. Features are unigrams + bigrams rolling-hashed into `nBuckets`
+    * bins (with multiplicity — bag-of-hashed-ngrams); each bin gets a
+    * Laplace-smoothed log-likelihood ratio
+    *
+    *   λ[b] = ln((ct[b]+1) / (Tt+nBuckets)) − ln((cr[b]+1) / (Tr+nBuckets))
+    *
+    * (ct/cr = target/raw bin counts, Tt/Tr totals), and a document's
+    * log-weight is Σ over its features of λ[bucket] — the importance
+    * weight a resampling pass (e.g. [[selectByTokenBudget]] on `logw`,
+    * or a Gumbel top-k) then consumes.
+    *
+    * Scale shape: the λ table is `nBuckets` rows BY CONSTRUCTION — the
+    * hashing trick's whole point — so it broadcasts no matter how big
+    * either corpus is; the raw corpus is scanned once for features and
+    * once per doc-bucket aggregation, both keyed on (doc, bucket) with
+    * no windows. Float discipline: each λ is r6-rounded into exact
+    * integer micro-units ONCE per bucket; per-doc accumulation is an
+    * integer Σ count·λmicro (order-free); one final division. Documents
+    * with no features (null/empty text) carry no evidence and are
+    * absent from the output, deliberately.
+    *
+    * @return (id, logw) — higher = more target-like
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    def feats(df: DataFrame): DataFrame = {
+      val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= lit(""))
+      val uni = tk
+      val bi = zip_with(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      graft.Partitioning.spread(df)
+        .where(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), explode(concat(uni, bi)).as("g"))
+        .select(col("id"),
+          pmod(TextAnalysis.rollingHash(col("g")), lit(nBuckets.toLong)).as("b"))
+    }
+    val rf = feats(raw)
+    val tf = feats(target)
+    val rc = rf.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tc = tf.groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rc.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tc.agg(sum(col("ct")).as("tt")))
+    // λ table: nBuckets rows joined with the 1-row totals — broadcast
+    // scale by construction regardless of corpus size
+    val lam = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"), floor(graft.Num.r6(
+        log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+          / (coalesce(col("tt"), lit(0L)) + lit(nBuckets.toLong)).cast("double"))
+          - log((col("cr") + lit(1L)).cast("double")
+            / (col("tr") + lit(nBuckets.toLong)).cast("double")))
+        * lit(1000000.0d) + lit(0.5d)).cast("long").as("lam"))
+    val db = rf.groupBy("id", "b").agg(count(lit(1)).as("c"))
+    db.join(broadcast(lam), Seq("b"))
+      .groupBy("id").agg(sum(col("c") * col("lam")).as("wm"))
+      .select(col("id"),
+        graft.Num.r6(col("wm").cast("double") / lit(1000000.0d)).as("logw"))
+  }
 }

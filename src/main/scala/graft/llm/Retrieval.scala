@@ -309,4 +309,58 @@ object Retrieval {
     // the per-query window never sees corpus-scale input
     saltedTopK(fused, topK, nSalts = 1)
   }
+
+  /** Ranking-quality evaluation of a `system` ranking against a `truth`
+    * ranking — the retrieval-QA harness a pipeline runs after every
+    * index build (ANN recall against exact, a new BM25 variant against
+    * the old, a reranker against human qrels). Both inputs are
+    * `(query_id, nn_id, rank)`; `truth`'s rows (at rank ≤ k) are the
+    * relevant set. Per truth query:
+    *
+    *   - `recall`  = |top-k(system) ∩ relevant| / |relevant|
+    *   - `mrr`     = 1 / (system rank of the first relevant hit), 0 if none
+    *   - `ndcg`    = DCG@k / IDCG, binary gains 1/log2(rank+1)
+    *
+    * Float discipline: each DCG gain is r6-rounded then summed in exact
+    * integer micro-units (aggregation-order independent — the rrfFuse
+    * idiom), and IDCG folds the same micro-gains over sequence(1, n_rel)
+    * as a NARROW per-row array fold. Scale shape: everything keys on
+    * query_id with per-query input bounded by k rows (system is
+    * pre-filtered to rank ≤ k), so there is no skew for a window to
+    * absorb — two k-bounded hash aggregations and one k-bounded
+    * equi-join, no windows, no driver-side state. Queries absent from
+    * `system` (e.g. an LSH probe with no shared bucket) score 0 on all
+    * three metrics rather than disappearing.
+    *
+    * @return (query_id, n_rel: int, n_hits: int, recall, mrr, ndcg)
+    */
+  def evalRanking(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // micro(r6(1/log2(r+1))) — the identical float path the oracle runs
+    def gainMicro(r: Column): Column =
+      floor(graft.Num.r6(lit(1.0d) / log2(r.cast("double") + lit(1.0d)))
+        * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val sys = system.filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"))
+    val tr = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"))
+    val trg = tr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .withColumn("idcgm", aggregate(sequence(lit(1L), col("n_rel")),
+        lit(0L), (acc, i) => acc + gainMicro(i)))
+    val hm = sys.join(tr, Seq("query_id", "nn_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_rank"),
+        sum(gainMicro(col("rank"))).as("dcgm"))
+    trg.join(hm, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_rel").cast("int").as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"),
+        graft.Num.r6(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_rel").cast("double")).as("recall"),
+        when(col("first_rank").isNull, lit(0.0d))
+          .otherwise(graft.Num.r6(lit(1.0d) / col("first_rank").cast("double"))).as("mrr"),
+        when(col("dcgm").isNull, lit(0.0d))
+          .otherwise(graft.Num.r6(col("dcgm").cast("double")
+            / col("idcgm").cast("double"))).as("ndcg"))
+  }
 }

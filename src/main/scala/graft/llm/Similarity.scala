@@ -375,6 +375,111 @@ object Similarity {
     topKMerge(scored, k, salts)
   }
 
+  /** Scalar-quantized (int8) cosine top-k with exact rescoring — the
+    * two-tier search an embedding store runs when the corpus lives as
+    * 1-byte-per-dimension codes ([[quantizeInt8]]'s storage format, 4×
+    * fewer bytes scanned than float32): the COARSE pass scores every
+    * corpus vector against the full-precision query using the
+    * DEQUANTIZED codes (asymmetric SQ — queries stay float, only the
+    * corpus side is compressed), keeps the top `nCandidates` per query,
+    * and the RESCORE pass re-reads full-precision vectors for those
+    * candidates only and ranks the exact scores. At 100 TB the coarse
+    * pass is the only corpus-wide scan and it reads the 4×-smaller code
+    * table; the rescore join's probe side is (queries × nCandidates)
+    * rows — broadcast-scale by construction.
+    *
+    * Quantization is per-vector symmetric over the NORMALIZED vector
+    * (scale = max|x|/127, q = clamp(floor(x/scale + 0.5))), the exact
+    * [[quantizeInt8]] arithmetic, so codes here and that storage op
+    * agree. Approximate like any SQ search: recall loss is bounded by
+    * the per-dimension error ≤ scale/2; raise `nCandidates` to trade
+    * scan cost for recall. Deterministic end-to-end — every float step
+    * is fixed-operand-order IEEE the oracle reproduces.
+    *
+    * @return (query_id, nn_id, score, rank) — score is the EXACT cosine
+    */
+  def topKSq8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val ma = aggregate(transform(col("cv"), x => abs(x)),
+      lit(0.0d), (a, x) => greatest(a, x))
+    // dq = dequantized codes; in production the CODES + scale are what
+    // the index stores — dq here makes the coarse arithmetic explicit
+    val cq = c.withColumn("_scale", ma / lit(127.0d))
+      .select(col("nn_id"), transform(col("cv"), x =>
+        greatest(lit(-127.0d), least(lit(127.0d),
+          floor(x / col("_scale") + lit(0.5d)))) * col("_scale")).as("dq"))
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    val coarse = cq.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    // candidate-bounded probe into the full-precision vectors: the
+    // candidate set (≤ queries × nCandidates rows) broadcasts; the
+    // corpus side of this join is a plain scan, never an exchange
+    val rescored = broadcast(cand).join(c, Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(rescored, k, nSalts = 1)
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    * CCMatrix parallel-corpus miner): candidate translation pairs
+    * between two embedding sets score by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖNN(x→tgt) + avgₖNN(y→src)) / 2)
+    *
+    * — raw cosine divided by the mean of each side's average k-NN
+    * similarity, which cancels the "hubness" bias where a generic
+    * sentence is everyone's near-neighbor. Candidates are the union of
+    * forward (src→tgt) and backward (tgt→src) top-k lists, so each
+    * margin's per-query window sees ≤ 2k rows. Per src sentence the
+    * output ranks candidates by margin (rank 1 = the mined pair; apply
+    * a margin threshold downstream to trade precision for yield).
+    *
+    * Float discipline: cosines are r6-scored by [[topK]], k-NN sums
+    * accumulate in exact micro-units, and the margin is ONE double
+    * division of exact integers — aggregation-order independent.
+    * Scale shape: two [[topK]] passes (each a single corpus scan with
+    * the salted two-stage merge; swap in the ANN/IVF variants upstream
+    * when brute force is too hot), then k-bounded joins keyed on
+    * sentence ids — no corpus-scale window anywhere.
+    *
+    * @return (src_id, tgt_id, score, margin, rank) — rank per src by
+    *         margin desc, ties to low tgt_id
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val fwd = topK(tgt, src, idCol, vecCol, k)
+    val bwd = topK(src, tgt, idCol, vecCol, k)
+    val fm = fwd.select(col("query_id").as("src_id"),
+      col("nn_id").as("tgt_id"), micro(col("score")).as("m"))
+    val bm = bwd.select(col("nn_id").as("src_id"),
+      col("query_id").as("tgt_id"), micro(col("score")).as("m"))
+    val sx = fm.groupBy("src_id").agg(sum(col("m")).as("sxm"))
+    val sy = bm.groupBy("tgt_id").agg(sum(col("m")).as("sym"))
+    // the same (x, y) cosine is bit-identical from either direction
+    // (element products commute, the fold order is the dim order), so
+    // max() is a pure dedup of the two lists
+    val cand = fm.unionByName(bm).groupBy("src_id", "tgt_id")
+      .agg(max(col("m")).as("m"))
+    val marg = cand.join(sx, Seq("src_id")).join(sy, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        graft.Num.r6(col("m").cast("double") / lit(1000000.0d)).as("score"),
+        graft.Num.r6((col("m") * lit(2L * k)).cast("double")
+          / (col("sxm") + col("sym")).cast("double")).as("margin"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    marg.withColumn("rank", row_number().over(w))
+  }
+
   /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
     * top-k within candidates. Approximate (recall < 1) but the candidate
     * join is an equi-join on the bucket key — the 100 TB path.

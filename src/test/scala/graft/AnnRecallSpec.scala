@@ -247,4 +247,50 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"MLSH recall@$K: 1 table $r1%.3f -> 4 tables $r4%.3f")
     assert(r4 >= r1, "adding tables must never lose candidates (union semantics)")
   }
+
+  test("SQ8: corpus-wide candidate budget reproduces the exact top-k bit-for-bit") {
+    // with nCandidates = |corpus| every vector reaches the rescore, so
+    // the quantized coarse pass cannot drop a true neighbor and the
+    // EXACT rescore must reproduce topK including scores and ranks
+    val n = emb.count().toInt
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", k = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val sq = Similarity.topKSq8(emb, queries, "vec_id", "embedding",
+      k = K, nCandidates = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sq === exact, "full-budget SQ8 must equal exact brute force")
+  }
+
+  test("SQ8: gate-config recall floor at the 4k candidate budget") {
+    // int8 per-dimension error is <= scale/2 ~ 0.004 on normalized
+    // vectors — tiny next to the score gaps on this fixture, so the
+    // coarse ranking rarely reorders across the candidate boundary.
+    // Measured 2026-08-15: recall@10 = 1.000 at nCandidates=40; pin a
+    // generous floor so a quantizer regression (wrong scale, clamp bug,
+    // symmetric-vs-asymmetric mixup) fails loudly
+    val r = recallAt(Similarity.topKSq8(emb, queries, "vec_id", "embedding",
+      k = K, nCandidates = 4 * K), exactSets)
+    info(f"SQ8 recall@$K at 4k candidates: $r%.3f")
+    assert(r >= 0.9, f"SQ8 recall collapsed: $r%.3f")
+  }
+
+  test("bitext margin mining: planted translations rank 1 with margin >= 1") {
+    import spark.implicits._
+    // tgt = exact copies of src under offset ids: each src's true pair
+    // scores cos 1.0 and its margin (cos over avg-kNN) must put the
+    // copy at rank 1 for every src sentence
+    val src = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"))
+    val tgt = src.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val mined = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 4)
+    val top = mined.filter(col("rank") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin")).collect()
+    assert(top.length === 30)
+    top.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000L,
+        s"src ${r.getLong(0)} mined ${r.getLong(1)}, expected the planted copy")
+      assert(r.getDouble(2) >= 1.0,
+        s"planted pair margin ${r.getDouble(2)} below 1 — kNN average can't exceed cos 1.0")
+    }
+  }
 }

@@ -754,4 +754,29 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
     assert(out == Seq((1L, "en", 2L))) // canonical only; dup count carried
   }
+
+  test("dsirWeights: target-vocab docs outscore off-domain docs; identical text ties; empty text absent") {
+    // two disjoint vocabularies: the target slice speaks only
+    // alpha/beta/gamma, so raw docs sharing that vocabulary must carry
+    // higher importance weights than the uno/dos/tres docs, whose
+    // buckets have target count 0 (negative log-ratio)
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta gamma alpha beta"),
+      (3L, "uno dos tres uno"),
+      (4L, "dos tres uno dos"),
+      (5L, "alpha beta alpha gamma"), // exact copy of doc 1
+      (6L, ""), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 2)
+    val w = Corpus.dsirWeights(raw, target, "doc_id", "text", nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!w.contains(6L) && !w.contains(7L),
+      "featureless docs carry no evidence and must be absent")
+    assert(w(1L) === w(5L), "identical text must weigh identically")
+    val inDomain = Seq(w(1L), w(2L), w(5L)).min
+    val offDomain = Seq(w(3L), w(4L)).max
+    assert(inDomain > offDomain,
+      s"target-vocab floor $inDomain must exceed off-domain ceiling $offDomain")
+  }
 }

@@ -97,4 +97,40 @@ class RetrievalSpec extends AnyFunSuite {
     val selfFused = Retrieval.rrfFuse(Seq(a, a), topK = 3)
     assert(topDocs(selfFused, "q") === Seq(1L, 2L, 3L))
   }
+
+  test("evalRanking: self-eval is perfect; absent-query and disjoint systems score zero") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1))
+      .toDF("query_id", "nn_id", "rank")
+    val perfect = Retrieval.evalRanking(truth, truth, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(perfect(1L) === ((3, 3, 1.0, 1.0, 1.0)))
+    assert(perfect(2L) === ((1, 1, 1.0, 1.0, 1.0)))
+    // system knows nothing about query 2 and misses everything on query
+    // 1: both must still be REPORTED (zeros), not silently dropped
+    val sys = Seq((1L, 99L, 1)).toDF("query_id", "nn_id", "rank")
+    val zero = Retrieval.evalRanking(sys, truth, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(zero(1L) === ((0, 0.0, 0.0, 0.0)))
+    assert(zero(2L) === ((0, 0.0, 0.0, 0.0)))
+  }
+
+  test("evalRanking: partial overlap matches the scalar metric formulas") {
+    import spark.implicits._
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def gm(r: Int) = math.floor(r6(1.0 / (math.log(r + 1.0) / math.log(2.0))) * 1e6 + 0.5).toLong
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "nn_id", "rank")
+    // system: relevant 11 at rank 1, junk at 2, relevant 10 at rank 3
+    val sys = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("query_id", "nn_id", "rank")
+    val row = Retrieval.evalRanking(sys, truth, k = 3).collect().head
+    assert(row.getInt(1) === 3 && row.getInt(2) === 2)
+    assert(row.getDouble(3) === r6(2.0 / 3.0), "recall@3")
+    assert(row.getDouble(4) === 1.0, "first relevant hit is at system rank 1")
+    val ndcg = r6((gm(1) + gm(3)).toDouble / (gm(1) + gm(2) + gm(3)).toDouble)
+    assert(row.getDouble(5) === ndcg, "nDCG from micro-unit gains")
+  }
 }
