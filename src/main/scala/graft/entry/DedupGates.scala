@@ -688,6 +688,31 @@ private[graft] object DedupGates {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        // contrastive hard-negative mining: the positive set is "same
+        // label" (the supervised-contrastive convention), so the mined
+        // negatives are the most-cosine-similar vectors of a DIFFERENT
+        // class — exactly the pairs a contrastive loss learns from. The
+        // positives relation is built as an explicit (query_id, pos_id)
+        // table to exercise the operator's generic anti-join contract.
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val pos = q.select(col("vec_id").as("query_id"), col("label"))
+          .join(e.select(col("vec_id").as("pos_id"), col("label")), Seq("label"))
+          .select(col("query_id"), col("pos_id"))
+        Similarity.hardNegatives(e, q, pos, "vec_id", "embedding", k = 5)
+      },
+      {
+        val score = Num.r6Sql(dotSql("c.v", "q.v"))
+        s"""WITH nv AS (SELECT vec_id AS id, label, ${nvSql("embedding")} AS v FROM embeddings),
+           |sc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+           |       FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id AND c.label <> q.label)
+           |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     ("similarity_topk_ivf",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -480,6 +480,38 @@ object Similarity {
     marg.withColumn("rank", row_number().over(w))
   }
 
+  /** Hard-negative mining for contrastive training (DPR / SimCSE /
+    * CLIP-style): for each query, the k most-similar corpus items that
+    * are NOT in its positive set — the negatives that actually move a
+    * contrastive loss, as opposed to random negatives the model already
+    * separates. `positives` is a `(query_id, pos_id)` relation (same id
+    * types as the embedding ids); the query itself is always excluded.
+    *
+    * Scale shape: identical to [[topK]] — one corpus scan against the
+    * broadcast query batch with the salted two-stage merge — plus ONE
+    * broadcast `left_anti` join against the positive set, which is
+    * query-batch-scale by contract (queries × per-query positives; the
+    * corpus side never exchanges). Swap the brute scorer for the
+    * LSH/IVF candidate generators upstream when the corpus scan itself
+    * is the bottleneck — the anti-join composes unchanged.
+    *
+    * @return (query_id, nn_id, score, rank) — rank 1 = hardest negative
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nSalts: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val c = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    val pos = positives.select(col("query_id"), col("pos_id").as("nn_id"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .join(broadcast(pos), Seq("query_id", "nn_id"), "left_anti")
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(scored, k, salts)
+  }
+
   /** LSH-bucketed ANN: candidates must share the query's hyperplane bucket;
     * top-k within candidates. Approximate (recall < 1) but the candidate
     * join is an equi-join on the bucket key — the 100 TB path.

@@ -293,4 +293,29 @@ class AnnRecallSpec extends AnyFunSuite {
         s"planted pair margin ${r.getDouble(2)} below 1 — kNN average can't exceed cos 1.0")
     }
   }
+
+  test("hard negatives: never a positive, never self; empty positives ≡ plain topK") {
+    import spark.implicits._
+    // positive set = same label (the gate's supervised-contrastive shape)
+    val pos = queries.select(col("vec_id").as("query_id"), col("label"))
+      .join(emb.select(col("vec_id").as("pos_id"), col("label")), Seq("label"))
+      .select(col("query_id"), col("pos_id"))
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mined = Similarity.hardNegatives(emb, queries, pos,
+      "vec_id", "embedding", k = K).collect()
+    assert(mined.map(_.getLong(0)).distinct.length === 20)
+    mined.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(n !== q, s"query $q mined itself")
+      assert(!posSet.contains((q, n)), s"query $q mined its positive $n")
+    }
+    // with no positives the operator IS topK — the anti-join must be
+    // a pure pass-through, not a semantics change
+    val none = Seq.empty[(Long, Long)].toDF("query_id", "pos_id")
+    val viaHn = Similarity.hardNegatives(emb, queries, none,
+      "vec_id", "embedding", k = K).collect().toSet
+    val viaTopK = Similarity.topK(emb, queries, "vec_id", "embedding", k = K)
+      .collect().toSet
+    assert(viaHn === viaTopK)
+  }
 }
