@@ -713,6 +713,18 @@ private[graft] object DedupGates {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_topk_pq",
+      (s: SparkSession, dir: String) => {
+        // product-quantized two-tier search: 4 subspaces × 8 codes × 2
+        // Lloyd's rounds compress each 64-dim vector to 4 codes (the
+        // 64×-smaller scan of a PQ store); coarse top-20 over the
+        // reconstructed corpus, exact rescore of those candidates only.
+        val e = t(s, dir, "embeddings")
+        Similarity.topKPq(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+      },
+      pqTopKSql(m = 4, nCodes = 8, iters = 2, dim = 64, k = 5, nCand = 20)),
+
     ("similarity_topk_ivf",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

@@ -310,6 +310,62 @@ private[graft] object GateSupport {
        |  WHERE rank <= $k)""".stripMargin
   }
 
+  /** DuckDB oracle for [[Similarity.topKPq]] over the embeddings table
+    * (queries = id < 20): per-subspace Euclidean k-means codebooks
+    * (lowest-id seeds, `iters` Lloyd's rounds, plain integer-micro-unit
+    * means — NO re-normalization), assignment by the adjusted score
+    * `dot(x, c) − 0.5·Σc²` (the Scala side's augmented-vector dot,
+    * bit-identical since ×0.5 is exact and IEEE `a + (−b) ≡ a − b`),
+    * reconstruction by flattening the assigned codewords in subspace
+    * order, then the SQ8-shaped coarse-rank → exact-rescore tail.
+    */
+  private[graft] def pqTopKSql(m: Int, nCodes: Int, iters: Int, dim: Int,
+                               k: Int, nCand: Int): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def adj(x: String, cv: String) =
+      s"${dotSql(x, cv)} - 0.5 * list_reduce(list_transform($cv, z -> z * z), (a, b) -> a + b)"
+    val rounds = (0 until iters).map { i =>
+      s"""a$i AS (SELECT id, s, x, cid FROM (
+         |  SELECT sv.id, sv.s, sv.x, c.cid,
+         |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
+         |  FROM sv JOIN k$i c ON c.s = sv.s) WHERE rn = 1),
+         |u$i AS (SELECT s, cid, unnest(x) AS e, unnest(generate_series(1, len(x))) AS d FROM a$i),
+         |g$i AS (SELECT s, cid, d, sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |               count(*) AS cnt FROM u$i GROUP BY s, cid, d),
+         |m$i AS (SELECT s, cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY d) AS mv
+         |        FROM g$i GROUP BY s, cid),
+         |k${i + 1} AS (SELECT c.s, c.cid, CASE WHEN m.mv IS NULL THEN c.centv ELSE m.mv END AS centv
+         |           FROM k$i c LEFT JOIN m$i m ON m.s = c.s AND m.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    val roundsSql = if (rounds.isEmpty) "" else rounds + ",\n"
+    val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
+    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |ss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+       |sv AS (SELECT id, s, list_slice(v, s * $sub + 1, (s + 1) * $sub) AS x FROM nv CROSS JOIN ss),
+       |k0 AS (SELECT s, id AS cid, x AS centv FROM (
+       |  SELECT s, id, x, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM sv) WHERE rn <= $nCodes),
+       |$roundsSql
+       |pa AS (SELECT id, s, cid FROM (
+       |  SELECT sv.id, sv.s, c.cid,
+       |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
+       |  FROM sv JOIN k$iters c ON c.s = sv.s) WHERE rn = 1),
+       |pqd AS (SELECT pa.id, flatten(list(c.centv ORDER BY pa.s)) AS dv
+       |        FROM pa JOIN k$iters c ON c.s = pa.s AND c.cid = pa.cid GROUP BY pa.id),
+       |csc AS (SELECT q.id AS query_id, c.id AS nn_id, $coarse AS score
+       |        FROM pqd c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+       |cnd AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
+       |  WHERE rn <= $nCand),
+       |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
+       |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
+       |                 JOIN nv q ON q.id = cnd.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:
     * `rv` (raw double vectors) → `avv` (corpus augmented with
     * √(M²−‖x‖²)) and `aqq` (queries augmented with 0). MATERIALIZED:

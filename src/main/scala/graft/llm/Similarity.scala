@@ -427,6 +427,135 @@ object Similarity {
     topKMerge(rescored, k, nSalts = 1)
   }
 
+  /** Min-L2 codebook assignment as a MAX-dot argmax over AUGMENTED
+    * vectors: argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2), and appending
+    * a constant 1.0 to the vector and −‖c‖²/2 to each codeword turns
+    * the adjusted score into a plain dot product — so the one fused
+    * codegen'd [[graft.functions.CentroidArgmax]] loop serves both the
+    * cosine (IVF) and Euclidean (PQ) assignment without a second
+    * expression. Bias folds are sequential sums of squares (the
+    * [[normalize]] fold order) and ×0.5 is exact, so the oracle's
+    * `dot − 0.5·Σc²` reproduces the augmented dot bit-for-bit; ties go
+    * to the lowest code id, as everywhere.
+    */
+  private def argminL2(sv: Column, book: Seq[(Long, Seq[Double])]): Column = {
+    val aug = book.map { case (cid, bv) =>
+      (cid, bv :+ (-0.5d * bv.foldLeft(0.0d)((a, x) => a + x * x))) }
+    graft.functions.CentroidArgmax.argmax(
+      concat(sv, array(lit(1.0d))), typedLit(aug))
+  }
+
+  /** Product-quantized (PQ, Jégou et al. 2011) cosine top-k with exact
+    * rescoring — the third standard embedding-store compression next to
+    * [[topKIvf]] (partition pruning) and [[topKSq8]] (scalar codes):
+    * each normalized vector splits into `m` subvectors, each subvector
+    * is replaced by its nearest codeword from a per-subspace codebook of
+    * `nCodes` entries, and the COARSE pass scores queries against the
+    * RECONSTRUCTED corpus (asymmetric distance — queries stay
+    * full-precision). Storage is m·log2(nCodes) bits per vector (m=4,
+    * nCodes=8 → 4 bytes/vector vs 256 for float32-dim-64); the RESCORE
+    * pass re-reads full-precision vectors for the top `nCandidates`
+    * coarse candidates only and ranks exact cosines.
+    *
+    * Codebook training is per-subspace deterministic Lloyd's k-means
+    * under EUCLIDEAN distance (the PQ objective — subvectors are not
+    * unit-norm, so cosine assignment would be wrong): seeds are the
+    * `nCodes` lowest-id vectors' subvectors, assignment is [[argminL2]],
+    * and the update is the PLAIN mean (no re-normalization) carried in
+    * exact integer micro-units — the [[kmeansRefine]] discipline, so
+    * training is byte-reproducible across partitionings and engines.
+    * Empty codes keep their previous codeword. Each training round is
+    * ONE job: a narrow corpus scan exploding (subspace, code, subvector)
+    * straight into a map-side-combined groupBy(s, code) whose
+    * m×nCodes-row integer result is collected — the corpus is scanned,
+    * never shuffled, exactly the [[kmeansRefine]] scale contract.
+    *
+    * At 100 TB: training cost is `kmeansIters` corpus scans (pay-once —
+    * persist the codebooks and codes via the ingest layer for repeated
+    * probes); the coarse pass is the only per-query corpus-wide scan and
+    * in a persisted deployment reads the 64×-smaller code table; the
+    * rescore join's probe side is (queries × nCandidates) rows —
+    * broadcast-scale by construction. Recall < 1 like any PQ; raise
+    * `nCandidates` (or m) to trade scan cost for recall.
+    *
+    * @return (query_id, nn_id, score, rank) — score is the EXACT cosine
+    */
+  def topKPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int, nCodes: Int, kmeansIters: Int,
+             nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(m >= 1 && nCodes >= 1 && kmeansIters >= 0,
+      "m, nCodes must be positive; kmeansIters non-negative")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    // seeds: the nCodes lowest-id vectors, sliced per subspace — one
+    // TakeOrdered job; dim is read from the seeds, ragged input fails
+    // the guarded training aggregate below
+    val seedRows = c.orderBy(col("nn_id")).limit(nCodes)
+      .select(col("nn_id").cast("long"), col("cv")).collect()
+    require(seedRows.nonEmpty, "corpus must be non-empty")
+    val dim = seedRows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    var books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      seedRows.toSeq.map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+    }
+    def subvec(s: Int): Column = slice(col("cv"), s * sub + 1, sub)
+    for (_ <- 0 until kmeansIters) {
+      val perS = (0 until m).map { s =>
+        struct(lit(s).as("s"), argminL2(subvec(s), books(s)).as("code"),
+          subvec(s).as("sv"))
+      }
+      // one scan: explode feeds a partially-aggregated groupBy — the
+      // exchange carries only the m × nCodes aggregated rows. min/max
+      // subvector length ride along so ragged input fails LOUDLY (the
+      // kmeansRefine guard; try_element_at keeps the message ours)
+      val aggCols = Seq(count(lit(1)).as("cnt"),
+        min(size(col("sv"))).as("mindim"), max(size(col("sv"))).as("maxdim")) ++
+        (0 until sub).map(d =>
+          sum(floor(try_element_at(col("sv"), lit(d + 1)) * lit(1000000.0d) + lit(0.5d))
+            .cast("long")).as(s"x$d"))
+      val rows = c.select(explode(array(perS: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy(col("s"), col("code")).agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      rows.foreach { r =>
+        require(r.getInt(3) == sub && r.getInt(4) == sub,
+          s"topKPq requires uniform $dim-dim vectors; found subvector lengths " +
+            s"${r.getInt(3)}..${r.getInt(4)} in subspace ${r.getInt(0)}")
+      }
+      val byKey = rows.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { case (cid, old) =>
+          byKey.get((s, cid)) match {
+            case Some(r) =>
+              val cnt = r.getLong(2).toDouble
+              cid -> (0 until sub).map(d => r.getLong(5 + d).toDouble / 1000000.0d / cnt)
+            case None => cid -> old
+          }
+        }
+      }
+    }
+    // reconstruction: per subspace, the assigned codeword looked up from
+    // the (m × nCodes × sub — literal-sized by definition) codebook map;
+    // concat restores the full-dim approximation the coarse pass scores
+    val recon = concat((0 until m).map { s =>
+      element_at(typedLit(books(s).toMap), argminL2(subvec(s), books(s)))
+    }: _*)
+    val cq = c.select(col("nn_id"), recon.as("dq"))
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    val coarse = cq.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    val rescored = broadcast(cand).join(c, Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
+    topKMerge(rescored, k, nSalts = 1)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
     * CCMatrix parallel-corpus miner): candidate translation pairs
     * between two embedding sets score by the RATIO margin

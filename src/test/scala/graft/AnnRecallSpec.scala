@@ -294,6 +294,66 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  // PQ landscape on the same near-random embeddings (2026-08-15,
+  // K=10, nCodes=8, 2 Lloyd's rounds unless noted): the GATE config
+  // (m=4, nCand=20 — 64 dims to 4 codes, a deliberately extreme 64x
+  // compression that exercises the full codebook/reconstruction path)
+  // measures recall 0.295; widening either knob recovers it exactly as
+  // PQ theory predicts: nCand 40/80 -> 0.460/0.675 at m=4; m=8/16 at
+  // nCand=40 -> 0.510/0.680; the QUALITY config m=16, nCand=80 ->
+  // 0.885 (nCand=120 -> 0.930); nCodes 16/32 at m=8, nCand=80 ->
+  // 0.805/0.885. Floors pinned ~0.05 under the measurements.
+  test("PQ at the gate config (m=4, nCodes=8, nCand=20): recall floor at extreme compression") {
+    val pq = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+    val r = recallAt(pq, exactSets)
+    assert(r >= 0.24, s"PQ gate-config recall@10 $r below floor 0.24")
+  }
+
+  test("PQ at the quality config (m=16, nCodes=8, nCand=80) clears 0.82") {
+    val pq = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 16, nCodes = 8, kmeansIters = 2, nCandidates = 80)
+    val r = recallAt(pq, exactSets)
+    assert(r >= 0.82, s"PQ quality-config recall@10 $r below floor 0.82")
+  }
+
+  test("PQ candidate budget is monotone: a superset of candidates never lowers recall") {
+    // truth = exact top-K and k = K, so a displaced true candidate can
+    // only be displaced by a higher-exact-score item, which is then
+    // itself in the truth set — recall is monotone in nCandidates by
+    // construction; this pins that the implementation preserves it
+    val narrow = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+    val wide = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 80)
+    assert(recallAt(wide, exactSets) >= recallAt(narrow, exactSets))
+  }
+
+  test("PQ degenerate codebook (one subspace, one code per vector) reproduces exact top-k") {
+    // with m=1, nCodes = |corpus|, iters=0 every vector is its own
+    // seed codeword: reconstruction is the identity, the coarse pass
+    // IS the exact pass, and the result must match topK bit-for-bit
+    // even at the tightest candidate budget
+    val small = emb.filter(col("vec_id") < 60)
+    val q = small.filter(col("vec_id") < 10)
+    val viaPq = Similarity.topKPq(small, q, "vec_id", "embedding",
+      k = 5, m = 1, nCodes = 60, kmeansIters = 0, nCandidates = 5).collect().toSet
+    val viaTopK = Similarity.topK(small, q, "vec_id", "embedding", k = 5)
+      .collect().toSet
+    assert(viaPq === viaTopK)
+  }
+
+  test("PQ corpus-wide candidate budget reproduces the exact top-k bit-for-bit") {
+    // nCandidates >= |corpus|: the rescore sees every corpus vector, so
+    // however lossy the codebooks, the output is the exact ranking
+    val viaPq = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 1000)
+      .collect().toSet
+    val viaTopK = Similarity.topK(emb, queries, "vec_id", "embedding", k = K)
+      .collect().toSet
+    assert(viaPq === viaTopK)
+  }
+
   test("hard negatives: never a positive, never self; empty positives ≡ plain topK") {
     import spark.implicits._
     // positive set = same label (the gate's supervised-contrastive shape)
