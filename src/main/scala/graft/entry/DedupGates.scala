@@ -713,6 +713,19 @@ private[graft] object DedupGates {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    ("similarity_topk_mmr",
+      (s: SparkSession, dir: String) => {
+        // RAG-context diversification: brute top-20 relevance per query,
+        // then 5 greedy MMR rounds at λ=0.5 — the result keeps the most
+        // relevant passage and swaps near-duplicates of it for coverage.
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        val cand = Similarity.topK(e, q, "vec_id", "embedding", k = 20)
+        Similarity.diversifyMmr(cand, e, "vec_id", "embedding",
+          k = 5, lambda = 0.5)
+      },
+      mmrTopKSql(n = 20, k = 5, lambdaMicro = 500000L)),
+
     ("similarity_topk_pq",
       (s: SparkSession, dir: String) => {
         // product-quantized two-tier search: 4 subspaces × 8 codes × 2

@@ -366,6 +366,47 @@ private[graft] object GateSupport {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB oracle for [[Similarity.diversifyMmr]] over a brute-force
+    * top-`n` candidate list (queries = id < 20): the k greedy selection
+    * rounds unrolled as CTE stages, each computing max-similarity to
+    * the selected set in exact micro-units and picking argmax of the
+    * BIGINT objective `λm·relm − (1e6−λm)·simm` (ties to low nn_id) —
+    * the Scala side's arithmetic verbatim.
+    */
+  private[graft] def mmrTopKSql(n: Int, k: Int, lambdaMicro: Long): String = {
+    val om = 1000000L - lambdaMicro
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (SELECT c.query_id, c.nn_id,
+         |          max(CAST(floor((${dotSql("c.v", "s.v")}) * 1000000.0 + 0.5) AS BIGINT)) AS ms
+         |        FROM cv c JOIN sel${r - 1} s USING (query_id)
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |                          WHERE x.query_id = c.query_id AND x.nn_id = c.nn_id)
+         |        GROUP BY c.query_id, c.nn_id),
+         |s$r AS (SELECT query_id, nn_id, score, relm, v, $r AS rk FROM (
+         |  SELECT c.query_id, c.nn_id, c.score, c.relm, c.v,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |           ORDER BY ($lambdaMicro * c.relm - $om * p.ms) DESC, c.nn_id ASC) AS rn
+         |  FROM p$r p JOIN cv c ON c.query_id = p.query_id AND c.nn_id = p.nn_id) WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val roundsSql = if (rounds.isEmpty) "" else rounds + "\n"
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |bsc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+       |        FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+       |cnd AS (SELECT query_id, nn_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM bsc)
+       |  WHERE rn <= $n),
+       |cv AS (SELECT c.query_id, c.nn_id, c.score,
+       |              CAST(floor(c.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
+       |       FROM cnd c JOIN nv ON nv.id = c.nn_id),
+       |sel1 AS (SELECT query_id, nn_id, score, relm, v, 1 AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relm DESC, nn_id) AS rn FROM cv)
+       |  WHERE rn = 1),
+       |$roundsSql
+       |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank FROM sel$k""".stripMargin
+  }
+
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:
     * `rv` (raw double vectors) → `avv` (corpus augmented with
     * √(M²−‖x‖²)) and `aqq` (queries augmented with 0). MATERIALIZED:

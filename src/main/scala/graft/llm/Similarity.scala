@@ -556,6 +556,81 @@ object Similarity {
     topKMerge(rescored, k, nSalts = 1)
   }
 
+  /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
+    * diversified reranking: from a scored candidate list per query,
+    * greedily select `k` items maximizing
+    *
+    *   λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * — the standard redundancy-removal rerank a RAG pipeline runs on
+    * its retriever's top-N so the context window isn't k near-copies
+    * of the same passage. `candidates` is any (query_id, nn_id, score)
+    * ranking ([[topK]], [[topKLsh]], [[Retrieval.bm25TopK]] over doc
+    * embeddings, a fused [[Retrieval.rrfFuse]] list — anything whose
+    * score is r6-rounded); `corpus` supplies the vectors that define
+    * inter-candidate similarity.
+    *
+    * Scale shape: the candidate relation is (queries × N) rows —
+    * broadcast-scale by contract (it came out of a top-N) — so the ONE
+    * corpus-touching operation is the broadcast join fetching candidate
+    * vectors; every selection round after that joins per-query-bounded
+    * relations (≤ N candidates × < k selected) with no corpus-scale
+    * window or exchange anywhere. Each of the k rounds' selected set is
+    * pinned so plan depth stays linear in k. Greedy MMR is inherently
+    * sequential in k — that is the algorithm, not a Spark limitation;
+    * k is output-context-sized (≤ tens) by contract.
+    *
+    * Float discipline: relevance and pairwise similarity enter as exact
+    * micro-units (floor(x·1e6 + 0.5)); λ is micro-quantized ONCE and the
+    * MMR objective is pure BIGINT arithmetic (λm·relm − (1e6−λm)·simm,
+    * max 1e12 — no overflow, no float accumulation), ties to the lowest
+    * nn_id — bit-reproducible by construction.
+    *
+    * @return (query_id, nn_id, score, rank) — score is the INPUT
+    *         relevance; rank is the MMR selection order (1 = first pick)
+    */
+  def diversifyMmr(candidates: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambda >= 0.0d && lambda <= 1.0d, "lambda must be in [0, 1]")
+    val lm = math.floor(lambda * 1e6 + 0.5).toLong
+    val om = 1000000L - lm
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val cvec = graft.Partitioning.spread(corpus)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val cand = graft.Partitioning.trackPin(
+      cvec.join(broadcast(candidates.select(col("query_id"), col("nn_id"),
+        col("score"), micro(col("score")).as("relm"))), Seq("nn_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("relm").desc, col("nn_id").asc)
+    var selected = cand.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nn_id"), col("score"), col("cv"),
+        lit(1).as("rank"))
+    for (r <- 2 to k) {
+      val rem = cand.join(selected.select(col("query_id"), col("nn_id")),
+        Seq("query_id", "nn_id"), "left_anti")
+      val ms = rem.select(col("query_id"), col("nn_id"), col("cv"))
+        .join(selected.select(col("query_id"), col("cv").as("sv")), Seq("query_id"))
+        .groupBy(col("query_id"), col("nn_id"))
+        .agg(max(micro(dot(col("cv"), col("sv")))).as("ms"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("nn_id").asc)
+      val pick = ms.join(cand, Seq("query_id", "nn_id"))
+        .withColumn("mmr", lit(lm) * col("relm") - lit(om) * col("ms"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("nn_id"), col("score"), col("cv"),
+          lit(r).as("rank"))
+      selected = graft.Partitioning.trackPin(
+        selected.unionByName(pick)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    selected.select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
     * CCMatrix parallel-corpus miner): candidate translation pairs
     * between two embedding sets score by the RATIO margin

@@ -354,6 +354,59 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(viaPq === viaTopK)
   }
 
+  test("MMR at λ=1 degenerates to the relevance ranking") {
+    // with no diversity term the greedy argmax is the score order, so
+    // selection order must equal the candidate ranks 1..k verbatim
+    val cand = Similarity.topK(emb, queries, "vec_id", "embedding", k = 20)
+    val viaMmr = Similarity.diversifyMmr(cand, emb, "vec_id", "embedding",
+      k = 5, lambda = 1.0)
+      .select(col("query_id"), col("nn_id"), col("rank")).collect().toSet
+    val viaTopK = cand.filter(col("rank") <= 5)
+      .select(col("query_id"), col("nn_id"), col("rank")).collect().toSet
+    assert(viaMmr === viaTopK)
+  }
+
+  test("MMR swaps a planted duplicate for coverage; plain top-k keeps it") {
+    import spark.implicits._
+    // corpus: a (most relevant), a2 (exact copy of a), b (less relevant,
+    // different direction). Relevance top-2 = {a, a2}; MMR at λ=0.5 must
+    // keep a (tie → lowest id) then swap the redundant a2 for b:
+    //   mmr(a2) = .5·cos(q,a) − .5·1.0   < 0
+    //   mmr(b)  = .5·cos(q,b) − .5·cos(b,a) — positive by construction
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.0f, 0.8f, 0.0f)),
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val cand = Similarity.topK(corpus, q, "vec_id", "embedding", k = 3)
+    val top2 = cand.filter(col("rank") <= 2).select(col("nn_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 2L), "relevance top-2 must be the duplicate pair")
+    val mmr = Similarity.diversifyMmr(cand, corpus, "vec_id", "embedding",
+      k = 2, lambda = 0.5)
+      .orderBy(col("rank")).collect().map(_.getLong(1))
+    assert(mmr.toSeq === Seq(1L, 3L),
+      s"MMR picked ${mmr.toSeq}, expected duplicate swapped for coverage")
+  }
+
+  test("MMR invariants: ranks are 1..k per query, picks drawn from the candidate set") {
+    val cand = Similarity.topK(emb, queries, "vec_id", "embedding", k = 20)
+    val candSet = cand.select(col("query_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.diversifyMmr(cand, emb, "vec_id", "embedding",
+      k = 5, lambda = 0.5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 5),
+        s"query $q ranks not 1..5")
+      assert(rs.map(_.getLong(1)).distinct.length === 5, s"query $q repeated a pick")
+      rs.foreach(r => assert(candSet.contains((q, r.getLong(1))),
+        s"query $q picked a non-candidate"))
+    }
+  }
+
   test("hard negatives: never a positive, never self; empty positives ≡ plain topK") {
     import spark.implicits._
     // positive set = same label (the gate's supervised-contrastive shape)
