@@ -738,6 +738,42 @@ private[graft] object DedupGates {
       },
       pqTopKSql(m = 4, nCodes = 8, iters = 2, dim = 64, k = 5, nCand = 20)),
 
+    ("similarity_topk_pq_ingested",
+      (s: SparkSession, dir: String) => {
+        // the persisted PQ index: codebooks trained once at ingest, the
+        // coarse pass reads the compressed codes table, full vectors
+        // only at the candidate-bounded rescore. Shares topKPq's oracle
+        // — the hash match IS the bit-parity proof.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_${dirSuffix(dir)}"
+        Similarity.ingestPq(e, "vec_id", "embedding", table,
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20)
+      },
+      pqTopKSql(m = 4, nCodes = 8, iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("similarity_pq_appended",
+      (s: SparkSession, dir: String) => {
+        // APPEND maintenance for the PQ index: codebooks freeze on the
+        // even-id ingest half; the odd-id batch is coded against the
+        // frozen sidecar with batch-sized work (a pure per-vector
+        // function, like the LSH band keys). Oracle trains on the even
+        // half and codes the union — exactly the frozen-codebook
+        // semantics; codebook drift is the documented rebuild trigger.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_app_${dirSuffix(dir)}"
+        Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20)
+      },
+      pqTopKSqlTrainOn("id % 2 = 0", m = 4, nCodes = 8, iters = 2, dim = 64,
+        k = 5, nCand = 20)),
+
     ("similarity_topk_ivf",
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "embeddings")

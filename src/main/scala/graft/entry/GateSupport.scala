@@ -320,7 +320,17 @@ private[graft] object GateSupport {
     * order, then the SQ8-shaped coarse-rank → exact-rescore tail.
     */
   private[graft] def pqTopKSql(m: Int, nCodes: Int, iters: Int, dim: Int,
-                               k: Int, nCand: Int): String = {
+                               k: Int, nCand: Int): String =
+    pqTopKSqlTrainOn("TRUE", m, nCodes, iters, dim, k, nCand)
+
+  /** [[pqTopKSql]] with the codebooks TRAINED on the `trainWhere`
+    * subset but the final coding over ALL vectors — the `ingestPq(A);
+    * appendPq(B)` semantics (codebooks frozen from the ingested half,
+    * the appended batch coded against them).
+    */
+  private[graft] def pqTopKSqlTrainOn(trainWhere: String, m: Int, nCodes: Int,
+                                      iters: Int, dim: Int,
+                                      k: Int, nCand: Int): String = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     def adj(x: String, cv: String) =
@@ -329,7 +339,7 @@ private[graft] object GateSupport {
       s"""a$i AS (SELECT id, s, x, cid FROM (
          |  SELECT sv.id, sv.s, sv.x, c.cid,
          |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
-         |  FROM sv JOIN k$i c ON c.s = sv.s) WHERE rn = 1),
+         |  FROM svt sv JOIN k$i c ON c.s = sv.s) WHERE rn = 1),
          |u$i AS (SELECT s, cid, unnest(x) AS e, unnest(generate_series(1, len(x))) AS d FROM a$i),
          |g$i AS (SELECT s, cid, d, sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)) AS sx,
          |               count(*) AS cnt FROM u$i GROUP BY s, cid, d),
@@ -344,8 +354,9 @@ private[graft] object GateSupport {
     s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |ss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
        |sv AS (SELECT id, s, list_slice(v, s * $sub + 1, (s + 1) * $sub) AS x FROM nv CROSS JOIN ss),
+       |svt AS (SELECT * FROM sv WHERE $trainWhere),
        |k0 AS (SELECT s, id AS cid, x AS centv FROM (
-       |  SELECT s, id, x, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM sv) WHERE rn <= $nCodes),
+       |  SELECT s, id, x, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM svt) WHERE rn <= $nCodes),
        |$roundsSql
        |pa AS (SELECT id, s, cid FROM (
        |  SELECT sv.id, sv.s, c.cid,

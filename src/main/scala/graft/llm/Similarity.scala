@@ -483,12 +483,23 @@ object Similarity {
   def topKPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, m: Int, nCodes: Int, kmeansIters: Int,
              nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
-    require(k >= 1, "k must be positive")
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    val cq = c.select(col("nn_id"), pqReconstruct(books).as("dq"))
+    pqServe(cq, c, queries, idCol, vecCol, k, nCandidates, nSalts)
+  }
+
+  /** Train the per-subspace Euclidean codebooks over a normalized corpus
+    * `c` (columns nn_id, cv) — the [[topKPq]] front half, shared with
+    * [[ingestPq]]. Seeds are the `nCodes` lowest-id vectors' subvectors;
+    * each round is ONE job (explode → map-side-combined groupBy(s, code)
+    * → m×nCodes-row integer collect) per the [[kmeansRefine]] contract.
+    */
+  private[graft] def pqCodebooks(c: DataFrame, m: Int, nCodes: Int,
+                                 kmeansIters: Int)
+      : IndexedSeq[Seq[(Long, Seq[Double])]] = {
     require(m >= 1 && nCodes >= 1 && kmeansIters >= 0,
       "m, nCodes must be positive; kmeansIters non-negative")
-    val nCand = if (nCandidates > 0) nCandidates else 4 * k
-    require(nCand >= k, "nCandidates must be >= k")
-    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
     // seeds: the nCodes lowest-id vectors, sliced per subspace — one
     // TakeOrdered job; dim is read from the seeds, ragged input fails
     // the guarded training aggregate below
@@ -502,11 +513,11 @@ object Similarity {
       seedRows.toSeq.map(r =>
         r.getLong(0) -> r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
     }
-    def subvec(s: Int): Column = slice(col("cv"), s * sub + 1, sub)
     for (_ <- 0 until kmeansIters) {
       val perS = (0 until m).map { s =>
-        struct(lit(s).as("s"), argminL2(subvec(s), books(s)).as("code"),
-          subvec(s).as("sv"))
+        struct(lit(s).as("s"),
+          argminL2(slice(col("cv"), s * sub + 1, sub), books(s)).as("code"),
+          slice(col("cv"), s * sub + 1, sub).as("sv"))
       }
       // one scan: explode feeds a partially-aggregated groupBy — the
       // exchange carries only the m × nCodes aggregated rows. min/max
@@ -538,22 +549,170 @@ object Similarity {
         }
       }
     }
-    // reconstruction: per subspace, the assigned codeword looked up from
-    // the (m × nCodes × sub — literal-sized by definition) codebook map;
-    // concat restores the full-dim approximation the coarse pass scores
-    val recon = concat((0 until m).map { s =>
-      element_at(typedLit(books(s).toMap), argminL2(subvec(s), books(s)))
+    books
+  }
+
+  /** The m per-subspace code assignments of the normalized vector in
+    * `cv`, as an array<long> — the compressed representation a PQ store
+    * persists (m·log2(nCodes) meaningful bits per vector).
+    */
+  private def pqCodes(books: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
+    val sub = books.head.head._2.length
+    array(books.indices.map(s =>
+      argminL2(slice(col("cv"), s * sub + 1, sub), books(s))): _*)
+  }
+
+  /** Reconstruction of the full-dim approximation from the normalized
+    * vector in `cv` directly (assign + look up in one expression):
+    * per subspace, the assigned codeword from the (m × nCodes × sub —
+    * literal-sized by definition) codebook map, concatenated in
+    * subspace order.
+    */
+  private def pqReconstruct(books: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
+    val sub = books.head.head._2.length
+    concat(books.indices.map { s =>
+      element_at(typedLit(books(s).toMap),
+        argminL2(slice(col("cv"), s * sub + 1, sub), books(s)))
     }: _*)
-    val cq = c.select(col("nn_id"), recon.as("dq"))
+  }
+
+  /** Reconstruction from a PERSISTED codes column (array<long>) — the
+    * [[topKPqIngested]] probe path, which never sees full vectors until
+    * the rescore.
+    */
+  private def pqReconstructCodes(books: IndexedSeq[Seq[(Long, Seq[Double])]],
+                                 codes: Column): Column =
+    concat(books.indices.map { s =>
+      element_at(typedLit(books(s).toMap), element_at(codes, s + 1))
+    }: _*)
+
+  /** The [[topKPq]] serving tail shared with [[topKPqIngested]]: coarse
+    * top-`nCandidates` over the reconstructed relation `cq (nn_id, dq)`,
+    * exact rescore against the full-precision relation `cvec (nn_id,
+    * cv)` for those candidates only.
+    */
+  private def pqServe(cq: DataFrame, cvec: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nCandidates: Int, nSalts: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     val coarse = cq.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
     val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
-    val rescored = broadcast(cand).join(c, Seq("nn_id"))
+    val rescored = broadcast(cand).join(cvec, Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
     topKMerge(rescored, k, nSalts = 1)
+  }
+
+  /** Persist the PQ index ONCE — [[ingestIvf]]'s sibling for the
+    * product-quantization family: train the per-subspace codebooks over
+    * the corpus, write the COMPRESSED relation `(nn_id, codes)` (the
+    * m-codes-per-vector table a 100 TB store actually scans per probe —
+    * m·log2(nCodes) bits/vector vs 32·dim for float32) and the
+    * full-precision `(nn_id, cv)` rescore table, both bucketed by id
+    * (co-locating maintenance sweeps — compaction, dedup audits), plus
+    * the `(s, cid, centv)` codebook sidecar (m × nCodes rows by
+    * definition). Probes ([[topKPqIngested]]) then skip codebook
+    * training (kmeansIters corpus scans) AND per-vector assignment —
+    * the coarse pass reads codes and looks up codewords from the
+    * sidecar as a plan literal.
+    *
+    * Determinism contract: codes are a pure function of the frozen
+    * codebooks and parquet round-trips longs/doubles bit-exactly, so a
+    * probe against the ingested index is BIT-IDENTICAL to [[topKPq]] at
+    * the same (m, nCodes, kmeansIters, nCandidates) — the gate shares
+    * one oracle. Same single-writer contract as the other ingests.
+    */
+  def ingestPq(corpus: DataFrame, idCol: String, vecCol: String, table: String,
+               m: Int, nCodes: Int, kmeansIters: Int, nBuckets: Int): Unit = {
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    graft.ops.Bucketing.writeBucketed(
+      c.select(col("nn_id"), pqCodes(books).as("codes")),
+      table, "nn_id", nBuckets)
+    graft.ops.Bucketing.writeBucketed(
+      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id", nBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { case (cid, centv) => (s, cid, centv) }
+      }.toDF("s", "cid", "centv"), s"${table}_codebooks")
+  }
+
+  /** Append a new batch into an [[ingestPq]] index: the batch is
+    * normalized and coded against the FROZEN codebook sidecar (a pure
+    * per-vector function, like [[appendLsh]]'s band keys — existing
+    * rows never change), so `ingestPq(A); appendPq(B)` equals coding
+    * A∪B under books(A) and the appended-index gate shares the
+    * train-on-A oracle. Work is batch-sized: no codebook retraining, no
+    * corpus re-scan. CODEBOOK DRIFT is the rebuild trigger — frozen
+    * codewords quantize a shifted distribution worse (recall, not
+    * correctness, degrades); re-run [[ingestPq]] when reconstruction
+    * error on fresh batches exceeds tolerance. Batch ids must be
+    * distinct from index ids.
+    */
+  def appendPq(spark: org.apache.spark.sql.SparkSession, table: String,
+               batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val books = pqBooksOf(spark, table)
+    val c = graft.Partitioning.spread(batch)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    if (books.isEmpty) {
+      require(c.limit(1).count() == 0L,
+        s"appendPq: index '$table' has an empty codebook sidecar — an " +
+          "empty-corpus index defines no quantizer; rebuild with ingestPq")
+      return
+    }
+    val n = graft.ops.Bucketing.bucketCountOf(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      c.select(col("nn_id"), pqCodes(books).as("codes")), table, "nn_id", n)
+    graft.ops.Bucketing.appendBucketed(
+      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id",
+      graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
+  }
+
+  /** The codebook sidecar collected back into the literal form every
+    * probe embeds in its plan — m × nCodes × sub doubles, bounded by
+    * the index parameters.
+    */
+  private def pqBooksOf(spark: org.apache.spark.sql.SparkSession,
+                        table: String): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    val rows = spark.table(s"${table}_codebooks").collect()
+    rows.groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.toSeq.sortBy(_.getLong(1)).map(r => r.getLong(1) -> r.getSeq[Double](2))
+    }
+  }
+
+  /** Serve a query batch against an [[ingestPq]] index: codebooks ride
+    * the plan as a literal (collected once from the m × nCodes sidecar),
+    * the coarse pass scans the COMPRESSED codes table (the pay-once
+    * claim — at 100 TB this is the 64×-smaller scan), and only the
+    * candidate-bounded rescore touches full-precision vectors.
+    * Bit-identical to [[topKPq]] at the index parameters and this
+    * `nCandidates` — the gate shares the oracle.
+    */
+  def topKPqIngested(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+    val books = pqBooksOf(spark, table)
+    val cvec = spark.table(s"${table}_vectors")
+    if (books.isEmpty) {
+      // empty-corpus index: typed empty result, id types inherited from
+      // the real relations (the bm25TopK empty-path discipline)
+      val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
+      return cvec.select(col("nn_id")).crossJoin(q.select(col("query_id")))
+        .select(col("query_id"), col("nn_id"),
+          lit(0.0d).as("score"), lit(0).as("rank"))
+        .where(lit(false))
+    }
+    val cq = spark.table(table)
+      .select(col("nn_id"), pqReconstructCodes(books, col("codes")).as("dq"))
+    pqServe(cq, cvec, queries, idCol, vecCol, k, nCandidates, nSalts)
   }
 
   /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)

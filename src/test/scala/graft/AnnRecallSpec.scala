@@ -407,6 +407,72 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("ingested PQ index: bit-identical to per-run PQ, codebook-free probe plan") {
+    val table = "graft_pq_annspec_idx"
+    Similarity.ingestPq(emb, "vec_id", "embedding", table,
+      m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+    val ing = Similarity.topKPqIngested(spark, table, queries,
+      "vec_id", "embedding", k = K, nCandidates = 80)
+    val per = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = K, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 80)
+    // bit parity: the persisted codes ARE the per-run assignment (codes
+    // are a pure function of the frozen codebooks; parquet round-trips
+    // longs/doubles exactly), so full tuples must agree exactly
+    assert(ing.collect().toSet == per.collect().toSet,
+      "ingested-index probe diverged from the per-run PQ")
+    val r = recallAt(ing, exactSets)
+    info(f"ingested-PQ recall@$K = $r%.3f (m=4, nCodes=8, nCand=80, persisted)")
+    assert(r >= 0.60, f"ingested-PQ recall@$K degraded to $r%.3f (floor 0.60)")
+    // the probe plan must contain NO assignment work: the per-run plan
+    // codes the corpus with the argmin-L2 argmax, the probe only looks
+    // codes up from the sidecar literal
+    def argmaxes(p: String) = "graft_centroid_argmax".r.findAllIn(p).size
+    val pIng = ing.queryExecution.executedPlan.toString
+    val pPer = per.queryExecution.executedPlan.toString
+    assert(argmaxes(pPer) > 0, "per-run plan must contain the coding argmax")
+    assert(argmaxes(pIng) == 0, "probe plan re-coded the corpus")
+  }
+
+  test("appended PQ index ≡ coding the union under the frozen codebooks") {
+    val table = "graft_pq_annspec_app"
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.ingestPq(even, "vec_id", "embedding", table,
+      m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+    Similarity.appendPq(spark, table, odd, "vec_id", "embedding")
+    val appended = Similarity.topKPqIngested(spark, table, queries,
+      "vec_id", "embedding", k = K, nCandidates = 40).collect().toSet
+    assert(appended.nonEmpty)
+    // structural invariants of the union index: every corpus id coded
+    // exactly once, m codes per vector, every code a codeword id from
+    // the frozen even-half codebook (seeds were even ids, means keep
+    // seed ids — so odd rows coded against frozen books can only carry
+    // even cids; an odd cid would mean append retrained)
+    val codeRows = spark.table(table).collect()
+    assert(codeRows.length === emb.count().toInt)
+    assert(codeRows.map(_.getLong(0)).distinct.length === codeRows.length)
+    val bookCids = spark.table(s"${table}_codebooks")
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    codeRows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length === 4, s"id ${r.getLong(0)} has ${codes.length} codes")
+      codes.foreach(cd => assert(bookCids.contains(cd),
+        s"id ${r.getLong(0)} carries non-codebook code $cd"))
+    }
+    // the gate's oracle (pqTopKSqlTrainOn over the even half) is the
+    // cross-engine proof that this equals coding the union under the
+    // frozen codebooks; here we additionally pin that the appended
+    // index serves the same rows as a SECOND identical ingest+append
+    // (full determinism of the maintenance path)
+    val table2 = "graft_pq_annspec_app_ref"
+    Similarity.ingestPq(even, "vec_id", "embedding", table2,
+      m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+    Similarity.appendPq(spark, table2, odd, "vec_id", "embedding")
+    val again = Similarity.topKPqIngested(spark, table2, queries,
+      "vec_id", "embedding", k = K, nCandidates = 40).collect().toSet
+    assert(appended === again, "append path is not deterministic")
+  }
+
   test("hard negatives: never a positive, never self; empty positives ≡ plain topK") {
     import spark.implicits._
     // positive set = same label (the gate's supervised-contrastive shape)
