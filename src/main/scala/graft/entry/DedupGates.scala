@@ -884,6 +884,30 @@ private[graft] object DedupGates {
       },
       ivfStatsOracleSql),
 
+    ("similarity_pq_streamed",
+      (s: SparkSession, dir: String) => {
+        // streamed PQ maintenance with a replayed delivery: batch 0
+        // trains the codebooks (frozen there — the oracle trains on
+        // exactly that subset), later batches are coded against the
+        // sidecar, the replay is a commit-log no-op. A doubled batch
+        // would append duplicate codes+vectors and burn probe ranks on
+        // them — the oracle has no duplicates.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_vectors", s"${table}_codebooks", s"${table}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Similarity.pqSink(table, "vec_id", "embedding",
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20)
+      },
+      pqTopKSqlTrainOn("id % 3 = 0", m = 4, nCodes = 8, iters = 2, dim = 64,
+        k = 5, nCand = 20)),
+
     ("similarity_ivf_streamed",
       (s: SparkSession, dir: String) => {
         // the corpus arrives as three foreachBatch deliveries with

@@ -676,6 +676,30 @@ object Similarity {
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
   }
 
+  /** Exactly-once streaming maintenance of a PQ index — [[ivfSink]]'s
+    * sibling: the first delivered batch builds the index ([[ingestPq]] —
+    * codebooks train there and FREEZE), later batches are coded against
+    * the frozen sidecar ([[appendPq]], batch-sized), and a RE-delivered
+    * batch id is a commit-log no-op (a doubled batch would append
+    * duplicate code and vector rows, and every probe top-k over them
+    * would burn ranks on duplicates). Codebook drift — rising
+    * reconstruction error on fresh batches — remains the rebuild
+    * trigger.
+    */
+  def pqSink(table: String, idCol: String, vecCol: String,
+             m: Int, nCodes: Int, kmeansIters: Int, nBuckets: Int)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (spark.catalog.tableExists(table))
+          appendPq(spark, table, batch, idCol, vecCol)
+        else ingestPq(batch, idCol, vecCol, table, m, nCodes, kmeansIters,
+          nBuckets)
+      }
+      ()
+    }
+
   /** The codebook sidecar collected back into the literal form every
     * probe embeds in its plan — m × nCodes × sub doubles, bounded by
     * the index parameters.
