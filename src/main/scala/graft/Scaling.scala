@@ -207,10 +207,13 @@ object Scaling {
           .select(col("doc_id"), col("text"))
         val ivfT = s"graft_scaling_ivf_$sfx"
         val bm25T = s"graft_scaling_bm25_$sfx"
+        val pqT = s"graft_scaling_pq_$sfx"
         System.err.println(s"[scaling] building probe indexes @x$f (untimed) ...")
         llm.Similarity.ingestIvf(emb, "vec_id", "embedding", ivfT,
           nCentroids = 16, kmeansIters = 2, nBuckets = 8)
         llm.Retrieval.ingestBm25(docs, "doc_id", "text", bm25T, nBuckets = 8)
+        llm.Similarity.ingestPq(emb, "vec_id", "embedding", pqT,
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
         val qBatch = emb.filter(col("vec_id") < 20)
         val qText = Seq((1L, "the quick brown fox"), (2L, "model training data"),
           (3L, "distributed query engine"), (4L, "language identification"))
@@ -219,7 +222,14 @@ object Scaling {
           "probe_ivf_ingested" -> (() => llm.Similarity.topKIvfIngested(
             spark, ivfT, qBatch, "vec_id", "embedding", k = 5, nProbe = 4).count()),
           "probe_bm25_ingested" -> (() => llm.Retrieval.bm25TopKIngested(
-            spark, bm25T, qText, "qid", "qtext", topK = 10).count()))
+            spark, bm25T, qText, "qid", "qtext", topK = 10).count()),
+          // PQ probe: one scan of the compressed codes table (the 64x-
+          // smaller read at production layout) + candidate-bounded
+          // rescore — predicted linear-in-rows but with the smallest
+          // constant of the three index families
+          "probe_pq_ingested" -> (() => llm.Similarity.topKPqIngested(
+            spark, pqT, qBatch, "vec_id", "embedding",
+            k = 5, nCandidates = 20).count()))
         val results = thunks.flatMap { case (name, thunk) =>
           // one untimed warm call per factor: the probe plan's codegen
           // compiles here, not inside the first timed run

@@ -884,6 +884,34 @@ private[graft] object DedupGates {
       },
       ivfStatsOracleSql),
 
+    ("similarity_pq_stats",
+      (s: SparkSession, dir: String) => {
+        // the codebook-drift monitor over the ingest-then-append index:
+        // per-subspace reconstruction MSE (m rows; the codes⋈vectors
+        // join is co-located — both tables bucket by nn_id). Rising MSE
+        // after appends is exactly the documented rebuild trigger.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_stats_${dirSuffix(dir)}"
+        Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.pqReconStats(s, table)
+      },
+      {
+        val sse = "list_reduce(list_transform(sv.x, (x, i) -> " +
+          "(x - c.centv[i]) * (x - c.centv[i])), (p_, q_) -> p_ + q_)"
+        s"""WITH ${pqAsgCtes("id % 2 = 0", m = 4, nCodes = 8, iters = 2, dim = 64)},
+           |er AS (SELECT pa.id, pa.s,
+           |         CAST(floor(($sse) * 1000000.0 + 0.5) AS BIGINT) AS ssem
+           |       FROM pa JOIN kf c ON c.s = pa.s AND c.cid = pa.cid
+           |               JOIN sv ON sv.id = pa.id AND sv.s = pa.s)
+           |SELECT CAST(s AS INT) AS s, count(*) AS n_vectors,
+           |  ${Num.r6Sql("CAST(sum(ssem) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)")} AS mse
+           |FROM er GROUP BY s""".stripMargin
+      }),
+
     ("similarity_pq_streamed",
       (s: SparkSession, dir: String) => {
         // streamed PQ maintenance with a replayed delivery: batch 0

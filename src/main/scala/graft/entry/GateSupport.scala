@@ -331,6 +331,32 @@ private[graft] object GateSupport {
   private[graft] def pqTopKSqlTrainOn(trainWhere: String, m: Int, nCodes: Int,
                                       iters: Int, dim: Int,
                                       k: Int, nCand: Int): String = {
+    val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
+    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH ${pqAsgCtes(trainWhere, m, nCodes, iters, dim)},
+       |pqd AS (SELECT pa.id, flatten(list(c.centv ORDER BY pa.s)) AS dv
+       |        FROM pa JOIN kf c ON c.s = pa.s AND c.cid = pa.cid GROUP BY pa.id),
+       |csc AS (SELECT q.id AS query_id, c.id AS nn_id, $coarse AS score
+       |        FROM pqd c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+       |cnd AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
+       |  WHERE rn <= $nCand),
+       |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
+       |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
+       |                 JOIN nv q ON q.id = cnd.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The PQ codebook-training CTE chain shared by the top-k and stats
+    * oracles: ends in `pa(id, s, cid)` (final assignment over ALL
+    * vectors), `kf(s, cid, centv)` (the trained codebooks), `sv(id, s,
+    * x)` (per-subspace slices) and `nv(id, v)` — codebooks TRAINED on
+    * the `trainWhere` subset (the frozen-codebook append semantics).
+    */
+  private[graft] def pqAsgCtes(trainWhere: String, m: Int, nCodes: Int,
+                               iters: Int, dim: Int): String = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     def adj(x: String, cv: String) =
@@ -349,32 +375,18 @@ private[graft] object GateSupport {
          |           FROM k$i c LEFT JOIN m$i m ON m.s = c.s AND m.cid = c.cid)""".stripMargin
     }.mkString(",\n")
     val roundsSql = if (rounds.isEmpty) "" else rounds + ",\n"
-    val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
-    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
-    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+    s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |ss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
        |sv AS (SELECT id, s, list_slice(v, s * $sub + 1, (s + 1) * $sub) AS x FROM nv CROSS JOIN ss),
        |svt AS (SELECT * FROM sv WHERE $trainWhere),
        |k0 AS (SELECT s, id AS cid, x AS centv FROM (
        |  SELECT s, id, x, row_number() OVER (PARTITION BY s ORDER BY id) AS rn FROM svt) WHERE rn <= $nCodes),
        |$roundsSql
+       |kf AS (SELECT * FROM k$iters),
        |pa AS (SELECT id, s, cid FROM (
        |  SELECT sv.id, sv.s, c.cid,
        |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
-       |  FROM sv JOIN k$iters c ON c.s = sv.s) WHERE rn = 1),
-       |pqd AS (SELECT pa.id, flatten(list(c.centv ORDER BY pa.s)) AS dv
-       |        FROM pa JOIN k$iters c ON c.s = pa.s AND c.cid = pa.cid GROUP BY pa.id),
-       |csc AS (SELECT q.id AS query_id, c.id AS nn_id, $coarse AS score
-       |        FROM pqd c JOIN nv q ON q.id < 20 AND c.id <> q.id),
-       |cnd AS (SELECT query_id, nn_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
-       |  WHERE rn <= $nCand),
-       |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
-       |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
-       |                 JOIN nv q ON q.id = cnd.query_id)
-       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
-       |WHERE rank <= $k""".stripMargin
+       |  FROM sv JOIN kf c ON c.s = sv.s) WHERE rn = 1)""".stripMargin
   }
 
   /** DuckDB oracle for [[Similarity.diversifyMmr]] over a brute-force

@@ -712,6 +712,49 @@ object Similarity {
     }
   }
 
+  /** Per-subspace reconstruction-error stats over an [[ingestPq]] index
+    * — the CODEBOOK-DRIFT monitor ([[ivfClusterStats]]'s sibling): mean
+    * squared error between each stored vector's subvectors and their
+    * assigned codewords. Frozen codebooks quantize a shifted
+    * distribution worse, so rising MSE after appends is exactly the
+    * documented rebuild trigger. The codes and vectors tables are both
+    * bucketed by nn_id, so their join is co-located; output is m rows.
+    *
+    * Float discipline: each (vector, subspace) SSE is a sequential
+    * zip-fold (squares are never −0.0, so the 0.0-seeded fold matches
+    * the oracle's seedless list_reduce bit-for-bit), micro-quantized
+    * per row and summed as exact integers — aggregation-order free;
+    * one final division per subspace.
+    *
+    * @return (s, n_vectors, mse) — one row per subspace
+    */
+  def pqReconStats(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = {
+    val books = pqBooksOf(spark, table)
+    val joined = spark.table(s"${table}_vectors")
+      .join(spark.table(table), Seq("nn_id"))
+    if (books.isEmpty)
+      return joined.select(lit(0).as("s"), lit(0L).as("n_vectors"),
+        lit(0.0d).as("mse")).where(lit(false))
+    val sub = books.head.head._2.length
+    val perS = books.indices.map { s =>
+      val cw = element_at(typedLit(books(s).toMap),
+        element_at(col("codes"), s + 1))
+      val sse = aggregate(
+        zip_with(slice(col("cv"), s * sub + 1, sub), cw,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)
+      struct(lit(s).as("s"),
+        floor(sse * lit(1000000.0d) + lit(0.5d)).cast("long").as("ssem"))
+    }
+    joined.select(explode(array(perS: _*)).as("e"))
+      .groupBy(col("e.s").as("s"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("e.ssem")).as("sm"))
+      .select(col("s"), col("n_vectors"),
+        graft.Num.r6(col("sm").cast("double") / lit(1000000.0d)
+          / col("n_vectors").cast("double")).as("mse"))
+  }
+
   /** Serve a query batch against an [[ingestPq]] index: codebooks ride
     * the plan as a literal (collected once from the m × nCodes sidecar),
     * the coarse pass scans the COMPRESSED codes table (the pay-once
