@@ -485,6 +485,15 @@ object Similarity {
              nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
     val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
     val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    if (books.isEmpty) {
+      // empty corpus: no codebooks, no neighbors — typed empty result,
+      // id types inherited from the real relations
+      val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
+      return c.select(col("nn_id")).crossJoin(q.select(col("query_id")))
+        .select(col("query_id"), col("nn_id"),
+          lit(0.0d).as("score"), lit(0).as("rank"))
+        .where(lit(false))
+    }
     val cq = c.select(col("nn_id"), pqReconstruct(books).as("dq"))
     pqServe(cq, c, queries, idCol, vecCol, k, nCandidates, nSalts)
   }
@@ -505,7 +514,9 @@ object Similarity {
     // the guarded training aggregate below
     val seedRows = c.orderBy(col("nn_id")).limit(nCodes)
       .select(col("nn_id").cast("long"), col("cv")).collect()
-    require(seedRows.nonEmpty, "corpus must be non-empty")
+    // an empty corpus defines no codebooks — callers degrade to typed
+    // empty results / empty index tables (the empty-pipeline contract)
+    if (seedRows.isEmpty) return IndexedSeq.empty
     val dim = seedRows.head.getSeq[Double](1).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
@@ -631,8 +642,13 @@ object Similarity {
                m: Int, nCodes: Int, kmeansIters: Int, nBuckets: Int): Unit = {
     val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
     val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    // empty corpus: write the empty tables with the contract schema and
+    // an empty sidecar — probes degrade to typed empty results, appends
+    // of real rows reject loudly (no quantizer to code against)
+    val codesCol =
+      if (books.isEmpty) typedLit(Seq.empty[Long]) else pqCodes(books)
     graft.ops.Bucketing.writeBucketed(
-      c.select(col("nn_id"), pqCodes(books).as("codes")),
+      c.select(col("nn_id"), codesCol.as("codes")),
       table, "nn_id", nBuckets)
     graft.ops.Bucketing.writeBucketed(
       c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id", nBuckets)
