@@ -845,32 +845,42 @@ object Similarity {
       cvec.join(broadcast(candidates.select(col("query_id"), col("nn_id"),
         col("score"), micro(col("score")).as("relm"))), Seq("nn_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("relm").desc, col("nn_id").asc)
-    var selected = cand.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("nn_id"), col("score"), col("cv"),
-        lit(1).as("rank"))
-    for (r <- 2 to k) {
-      val rem = cand.join(selected.select(col("query_id"), col("nn_id")),
-        Seq("query_id", "nn_id"), "left_anti")
-      val ms = rem.select(col("query_id"), col("nn_id"), col("cv"))
-        .join(selected.select(col("query_id"), col("cv").as("sv")), Seq("query_id"))
-        .groupBy(col("query_id"), col("nn_id"))
-        .agg(max(micro(dot(col("cv"), col("sv")))).as("ms"))
-      val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr").desc, col("nn_id").asc)
-      val pick = ms.join(cand, Seq("query_id", "nn_id"))
-        .withColumn("mmr", lit(lm) * col("relm") - lit(om) * col("ms"))
-        .withColumn("rn", row_number().over(wr))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("nn_id").asc)
+    def argmaxPick(scored: DataFrame, r: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("nn_id"), col("score"), col("cv"),
           lit(r).as("rank"))
-      selected = graft.Partitioning.trackPin(
-        selected.unionByName(pick)
+    // the INCREMENTAL greedy (the textbook O(N·k) form): `rem` carries
+    // each remaining candidate's running max-similarity to the selected
+    // set, updated each round against ONLY the newest pick — one
+    // broadcast join of a 1-row-per-query relation, no anti-join, no
+    // re-aggregation over the whole selected set (which would be the
+    // O(N·k²) shape and k× the stages)
+    var pick = argmaxPick(cand.withColumn("mmr", col("relm")), 1)
+    var acc = pick.select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+    var rem = cand
+    for (r <- 2 to k) {
+      val pv = pick.select(col("query_id"), col("nn_id").as("_pid"),
+        col("cv").as("pv"))
+      val simNew = micro(dot(col("cv"), col("pv")))
+      // the inner join also drops queries whose candidates are exhausted
+      // (no pick last round => nothing left to rank); the =!= filter
+      // removes exactly the newest pick from the remaining pool
+      rem = graft.Partitioning.trackPin(
+        rem.join(broadcast(pv), Seq("query_id"))
+          .filter(col("nn_id") =!= col("_pid"))
+          .withColumn("ms",
+            if (r == 2) simNew else greatest(col("ms"), simNew))
+          .drop("pv", "_pid")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      pick = argmaxPick(
+        rem.withColumn("mmr", lit(lm) * col("relm") - lit(om) * col("ms")), r)
+      acc = acc.unionByName(
+        pick.select(col("query_id"), col("nn_id"), col("score"), col("rank")))
     }
-    selected.select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+    acc
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
