@@ -413,7 +413,7 @@ private[graft] object GateSupport {
          |  FROM p$r p JOIN cv c ON c.query_id = p.query_id AND c.nn_id = p.nn_id) WHERE rn = 1),
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
-    val roundsSql = if (rounds.isEmpty) "" else rounds + "\n"
+    val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds
     s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |bsc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
        |        FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
@@ -425,8 +425,7 @@ private[graft] object GateSupport {
        |       FROM cnd c JOIN nv ON nv.id = c.nn_id),
        |sel1 AS (SELECT query_id, nn_id, score, relm, v, 1 AS rk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relm DESC, nn_id) AS rn FROM cv)
-       |  WHERE rn = 1),
-       |$roundsSql
+       |  WHERE rn = 1)$roundsSql
        |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank FROM sel$k""".stripMargin
   }
 

@@ -400,32 +400,32 @@ object Similarity {
     */
   def topKSq8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val nCand = if (nCandidates > 0) nCandidates else 4 * k
-    require(nCand >= k, "nCandidates must be >= k")
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val ma = aggregate(transform(col("cv"), x => abs(x)),
       lit(0.0d), (a, x) => greatest(a, x))
     // dq = dequantized codes; in production the CODES + scale are what
-    // the index stores — dq here makes the coarse arithmetic explicit
+    // the index stores — dq here makes the coarse arithmetic explicit.
+    // The serve tail (coarse rank -> candidate-bounded exact rescore)
+    // is the shared pqServe, so the two-tier families stay bit-aligned
     val cq = c.withColumn("_scale", ma / lit(127.0d))
       .select(col("nn_id"), transform(col("cv"), x =>
         greatest(lit(-127.0d), least(lit(127.0d),
           floor(x / col("_scale") + lit(0.5d)))) * col("_scale")).as("dq"))
-    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
-    val coarse = cq.crossJoin(broadcast(q))
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
-    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
-    // candidate-bounded probe into the full-precision vectors: the
-    // candidate set (≤ queries × nCandidates rows) broadcasts; the
-    // corpus side of this join is a plain scan, never an exchange
-    val rescored = broadcast(cand).join(c, Seq("nn_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
-    topKMerge(rescored, k, nSalts = 1)
+    pqServe(cq, c, queries, idCol, vecCol, k, nCandidates, nSalts)
   }
+
+  /** The typed empty top-k result every index family's empty path
+    * returns: schema (query_id, nn_id, score, rank) with the id TYPES
+    * inherited from the real relations (the bm25TopK empty-path
+    * discipline — a lit() placeholder would pin the wrong type).
+    * `idSource` is any relation with the corpus-id column `nn_id`.
+    */
+  private def emptyTopKResult(idSource: DataFrame, q: DataFrame): DataFrame =
+    idSource.select(col("nn_id")).crossJoin(q.select(col("query_id")))
+      .select(col("query_id"), col("nn_id"),
+        lit(0.0d).as("score"), lit(0).as("rank"))
+      .where(lit(false))
 
   /** Min-L2 codebook assignment as a MAX-dot argmax over AUGMENTED
     * vectors: argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2), and appending
@@ -486,13 +486,9 @@ object Similarity {
     val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
     val books = pqCodebooks(c, m, nCodes, kmeansIters)
     if (books.isEmpty) {
-      // empty corpus: no codebooks, no neighbors — typed empty result,
-      // id types inherited from the real relations
+      // empty corpus: no codebooks, no neighbors
       val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
-      return c.select(col("nn_id")).crossJoin(q.select(col("query_id")))
-        .select(col("query_id"), col("nn_id"),
-          lit(0.0d).as("score"), lit(0).as("rank"))
-        .where(lit(false))
+      return emptyTopKResult(c, q)
     }
     val cq = c.select(col("nn_id"), pqReconstruct(books).as("dq"))
     pqServe(cq, c, queries, idCol, vecCol, k, nCandidates, nSalts)
@@ -520,6 +516,14 @@ object Similarity {
     val dim = seedRows.head.getSeq[Double](1).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
+    if (kmeansIters == 0) {
+      // with no training rounds the loop's ragged-input guard below
+      // never runs — probe loudly here instead (limit-1 short-circuit;
+      // a ragged vector would otherwise be coded via silently-truncated
+      // dots and return plausible-looking wrong rankings)
+      require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+        s"topKPq requires uniform $dim-dim vectors; found a different length")
+    }
     var books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
       seedRows.toSeq.map(r =>
         r.getLong(0) -> r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
@@ -684,6 +688,14 @@ object Similarity {
           "empty-corpus index defines no quantizer; rebuild with ingestPq")
       return
     }
+    // the batch is untrusted streaming input: a wrong-dim vector would
+    // be coded via silently-truncated dots (garbage codes, truncated
+    // rescore vectors) — reject loudly with a limit-1 probe, the
+    // writeWeightedEdges validation pattern. Batch-sized cost.
+    val dim = books.length * books.head.head._2.length
+    require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+      s"appendPq: index '$table' codes $dim-dim vectors; batch contains " +
+        "a different length — rebuild with ingestPq or fix the batch")
     val n = graft.ops.Bucketing.bucketCountOf(spark, table)
     graft.ops.Bucketing.appendBucketed(
       c.select(col("nn_id"), pqCodes(books).as("codes")), table, "nn_id", n)
@@ -708,10 +720,20 @@ object Similarity {
     (batch, batchId) => {
       val spark = batch.sparkSession
       graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
-        if (spark.catalog.tableExists(table))
-          appendPq(spark, table, batch, idCol, vecCol)
-        else ingestPq(batch, idCol, vecCol, table, m, nCodes, kmeansIters,
-          nBuckets)
+        // streams commonly deliver an EMPTY batch 0; training on it
+        // freezes an empty codebook sidecar, and appendPq would then
+        // reject every later real batch forever. The heal: an index
+        // whose quantizer is empty RE-ingests on the first non-empty
+        // delivery (the codebooks train there instead — an empty
+        // quantizer has coded nothing, so nothing is invalidated)
+        if (!spark.catalog.tableExists(table))
+          ingestPq(batch, idCol, vecCol, table, m, nCodes, kmeansIters,
+            nBuckets)
+        else if (spark.table(s"${table}_codebooks").limit(1).count() == 0L
+            && batch.limit(1).count() > 0L)
+          ingestPq(batch, idCol, vecCol, table, m, nCodes, kmeansIters,
+            nBuckets)
+        else appendPq(spark, table, batch, idCol, vecCol)
       }
       ()
     }
@@ -785,13 +807,9 @@ object Similarity {
     val books = pqBooksOf(spark, table)
     val cvec = spark.table(s"${table}_vectors")
     if (books.isEmpty) {
-      // empty-corpus index: typed empty result, id types inherited from
-      // the real relations (the bm25TopK empty-path discipline)
+      // empty-corpus index
       val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
-      return cvec.select(col("nn_id")).crossJoin(q.select(col("query_id")))
-        .select(col("query_id"), col("nn_id"),
-          lit(0.0d).as("score"), lit(0).as("rank"))
-        .where(lit(false))
+      return emptyTopKResult(cvec, q)
     }
     val cq = spark.table(table)
       .select(col("nn_id"), pqReconstructCodes(books, col("codes")).as("dq"))
@@ -841,10 +859,22 @@ object Similarity {
       floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
     val cvec = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    val candIn = candidates.select(col("query_id"), col("nn_id"),
+      col("score"), micro(col("score")).as("relm"))
     val cand = graft.Partitioning.trackPin(
-      cvec.join(broadcast(candidates.select(col("query_id"), col("nn_id"),
-        col("score"), micro(col("score")).as("relm"))), Seq("nn_id"))
+      cvec.join(broadcast(candIn), Seq("nn_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // contract check, loud: every candidate id must resolve to exactly
+    // one corpus vector — a silently-dropped candidate (id-space mixup,
+    // wrong embedding table) would shrink the result below k with no
+    // error, and a duplicated corpus id would rank one candidate twice.
+    // Both counts are query-batch-scale actions (candidates are a top-N
+    // by contract; cand reads its own fresh cache)
+    val nIn = candIn.count()
+    val nGot = cand.count()
+    require(nGot == nIn,
+      s"diversifyMmr: $nIn candidates resolved to $nGot corpus vectors — " +
+        "candidate ids must match exactly one corpus row each")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr").desc, col("nn_id").asc)
     def argmaxPick(scored: DataFrame, r: Int): DataFrame =
@@ -1222,10 +1252,18 @@ object Similarity {
     (batch, batchId) => {
       val spark = batch.sparkSession
       graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
-        if (spark.catalog.tableExists(table))
-          appendIvf(spark, table, batch, idCol, vecCol)
-        else ingestIvf(batch, idCol, vecCol, table, nCentroids, kmeansIters,
-          nBuckets)
+        // empty-first-delivery heal, as in [[pqSink]]: an index whose
+        // centroid sidecar is empty (trained on an empty batch 0)
+        // re-ingests on the first non-empty delivery instead of
+        // rejecting every real batch forever
+        if (!spark.catalog.tableExists(table))
+          ingestIvf(batch, idCol, vecCol, table, nCentroids, kmeansIters,
+            nBuckets)
+        else if (spark.table(s"${table}_centroids").limit(1).count() == 0L
+            && batch.limit(1).count() > 0L)
+          ingestIvf(batch, idCol, vecCol, table, nCentroids, kmeansIters,
+            nBuckets)
+        else appendIvf(spark, table, batch, idCol, vecCol)
       }
       ()
     }
@@ -1249,13 +1287,8 @@ object Similarity {
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (cent.isEmpty) {
       // an index built over an EMPTY corpus has no centroids and no
-      // neighbors: empty result with the contract schema, id types
-      // inherited from the real relations (the bm25TopK empty-path
-      // discipline — a lit() placeholder would pin the wrong type)
-      return assign.select(col("nn_id")).crossJoin(q.select(col("query_id")))
-        .select(col("query_id"), col("nn_id"),
-          lit(0.0d).as("score"), lit(0).as("rank"))
-        .where(lit(false))
+      // neighbors
+      return emptyTopKResult(assign, q)
     }
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cid").asc)

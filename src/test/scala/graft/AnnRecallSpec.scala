@@ -473,6 +473,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(appended === again, "append path is not deterministic")
   }
 
+  test("pqSink heals an empty first delivery: codebooks train on the first non-empty batch") {
+    val table = "graft_pq_annspec_heal"
+    Seq(table, s"${table}_vectors", s"${table}_codebooks", s"${table}_commits")
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    val deliver = Similarity.pqSink(table, "vec_id", "embedding",
+      m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+    deliver(emb.where(lit(false)), 0L) // streams commonly start empty
+    deliver(emb, 1L)                   // the quantizer must train HERE
+    val served = Similarity.topKPqIngested(spark, table, queries,
+      "vec_id", "embedding", k = 5, nCandidates = 20).collect().toSet
+    val per = Similarity.topKPq(emb, queries, "vec_id", "embedding",
+      k = 5, m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+      .collect().toSet
+    assert(served === per,
+      "healed index diverged from training on the full (only real) batch")
+  }
+
   test("hard negatives: never a positive, never self; empty positives ≡ plain topK") {
     import spark.implicits._
     // positive set = same label (the gate's supervised-contrastive shape)
