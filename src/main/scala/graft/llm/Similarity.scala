@@ -859,17 +859,20 @@ object Similarity {
       floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
     val cvec = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    val candIn = candidates.select(col("query_id"), col("nn_id"),
-      col("score"), micro(col("score")).as("relm"))
+    // candIn is pinned BEFORE the contract counts so its (often
+    // expensive — a full retrieval) lineage evaluates exactly once;
+    // both counts below then read caches
+    val candIn = graft.Partitioning.trackPin(
+      candidates.select(col("query_id"), col("nn_id"),
+        col("score"), micro(col("score")).as("relm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = graft.Partitioning.trackPin(
       cvec.join(broadcast(candIn), Seq("nn_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // contract check, loud: every candidate id must resolve to exactly
     // one corpus vector — a silently-dropped candidate (id-space mixup,
     // wrong embedding table) would shrink the result below k with no
-    // error, and a duplicated corpus id would rank one candidate twice.
-    // Both counts are query-batch-scale actions (candidates are a top-N
-    // by contract; cand reads its own fresh cache)
+    // error, and a duplicated corpus id would rank one candidate twice
     val nIn = candIn.count()
     val nGot = cand.count()
     require(nGot == nIn,
