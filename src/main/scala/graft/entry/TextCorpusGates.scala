@@ -603,14 +603,14 @@ private[graft] object TextCorpusGates {
            |brk AS (SELECT src_id, tgt_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m FROM (
            |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rn FROM fsc)
            |  WHERE rn <= 4),
-           |sx AS (SELECT src_id, sum(m) AS sxm FROM frk GROUP BY src_id),
-           |sy AS (SELECT tgt_id, sum(m) AS sym FROM brk GROUP BY tgt_id),
+           |sx AS (SELECT src_id, sum(m) AS sxm, count(*) AS nx FROM frk GROUP BY src_id),
+           |sy AS (SELECT tgt_id, sum(m) AS sym, count(*) AS ny FROM brk GROUP BY tgt_id),
            |cand AS (SELECT src_id, tgt_id, max(m) AS m FROM (
            |  SELECT src_id, tgt_id, m FROM frk UNION ALL SELECT src_id, tgt_id, m FROM brk)
            |  GROUP BY src_id, tgt_id),
            |mg AS (SELECT c.src_id, c.tgt_id,
            |         ${Num.r6Sql("CAST(c.m AS DOUBLE) / 1000000.0")} AS score,
-           |         ${Num.r6Sql("CAST(c.m * 8 AS DOUBLE) / CAST(sx.sxm + sy.sym AS DOUBLE)")} AS margin
+           |         ${Num.r6Sql("CAST(c.m * 2 * sx.nx * sy.ny AS DOUBLE) / CAST(sx.sxm * sy.ny + sy.sym * sx.nx AS DOUBLE)")} AS margin
            |       FROM cand c JOIN sx ON c.src_id = sx.src_id
            |                   JOIN sy ON c.tgt_id = sy.tgt_id)
            |SELECT src_id, tgt_id, score, margin, CAST(rank AS INT) AS rank

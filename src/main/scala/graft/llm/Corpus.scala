@@ -202,9 +202,15 @@ object Corpus {
                           idCol: String, textCol: String): Unit = {
     val meta = spark.table(s"${table}_meta").first()
     val n = meta.getInt(meta.fieldIndex("n"))
+    // localCheckpoint BEFORE the append (the appendMinhashIndex
+    // discipline): the anti-join's plan READS the very table the append
+    // writes into — materializing the batch-sized result first removes
+    // the read-from-write-target hazard (a mid-write file re-listing
+    // would re-read partial output and silently drop hashes)
     val newH = Dedup.docShinglesHashed(evalBatch, idCol, textCol, n)
       .select(col("h")).distinct()
       .join(spark.table(table), Seq("h"), "left_anti")
+      .localCheckpoint()
     graft.ops.Bucketing.appendBucketed(newH, table, "h",
       graft.ops.Bucketing.bucketCountOf(spark, table))
   }
@@ -899,9 +905,10 @@ object Corpus {
     *
     * Scale shape: the λ table is `nBuckets` rows BY CONSTRUCTION — the
     * hashing trick's whole point — so it broadcasts no matter how big
-    * either corpus is; the raw corpus is scanned once for features and
-    * once per doc-bucket aggregation, both keyed on (doc, bucket) with
-    * no windows. Float discipline: each λ is r6-rounded into exact
+    * either corpus is; the raw corpus is tokenized and hash-exploded
+    * exactly ONCE (the per-(doc, bucket) counts are checkpointed and
+    * both consumers — bucket totals and per-doc accumulation — read
+    * them), keyed on (doc, bucket) with no windows. Float discipline: each λ is r6-rounded into exact
     * integer micro-units ONCE per bucket; per-doc accumulation is an
     * integer Σ count·λmicro (order-free); one final division. Documents
     * with no features (null/empty text) carry no evidence and are
@@ -924,9 +931,16 @@ object Corpus {
         .select(col("id"),
           pmod(TextAnalysis.rollingHash(col("g")), lit(nBuckets.toLong)).as("b"))
     }
-    val rf = feats(raw)
+    // ONE tokenize+hash pass over the raw corpus (its dominant cost):
+    // the per-(doc, bucket) counts are materialized (batch of narrow
+    // integer rows, far smaller than the exploded feature relation) and
+    // BOTH consumers — the λ-table bucket totals and the per-doc
+    // accumulation — read the checkpoint; deriving rc from db is exact
+    // (a bucket's count is the sum of its per-doc counts)
+    val db = feats(raw).groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tf = feats(target)
-    val rc = rf.groupBy("b").agg(count(lit(1)).as("cr"))
+    val rc = db.groupBy("b").agg(sum(col("c")).as("cr"))
     val tc = tf.groupBy("b").agg(count(lit(1)).as("ct"))
     val totals = rc.agg(sum(col("cr")).as("tr"))
       .crossJoin(tc.agg(sum(col("ct")).as("tt")))
@@ -939,7 +953,6 @@ object Corpus {
           - log((col("cr") + lit(1L)).cast("double")
             / (col("tr") + lit(nBuckets.toLong)).cast("double")))
         * lit(1000000.0d) + lit(0.5d)).cast("long").as("lam"))
-    val db = rf.groupBy("id", "b").agg(count(lit(1)).as("c"))
     db.join(broadcast(lam), Seq("b"))
       .groupBy("id").agg(sum(col("c") * col("lam")).as("wm"))
       .select(col("id"),

@@ -505,10 +505,22 @@ object Dedup {
     (batch, batchId) => {
       val spark = batch.sparkSession
       graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
-        if (spark.catalog.tableExists(table))
-          appendMinhashIndex(spark, table, batch, idCol, textCol)
-        else ingestMinhashIndex(batch, idCol, textCol, n, k, rowsPerBand,
-          maxDocFreq, table, nBuckets)
+        // empty-first-delivery heal (the ivfSink/pqSink fix, and here
+        // the failure is SILENT rather than loud): an index ingested
+        // from an empty batch 0 froze its flood set over ZERO docs, so
+        // maxDocFreq would never be enforced for the index's life —
+        // every append would pass the empty anti-join uncapped. An
+        // index with no shingle rows has capped nothing and promised
+        // nothing, so re-ingesting on the first real batch (flood
+        // trains there) invalidates nothing.
+        if (!spark.catalog.tableExists(table))
+          ingestMinhashIndex(batch, idCol, textCol, n, k, rowsPerBand,
+            maxDocFreq, table, nBuckets)
+        else if (spark.table(s"${table}_shingles").limit(1).count() == 0L
+            && batch.limit(1).count() > 0L)
+          ingestMinhashIndex(batch, idCol, textCol, n, k, rowsPerBand,
+            maxDocFreq, table, nBuckets)
+        else appendMinhashIndex(spark, table, batch, idCol, textCol)
       }
       ()
     }

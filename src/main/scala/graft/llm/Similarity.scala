@@ -952,8 +952,18 @@ object Similarity {
       col("nn_id").as("tgt_id"), micro(col("score")).as("m"))
     val bm = bwd.select(col("nn_id").as("src_id"),
       col("query_id").as("tgt_id"), micro(col("score")).as("m"))
-    val sx = fm.groupBy("src_id").agg(sum(col("m")).as("sxm"))
-    val sy = bm.groupBy("tgt_id").agg(sum(col("m")).as("sym"))
+    // carry the ACTUAL list sizes: when a side has fewer than k
+    // neighbors (tiny corpora), a hardcoded 2k denominator would
+    // inflate every margin relative to the avg-kNN definition — the
+    // count-based form m·2·nx·ny/(sxm·ny + sym·nx) equals the paper's
+    // cos/((avgF+avgB)/2) exactly, is pure exact-integer arithmetic
+    // until one final division, and reduces to m·2k/(sxm+sym)
+    // bit-for-bit when both lists are full (IEEE division is correctly
+    // rounded and the real quotients are equal)
+    val sx = fm.groupBy("src_id").agg(sum(col("m")).as("sxm"),
+      count(lit(1)).as("nx"))
+    val sy = bm.groupBy("tgt_id").agg(sum(col("m")).as("sym"),
+      count(lit(1)).as("ny"))
     // the same (x, y) cosine is bit-identical from either direction
     // (element products commute, the fold order is the dim order), so
     // max() is a pure dedup of the two lists
@@ -962,8 +972,9 @@ object Similarity {
     val marg = cand.join(sx, Seq("src_id")).join(sy, Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"),
         graft.Num.r6(col("m").cast("double") / lit(1000000.0d)).as("score"),
-        graft.Num.r6((col("m") * lit(2L * k)).cast("double")
-          / (col("sxm") + col("sym")).cast("double")).as("margin"))
+        graft.Num.r6((col("m") * lit(2L) * col("nx") * col("ny")).cast("double")
+          / (col("sxm") * col("ny") + col("sym") * col("nx")).cast("double"))
+          .as("margin"))
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id").asc)
     marg.withColumn("rank", row_number().over(w))

@@ -124,10 +124,27 @@ object Bucketing {
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf)
     spark.conf.set(conf, "false")
+    val backup = s"${table}__precompact"
+    // a leftover backup means a previous compaction crashed mid-publish:
+    // both the original (backup) and compacted (tmp) copies exist but
+    // the live name may be unbound — surface it loudly rather than
+    // silently compacting whatever now answers to the name
+    require(!spark.catalog.tableExists(backup),
+      s"compactBucketed: leftover '$backup' from an interrupted " +
+        s"compaction — recover (rename it or '$tmp' back to '$table') " +
+        "before compacting again")
     try writeBucketed(spark.table(table), tmp, key, n)
     finally spark.conf.set(conf, prev)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // publish keeps a full copy live under a deterministic name at every
+    // instant: original parks as backup, compacted copy takes the name,
+    // backup drops LAST. A crash between the renames leaves the table
+    // name unbound but BOTH copies recoverable (and the require above
+    // catches it on the next attempt) — the remaining window plain
+    // parquet cannot close without a transactional catalog, documented
+    // honestly like the sinks' two-writes window.
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$backup`")
   }
 
   /** Join two same-key, same-bucket-count tables written by

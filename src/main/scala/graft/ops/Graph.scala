@@ -248,12 +248,18 @@ object Graph {
     require(e0.where(col("wmu") < 0L).limit(1).count() == 0L,
       "ingestWeightedEdges requires non-negative edge weights")
     val e = e0.where(col("wmu") > 0L)
+    // append with the CATALOG's bucket count, not the caller's — a
+    // config drift between the bootstrap and incremental jobs must be
+    // impossible by construction (the appendBm25/appendIvf discipline)
     if (spark.catalog.tableExists(logTable))
-      Bucketing.appendBucketed(e, logTable, "src", nBuckets)
+      Bucketing.appendBucketed(e, logTable, "src",
+        Bucketing.bucketCountOf(spark, logTable))
     else Bucketing.writeBucketed(e, logTable, "src", nBuckets)
+    // degTable MUST share the log's bucket count or the co-located
+    // log⋈degrees join stops being exchange-free
     Bucketing.writeBucketed(
       spark.table(logTable).groupBy("src").agg(sum(col("wmu")).as("degmu")),
-      degTable, "src", nBuckets)
+      degTable, "src", Bucketing.bucketCountOf(spark, logTable))
     import spark.implicits._
     Bucketing.writeSmall(
       Seq((1000000L, true)).toDF("wmu_scale", "validated"),

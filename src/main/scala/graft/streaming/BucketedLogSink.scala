@@ -75,20 +75,29 @@ object BucketedLogSink {
     }
   }
 
-  /** The log AS OF `batchId`: rows of every committed batch ≤ batchId —
+  /** The log AS OF `batchId`: rows of every COMMITTED batch ≤ batchId —
     * a reproducible snapshot (re-running a job pinned to a batch id
     * reads the identical corpus no matter how many batches landed
-    * since). A narrow predicate on the stamped column; parquet min/max
-    * stats skip newer batch files entirely, so a snapshot scan costs
-    * what the snapshot contains, not what the log has grown to.
+    * since). The narrow `_batch_id` predicate lets parquet min/max
+    * stats skip newer batch files; the semi-join against the commit log
+    * (batches-sized, broadcast) excludes rows from the documented crash
+    * window — data landed, commit didn't — which would otherwise appear
+    * in the snapshot NOW and appear DOUBLED after the batch replays,
+    * breaking exactly the reproducibility this read exists for.
     * Compaction note: [[graft.ops.Bucketing.compactBucketed]] preserves
     * the column (content-neutral) but merges files across batches, so
     * run it only when snapshots older than the compaction horizon are
     * no longer needed — or compact per batch range.
     */
   def asOf(spark: org.apache.spark.sql.SparkSession, table: String,
-           batchId: Long): DataFrame =
-    spark.table(table).where(col("_batch_id") <= batchId).drop("_batch_id")
+           batchId: Long): DataFrame = {
+    val committed = spark.table(commitsTable(table))
+      .where(col("batch_id") <= batchId)
+      .select(col("batch_id").as("_batch_id"))
+    spark.table(table).where(col("_batch_id") <= batchId)
+      .join(broadcast(committed), Seq("_batch_id"), "left_semi")
+      .drop("_batch_id")
+  }
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
     * BucketedLogSink.sink(table, key, n)).start()`.

@@ -12,6 +12,18 @@ import graft.ops.Bucketing
   * micro-batch with the SAME batchId after a failure, and a sink that
   * runs its fold twice corrupts the index silently.
   *
+  * CATALOG DURABILITY: `committed` answers from the session catalog's
+  * commit TABLE. With Spark's default in-memory catalog, table
+  * registrations die with the JVM even though the warehouse files
+  * survive — a RESTARTED job sees `tableExists = false`, takes the
+  * fresh-ingest path, and the dropManaged discipline clears the
+  * orphaned directories (i.e. the previously committed batches) before
+  * re-writing. Exactly-once across JVM restarts therefore requires a
+  * persistent metastore (Hive catalog) so the data and commit tables
+  * outlive the process; under the in-memory catalog the guarantee
+  * covers replays WITHIN one session — which is what the local gates
+  * exercise and what the scaladocs of the sinks promise.
+  *
   * The commit log `<commitTable>` holds one `batch_id` row per committed
   * micro-batch — batches-per-deployment-sized, so the membership probe
   * is bounded. The commit record is written AFTER the work closure: a

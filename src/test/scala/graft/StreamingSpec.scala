@@ -940,6 +940,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(!asOf0.columns.contains("_batch_id"), "stamp column must not leak")
       assert(graft.streaming.BucketedLogSink.asOf(spark, t, lastBatch).count() === 3L)
       assert(graft.streaming.BucketedLogSink.asOf(spark, t, lastBatch + 1).count() === 4L)
+      // crash-window exclusion: data files landed for a batch whose
+      // commit record never made it (the documented two-writes window).
+      // A snapshot must NOT see those rows — they would double when the
+      // batch replays, breaking snapshot reproducibility
+      graft.ops.Bucketing.appendBucketed(
+        Seq((5L, "e")).toDF("k", "v")
+          .withColumn("_batch_id", lit(lastBatch + 2)),
+        t, "k", 4)
+      assert(spark.table(t).count() === 5L, "uncommitted data landed")
+      assert(graft.streaming.BucketedLogSink.asOf(spark, t, lastBatch + 2)
+        .count() === 4L, "snapshot leaked uncommitted crash-window rows")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       spark.sql(s"DROP TABLE IF EXISTS `${t}_commits`")
