@@ -429,6 +429,53 @@ private[graft] object GateSupport {
        |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank FROM sel$k""".stripMargin
   }
 
+  /** DuckDB oracle for [[Similarity.bitextMineAnn]] over the embeddings
+    * table (src = even vec_ids, tgt = odd): per-table hyperplane
+    * buckets computed ONCE over all vectors, two directional
+    * LSH-candidate rankings (forward src→tgt, backward tgt→src), then
+    * the count-based ratio-margin tail — the exact-gate formula with
+    * the actual kNN-list sizes.
+    */
+  private[graft] def bitextAnnOracleSql(nPlanes: Int, nTables: Int,
+                                        k: Int): String = {
+    val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    val tables = (0 until nTables).map { t =>
+      val sel = if (t == 0) "SELECT id, v, 0 AS tbl, " else s"SELECT id, v, $t, "
+      sel + bucketSql("v", nPlanes, t * nPlanes) +
+        (if (t == 0) " AS bucket FROM nv" else " FROM nv")
+    }.mkString("\n  UNION ALL ")
+    // one directional LSH ranking: query side satisfies qw, corpus side
+    // cw; candidates share a (table, bucket) cell; rank ≤ k
+    def chain(p: String, qw: String, cw: String): String =
+      s"""${p}cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
+         |  FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE (q.id $qw) AND (c.id $cw) AND c.id <> q.id),
+         |${p}sc AS (SELECT cand.query_id, cand.nn_id, $score AS score
+         |  FROM ${p}cand cand JOIN nv c ON c.id = cand.nn_id
+         |                     JOIN nv q ON q.id = cand.query_id),
+         |${p}rk AS (SELECT query_id, nn_id,
+         |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM ${p}sc)
+         |  WHERE rn <= $k)""".stripMargin
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |bks AS ($tables),
+       |${chain("f", "% 2 = 0", "% 2 = 1")},
+       |${chain("b", "% 2 = 1", "% 2 = 0")},
+       |fm AS (SELECT query_id AS src_id, nn_id AS tgt_id, m FROM frk),
+       |bm AS (SELECT nn_id AS src_id, query_id AS tgt_id, m FROM brk),
+       |sx AS (SELECT src_id, sum(m) AS sxm, count(*) AS nx FROM fm GROUP BY src_id),
+       |sy AS (SELECT tgt_id, sum(m) AS sym, count(*) AS ny FROM bm GROUP BY tgt_id),
+       |cand AS (SELECT src_id, tgt_id, max(m) AS m FROM (
+       |  SELECT * FROM fm UNION ALL SELECT * FROM bm) GROUP BY src_id, tgt_id),
+       |mg AS (SELECT c.src_id, c.tgt_id,
+       |         ${Num.r6Sql("CAST(c.m AS DOUBLE) / 1000000.0")} AS score,
+       |         ${Num.r6Sql("CAST(c.m * 2 * sx.nx * sy.ny AS DOUBLE) / CAST(sx.sxm * sy.ny + sy.sym * sx.nx AS DOUBLE)")} AS margin
+       |       FROM cand c JOIN sx ON c.src_id = sx.src_id
+       |                   JOIN sy ON c.tgt_id = sy.tgt_id)
+       |SELECT src_id, tgt_id, score, margin, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM mg)""".stripMargin
+  }
+
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:
     * `rv` (raw double vectors) → `avv` (corpus augmented with
     * √(M²−‖x‖²)) and `aqq` (queries augmented with 0). MATERIALIZED:

@@ -617,6 +617,20 @@ private[graft] object TextCorpusGates {
            |FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM mg)""".stripMargin
       }),
 
+    ("similarity_bitext_margin_ann",
+      (s: SparkSession, dir: String) => {
+        // the corpus-scale bitext miner: both directional k-NN lists
+        // come from LSH band-key equi-joins (never all pairs — the fix
+        // for the exact variant's measured 1.9×-linear scaling);
+        // count-based margins average each list over its ACTUAL length,
+        // so LSH misses shorten lists without biasing the ratio.
+        val e = t(s, dir, "embeddings")
+        Similarity.bitextMineAnn(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          k = 4, nPlanes = 4, nTables = 16)
+      },
+      bitextAnnOracleSql(nPlanes = 4, nTables = 16, k = 4)),
+
     ("corpus_select_budget",
       (s: SparkSession, dir: String) => {
         // quality-prioritized token-budget cut over the standard scorer;

@@ -944,10 +944,38 @@ object Similarity {
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    bitextMargins(topK(tgt, src, idCol, vecCol, k),
+      topK(src, tgt, idCol, vecCol, k))
+  }
+
+  /** [[bitextMine]] with LSH-bucketed candidate generation — the corpus
+    * scale path the brute miner's scaladoc steers to, measured after
+    * SCALING.md showed the exact variant at 1.9× linear per row (two
+    * all-pairs passes over sides that BOTH grow — inherent to exact
+    * mining, not a plan defect). Both directional k-NN lists come from
+    * [[topKLsh]] (band-key equi-join candidates, never all pairs); the
+    * margin math is identical and count-based, so the shorter/absent
+    * lists an LSH miss produces are averaged over their ACTUAL length
+    * — approximate recall, exact arithmetic. Sentences whose buckets
+    * never collide are absent from the output (no candidates, no
+    * margin), the honest ANN degradation.
+    */
+  def bitextMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nPlanes: Int,
+                    nTables: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    bitextMargins(
+      topKLsh(tgt, src, idCol, vecCol, k, nPlanes = nPlanes, nTables = nTables),
+      topKLsh(src, tgt, idCol, vecCol, k, nPlanes = nPlanes, nTables = nTables))
+  }
+
+  /** The shared margin tail over two directional ranked lists (fwd:
+    * query = src; bwd: query = tgt), both `(query_id, nn_id, score)`
+    * with r6 scores.
+    */
+  private def bitextMargins(fwd: DataFrame, bwd: DataFrame): DataFrame = {
     def micro(c: Column): Column =
       floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
-    val fwd = topK(tgt, src, idCol, vecCol, k)
-    val bwd = topK(src, tgt, idCol, vecCol, k)
     val fm = fwd.select(col("query_id").as("src_id"),
       col("nn_id").as("tgt_id"), micro(col("score")).as("m"))
     val bm = bwd.select(col("nn_id").as("src_id"),

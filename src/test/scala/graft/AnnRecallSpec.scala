@@ -473,6 +473,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(appended === again, "append path is not deterministic")
   }
 
+  test("ANN bitext mining: planted exact copies always share buckets and rank 1") {
+    // identical vectors hash identically in every table, so a planted
+    // copy is ALWAYS a candidate regardless of LSH randomness; the
+    // margin property then matches the exact miner's
+    val src = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"))
+    val tgt = src.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val mined = Similarity.bitextMineAnn(src, tgt, "vec_id", "embedding",
+      k = 4, nPlanes = 4, nTables = 16)
+    val top = mined.filter(col("rank") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin")).collect()
+    assert(top.length === 30)
+    top.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000L,
+        s"src ${r.getLong(0)} mined ${r.getLong(1)}, expected the planted copy")
+      assert(r.getDouble(2) >= 1.0)
+    }
+  }
+
   test("pqSink heals an empty first delivery: codebooks train on the first non-empty batch") {
     val table = "graft_pq_annspec_heal"
     Seq(table, s"${table}_vectors", s"${table}_codebooks", s"${table}_commits")
