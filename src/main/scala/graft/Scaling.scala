@@ -199,6 +199,60 @@ object Scaling {
         finally spark.conf.set("spark.sql.shuffle.partitions", base)
       }
 
+      // SPARK_GRAFT_CLUSTERED=1: time the LSH-candidate operators against
+      // their brute twins on CLUSTERED embeddings (tight gaussian
+      // clusters of 25, cluster count ∝ factor — the "more topics, same
+      // density" crawl regime and the data regime LSH is FOR; the real
+      // embeddings table is near-random, the documented adversarial
+      // case where band keys cannot prune). Deterministic: per-cluster
+      // seeded PRNG streams, prefix-stable across factors.
+      if (sys.env.get("SPARK_GRAFT_CLUSTERED").contains("1")) {
+        import spark.implicits._
+        val dim = 64; val per = 25
+        val n = 2000 * f
+        val rows: Seq[(Long, Seq[Float])] =
+          (0 until n / per).flatMap { c =>
+            val rc = new scala.util.Random(1000L + c)
+            val center = Array.fill(dim)(rc.nextGaussian())
+            (0 until per).map { m =>
+              val rm = new scala.util.Random(c.toLong * 100000L + m)
+              ((c.toLong * per + m),
+                (0 until dim).map(d => (center(d) + 0.05 * rm.nextGaussian()).toFloat): Seq[Float])
+            }
+          }
+        val cdf = rows.toDF("vec_id", "embedding").repartition(32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cdf.count()
+        val qs = cdf.filter(col("vec_id") % 100 === 0).limit(20)
+        val src = cdf.filter(col("vec_id") % 2 === 0)
+        val tgt = cdf.filter(col("vec_id") % 2 =!= 0)
+        val thunks: Seq[(String, () => Long)] = Seq(
+          "topk_brute" -> (() => llm.Similarity.topK(
+            cdf, qs, "vec_id", "embedding", k = 10).count()),
+          "topk_lsh" -> (() => llm.Similarity.topKLsh(
+            cdf, qs, "vec_id", "embedding", k = 10,
+            nPlanes = 8, nTables = 8).count()),
+          "bitext_brute" -> (() => llm.Similarity.bitextMine(
+            src, tgt, "vec_id", "embedding", k = 4).count()),
+          "bitext_ann" -> (() => llm.Similarity.bitextMineAnn(
+            src, tgt, "vec_id", "embedding", k = 4,
+            nPlanes = 8, nTables = 8).count()))
+        val results = thunks.flatMap { case (name, thunk) =>
+          try thunk() catch { case _: Throwable => () } // codegen warm
+          val times = (1 to runs).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { thunk(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[scaling] ERROR $name@x$f clustered: ${e.getMessage}")
+              None
+            }
+          }
+          if (times.size < runs) None else Some(name -> median(times))
+        }
+        emit("scaling_clustered", f, dir, results)
+        cdf.unpersist()
+      }
+
       if (probes) {
         import spark.implicits._
         val sfx = GateSupport.dirSuffix(dir)
