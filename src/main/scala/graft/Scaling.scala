@@ -238,7 +238,12 @@ object Scaling {
             src, tgt, "vec_id", "embedding", k = 4,
             nPlanes = 8, nTables = 8).count()))
         val results = thunks.flatMap { case (name, thunk) =>
-          try thunk() catch { case _: Throwable => () } // codegen warm
+          // codegen warm: NonFatal only (an OOM/linkage error must
+          // propagate, not silently skew the timed runs), and logged so
+          // a dead warm-up is visible next to the timings it protects
+          try thunk() catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scaling] WARN warm-up $name@x$f clustered threw: ${e.getMessage}")
+          }
           val times = (1 to runs).flatMap { _ =>
             val t0 = System.nanoTime()
             try { thunk(); Some((System.nanoTime() - t0) / 1e9) }
@@ -262,12 +267,15 @@ object Scaling {
         val ivfT = s"graft_scaling_ivf_$sfx"
         val bm25T = s"graft_scaling_bm25_$sfx"
         val pqT = s"graft_scaling_pq_$sfx"
+        val ivfpqT = s"graft_scaling_ivfpq_$sfx"
         System.err.println(s"[scaling] building probe indexes @x$f (untimed) ...")
         llm.Similarity.ingestIvf(emb, "vec_id", "embedding", ivfT,
           nCentroids = 16, kmeansIters = 2, nBuckets = 8)
         llm.Retrieval.ingestBm25(docs, "doc_id", "text", bm25T, nBuckets = 8)
         llm.Similarity.ingestPq(emb, "vec_id", "embedding", pqT,
           m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        llm.Similarity.ingestIvfPq(emb, "vec_id", "embedding", ivfpqT,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
         val qBatch = emb.filter(col("vec_id") < 20)
         val qText = Seq((1L, "the quick brown fox"), (2L, "model training data"),
           (3L, "distributed query engine"), (4L, "language identification"))
@@ -283,11 +291,21 @@ object Scaling {
           // constant of the three index families
           "probe_pq_ingested" -> (() => llm.Similarity.topKPqIngested(
             spark, pqT, qBatch, "vec_id", "embedding",
-            k = 5, nCandidates = 20).count()))
+            k = 5, nCandidates = 20).count()),
+          // composed IVFADC probe: prunes to nProbe/nCentroids of the
+          // corpus AND reads it as m-code rows — should undercut both
+          // parents' probe cost as the corpus grows
+          "probe_ivfpq_ingested" -> (() => llm.Similarity.topKIvfPqIngested(
+            spark, ivfpqT, qBatch, "vec_id", "embedding",
+            k = 5, nProbe = 4, nCandidates = 20).count()))
         val results = thunks.flatMap { case (name, thunk) =>
           // one untimed warm call per factor: the probe plan's codegen
-          // compiles here, not inside the first timed run
-          try thunk() catch { case _: Throwable => () }
+          // compiles here, not inside the first timed run. NonFatal
+          // only, and logged (a swallowed fatal would hand the first
+          // timed run the codegen cost this call exists to absorb)
+          try thunk() catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scaling] WARN warm-up $name@x$f threw: ${e.getMessage}")
+          }
           val times = (1 to runs).flatMap { _ =>
             val t0 = System.nanoTime()
             try { thunk(); Some((System.nanoTime() - t0) / 1e9) }

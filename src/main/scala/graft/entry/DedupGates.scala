@@ -21,7 +21,12 @@ private[graft] object DedupGates {
     * construction (the persisted centroids/assignments ARE the
     * per-run quantizer's output, parquet round-trips doubles exactly).
     */
-  private def ivfProbeOracleSql(asgCtes: String): String = {
+  /** `serveWhere` (predicate over alias a) restricts the SERVED index
+    * rows — the deleted-index twin: the quantizer stays trained on the
+    * asgCtes' corpus, tombstoned rows leave the probe.
+    */
+  private def ivfProbeOracleSql(asgCtes: String,
+                                serveWhere: String = "TRUE"): String = {
     val score = Num.r6Sql(dotSql("a.cv", "p.qv"))
     s"""WITH $asgCtes,
        |probes AS (SELECT id AS query_id, v AS qv, cid AS cluster FROM (
@@ -29,7 +34,8 @@ private[graft] object DedupGates {
        |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
        |  FROM nv q CROSS JOIN cent c WHERE q.id < 20) WHERE rn <= 4),
        |sc AS (SELECT p.query_id, a.nn_id, $score AS score
-       |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id)
+       |       FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id
+       |       WHERE ($serveWhere))
        |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM sc)
        |WHERE rank <= 5""".stripMargin
@@ -961,5 +967,98 @@ private[graft] object DedupGates {
       ivfProbeOracleSql(ivfAsgCtesTrainOn(
         s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
         "id % 3 = 0", 16, 2))),
+
+    ("similarity_topk_ivfpq",
+      (s: SparkSession, dir: String) => {
+        // the COMPOSED production ANN store (FAISS IVFADC's shape): the
+        // coarse quantizer PRUNES (only nProbe=4 of 16 cells are ever
+        // scored per query) and product quantization COMPRESSES what the
+        // probe reads inside those cells (4 codes per vector, not 64
+        // floats), with exact rescore of the top-20 survivors. The two
+        // parents' savings multiply — at 100 TB the probe reads
+        // nProbe/nCentroids of the corpus at m·log2(nCodes) bits/vector.
+        val e = t(s, dir, "embeddings")
+        Similarity.topKIvfPq(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+          m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("similarity_topk_ivfpq_ingested",
+      (s: SparkSession, dir: String) => {
+        // the persisted IVFADC index: cluster-bucketed codes table (a
+        // probe reads only its probed cells' buckets, m codes per row),
+        // id-bucketed rescore vectors, both quantizer sidecars. Probes
+        // are bit-identical to the per-run operator at the index
+        // parameters — the gate shares one oracle, the hash match IS
+        // the parity proof.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivfpq_${dirSuffix(dir)}"
+        Similarity.ingestIvfPq(e, "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("similarity_lsh_deleted",
+      (s: SparkSession, dir: String) => {
+        // the DELETE lifecycle verb: ingest the full corpus, tombstone
+        // the odd ids (takedown-list-sized work — the index is never
+        // rewritten), probe. LSH has NO corpus-trained state, so
+        // ingest(A∪B); delete(B) is BIT-IDENTICAL to ingest(A) and the
+        // gate shares the even-half oracle outright — the hash match IS
+        // the retraction proof. Physical drop is compaction's job
+        // (TombstoneSpec asserts deleted ids leave the files on disk).
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_del_${dirSuffix(dir)}"
+        Similarity.ingestLsh(e, "vec_id", "embedding", table,
+          nPlanes = 4, nTables = 16, nBuckets = 8)
+        Similarity.deleteFromLsh(s, table,
+          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      },
+      mlshOracleSql(nPlanes = 4, nTables = 16, corpusWhere = "c.id % 2 = 0")),
+
+    ("similarity_ivf_deleted",
+      (s: SparkSession, dir: String) => {
+        // DELETE for the IVF index: rows leave the probe immediately;
+        // the quantizer stays FROZEN at its full-corpus training — the
+        // append contract's mirror, and exactly what the oracle bakes
+        // in (k-means over the union, serve only the surviving even
+        // half). ivfClusterStats counts LIVE rows, so emptied cells
+        // from deletion feed the same rebuild trigger as drift.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_del_${dirSuffix(dir)}"
+        Similarity.ingestIvf(e, "vec_id", "embedding", table,
+          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        Similarity.deleteFromIvf(s, table,
+          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      ivfProbeOracleSql(ivfAsgCtes(16, 2), serveWhere = "a.nn_id % 2 = 0")),
+
+    ("similarity_pq_deleted",
+      (s: SparkSession, dir: String) => {
+        // DELETE for the PQ index: tombstoned ids leave BOTH the coarse
+        // codes scan and the rescore vector fetch; codebooks stay
+        // frozen at full-corpus training (oracle: train on union,
+        // serve the surviving half). pqReconStats reports drift over
+        // LIVE rows only.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_del_${dirSuffix(dir)}"
+        Similarity.ingestPq(e, "vec_id", "embedding", table,
+          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.deleteFromPq(s, table,
+          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20)
+      },
+      pqTopKSqlTrainOn("TRUE", m = 4, nCodes = 8, iters = 2, dim = 64,
+        k = 5, nCand = 20, serveWhere = "c.id % 2 = 0")),
   )
 }

@@ -222,31 +222,38 @@ private[graft] object GateSupport {
     * `ingestIvf(A); appendIvf(B)` semantics (centroids frozen from the
     * ingested half, appended batch assigned against them).
     */
+  /** `prefix` renames every generated CTE (`<p>nvt`, `<p>cent`,
+    * `<p>asg`, ...) so the chain composes with the PQ chain in one WITH
+    * (the IVF-PQ oracle) — `nvDef` must then define `<p>nv`. Default ""
+    * keeps every existing oracle byte-identical.
+    */
   private[graft] def ivfAsgCtesTrainOn(nvDef: String, trainWhere: String,
-                                       nCentroids: Int, iters: Int): String = {
+                                       nCentroids: Int, iters: Int,
+                                       prefix: String = ""): String = {
+    val p = prefix
     val kmeansCtes = (0 until iters).map { i =>
-      s"""a$i AS (SELECT id, v, cid FROM (
+      s"""${p}a$i AS (SELECT id, v, cid FROM (
          |  SELECT nn.id, nn.v, c.cid,
          |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.centv")} DESC, c.cid ASC) AS rn
-         |  FROM nvt nn CROSS JOIN c$i c) WHERE rn = 1),
-         |u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM a$i),
-         |s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-         |               count(*) AS cnt FROM u$i GROUP BY cid, dim),
-         |m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
-         |        FROM s$i GROUP BY cid),
-         |c${i + 1} AS (SELECT c.cid,
+         |  FROM ${p}nvt nn CROSS JOIN ${p}c$i c) WHERE rn = 1),
+         |${p}u$i AS (SELECT cid, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM ${p}a$i),
+         |${p}s$i AS (SELECT cid, dim, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |               count(*) AS cnt FROM ${p}u$i GROUP BY cid, dim),
+         |${p}m$i AS (SELECT cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
+         |        FROM ${p}s$i GROUP BY cid),
+         |${p}c${i + 1} AS (SELECT c.cid,
          |              CASE WHEN m.mv IS NULL THEN c.centv ELSE ${nvSql("m.mv")} END AS centv
-         |              FROM c$i c LEFT JOIN m$i m USING (cid))""".stripMargin
+         |              FROM ${p}c$i c LEFT JOIN ${p}m$i m USING (cid))""".stripMargin
     }.mkString(",\n")
     s"""$nvDef,
-       |nvt AS (SELECT id, v FROM nv WHERE $trainWhere),
-       |c0 AS (SELECT id AS cid, v AS centv FROM nvt WHERE id IN (SELECT id FROM nvt ORDER BY id LIMIT $nCentroids)),
+       |${p}nvt AS (SELECT id, v FROM ${p}nv WHERE $trainWhere),
+       |${p}c0 AS (SELECT id AS cid, v AS centv FROM ${p}nvt WHERE id IN (SELECT id FROM ${p}nvt ORDER BY id LIMIT $nCentroids)),
        |$kmeansCtes,
-       |cent AS (SELECT cid, centv AS cv FROM c$iters),
-       |asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
+       |${p}cent AS (SELECT cid, centv AS cv FROM ${p}c$iters),
+       |${p}asg AS (SELECT id AS nn_id, v AS cv, cid AS cluster FROM (
        |  SELECT nn.id, nn.v, c.cid,
        |         row_number() OVER (PARTITION BY nn.id ORDER BY ${dotSql("nn.v", "c.cv")} DESC, c.cid ASC) AS rn
-       |  FROM nv nn CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+       |  FROM ${p}nv nn CROSS JOIN ${p}cent c) WHERE rn = 1)""".stripMargin
   }
 
   /** DuckDB SQL for the L2-normalized double vector of `expr` (mirrors
@@ -280,8 +287,9 @@ private[graft] object GateSupport {
     * candidate dedup, exact rescoring, rank. Table t hashes with planes
     * [t*nPlanes, (t+1)*nPlanes), matching the Scala side.
     */
-  private[graft] def mlshOracleSql(nPlanes: Int, nTables: Int): String =
-    s"""WITH ${mlshRankCtes(nPlanes, nTables, 5)}
+  private[graft] def mlshOracleSql(nPlanes: Int, nTables: Int,
+                                   corpusWhere: String = "TRUE"): String =
+    s"""WITH ${mlshRankCtes(nPlanes, nTables, 5, corpusWhere)}
        |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank FROM lshrk""".stripMargin
 
   /** The [[mlshOracleSql]] body as a reusable CTE chain ending in
@@ -290,18 +298,22 @@ private[graft] object GateSupport {
     * gates directly and by the eval-metrics oracle, which joins the LSH
     * ranking against the exact one.
     */
-  private[graft] def mlshRankCtes(nPlanes: Int, nTables: Int, k: Int): String = {
+  private[graft] def mlshRankCtes(nPlanes: Int, nTables: Int, k: Int,
+                                  corpusWhere: String = "TRUE"): String = {
     val score = Num.r6Sql(dotSql("c.v", "q.v"))
     val tables = (0 until nTables).map { t =>
       val sel = if (t == 0) "SELECT id, v, 0 AS tbl, " else s"SELECT id, v, $t, "
       sel + bucketSql("v", nPlanes, t * nPlanes) +
         (if (t == 0) " AS bucket FROM nv" else " FROM nv")
     }.mkString("\n  UNION ALL ")
+    // corpusWhere (a predicate over alias c) restricts the CANDIDATE
+    // side only — the deleted-index twin: tombstoned rows leave the
+    // index, queries still probe
     s"""nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |bks AS ($tables),
        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nn_id
        |         FROM bks c JOIN bks q ON c.tbl = q.tbl AND c.bucket = q.bucket
-       |         WHERE q.id < 20 AND c.id <> q.id),
+       |         WHERE q.id < 20 AND c.id <> q.id AND ($corpusWhere)),
        |lsc AS (SELECT cand.query_id, cand.nn_id, $score AS score
        |       FROM cand JOIN nv c ON c.id = cand.nn_id
        |                 JOIN nv q ON q.id = cand.query_id),
@@ -328,16 +340,22 @@ private[graft] object GateSupport {
     * appendPq(B)` semantics (codebooks frozen from the ingested half,
     * the appended batch coded against them).
     */
+  /** `serveWhere` (a predicate over alias c) restricts the SERVED
+    * corpus side — the deleted-index twin: codebooks stay trained on
+    * `trainWhere`'s slice, tombstoned rows leave the probe.
+    */
   private[graft] def pqTopKSqlTrainOn(trainWhere: String, m: Int, nCodes: Int,
                                       iters: Int, dim: Int,
-                                      k: Int, nCand: Int): String = {
+                                      k: Int, nCand: Int,
+                                      serveWhere: String = "TRUE"): String = {
     val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
     val exact = Num.r6Sql(dotSql("c.v", "q.v"))
     s"""WITH ${pqAsgCtes(trainWhere, m, nCodes, iters, dim)},
        |pqd AS (SELECT pa.id, flatten(list(c.centv ORDER BY pa.s)) AS dv
        |        FROM pa JOIN kf c ON c.s = pa.s AND c.cid = pa.cid GROUP BY pa.id),
        |csc AS (SELECT q.id AS query_id, c.id AS nn_id, $coarse AS score
-       |        FROM pqd c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+       |        FROM pqd c JOIN nv q ON q.id < 20 AND c.id <> q.id
+       |        WHERE ($serveWhere)),
        |cnd AS (SELECT query_id, nn_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
        |  WHERE rn <= $nCand),
@@ -389,6 +407,44 @@ private[graft] object GateSupport {
        |  FROM sv JOIN kf c ON c.s = sv.s) WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB oracle for [[Similarity.topKIvfPq]] (queries = id < 20):
+    * the cosine k-means chain (prefix `i`, trained on the full corpus)
+    * supplies cells and probes; the PQ chain supplies codebooks and
+    * codes; the coarse pass scores RECONSTRUCTED vectors only inside
+    * the query's nProbe probed cells, then the candidate-bounded exact
+    * rescore — both quantizers' CTEs are the byte-identical chains the
+    * single-family oracles already pin.
+    */
+  private[graft] def ivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
+                                  nCodes: Int, iters: Int, dim: Int,
+                                  k: Int, nCand: Int): String = {
+    val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
+    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH ${ivfAsgCtesTrainOn(
+         s"inv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+         "TRUE", nCentroids, iters, prefix = "i")},
+       |${pqAsgCtes("TRUE", m, nCodes, iters, dim)},
+       |probes AS (SELECT id AS query_id, cid AS cluster FROM (
+       |  SELECT q.id, c.cid,
+       |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM nv q CROSS JOIN icent c WHERE q.id < 20) WHERE rn <= $nProbe),
+       |pqd AS (SELECT pa.id, flatten(list(c.centv ORDER BY pa.s)) AS dv
+       |        FROM pa JOIN kf c ON c.s = pa.s AND c.cid = pa.cid GROUP BY pa.id),
+       |csc AS (SELECT p.query_id, a.nn_id, $coarse AS score
+       |        FROM iasg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id
+       |                    JOIN pqd c ON c.id = a.nn_id
+       |                    JOIN nv q ON q.id = p.query_id),
+       |cnd AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
+       |  WHERE rn <= $nCand),
+       |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
+       |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
+       |                 JOIN nv q ON q.id = cnd.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[Similarity.diversifyMmr]] over a brute-force
     * top-`n` candidate list (queries = id < 20): the k greedy selection
     * rounds unrolled as CTE stages, each computing max-similarity to
@@ -397,8 +453,27 @@ private[graft] object GateSupport {
     * the Scala side's arithmetic verbatim.
     */
   private[graft] def mmrTopKSql(n: Int, k: Int, lambdaMicro: Long): String = {
-    val om = 1000000L - lambdaMicro
     val score = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |bsc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
+       |        FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
+       |cnd AS (SELECT query_id, nn_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM bsc)
+       |  WHERE rn <= $n),
+       |cv AS (SELECT c.query_id, c.nn_id, c.score,
+       |              CAST(floor(c.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
+       |       FROM cnd c JOIN nv ON nv.id = c.nn_id),
+       |${mmrSelCtes(k, lambdaMicro)}
+       |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank FROM sel$k""".stripMargin
+  }
+
+  /** The k greedy MMR selection rounds as CTEs, reusable over ANY
+    * candidate relation: requires `cv(query_id, nn_id, score, relm, v)`
+    * in scope, ends in `sel<k>(query_id, nn_id, score, relm, v, rk)` —
+    * shared by [[mmrTopKSql]] and the retrieval-capstone oracle.
+    */
+  private[graft] def mmrSelCtes(k: Int, lambdaMicro: Long): String = {
+    val om = 1000000L - lambdaMicro
     val rounds = (2 to k).map { r =>
       s"""p$r AS (SELECT c.query_id, c.nn_id,
          |          max(CAST(floor((${dotSql("c.v", "s.v")}) * 1000000.0 + 0.5) AS BIGINT)) AS ms
@@ -414,19 +489,9 @@ private[graft] object GateSupport {
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
     val roundsSql = if (rounds.isEmpty) "" else ",\n" + rounds
-    s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-       |bsc AS (SELECT q.id AS query_id, c.id AS nn_id, $score AS score
-       |        FROM nv c JOIN nv q ON q.id < 20 AND c.id <> q.id),
-       |cnd AS (SELECT query_id, nn_id, score FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM bsc)
-       |  WHERE rn <= $n),
-       |cv AS (SELECT c.query_id, c.nn_id, c.score,
-       |              CAST(floor(c.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
-       |       FROM cnd c JOIN nv ON nv.id = c.nn_id),
-       |sel1 AS (SELECT query_id, nn_id, score, relm, v, 1 AS rk FROM (
+    s"""sel1 AS (SELECT query_id, nn_id, score, relm, v, 1 AS rk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relm DESC, nn_id) AS rn FROM cv)
-       |  WHERE rn = 1)$roundsSql
-       |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank FROM sel$k""".stripMargin
+       |  WHERE rn = 1)$roundsSql""".stripMargin
   }
 
   /** DuckDB oracle for [[Similarity.bitextMineAnn]] over the embeddings
@@ -474,6 +539,22 @@ private[graft] object GateSupport {
        |                   JOIN sy ON c.tgt_id = sy.tgt_id)
        |SELECT src_id, tgt_id, score, margin, CAST(rank AS INT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM mg)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[Similarity.bitextMinedPairs]] over
+    * [[Similarity.bitextMineAnn]] — [[bitextAnnOracleSql]]'s chain plus
+    * the emission tail: rank-1 per src, margin ≥ threshold, mutual
+    * one-best per tgt (ties to the lowest src_id).
+    */
+  private[graft] def bitextMinedOracleSql(nPlanes: Int, nTables: Int,
+                                          k: Int, threshold: Double): String = {
+    val ranked = bitextAnnOracleSql(nPlanes, nTables, k)
+    s"""WITH ranked AS ($ranked),
+       |best AS (SELECT src_id, tgt_id, score, margin FROM ranked
+       |         WHERE rank = 1 AND margin >= ${Retrieval.litSql(threshold)})
+       |SELECT src_id, tgt_id, score, margin FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+       |  FROM best) WHERE rt = 1""".stripMargin
   }
 
   /** The norm-augmentation CTEs shared by the MIPS-ANN oracles:

@@ -272,10 +272,16 @@ private[graft] object OlapGates {
     * the streamed gate freezes the flood over its FIRST DELIVERED
     * batch (`doc <= 250 AND doc % 3 = 0`), not an id prefix.
     */
-  private def mhIngestedOracleWhere(floodWhere: String): String = {
+  private def mhIngestedOracleWhere(floodWhere: String,
+                                    oldWhere: String = "TRUE"): String = {
     val perms = (0 until 16).map(i =>
       s"($i, ${Dedup.mixConstant(2L * i)}, ${Dedup.mixConstant(2L * i + 1)})").mkString(", ")
     val jac = Num.r6Sql("CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)")
+    // oldWhere (predicate over alias ol) restricts the INDEX side of
+    // the candidate join — the deleted-index twin: tombstoned docs
+    // leave the persisted band/shingle relations, the admission batch
+    // is unaffected (the verify intersection follows cand, so the
+    // restriction flows through it)
     s"""WITH ${GateSupport.tokenShingleCte(3)},
        |h0 AS (SELECT DISTINCT doc, ${rhSql("sh")} AS h FROM sh0),
        |fe AS (SELECT h FROM (SELECT h, count(*) AS c FROM h0
@@ -288,7 +294,7 @@ private[graft] object OlapGates {
        |          FROM mh GROUP BY doc, i // 4),
        |cand AS (SELECT DISTINCT nw.doc AS d_new, ol.doc AS d_old
        |         FROM bands nw JOIN bands ol ON nw.band = ol.band AND nw.bkey = ol.bkey
-       |         WHERE nw.doc > 250 AND ol.doc <= 250),
+       |         WHERE nw.doc > 250 AND ol.doc <= 250 AND ($oldWhere)),
        |inter AS (SELECT a.doc AS d_new, b.doc AS d_old, count(*) AS i
        |          FROM h1 a JOIN h1 b USING (h)
        |          JOIN cand c ON a.doc = c.d_new AND b.doc = c.d_old
@@ -1165,6 +1171,29 @@ private[graft] object OlapGates {
           "doc_id", "text", threshold = 0.3)
       },
       mhIngestedOracleWhere("doc <= 250 AND doc % 3 = 0")),
+
+    ("dedup_neardup_deleted",
+      (s: SparkSession, dir: String) => {
+        // the DELETE lifecycle verb for the near-dup index: ingest docs
+        // ≤ 250, tombstone every 5th doc (a takedown list — the index
+        // is never rewritten), admit the > 250 batch. Deleted docs must
+        // neither generate candidates nor contribute Jaccard shingles;
+        // the FLOOD SET stays frozen at its full-ingest value (deleting
+        // documents does not un-flood boilerplate — the same honest
+        // exception as append, mirrored exactly by the oracle: cap over
+        // docs ≤ 250, index side restricted to the survivors).
+        val d = t(s, dir, "documents")
+        val table = s"graft_mh_del_${dirSuffix(dir)}"
+        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 250),
+          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+          maxDocFreq = Some(20), table, nBuckets = 8)
+        Dedup.deleteFromMinhashIndex(s, table,
+          d.filter(col("doc_id") <= 250 && col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("doc")))
+        Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
+          "doc_id", "text", threshold = 0.3)
+      },
+      mhIngestedOracleWhere("doc <= 250", oldWhere = "ol.doc % 5 <> 0")),
 
     ("profile_skew",
       (s: SparkSession, dir: String) =>

@@ -46,39 +46,59 @@ private[graft] object TextCorpusGates {
        |       COALESCE(n_hits, 0) < 1 AS keep
        |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin
 
-  private lazy val bm25OracleSql: String = {
-    val k1 = 1.2d; val b = 0.75d
-    val K1 = Retrieval.litSql(k1); val K1P1 = Retrieval.litSql(k1 + 1.0d)
-    val B = Retrieval.litSql(b); val OMB = Retrieval.litSql(1.0d - b)
+  private lazy val bm25OracleSql: String = bm25OracleSqlOver("TRUE")
+
+  /** [[bm25OracleSql]] with a corpus predicate — the deleted-index twin
+    * passes the survivor slice: BM25's state is pure per-row (postings
+    * + the exactly-adjusted stats sidecar; df derives from the filtered
+    * postings at probe time), so `ingest(A∪B); delete(B)` shares the
+    * A-only oracle outright — the hash match IS the retraction proof.
+    */
+  private def bm25OracleSqlOver(docsWhere: String): String = {
     val qvals = bm25Queries.flatMap { case (qid, text) =>
       text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => s"('$qid', '$t')")
     }.mkString(", ")
+    s"""WITH ${bm25RankCtes(docsWhere, qvals, topK = 10, p = "")}
+       |SELECT query_id, doc, score, CAST(rank AS INT) AS rank FROM rk""".stripMargin
+  }
+
+  /** The BM25 oracle body as a reusable CTE chain ending in
+    * `<p>rk(query_id, doc, score, rank ≤ topK)` — prefix `p` renames
+    * every CTE so the chain composes into larger WITHs (the retrieval
+    * capstone). Arithmetic identical to [[Retrieval.bm25TopK]]'s
+    * scoring half (k1 = 1.2, b = 0.75, micro-unit sums, r6'd idf/term).
+    */
+  private def bm25RankCtes(docsWhere: String, qvals: String, topK: Int,
+                           p: String): String = {
+    val k1 = 1.2d; val b = 0.75d
+    val K1 = Retrieval.litSql(k1); val K1P1 = Retrieval.litSql(k1 + 1.0d)
+    val B = Retrieval.litSql(b); val OMB = Retrieval.litSql(1.0d - b)
     val idf = Num.r6Sql(
       "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + CAST(1 AS DOUBLE))")
     val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
     val term = Num.r6Sql(
       s"idf * (CAST(tf AS DOUBLE) * $K1P1) / (CAST(tf AS DOUBLE) + $K1 * ($OMB + $B * CAST(dl AS DOUBLE) / $avgdl))")
-    s"""WITH toks AS (SELECT doc, term FROM (
+    s"""${p}toks AS (SELECT doc, term FROM (
        |    SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS term
-       |    FROM documents WHERE text IS NOT NULL) WHERE term <> ''),
-       |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc, term),
-       |dlr AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc),
-       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sumdl FROM dlr),
-       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-       |qt AS (SELECT DISTINCT * FROM (VALUES $qvals) v(query_id, term)),
-       |idfr AS (SELECT term, $idf AS idf FROM dfq, st),
-       |mic AS (SELECT qt.query_id, tf.doc,
+       |    FROM documents WHERE text IS NOT NULL AND ($docsWhere)) WHERE term <> ''),
+       |${p}tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM ${p}toks GROUP BY doc, term),
+       |${p}dlr AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM ${p}toks GROUP BY doc),
+       |${p}st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sumdl FROM ${p}dlr),
+       |${p}dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ${p}tf GROUP BY term),
+       |${p}qt AS (SELECT DISTINCT * FROM (VALUES $qvals) v(query_id, term)),
+       |${p}idfr AS (SELECT term, $idf AS idf FROM ${p}dfq, ${p}st),
+       |${p}mic AS (SELECT qt.query_id, tf.doc,
        |          CAST(floor($term * 1000000.0 + 0.5) AS BIGINT) AS micro
-       |        FROM tf JOIN qt ON tf.term = qt.term
-       |                JOIN idfr ON tf.term = idfr.term
-       |                JOIN dlr ON tf.doc = dlr.doc, st),
-       |sc AS (SELECT query_id, doc,
+       |        FROM ${p}tf tf JOIN ${p}qt qt ON tf.term = qt.term
+       |                JOIN ${p}idfr idfr ON tf.term = idfr.term
+       |                JOIN ${p}dlr dlr ON tf.doc = dlr.doc, ${p}st),
+       |${p}sc AS (SELECT query_id, doc,
        |         ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
-       |       FROM mic GROUP BY query_id, doc)
-       |SELECT query_id, doc, score, CAST(rank AS INT) AS rank
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM sc)
-       |WHERE rank <= 10""".stripMargin
+       |       FROM ${p}mic GROUP BY query_id, doc),
+       |${p}rk AS (SELECT query_id, doc, score, rank
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM ${p}sc)
+       |       WHERE rank <= $topK)""".stripMargin
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -196,6 +216,127 @@ private[graft] object TextCorpusGates {
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
       bm25OracleSql),
+
+    ("retrieval_bm25_deleted",
+      (s: SparkSession, dir: String) => {
+        // the DELETE lifecycle verb for the lexical index: ingest the
+        // full corpus, tombstone the odd doc ids (takedown-list-sized —
+        // postings are never rewritten; the (n, sumdl) sidecar adjusts
+        // by exact integer subtraction), probe. Because df derives from
+        // the FILTERED posting lists at probe time, ingest(A∪B);
+        // delete(B) is bit-identical to ingest(A): N, avgdl, df, tf and
+        // every score match the even-half oracle — the hash match IS
+        // the retraction proof. Physical drop is compaction's job.
+        import s.implicits._
+        val table = s"graft_bm25_del_${dirSuffix(dir)}"
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Retrieval.ingestBm25(d, "doc_id", "text", table, nBuckets = 8)
+        Retrieval.deleteFromBm25(s, table,
+          d.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("doc")))
+        Retrieval.bm25TopKIngested(s, table,
+          bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+      },
+      bm25OracleSqlOver("doc_id % 2 = 0")),
+
+    ("retrieval_context_full",
+      (s: SparkSession, dir: String) => {
+        // the RETRIEVAL CAPSTONE — the serving path a RAG pipeline runs
+        // per query batch, in ONE DataFrame DAG: BM25 retrieve (top-20)
+        // → pseudo-relevance-feedback ANN leg (the rank-1 hit's
+        // embedding retrieves semantic neighbors — the standard PRF
+        // bridge when queries have no embeddings) → reciprocal-rank
+        // fusion (top-10) → greedy MMR diversification (top-5, λ=0.5)
+        // → per-query context assembly via packSequences (stream =
+        // query, order = MMR rank, capacity 256 tokens). The corpus is
+        // restricted to EMBEDDED documents (what a vector-backed store
+        // actually serves) and is tokenized ONCE: the spread +
+        // localCheckpoint relation feeds BM25 and the token counts —
+        // PlanSpec asserts no documents.parquet re-scan. Every stage is
+        // individually oracle-gated elsewhere; this pins the
+        // COMPOSITION.
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+            "left_semi")
+        val toked = graft.Partitioning.spread(docs)
+          .withColumn("tk", filter(TextAnalysis.tokens(col("text")),
+            tok => tok =!= lit("")))
+          .localCheckpoint()
+        val queries = Seq((9001L, "spark window join"),
+          (9002L, "hash merge sort"), (9003L, "customer query table"))
+          .toDF("qid", "qtext")
+        val bm = Retrieval.bm25TopK(toked, "doc_id", "text",
+          queries, "qid", "qtext", topK = 20)
+        val seed = bm.filter(col("rank") === 1)
+          .select(col("query_id"), col("doc"))
+        val seedVecs = emb.join(seed, emb("vec_id") === seed("doc"))
+          .select(col("query_id").as("vec_id"), col("embedding"))
+        val ann = Similarity.topK(emb, seedVecs, "vec_id", "embedding", k = 20)
+        val fused = Retrieval.rrfFuse(Seq(
+          bm.select(col("query_id"), col("doc"), col("rank")),
+          ann.select(col("query_id"), col("nn_id").as("doc"), col("rank"))),
+          topK = 10)
+        val mmr = Similarity.diversifyMmr(
+          fused.select(col("query_id"), col("doc").as("nn_id"), col("score")),
+          emb, "vec_id", "embedding", k = 5, lambda = 0.5)
+        val toks = toked.select(col("doc_id").as("nn_id"),
+          size(col("tk")).cast("long").as("doc_toks"))
+        val sel = mmr.join(toks, Seq("nn_id"))
+        val packed = Corpus.packSequences(
+          sel.select(col("query_id"), col("rank"), col("doc_toks")),
+          idCol = "rank", tokensCol = "doc_toks", capacity = 256,
+          streamCol = Some("query_id"))
+        packed.select(col("stream").as("query_id"), col("doc").as("rank"),
+            col("n_toks"), col("start_offset"), col("seq_first"),
+            col("seq_last"))
+          .join(mmr, Seq("query_id", "rank"))
+          .select(col("query_id"), col("nn_id"), col("score"),
+            col("rank").cast("int").as("rank"), col("n_toks"),
+            col("start_offset"), col("seq_first"), col("seq_last"))
+      },
+      {
+        val qvals = Seq((9001L, "spark window join"),
+          (9002L, "hash merge sort"), (9003L, "customer query table"))
+          .flatMap { case (qid, text) =>
+            // CAST pins BIGINT — a bare literal would come out INT32 and
+            // fail the driver's schema compare against Spark's LongType
+            text.split(" ").distinct.map(tok => s"(CAST($qid AS BIGINT), '$tok')")
+          }.mkString(", ")
+        val annScore = Num.r6Sql(dotSql("c.v", "q.v"))
+        val recipMicro = s"CAST(floor(${Num.r6Sql("CAST(1 AS DOUBLE) / (60 + CAST(rank AS DOUBLE))")} * 1000000.0 + 0.5) AS BIGINT)"
+        val embedded = "doc_id IN (SELECT vec_id FROM embeddings)"
+        s"""WITH ${bm25RankCtes(embedded, qvals, topK = 20, p = "b")},
+           |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+           |seed AS (SELECT query_id, doc FROM brk WHERE rank = 1),
+           |sq AS (SELECT s.query_id, nv.v FROM seed s JOIN nv ON nv.id = s.doc),
+           |asc0 AS (SELECT q.query_id, c.id AS nn_id, $annScore AS score
+           |         FROM nv c JOIN sq q ON c.id <> q.query_id),
+           |ark AS (SELECT query_id, nn_id, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM asc0)
+           |  WHERE rank <= 20),
+           |rmic AS (SELECT query_id, doc, $recipMicro AS micro FROM brk
+           |         UNION ALL SELECT query_id, nn_id, $recipMicro FROM ark),
+           |fs AS (SELECT query_id, doc, ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
+           |       FROM rmic GROUP BY query_id, doc),
+           |frk AS (SELECT query_id, doc, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM fs)
+           |  WHERE rank <= 10),
+           |cv AS (SELECT f.query_id, f.doc AS nn_id, f.score,
+           |              CAST(floor(f.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
+           |       FROM frk f JOIN nv ON nv.id = f.doc),
+           |${mmrSelCtes(5, 500000L)},
+           |ntk AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS nt
+           |        FROM documents WHERE text IS NOT NULL AND $embedded),
+           |selt AS (SELECT s.query_id, s.nn_id, s.score, s.rk, n.nt
+           |         FROM sel5 s JOIN ntk n ON n.doc_id = s.nn_id),
+           |pk AS (SELECT *, CAST(coalesce(sum(nt) OVER (PARTITION BY query_id ORDER BY rk
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM selt)
+           |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank, nt AS n_toks, start_offset,
+           |  CAST(start_offset // 256 AS BIGINT) AS seq_first,
+           |  CAST(CASE WHEN nt > 0 THEN (start_offset + nt - 1) // 256 ELSE start_offset // 256 END AS BIGINT) AS seq_last
+           |FROM pk""".stripMargin
+      }),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>
@@ -631,6 +772,24 @@ private[graft] object TextCorpusGates {
       },
       bitextAnnOracleSql(nPlanes = 4, nTables = 16, k = 4)),
 
+    ("similarity_bitext_mined",
+      (s: SparkSession, dir: String) => {
+        // the end-to-end emission twin: the ANN miner's ranked margins
+        // pass the CCMatrix-style gate — margin ≥ 1.0 (the ratio's
+        // natural "better than its neighborhood average" point), best
+        // candidate per src, MUTUAL one-best per tgt — everything
+        // k-bounded downstream of the rank lists, no corpus re-access.
+        // Yield-vs-threshold on the clustered fixture is measured in
+        // SCALING.md; the threshold here exercises a selective cut.
+        val e = t(s, dir, "embeddings")
+        Similarity.bitextMinedPairs(
+          Similarity.bitextMineAnn(e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+            k = 4, nPlanes = 4, nTables = 16),
+          threshold = 1.0)
+      },
+      bitextMinedOracleSql(nPlanes = 4, nTables = 16, k = 4, threshold = 1.0)),
+
     ("corpus_select_budget",
       (s: SparkSession, dir: String) => {
         // quality-prioritized token-budget cut over the standard scorer;
@@ -684,6 +843,70 @@ private[graft] object TextCorpusGates {
          |  AND q.stopword_ratio >= 0.05
          |  AND r.top_word_frac <= 0.2
          |  AND r.distinct_frac >= 0.3""".stripMargin),
+
+    ("corpus_quality_model",
+      (s: SparkSession, dir: String) => {
+        // TRAINED quality classifier: logistic model over hashed
+        // uni+bigram counts (64 buckets + bias — the weight vector is
+        // literal-sized at any corpus scale), weak labels from the
+        // Gopher rules (the standard bootstrap when no human labels
+        // exist), 2 deterministic full-batch gradient steps whose
+        // arithmetic the oracle replays verbatim (integer micro-units,
+        // r6'd sigmoid, truncating integer division). The corpus is
+        // tokenized + hashed ONCE; each step works on the bucket-count
+        // relation, never the text.
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
+        val labels = d.select(col("doc_id"))
+          .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), lit(0)).as("label"))
+        Corpus.qualityModel(d, "doc_id", "text", labels,
+          nBuckets = 64, steps = 2)
+          .select(col("id").as("doc_id"), col("score"), col("pred"))
+      },
+      {
+        val sig = Num.r6Sql("1.0 / (1.0 + exp(-CAST(zm AS DOUBLE) / 1000000.0))")
+        val pm = s"CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT)"
+        def step(i: Int) =
+          s"""z$i AS (SELECT doc_id, sum(c * wm) AS zm
+             |       FROM db2 JOIN w$i USING (b) GROUP BY doc_id),
+             |e$i AS (SELECT z$i.doc_id, $pm - ym AS errm
+             |       FROM z$i JOIN lbl USING (doc_id)),
+             |g$i AS (SELECT b, sum(errm * c) AS g
+             |       FROM db2 JOIN e$i USING (doc_id) GROUP BY b),
+             |w${i + 1} AS (SELECT w.b, w.wm - coalesce(g.g, 0) // (2 * (SELECT n FROM nn)) AS wm
+             |       FROM w$i w LEFT JOIN g$i g USING (b))""".stripMargin
+        s"""WITH $textBCte,
+           |$qualityCtes,
+           |${repetitionCtes("documents")},
+           |lbl AS (SELECT q.doc_id,
+           |          CASE WHEN q.n_tokens BETWEEN 40 AND 100000
+           |                AND q.avg_token_len BETWEEN 3.0 AND 10.0
+           |                AND q.stopword_ratio >= 0.05
+           |                AND r.top_word_frac <= 0.2
+           |                AND r.distinct_frac >= 0.3
+           |               THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ym
+           |        FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+           |tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                                   t -> t <> '') AS tk
+           |        FROM documents WHERE text IS NOT NULL),
+           |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
+           |       UNION ALL
+           |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+           |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |       FROM tkz),
+           |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
+           |db2 AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, b
+           |        UNION ALL
+           |        SELECT DISTINCT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM fb),
+           |nn AS (SELECT count(DISTINCT doc_id) AS n FROM fb),
+           |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM db2),
+           |${step(0)},
+           |${step(1)},
+           |zf AS (SELECT doc_id, sum(c * wm) AS zm
+           |       FROM db2 JOIN w2 USING (b) GROUP BY doc_id)
+           |SELECT doc_id, $sig AS score, ($sig) >= 0.5 AS pred FROM zf""".stripMargin
+      }),
 
     ("corpus_perplexity",
       (s: SparkSession, dir: String) => {

@@ -609,21 +609,26 @@ object Corpus {
     * same clamp as [[graft.streaming.EventStream.packStream]]).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    capacity: Long, nStreams: Int = 64): DataFrame = {
+                    capacity: Long, nStreams: Int = 64,
+                    streamCol: Option[String] = None): DataFrame = {
     require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
     // same reserved-name fail-fast as batchByLength: an idCol or
     // tokensCol named 'stream'/'n_toks'/'start_offset' would be
     // shadowed by the generated withColumn (case-insensitive)
-    require(!Seq(idCol, tokensCol).exists(c =>
+    require(!(Seq(idCol, tokensCol) ++ streamCol).exists(c =>
       Seq("stream", "n_toks", "start_offset", "seq_first", "seq_last").exists(c.equalsIgnoreCase)),
-      "idCol/tokensCol must not be named 'stream', 'n_toks', 'start_offset', " +
+      "idCol/tokensCol/streamCol must not be named 'stream', 'n_toks', 'start_offset', " +
         "'seq_first' or 'seq_last' — reserved by packSequences")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("stream")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     graft.Partitioning.spread(df)
-      .withColumn("stream",
-        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")), lit(nStreams.toLong)))
+      // streamCol overrides the hash-derived stream: CALLER-KEYED packing
+      // (e.g. one context-assembly stream per query, ordered by rerank
+      // position) — idCol then only needs uniqueness WITHIN a stream, and
+      // nStreams is ignored; parallelism = distinct stream keys
+      .withColumn("stream", streamCol.map(col).getOrElse(
+        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")), lit(nStreams.toLong))))
       .withColumn("n_toks", greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L)))
       .withColumn("start_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col(idCol).as("doc"), col("n_toks"), col("stream"), col("start_offset"),
@@ -957,5 +962,106 @@ object Corpus {
       .groupBy("id").agg(sum(col("c") * col("lam")).as("wm"))
       .select(col("id"),
         graft.Num.r6(col("wm").cast("double") / lit(1000000.0d)).as("logw"))
+  }
+
+  /** The hashed uni+bigram per-(doc, bucket) count relation shared by
+    * [[dsirWeights]] and [[qualityModel]] — `(id, b, c)`, one tokenize +
+    * hash pass over the corpus, bucket ids in [0, nBuckets).
+    */
+  private def hashedFeatureCounts(df: DataFrame, idCol: String,
+                                  textCol: String, nBuckets: Int): DataFrame = {
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= lit(""))
+    val bi = zip_with(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    graft.Partitioning.spread(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(concat(tk, bi)).as("g"))
+      .select(col("id"),
+        pmod(TextAnalysis.rollingHash(col("g")), lit(nBuckets.toLong)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Trained document-quality classifier — the fastText-style learned
+    * complement to the heuristic [[graft.llm.TextAnalysis.quality]] /
+    * [[dsirWeights]] scorers: a logistic model over hashed uni+bigram
+    * counts (the hashing trick keeps the weight vector `nBuckets + 1`
+    * entries — literal-sized — no vocabulary ever materializes),
+    * trained by `steps` DETERMINISTIC full-batch gradient steps against
+    * a caller-supplied 0/1 label relation (the gate derives a weak
+    * label from the Gopher rules — the standard bootstrap when no human
+    * labels exist).
+    *
+    * Each training step is the [[graft.llm.Similarity]] kmeansRefine
+    * discipline: the weight vector rides the plan as a LITERAL map;
+    * per-doc logits are exact integer sums of count × micro-weight; the
+    * sigmoid is r6-rounded the moment it is computed (the repo-wide
+    * transcendental rule — `exp` here, `ln` in BM25/PMI); the gradient
+    * aggregate collects `nBuckets + 1` integer rows to the driver,
+    * which applies the update in exact integer arithmetic
+    * (`g / (2·n)` — learning rate ½; Java's truncating long division
+    * is exactly DuckDB's BIGINT `//`). Everything is therefore
+    * byte-reproducible across partitionings and engines.
+    *
+    * Scale shape: the corpus is tokenized + hash-exploded EXACTLY ONCE
+    * (the per-(doc, bucket) counts are materialized and every step
+    * reads them); per step the work is one groupBy(id) over that
+    * bucket-count relation, one id-keyed join against the labels, and
+    * one (nBuckets + 1)-row integer aggregate — bucket-count-relation
+    * work, never corpus-text work, and driver state is the weight
+    * vector by construction. Documents with no features score through
+    * the bias weight alone. Null-text documents are absent (no
+    * evidence), matching [[dsirWeights]].
+    *
+    * @param labels `(idCol, label)` with label ∈ {0, 1}
+    * @return (id, score, pred) — score = r6(sigmoid(z)), pred = score ≥ ½
+    */
+  def qualityModel(docs: DataFrame, idCol: String, textCol: String,
+                   labels: DataFrame, nBuckets: Int, steps: Int): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    require(steps >= 1, "steps must be >= 1")
+    val bias = nBuckets.toLong // the virtual always-on feature bucket
+    val db0 = hashedFeatureCounts(docs, idCol, textCol, nBuckets)
+    val spark = docs.sparkSession
+    // bias rows ride the SAME relation so every step is one scan of it
+    val db = db0.select(col("id"), col("b"), col("c"))
+      .unionByName(db0.select(col("id")).distinct()
+        .select(col("id"), lit(bias).as("b"), lit(1L).as("c")))
+      .localCheckpoint()
+    val lab = labels.select(col(idCol).as("id"),
+      (col("label").cast("long") * lit(1000000L)).as("ym"))
+    def zm(wm: Map[Long, Long]) =
+      db.groupBy("id").agg(sum(col("c") *
+        element_at(typedLit(wm), col("b"))).as("zm"))
+    def pMicro = floor(graft.Num.r6(lit(1.0d) /
+      (lit(1.0d) + exp(-col("zm").cast("double") / lit(1000000.0d))))
+      * lit(1000000.0d) + lit(0.5d)).cast("long")
+    var wm: Map[Long, Long] = (0L to bias).map(_ -> 0L).toMap
+    // the training-set size is step-invariant: labeled docs with
+    // features (the bias row is one per featured doc) — computed once
+    val n = math.max(1L, db.where(col("b") === bias)
+      .join(lab, Seq("id"), "left_semi").count())
+    for (_ <- 0 until steps) {
+      // one job: per-doc logit -> r6 sigmoid -> residual joins back to
+      // the bucket counts -> (nBuckets + 1)-row integer gradient
+      val rows = zm(wm)
+        .join(lab, Seq("id"))
+        .select(col("id"), (pMicro - col("ym")).as("errm"))
+        .join(db, Seq("id"))
+        .groupBy("b").agg(sum(col("errm") * col("c")).as("g"))
+        .collect()
+      val byB = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // lr = 1/2: wm -= g / (2n) — exact integers; Java long division
+      // truncates toward zero, exactly like DuckDB's BIGINT `//`
+      // (measured: (-7) // 2 = -3 there, not floor's -4), so the oracle
+      // mirrors the update bit-for-bit
+      wm = wm.map { case (b, w) =>
+        b -> (w - byB.getOrElse(b, 0L) / (2L * n))
+      }
+    }
+    zm(wm).select(col("id"),
+        graft.Num.r6(lit(1.0d) /
+          (lit(1.0d) + exp(-col("zm").cast("double") / lit(1000000.0d)))).as("score"))
+      .withColumn("pred", col("score") >= lit(0.5d))
   }
 }

@@ -425,6 +425,8 @@ object Dedup {
                          nBuckets: Int): Unit = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val spark = corpus.sparkSession
+    // a rebuild starts with no deletes (the Tombstones contract)
+    graft.ops.Tombstones.clear(spark, table)
     val raw = docShinglesHashed(corpus, idCol, textCol, n, None)
       .localCheckpoint()
     val flood = maxDocFreq match {
@@ -556,7 +558,11 @@ object Dedup {
     val k = meta.getInt(meta.fieldIndex("k"))
     val rpb = meta.getInt(meta.fieldIndex("rows_per_band"))
     val flood = spark.table(s"${table}_flood")
-    val dsOld = spark.table(s"${table}_shingles")
+    // tombstoned docs are excluded from both persisted relations — a
+    // deleted document must neither generate candidates nor contribute
+    // shingles to a Jaccard intersection
+    val dsOld = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(s"${table}_shingles"), "doc")
     // no broadcast hint: the flood set is usually tiny (shingles above
     // the cap) and Catalyst broadcasts it from table stats, but on a
     // boilerplate-heavy corpus it can grow past broadcast size — let
@@ -566,13 +572,39 @@ object Dedup {
       .localCheckpoint()
     val cand = bandKeys(dsNew, k, rpb)
       .select(col("doc").as("d_new"), col("bkey"), col("bkey2"))
-      .join(spark.table(table)
+      .join(graft.ops.Tombstones.filterByParent(spark, table,
+          spark.table(table), "doc")
         .select(col("doc").as("d_old"), col("bkey"), col("bkey2")),
         Seq("bkey", "bkey2"))
       .select(col("d_new"), col("d_old")).distinct()
     jaccardVerify(dsOld.unionByName(dsNew), cand, "d_new", "d_old",
       threshold, ordered = false)
   }
+
+  /** Logically delete documents from an [[ingestMinhashIndex]] index —
+    * the takedown verb: doc ids tombstone (takedown-list-sized), every
+    * [[minhashLshIngested]] probe excludes them from both the band and
+    * shingle relations, and [[compactMinhashIndex]] drops the rows
+    * physically. The FLOOD SET stays frozen at its ingest-time value —
+    * the same honest exception as append (it was trained over the
+    * ingest corpus; deleting documents does not un-flood a shingle
+    * that was boilerplate) — so `ingest(A∪B); delete(B)` equals an
+    * index over A whose doc-frequency cap was computed over A∪B, the
+    * exact mirror of the append contract, and the periodic ingest
+    * rebuild remains the flood-refresh trigger.
+    */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "doc"); ()
+  }
+
+  /** Physical drop + tombstone clear for a MinHash index (band and
+    * shingle tables; the flood set is doc-independent and untouched).
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table,
+      Seq(table -> "bkey", s"${table}_shingles" -> "h"), "doc")
 
   /** SimHash over token hashes: bit b of the signature is 1 iff the count
     * of tokens with bit b set exceeds half the token count. The rolling

@@ -158,6 +158,8 @@ object Retrieval {
   def ingestBm25(docs: DataFrame, idCol: String, textCol: String,
                  table: String, nBuckets: Int): Unit = {
     val (tf, dl) = postings(docs, idCol, textCol)
+    // a rebuild starts with no deletes (the Tombstones contract)
+    graft.ops.Tombstones.clear(docs.sparkSession, table)
     graft.ops.Bucketing.writeBucketed(tf, table, "term", nBuckets)
     graft.ops.Bucketing.writeBucketed(dl, s"${table}_dl", "doc", nBuckets)
     graft.ops.Bucketing.writeSmall(
@@ -243,14 +245,57 @@ object Retrieval {
   def bm25TopKIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                        queries: DataFrame, qidCol: String, qTextCol: String,
                        topK: Int, k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
-    val tf = spark.table(table)
-    val dl = spark.table(s"${table}_dl")
+    // tombstoned docs are excluded from BOTH posting relations, and the
+    // stats sidecar was exactly adjusted at delete time — so the probe
+    // is bit-identical to an ingest that never saw the deleted docs
+    val tf = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(table), "doc")
+    val dl = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(s"${table}_dl"), "doc")
     val st = spark.table(s"${table}_stats").first()
     val n = st.getLong(st.fieldIndex("n"))
     val sumdl = st.getLong(st.fieldIndex("sumdl"))
     scoreBm25(tf, dl, n, sumdl,
       queryTerms(queries, qidCol, qTextCol), topK, k1, b)
   }
+
+  /** Logically delete documents from an [[ingestBm25]] index — the
+    * takedown verb: the doc ids tombstone (takedown-list-sized work),
+    * every probe anti-joins both posting relations against the set, and
+    * the `(n, sumdl)` stats sidecar is adjusted by EXACT integer
+    * subtraction of the deleted docs' counts (one doc-bucketed semi-join
+    * over the length table — never a corpus re-scan). Because document
+    * frequency is derived from the (filtered) posting lists at probe
+    * time, `ingestBm25(A∪B); deleteFromBm25(B)` is BIT-IDENTICAL to
+    * `ingestBm25(A)` at probe time — N, avgdl, df, tf and every score
+    * match; the delete gate shares the A-only oracle as proof.
+    * [[compactBm25]] performs the physical drop. Already-deleted ids
+    * are ignored (the stats adjustment sees only NEWLY tombstoned ids,
+    * so a repeated delete cannot double-subtract).
+    */
+  def deleteFromBm25(spark: org.apache.spark.sql.SparkSession, table: String,
+                     ids: DataFrame): Unit = {
+    val fresh = graft.ops.Tombstones.add(spark, table, ids, "doc")
+    val del = spark.table(s"${table}_dl")
+      .join(fresh, Seq("doc"), "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .first()
+    val st = spark.table(s"${table}_stats").first()
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      Seq((st.getLong(st.fieldIndex("n")) - del.getLong(0),
+        st.getLong(st.fieldIndex("sumdl")) - del.getLong(1))).toDF("n", "sumdl"),
+      s"${table}_stats")
+  }
+
+  /** Physically drop tombstoned docs from both BM25 posting tables and
+    * clear the tombstone set (per-bucket local rewrites; the stats
+    * sidecar was already adjusted at delete time).
+    */
+  def compactBm25(spark: org.apache.spark.sql.SparkSession,
+                  table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table,
+      Seq(table -> "term", s"${table}_dl" -> "doc"), "doc")
 
   /** Two-stage per-query top-k over (query_id, doc, score) — the
     * [[Similarity]] salted-merge discipline applied to retrieval: a

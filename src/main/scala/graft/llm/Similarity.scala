@@ -364,13 +364,22 @@ object Similarity {
       .select(col("query_id"), col("nn_id")).distinct()
   }
 
+  /** `excludeSelf = false` switches off the `nn_id =!= query_id` filter
+    * — required when corpus and queries are DIFFERENT relations whose id
+    * spaces may overlap coincidentally (bitext mining's src/tgt sides:
+    * line-aligned parallel corpora commonly number both sides
+    * identically, and the self-exclusion would silently drop exactly
+    * the true diagonal pairs). Default true: same-relation kNN, where
+    * a vector trivially being its own nearest neighbor is noise.
+    */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nSalts: Int = 0): DataFrame = {
+           k: Int, nSalts: Int = 0, excludeSelf: Boolean = true): DataFrame = {
     val c = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("nn_id") =!= col("query_id"))
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) paired.filter(col("nn_id") =!= col("query_id"))
+                  else paired)
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
     topKMerge(scored, k, salts)
   }
@@ -532,25 +541,35 @@ object Similarity {
       val perS = (0 until m).map { s =>
         struct(lit(s).as("s"),
           argminL2(slice(col("cv"), s * sub + 1, sub), books(s)).as("code"),
-          slice(col("cv"), s * sub + 1, sub).as("sv"))
+          slice(col("cv"), s * sub + 1, sub).as("sv"),
+          size(col("cv")).as("fd"))
       }
       // one scan: explode feeds a partially-aggregated groupBy — the
       // exchange carries only the m × nCodes aggregated rows. min/max
-      // subvector length ride along so ragged input fails LOUDLY (the
-      // kmeansRefine guard; try_element_at keeps the message ours)
+      // subvector length AND full-vector length ride along so ragged
+      // input fails LOUDLY (the kmeansRefine guard; try_element_at
+      // keeps the message ours). The full-vector bound matters: a
+      // vector LONGER than dim still slices into full-length
+      // subvectors everywhere, so the subvector check alone would pass
+      // silently and code it from its first dim dimensions
       val aggCols = Seq(count(lit(1)).as("cnt"),
-        min(size(col("sv"))).as("mindim"), max(size(col("sv"))).as("maxdim")) ++
+        min(size(col("sv"))).as("mindim"), max(size(col("sv"))).as("maxdim"),
+        min(col("fd")).as("minfd"), max(col("fd")).as("maxfd")) ++
         (0 until sub).map(d =>
           sum(floor(try_element_at(col("sv"), lit(d + 1)) * lit(1000000.0d) + lit(0.5d))
             .cast("long")).as(s"x$d"))
       val rows = c.select(explode(array(perS: _*)).as("e"))
-        .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          col("e.sv").as("sv"), col("e.fd").as("fd"))
         .groupBy(col("s"), col("code")).agg(aggCols.head, aggCols.tail: _*)
         .collect()
       rows.foreach { r =>
         require(r.getInt(3) == sub && r.getInt(4) == sub,
           s"topKPq requires uniform $dim-dim vectors; found subvector lengths " +
             s"${r.getInt(3)}..${r.getInt(4)} in subspace ${r.getInt(0)}")
+        require(r.getInt(5) == dim && r.getInt(6) == dim,
+          s"topKPq requires uniform $dim-dim vectors; found vector lengths " +
+            s"${r.getInt(5)}..${r.getInt(6)}")
       }
       val byKey = rows.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
       books = books.zipWithIndex.map { case (book, s) =>
@@ -558,7 +577,7 @@ object Similarity {
           byKey.get((s, cid)) match {
             case Some(r) =>
               val cnt = r.getLong(2).toDouble
-              cid -> (0 until sub).map(d => r.getLong(5 + d).toDouble / 1000000.0d / cnt)
+              cid -> (0 until sub).map(d => r.getLong(7 + d).toDouble / 1000000.0d / cnt)
             case None => cid -> old
           }
         }
@@ -617,6 +636,17 @@ object Similarity {
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
     val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    pqRescore(cand, cvec, q, k)
+  }
+
+  /** The candidate-bounded exact-rescore tail every two-tier family
+    * ends in ([[topKSq8]]/[[topKPq]]/[[topKIvfPq]] and their ingested
+    * twins): fetch full-precision vectors for the (queries ×
+    * nCandidates — broadcast-scale by construction) candidate set only,
+    * score exact cosines, rank.
+    */
+  private def pqRescore(cand: DataFrame, cvec: DataFrame, q: DataFrame,
+                        k: Int): DataFrame = {
     val rescored = broadcast(cand).join(cvec, Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
@@ -651,6 +681,7 @@ object Similarity {
     // of real rows reject loudly (no quantizer to code against)
     val codesCol =
       if (books.isEmpty) typedLit(Seq.empty[Long]) else pqCodes(books)
+    graft.ops.Tombstones.clear(corpus.sparkSession, table)
     graft.ops.Bucketing.writeBucketed(
       c.select(col("nn_id"), codesCol.as("codes")),
       table, "nn_id", nBuckets)
@@ -769,8 +800,11 @@ object Similarity {
   def pqReconStats(spark: org.apache.spark.sql.SparkSession,
                    table: String): DataFrame = {
     val books = pqBooksOf(spark, table)
-    val joined = spark.table(s"${table}_vectors")
-      .join(spark.table(table), Seq("nn_id"))
+    // tombstoned rows are excluded: the drift signal should reflect the
+    // LIVE index, not rows a probe can no longer see
+    val joined = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(s"${table}_vectors").join(spark.table(table), Seq("nn_id")),
+      "nn_id")
     if (books.isEmpty)
       return joined.select(lit(0).as("s"), lit(0L).as("n_vectors"),
         lit(0.0d).as("mse")).where(lit(false))
@@ -805,16 +839,258 @@ object Similarity {
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
     val books = pqBooksOf(spark, table)
-    val cvec = spark.table(s"${table}_vectors")
+    val cvec = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(s"${table}_vectors"), "nn_id")
     if (books.isEmpty) {
       // empty-corpus index
       val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
       return emptyTopKResult(cvec, q)
     }
-    val cq = spark.table(table)
+    val cq = graft.ops.Tombstones.filterByParent(spark, table,
+        spark.table(table), "nn_id")
       .select(col("nn_id"), pqReconstructCodes(books, col("codes")).as("dq"))
     pqServe(cq, cvec, queries, idCol, vecCol, k, nCandidates, nSalts)
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ composed top-k (FAISS IVFADC's shape, Jégou et al. 2011
+    * §V): the coarse k-means quantizer PRUNES — a query only examines
+    * its `nProbe` nearest cells — and product quantization COMPRESSES
+    * what the probe reads inside those cells; survivors exact-rescore
+    * from full-precision vectors. This is the standard production ANN
+    * store: at 100 TB the probe scans nProbe/nCentroids of the corpus
+    * AND reads it at m·log2(nCodes) bits per vector — the two parents'
+    * savings multiply.
+    *
+    * Both quantizers train on the same normalized corpus with the same
+    * deterministic machinery ([[coarseQuantizer]] cosine Lloyd's for
+    * the cells, [[pqCodebooks]] Euclidean Lloyd's per subspace — one
+    * narrow corpus scan per round each, exact-integer means). Codes
+    * here quantize the VECTOR, not the residual: residual coding (ADC's
+    * refinement) buys recall at the cost of per-cell codebooks; the
+    * global-codebook form keeps codes valid across cell reassignment
+    * and is what the frozen-sidecar append contract needs. Recall < 1
+    * on two axes — raise `nProbe` (cells) or `nCandidates` (rescore
+    * pool); AnnRecallSpec pins the floor at the gate parameters.
+    *
+    * @return (query_id, nn_id, score, rank) — score is the EXACT cosine
+    */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                m: Int, nCodes: Int, kmeansIters: Int,
+                nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    val cent = coarseQuantizer(c, nCentroids, kmeansIters)
+    val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    if (books.isEmpty) return emptyTopKResult(c, q)
+    val coded = assignClusters(c, cent)
+      .select(col("nn_id"), col("cluster"), pqReconstruct(books).as("dq"))
+    val probes = ivfProbes(q, cent, nProbe)
+    val coarse = coded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    pqRescore(cand, c, q, k)
+  }
+
+  /** The query-side probe relation shared by the IVF family: rank the
+    * literal centroids per query (a window over queries × nCentroids
+    * rows only — never corpus-scale), keep the `nProbe` nearest.
+    */
+  private def ivfProbes(q: DataFrame, cent: Seq[(Long, Seq[Double])],
+                        nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    q.select(col("query_id"), col("qv"), explode(typedLit(cent)).as("ct"))
+      .select(col("query_id"), col("qv"),
+        col("ct").getField("_1").as("cid"), col("ct").getField("_2").as("centv"))
+      .withColumn("sim", dot(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+  }
+
+  /** Persist the composed IVF-PQ index ONCE: the cluster-bucketed
+    * `(nn_id, cluster, codes)` table (a probe reads only its nProbe
+    * cells' buckets, and each row is m codes, not dim floats — the
+    * multiplied saving), the id-bucketed full-precision rescore table,
+    * and BOTH sidecars (centroids + codebooks). Probes are
+    * bit-identical to [[topKIvfPq]] at the index parameters (pure
+    * functions of the frozen sidecars; parquet round-trips exactly) —
+    * the gate shares one oracle. Same single-writer contract; a
+    * rebuild clears any tombstone set.
+    */
+  def ingestIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                  table: String, nCentroids: Int, m: Int, nCodes: Int,
+                  kmeansIters: Int, nBuckets: Int): Unit = {
+    val c = normalizedCorpus(corpus, idCol, vecCol, kmeansIters)
+    val cent = coarseQuantizer(c, nCentroids, kmeansIters)
+    val books = pqCodebooks(c, m, nCodes, kmeansIters)
+    val codesCol =
+      if (books.isEmpty) typedLit(Seq.empty[Long]) else pqCodes(books)
+    val spark = corpus.sparkSession
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Bucketing.writeBucketed(
+      assignClusters(c, cent).select(col("nn_id"), col("cluster"),
+        codesCol.as("codes")),
+      table, "cluster", nBuckets)
+    graft.ops.Bucketing.writeBucketed(
+      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id", nBuckets)
+    import spark.implicits._
+    graft.ops.Bucketing.writeSmall(
+      cent.toDF("cid", "centv"), s"${table}_centroids")
+    graft.ops.Bucketing.writeSmall(
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { case (cid, centv) => (s, cid, centv) }
+      }.toDF("s", "cid", "centv"), s"${table}_codebooks")
+  }
+
+  /** Append a batch into an [[ingestIvfPq]] index: assignment and codes
+    * are pure per-vector functions of the two FROZEN sidecars, so the
+    * work is batch-sized and `ingestIvfPq(A); appendIvfPq(B)` equals
+    * coding/assigning A∪B under A's quantizers. Both drift monitors
+    * apply ([[ivfClusterStats]] for cells, [[pqReconStats]]'s analogue
+    * via a rebuild when reconstruction error rises). Batch ids must be
+    * distinct from live index ids, and must not be tombstoned
+    * (re-admission requires a purge or rebuild — the
+    * [[graft.ops.Tombstones]] contract).
+    */
+  def appendIvfPq(spark: org.apache.spark.sql.SparkSession, table: String,
+                  batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val books = pqBooksOf(spark, table)
+    val c = graft.Partitioning.spread(batch)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    if (books.isEmpty || cent.isEmpty) {
+      require(c.limit(1).count() == 0L,
+        s"appendIvfPq: index '$table' has an empty quantizer sidecar — an " +
+          "empty-corpus index defines no quantizer; rebuild with ingestIvfPq")
+      return
+    }
+    val dim = books.length * books.head.head._2.length
+    require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+      s"appendIvfPq: index '$table' codes $dim-dim vectors; batch contains " +
+        "a different length — rebuild with ingestIvfPq or fix the batch")
+    graft.ops.Bucketing.appendBucketed(
+      assignClusters(c, cent).select(col("nn_id"), col("cluster"),
+        pqCodes(books).as("codes")),
+      table, "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Bucketing.appendBucketed(
+      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id",
+      graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
+  }
+
+  /** Serve a query batch against an [[ingestIvfPq]] index: both
+    * sidecars ride the plan as literals, the probe reads ONLY the
+    * nProbe probed cells from the cluster-bucketed codes table
+    * (reconstructing codewords in place), and full vectors appear only
+    * in the candidate-bounded rescore. Tombstoned ids are excluded on
+    * both the coarse and rescore reads. Bit-identical to [[topKIvfPq]]
+    * at the index parameters.
+    */
+  def topKIvfPqIngested(spark: org.apache.spark.sql.SparkSession, table: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int, nCandidates: Int = 0,
+                        nSalts: Int = 0): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val books = pqBooksOf(spark, table)
+    val cvec = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(s"${table}_vectors"), "nn_id")
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    if (books.isEmpty || cent.isEmpty) return emptyTopKResult(cvec, q)
+    val coded = graft.ops.Tombstones.filterByParent(spark, table,
+        spark.table(table), "nn_id")
+      .select(col("nn_id"), col("cluster"),
+        pqReconstructCodes(books, col("codes")).as("dq"))
+    val probes = ivfProbes(q, cent, nProbe)
+    val coarse = coded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    pqRescore(cand, cvec, q, k)
+  }
+
+  /** Logically delete ids from an [[ingestIvfPq]] index (probes exclude
+    * them immediately; [[compactIvfPq]] drops them physically). Trained
+    * state stays frozen — the append contract's mirror.
+    */
+  def deleteFromIvfPq(spark: org.apache.spark.sql.SparkSession, table: String,
+                      ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "nn_id"); ()
+  }
+
+  /** Physically drop tombstoned rows from both IVF-PQ tables and clear
+    * the tombstone set — a per-bucket local rewrite on each.
+    */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table,
+      Seq(table -> "cluster", s"${table}_vectors" -> "nn_id"), "nn_id")
+
+  // ------------------------------------------- DELETE (tombstone) verbs
+
+  /** Logically delete ids from an [[ingestIvf]] index: the tombstone
+    * set is takedown-list work only, probes exclude the ids
+    * immediately, and [[compactIvf]] drops the rows physically. The
+    * frozen centroids stay — the append contract's mirror — so
+    * `ingestIvf(A∪B); deleteFromIvf(B)` serves A's rows under
+    * centroids(A∪B): with kmeansIters = 0 and B ids above A's seed
+    * range that IS `ingestIvf(A)` bit-for-bit (the gate proof); with
+    * trained centroids the honest difference is the quantizer, not the
+    * rows, and [[ivfClusterStats]] (which counts LIVE rows) remains
+    * the rebuild trigger.
+    */
+  def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, table: String,
+                    ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "nn_id"); ()
+  }
+
+  /** Physical drop + tombstone clear for an IVF index. */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession,
+                 table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table, Seq(table -> "cluster"), "nn_id")
+
+  /** Logically delete ids from an [[ingestLsh]] index. Band keys are a
+    * pure per-vector function of the sidecar parameters — no frozen
+    * corpus-trained state at all — so `ingestLsh(A∪B); deleteFromLsh(B)`
+    * is BIT-IDENTICAL to `ingestLsh(A)` at probe time at any
+    * parameters; the delete gate shares the A-only oracle outright.
+    */
+  def deleteFromLsh(spark: org.apache.spark.sql.SparkSession, table: String,
+                    ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "nn_id"); ()
+  }
+
+  /** Physical drop + tombstone clear for an LSH index. */
+  def compactLsh(spark: org.apache.spark.sql.SparkSession,
+                 table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table, Seq(table -> "bucket"), "nn_id")
+
+  /** Logically delete ids from an [[ingestPq]] index (codes AND rescore
+    * vectors are excluded — both tables share the tombstone set).
+    * Frozen codebooks stay, as on append; [[pqReconStats]] over the
+    * live rows remains the rebuild trigger.
+    */
+  def deleteFromPq(spark: org.apache.spark.sql.SparkSession, table: String,
+                   ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "nn_id"); ()
+  }
+
+  /** Physical drop + tombstone clear for a PQ index (both tables). */
+  def compactPq(spark: org.apache.spark.sql.SparkSession,
+                table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table,
+      Seq(table -> "nn_id", s"${table}_vectors" -> "nn_id"), "nn_id")
 
   /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
     * diversified reranking: from a scored candidate list per query,
@@ -850,22 +1126,56 @@ object Similarity {
     *         relevance; rank is the MMR selection order (1 = first pick)
     */
   def diversifyMmr(candidates: DataFrame, corpus: DataFrame, idCol: String,
-                   vecCol: String, k: Int, lambda: Double): DataFrame = {
+                   vecCol: String, k: Int, lambda: Double): DataFrame =
+    diversifyMmrFrom(candidates,
+      graft.Partitioning.spread(corpus)
+        .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv")),
+      k, lambda)
+
+  /** [[diversifyMmr]] against a PERSISTED normalized-vector table
+    * `(nn_id, cv)` bucketed by nn_id — exactly what [[ingestPq]] /
+    * [[ingestIvfPq]] write as `<table>_vectors`. The one
+    * corpus-touching operation (the candidate-vector fetch) becomes a
+    * broadcast join against the id-bucketed scan instead of a raw
+    * corpus scan + normalize: no normalization work, and the bucketed
+    * layout lets the scan prune to candidate buckets in a
+    * deployment with bucket pruning (PlanSpec asserts strictly fewer
+    * exchanges than the raw-corpus form). Tombstoned ids are excluded
+    * — a deleted vector must not resolve (the candidate contract then
+    * fails loudly, which is correct: the candidate list is stale).
+    */
+  def diversifyMmrIngested(spark: org.apache.spark.sql.SparkSession,
+                           vectorsTable: String, candidates: DataFrame,
+                           k: Int, lambda: Double): DataFrame =
+    diversifyMmrFrom(candidates,
+      graft.ops.Tombstones.filterByParent(spark, vectorsTable,
+        spark.table(vectorsTable), "nn_id"),
+      k, lambda)
+
+  /** The shared MMR core over a prepared normalized relation
+    * `cvec (nn_id, cv)`. PIN COST: this call persists up to k+1
+    * MEMORY_AND_DISK plans (the candidate fetch plus one remaining-pool
+    * plan per selection round; the candidate INPUT pin is released
+    * eagerly once the contract counts have materialized it into the
+    * joined cache). The pins are only dropped by
+    * [[graft.Partitioning.unpersistPins]] — a long-lived serving
+    * session calling MMR per request MUST call it after each request's
+    * terminal action, or cache accumulates linearly in k × calls.
+    */
+  private def diversifyMmrFrom(candidates: DataFrame, cvec: DataFrame,
+                               k: Int, lambda: Double): DataFrame = {
     require(k >= 1, "k must be positive")
     require(lambda >= 0.0d && lambda <= 1.0d, "lambda must be in [0, 1]")
     val lm = math.floor(lambda * 1e6 + 0.5).toLong
     val om = 1000000L - lm
     def micro(c: Column): Column =
       floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
-    val cvec = graft.Partitioning.spread(corpus)
-      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     // candIn is pinned BEFORE the contract counts so its (often
     // expensive — a full retrieval) lineage evaluates exactly once;
     // both counts below then read caches
-    val candIn = graft.Partitioning.trackPin(
-      candidates.select(col("query_id"), col("nn_id"),
+    val candIn = candidates.select(col("query_id"), col("nn_id"),
         col("score"), micro(col("score")).as("relm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = graft.Partitioning.trackPin(
       cvec.join(broadcast(candIn), Seq("nn_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -878,6 +1188,11 @@ object Similarity {
     require(nGot == nIn,
       s"diversifyMmr: $nIn candidates resolved to $nGot corpus vectors — " +
         "candidate ids must match exactly one corpus row each")
+    // the second count materialized `cand` in full, so candIn's cache
+    // has no further reader — release it NOW instead of tracking it to
+    // unpersistPins (lineage stays intact for executor-loss recompute);
+    // this keeps the per-call pin count at k+1, not k+2
+    candIn.unpersist(false)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr").desc, col("nn_id").asc)
     def argmaxPick(scored: DataFrame, r: Int): DataFrame =
@@ -944,8 +1259,12 @@ object Similarity {
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    bitextMargins(topK(tgt, src, idCol, vecCol, k),
-      topK(src, tgt, idCol, vecCol, k))
+    // CROSS-SET top-k (excludeSelf = false): src and tgt are different
+    // relations, and line-aligned parallel corpora commonly number both
+    // sides identically — the same-id exclusion would silently drop
+    // exactly the true diagonal pairs (src line i ↔ tgt line i)
+    bitextMargins(topK(tgt, src, idCol, vecCol, k, excludeSelf = false),
+      topK(src, tgt, idCol, vecCol, k, excludeSelf = false))
   }
 
   /** [[bitextMine]] with LSH-bucketed candidate generation — the corpus
@@ -964,9 +1283,40 @@ object Similarity {
                     vecCol: String, k: Int, nPlanes: Int,
                     nTables: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    // cross-set top-k, as in [[bitextMine]]: overlapping src/tgt id
+    // spaces must not drop the diagonal pairs
     bitextMargins(
-      topKLsh(tgt, src, idCol, vecCol, k, nPlanes = nPlanes, nTables = nTables),
-      topKLsh(src, tgt, idCol, vecCol, k, nPlanes = nPlanes, nTables = nTables))
+      topKLsh(tgt, src, idCol, vecCol, k, nPlanes = nPlanes,
+        nTables = nTables, excludeSelf = false),
+      topKLsh(src, tgt, idCol, vecCol, k, nPlanes = nPlanes,
+        nTables = nTables, excludeSelf = false))
+  }
+
+  /** The CCMatrix emission step downstream of the miners: apply the
+    * margin threshold and the MUTUAL one-best filter to a mined ranking
+    * — keep (x, y) only when y is x's best candidate by margin (rank 1)
+    * AND x is y's best among the rank-1 pairs (ties to the lowest
+    * src_id) and the margin clears `threshold`. This is the
+    * precision/yield dial Artetxe & Schwenk apply before emitting a
+    * parallel corpus; raising the threshold trades yield for precision.
+    *
+    * Scale shape: input is the miners' k-bounded output (≤ |src|·2k
+    * rows); the one-best-per-tgt pass is a window over the RANK-1 rows
+    * only (≤ 1 row per src), so everything here is rank-list-sized —
+    * no corpus access at all.
+    *
+    * @param mined [[bitextMine]]/[[bitextMineAnn]] output
+    *              (src_id, tgt_id, score, margin, rank)
+    * @return (src_id, tgt_id, score, margin) — the emitted pairs
+    */
+  def bitextMinedPairs(mined: DataFrame, threshold: Double): DataFrame = {
+    val best = mined.filter(col("rank") === 1)
+      .filter(col("margin") >= threshold)
+    val wt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id").asc)
+    best.withColumn("_rt", row_number().over(wt))
+      .filter(col("_rt") === 1)
+      .select(col("src_id"), col("tgt_id"), col("score"), col("margin"))
   }
 
   /** The shared margin tail over two directional ranked lists (fwd:
@@ -1225,6 +1575,9 @@ object Similarity {
   def ingestIvf(corpus: DataFrame, idCol: String, vecCol: String, table: String,
                 nCentroids: Int, kmeansIters: Int, nBuckets: Int): Unit = {
     val (c, cent) = quantizedCorpus(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    // a rebuild starts with no deletes — a stale tombstone set would
+    // silently hide re-ingested rows from every probe
+    graft.ops.Tombstones.clear(corpus.sparkSession, table)
     graft.ops.Bucketing.writeBucketed(assignClusters(c, cent), table,
       "cluster", nBuckets)
     val spark = corpus.sparkSession
@@ -1325,7 +1678,8 @@ object Similarity {
                       k: Int, nProbe: Int = 4, nSalts: Int = 0): DataFrame = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val assign = spark.table(table)
+    val assign = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(table), "nn_id")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (cent.isEmpty) {
       // an index built over an EMPTY corpus has no centroids and no
@@ -1364,6 +1718,7 @@ object Similarity {
     require(nPlanes >= 1 && nTables >= 1, "nPlanes/nTables must be positive")
     val c0 = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    graft.ops.Tombstones.clear(corpus.sparkSession, table)
     graft.ops.Bucketing.writeBucketed(tabled(c0, "cv", nPlanes, nTables),
       table, "bucket", nBuckets)
     val spark = corpus.sparkSession
@@ -1433,7 +1788,9 @@ object Similarity {
                       table: String): DataFrame =
     spark.table(s"${table}_centroids")
       .select(col("cid").as("cluster"))
-      .join(spark.table(table).groupBy(col("cluster"))
+      .join(graft.ops.Tombstones.filterByParent(spark, table,
+          spark.table(table), "nn_id")
+        .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n")), Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n_members"))
 
@@ -1451,7 +1808,8 @@ object Similarity {
     val meta = spark.table(s"${table}_meta").first()
     val nPlanes = meta.getInt(meta.fieldIndex("nplanes"))
     val nTables = meta.getInt(meta.fieldIndex("ntables"))
-    val banded = spark.table(table)
+    val banded = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(table), "nn_id")
     val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
     val matched = banded
       .join(broadcast(tabled(q0, "qv", nPlanes, nTables)), Seq("tbl", "bucket"))
@@ -1538,25 +1896,28 @@ object Similarity {
       .select(col("query_id"), col("nn_id")).distinct()
   }
 
+  /** `excludeSelf` as on [[topK]]: false for cross-set searches (bitext
+    * src/tgt sides) where overlapping id spaces must not drop pairs.
+    */
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int = 8, nSalts: Int = 0,
-              nTables: Int = 1): DataFrame = {
+              nTables: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     require(nTables >= 1, "nTables must be positive")
+    def noSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.filter(col("nn_id") =!= col("query_id")) else df
     val c0 = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
     if (nTables == 1) {
       val c = c0.withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
       val q = q0.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
-      val scored = c.join(broadcast(q), Seq("bucket"))
-        .filter(col("nn_id") =!= col("query_id"))
+      val scored = noSelf(c.join(broadcast(q), Seq("bucket")))
         .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
       topKMerge(scored, k, salts)
     } else {
-      val matched = tabled(c0, "cv", nPlanes, nTables)
+      val matched = noSelf(tabled(c0, "cv", nPlanes, nTables)
         .join(broadcast(tabled(q0, "qv", nPlanes, nTables)),
-          Seq("tbl", "bucket"))
-        .filter(col("nn_id") =!= col("query_id"))
+          Seq("tbl", "bucket")))
         .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
       // same pair found by several tables: identical score by
       // construction, so max() is pure dedup (pair-keyed exchange)

@@ -114,7 +114,20 @@ object Bucketing {
     * goes to a staging table first, then swaps via catalog rename —
     * never a read-from-self overwrite. Same single-writer contract.
     */
-  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String, key: String): Unit =
+    compactBucketedWith(spark, table, key, identity)
+
+  /** [[compactBucketed]] with a row transform folded into the rewrite —
+    * the tombstone-purge hook ([[Tombstones.purge]] passes the
+    * anti-join): the transform must be row-filtering/narrow (no
+    * re-keying — the output is written bucketed on the SAME key) so the
+    * per-bucket locality claim still holds; a broadcast anti-join
+    * preserves the bucketed scan's one-partition-per-bucket shape, a
+    * shuffling transform would merely degrade output file counts, never
+    * correctness.
+    */
+  def compactBucketedWith(spark: SparkSession, table: String, key: String,
+                          transform: DataFrame => DataFrame): Unit = {
     val n = bucketCountOf(spark, table)
     val tmp = s"${table}__compacting"
     // force the bucketed scan: the auto heuristic falls back to a plain
@@ -133,7 +146,7 @@ object Bucketing {
       s"compactBucketed: leftover '$backup' from an interrupted " +
         s"compaction — recover (rename it or '$tmp' back to '$table') " +
         "before compacting again")
-    try writeBucketed(spark.table(table), tmp, key, n)
+    try writeBucketed(transform(spark.table(table)), tmp, key, n)
     finally spark.conf.set(conf, prev)
     // publish keeps a full copy live under a deterministic name at every
     // instant: original parks as backup, compacted copy takes the name,

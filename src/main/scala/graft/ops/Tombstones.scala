@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETE/tombstone maintenance for the persisted index families — the
+  * retraction verb next to ingest/append/stream: a training-data
+  * pipeline receives takedown and opt-out lists, and rebuilding a
+  * 100 TB index per takedown is not an answer.
+  *
+  * Design: deletes are LOGICAL first — deleted ids append into a
+  * `<parent>_tombstones` table bucketed by the id, and every probe
+  * anti-joins the index scan against it (the takedown-list side is
+  * small by nature, so the planner broadcasts it from table stats —
+  * the flood-set precedent: no pinned hint, and an adversarially large
+  * tombstone set still works). Physical removal is DEFERRED to
+  * compaction ([[Tombstones.purge]]), which the bucketed layout makes
+  * a per-bucket local rewrite — exactly where a 100 TB deployment
+  * batches its deletes (the Delta/Iceberg merge-on-read pattern,
+  * expressed on plain bucketed parquet).
+  *
+  * Semantics: a delete removes ROWS; per-corpus TRAINED state
+  * (IVF centroids, PQ codebooks, the MinHash flood set) stays frozen —
+  * the same contract as append, with the same rebuild trigger (drift
+  * monitors). For the families whose index state is pure per-row
+  * (LSH band keys; BM25 postings + the exactly-adjusted stats sidecar)
+  * `ingest(A∪B); delete(B)` is BIT-IDENTICAL to `ingest(A)` at probe
+  * time — the delete gates share the A-only oracles as proof.
+  *
+  * Caller contract: a tombstoned id must NOT be re-appended — the
+  * tombstone would hide the new row until the next ingest rebuild or
+  * purge. Re-admission of a previously deleted id requires a purge
+  * (which clears the tombstone set after physically dropping the rows)
+  * or a full re-ingest (which drops the tombstone table).
+  */
+object Tombstones {
+
+  def tableOf(parent: String): String = s"${parent}_tombstones"
+
+  /** Record `ids` (column `idName`) as deleted for the index rooted at
+    * `parent`. Creates the tombstone table on first delete, bucketed by
+    * the id with the PARENT's bucket count (read from the catalog — an
+    * id-bucketed parent like the PQ codes/vectors tables then
+    * anti-joins co-located). Already-tombstoned and duplicate ids are
+    * dropped before the append, so re-deleting is harmless AND the
+    * returned relation — the NEWLY tombstoned ids, materialized — lets
+    * callers derive exact side adjustments (the BM25 stats sidecar)
+    * idempotently. Work is takedown-list-sized: nothing here touches
+    * the parent table. Same single-writer-per-table contract as every
+    * index writer.
+    */
+  def add(spark: SparkSession, parent: String, ids: DataFrame,
+          idName: String): DataFrame = {
+    val tt = tableOf(parent)
+    val in = ids.select(col(idName)).distinct()
+    val fresh =
+      (if (spark.catalog.tableExists(tt))
+        in.join(spark.table(tt), Seq(idName), "left_anti")
+      else in).localCheckpoint(true)
+    if (spark.catalog.tableExists(tt))
+      Bucketing.appendBucketed(fresh, tt, idName,
+        Bucketing.bucketCountOf(spark, tt))
+    else Bucketing.writeBucketed(fresh, tt, idName,
+      Bucketing.bucketCountOf(spark, parent))
+    fresh
+  }
+
+  /** Anti-join `rel` (which carries the id column `idName`) against the
+    * tombstone set of `parent` — the probe-time delete filter. A no-op
+    * when no delete has ever happened (the tombstone table only exists
+    * after the first [[add]]); no broadcast hint, per the flood-set
+    * precedent — the planner broadcasts a small tombstone table from
+    * its stats, and a huge one still plans correctly.
+    */
+  def filterByParent(spark: SparkSession, parent: String, rel: DataFrame,
+                     idName: String): DataFrame = {
+    val tt = tableOf(parent)
+    if (spark.catalog.tableExists(tt))
+      rel.join(spark.table(tt), Seq(idName), "left_anti")
+    else rel
+  }
+
+  /** Drop the tombstone set of `parent` — every `ingest*` rebuild calls
+    * this (a rebuilt index starts with no deletes; a stale tombstone
+    * table would silently hide re-ingested rows), and [[purge]] calls
+    * it after the physical drop.
+    */
+  def clear(spark: SparkSession, parent: String): Unit =
+    Bucketing.dropManaged(spark, tableOf(parent))
+
+  /** PHYSICAL delete: compact every table of the index (given as
+    * (tableName, bucketKey) pairs) dropping tombstoned rows in the same
+    * per-bucket rewrite, then clear the tombstone set — after this the
+    * deleted ids exist in NO file on disk (the takedown guarantee;
+    * TombstoneSpec asserts it against the raw parquet files). Each
+    * rewrite is the [[Bucketing.compactBucketed]] staging/rename
+    * machinery with the anti-join folded into the bucketed scan, so
+    * the cost is the compaction the append-heavy layout owes anyway.
+    */
+  def purge(spark: SparkSession, parent: String,
+            tables: Seq[(String, String)], idName: String): Unit = {
+    val tt = tableOf(parent)
+    if (!spark.catalog.tableExists(tt)) return
+    val tomb = spark.table(tt)
+    tables.foreach { case (table, key) =>
+      Bucketing.compactBucketedWith(spark, table, key,
+        _.join(tomb, Seq(idName), "left_anti"))
+    }
+    clear(spark, parent)
+  }
+}

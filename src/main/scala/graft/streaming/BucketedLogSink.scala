@@ -68,10 +68,22 @@ object BucketedLogSink {
       // impossible reconstruction. One long column per row; at 100 TB
       // it dictionary/RLE-compresses to near nothing per batch file.
       val stamped = batch.withColumn("_batch_id", lit(batchId))
-      if (spark.catalog.tableExists(table))
+      if (spark.catalog.tableExists(table)) {
+        // crash-window RECONCILE: rows stamped with THIS batch id that
+        // reached the log while the commit record did not are orphans of
+        // a crash between the two writes. Re-appending without removing
+        // them would leave the batch DOUBLED under a now-committed id —
+        // permanently visible to every snapshot. Detection is a limit-1
+        // probe (the _batch_id predicate prunes via parquet min/max
+        // stats — newer-batch files are skipped); the per-bucket rewrite
+        // runs only on this crash-recovery path, never in steady state.
+        if (spark.table(table).where(col("_batch_id") === batchId)
+            .limit(1).count() > 0L)
+          Bucketing.compactBucketedWith(spark, table, key,
+            _.where(col("_batch_id") =!= batchId))
         Bucketing.appendBucketed(stamped, table, key,
           Bucketing.bucketCountOf(spark, table))
-      else Bucketing.writeBucketed(stamped, table, key, nBuckets)
+      } else Bucketing.writeBucketed(stamped, table, key, nBuckets)
     }
   }
 
@@ -81,9 +93,13 @@ object BucketedLogSink {
     * since). The narrow `_batch_id` predicate lets parquet min/max
     * stats skip newer batch files; the semi-join against the commit log
     * (batches-sized, broadcast) excludes rows from the documented crash
-    * window — data landed, commit didn't — which would otherwise appear
-    * in the snapshot NOW and appear DOUBLED after the batch replays,
-    * breaking exactly the reproducibility this read exists for.
+    * window — data landed, commit didn't — BEFORE the batch replays
+    * (the orphans carry an uncommitted id, so the semi-join hides
+    * them). Post-replay consistency is [[exactlyOnceAppend]]'s job, not
+    * this join's: the replay path detects the orphaned rows and rewrites
+    * them out before re-appending, so the committed batch is never
+    * doubled — the semi-join alone could not distinguish the two copies
+    * once the id commits.
     * Compaction note: [[graft.ops.Bucketing.compactBucketed]] preserves
     * the column (content-neutral) but merges files across batches, so
     * run it only when snapshots older than the compaction horizon are

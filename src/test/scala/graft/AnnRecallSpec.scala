@@ -533,4 +533,52 @@ class AnnRecallSpec extends AnyFunSuite {
       .collect().toSet
     assert(viaHn === viaTopK)
   }
+
+  test("IVF-PQ composed recall@10 holds its floor; never below BOTH parents' losses compounded") {
+    val ivfpq = Similarity.topKIvfPq(emb, queries, "vec_id", "embedding",
+      k = K, nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+      kmeansIters = 2, nCandidates = 40)
+    val r = recallAt(ivfpq, exactSets)
+    info(f"IVF-PQ recall@$K = $r%.3f (16 cells/nProbe 4 × m4/8codes, nCand 40)")
+    // the composition loses on two axes (cell pruning AND code
+    // quantization of the coarse ranking) — the floor sits under the
+    // measured value with the usual ~0.05 margin; the IVF parent alone
+    // measures 0.815 at nProbe=4
+    assert(r >= 0.55, f"IVF-PQ recall@$K degraded to $r%.3f (floor 0.55)")
+  }
+
+  test("IVF-PQ ingested probe is bit-identical to the per-run operator") {
+    val table = "graft_recall_ivfpq"
+    val deps = Seq(table, s"${table}_vectors", s"${table}_centroids",
+      s"${table}_codebooks", s"${table}_tombstones")
+    deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    try {
+      Similarity.ingestIvfPq(emb, "vec_id", "embedding", table,
+        nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+      val served = Similarity.topKIvfPqIngested(spark, table, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+        .collect().toSet
+      val per = Similarity.topKIvfPq(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        kmeansIters = 2, nCandidates = 20).collect().toSet
+      assert(served === per,
+        "persisted IVF-PQ probe must equal the per-run operator bit-for-bit")
+    } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+  }
+
+  test("bitext miners keep same-id src/tgt pairs (line-aligned corpora, the diagonal)") {
+    // line-aligned parallel corpora commonly number both sides
+    // identically; a same-relation self-exclusion would drop exactly
+    // the true diagonal pairs. With tgt = src verbatim, every source
+    // sentence's best candidate IS its own id (cosine 1.0) — the
+    // pre-fix behavior silently excluded all of them.
+    val side = emb.filter(col("vec_id") < 50)
+    val mined = Similarity.bitextMine(side, side, "vec_id", "embedding", k = 2)
+      .filter(col("rank") === 1).collect()
+    assert(mined.length === 50, s"every src must mine a pair, got ${mined.length}")
+    mined.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1),
+        s"src ${r.getLong(0)}'s best pair must be its identical twin, got ${r.getLong(1)}")
+    }
+  }
 }

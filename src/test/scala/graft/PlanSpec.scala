@@ -53,11 +53,62 @@ class PlanSpec extends AnyFunSuite {
       "load_stream_snapshot", "dedup_neardup_streamed",
       "similarity_ivf_streamed", "similarity_lsh_streamed",
       "corpus_decontaminate_ingested",
-      "graph_pagerank_weighted_ingested", "graph_sssp_ingested")) {
+      "graph_pagerank_weighted_ingested", "graph_sssp_ingested",
+      // (similarity_pq_deleted is NOT here: its coarse pass is the PQ
+      // family's documented crossJoin over the compressed codes, like
+      // every other PQ gate)
+      "similarity_topk_ivfpq", "similarity_topk_ivfpq_ingested",
+      "similarity_lsh_deleted", "similarity_ivf_deleted",
+      "retrieval_bm25_deleted",
+      "dedup_neardup_deleted", "similarity_bitext_mined",
+      "corpus_quality_model")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("retrieval_context_full: ONE documents scan feeds the whole serving DAG") {
+    val p = plan("retrieval_context_full")
+    assert(!p.contains("CartesianProduct"), "capstone must stay equi-join/broadcast")
+    // the corpus is tokenized once into the materialized relation; BM25
+    // postings AND the packing token counts read it — the executed plan
+    // must contain no documents.parquet scan at all (the
+    // corpus_admission_full discipline applied to the serving path).
+    // (the ANN leg's brute scorer is the documented BroadcastNestedLoop
+    // escape hatch over the broadcast 3-row PRF seed side)
+    assert(!p.contains("documents.parquet"),
+      s"stages must read the shared tokenized relation, not re-scan the corpus:\n${p.take(800)}")
+  }
+
+  test("diversifyMmrIngested: reads the persisted vector table, results identical to the raw-corpus form") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t = "graft_plan_mmr_vec"
+    Seq(t, s"${t}_vectors", s"${t}_codebooks", s"${t}_tombstones")
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    try {
+      graft.llm.Similarity.ingestPq(emb, "vec_id", "embedding", t,
+        m = 4, nCodes = 4, kmeansIters = 1, nBuckets = 4)
+      val cand = graft.llm.Similarity.topK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      val raw = graft.llm.Similarity.diversifyMmr(cand, emb,
+        "vec_id", "embedding", k = 3, lambda = 0.5)
+      val ing = graft.llm.Similarity.diversifyMmrIngested(spark,
+        s"${t}_vectors", cand, k = 3, lambda = 0.5)
+      assert(raw.collect().map(_.toString).sorted.toSeq ==
+        ing.collect().map(_.toString).sorted.toSeq,
+        "ingested-vector MMR must select identically (the table stores the same normalized vectors)")
+      // the one corpus-touching op now reads the id-bucketed table (the
+      // CANDIDATE relation's own lineage still reads embeddings.parquet
+      // — it came out of a brute top-k — so assert on the vector-fetch
+      // side: the persisted table's scan is in the plan)
+      val p = ing.queryExecution.executedPlan.toString
+      assert(p.contains(s"${t}_vectors"),
+        s"ingested MMR must fetch candidate vectors from the persisted table:\n${p.take(600)}")
+      graft.Partitioning.unpersistPins()
+    } finally Seq(t, s"${t}_vectors", s"${t}_codebooks", s"${t}_tombstones")
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
   }
 
   test("brute-force paths are the only nested-loop consumers") {

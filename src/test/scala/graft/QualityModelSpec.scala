@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Corpus
+
+/** The trained quality classifier: deterministic hashed-feature logistic
+  * regression must SEPARATE an obviously-clean from an obviously-noisy
+  * slice after a few full-batch steps, reproduce bit-identically across
+  * runs, and handle the degenerate inputs (no features, single-class
+  * labels) without dividing by zero or dropping docs silently.
+  */
+class QualityModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture = {
+    import spark.implicits._
+    // clean: stopword-rich English sentences; noisy: high-entropy
+    // gibberish — disjoint vocabularies, so the hashed buckets separate
+    val clean = (0L until 40L).map { i =>
+      (i, s"the quick brown fox jumps over the lazy dog and then the " +
+        s"cat sat on the mat while we were reading document $i")
+    }
+    val noisy = (100L until 140L).map { i =>
+      (i, s"zx$i qq7f kpw$i 9ss x0x j$i%7 vv zz qqq" +
+        s" ${(i * 7919) % 997} ${(i * 104729) % 31} xk${i % 13}")
+    }
+    (clean ++ noisy).toDF("doc_id", "text")
+  }
+
+  private def labels = {
+    import spark.implicits._
+    ((0L until 40L).map(_ -> 1) ++ (100L until 140L).map(_ -> 0))
+      .toDF("doc_id", "label")
+  }
+
+  test("separates clean from noisy after 3 steps; deterministic across runs") {
+    def run() = Corpus.qualityModel(fixture, "doc_id", "text", labels,
+      nBuckets = 32, steps = 3)
+    val out = run().collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.size === 80, "every featured doc must score")
+    val cleanScores = (0L until 40L).map(out(_)._1)
+    val noisyScores = (100L until 140L).map(out(_)._1)
+    assert(cleanScores.sum / 40 > noisyScores.sum / 40 + 0.1,
+      f"no separation: clean mean ${cleanScores.sum / 40}%.3f vs noisy ${noisyScores.sum / 40}%.3f")
+    val acc = ((0L until 40L).count(out(_)._2) +
+      (100L until 140L).count(!out(_)._2)) / 80.0
+    assert(acc >= 0.85, f"train accuracy $acc%.2f below 0.85")
+    // byte-reproducibility: the training path is exact-integer + r6'd
+    // transcendentals, so a second run is IDENTICAL, not just close
+    val again = run().collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(again === out, "training must be bit-reproducible")
+  }
+
+  test("degenerate inputs: no-feature docs absent; single-class labels converge to that class") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "   "),
+      (3L, Option.empty[String].orNull)).toDF("doc_id", "text")
+    val lab = Seq((1L, 1), (2L, 1), (3L, 0)).toDF("doc_id", "label")
+    val out = Corpus.qualityModel(docs, "doc_id", "text", lab,
+      nBuckets = 8, steps = 2).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L),
+      "whitespace-only and null-text docs carry no evidence and are absent")
+    assert(out.head.getDouble(1) > 0.5, "all-positive training must push the score up")
+  }
+
+  test("packSequences streamCol: caller-keyed streams pack in idCol order per stream") {
+    import spark.implicits._
+    val sel = Seq(
+      (10L, 1, 100L), (10L, 2, 200L), (10L, 3, 30L),
+      (20L, 1, 300L), (20L, 2, 10L)).toDF("qid", "rk", "nt")
+    val packed = Corpus.packSequences(sel, "rk", "nt", capacity = 256,
+      streamCol = Some("qid"))
+      .collect().map(r => (r.getLong(2), r.getInt(0)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // stream 10: offsets 0, 100, 300; capacity 256 ⇒ doc 2 straddles
+    assert(packed((10L, 1)) === ((0L, 0L, 0L)))
+    assert(packed((10L, 2)) === ((100L, 0L, 1L)))
+    assert(packed((10L, 3)) === ((300L, 1L, 1L)))
+    // stream 20 is independent: restarts at 0
+    assert(packed((20L, 1)) === ((0L, 0L, 1L)))
+    assert(packed((20L, 2)) === ((300L, 1L, 1L)))
+  }
+}
