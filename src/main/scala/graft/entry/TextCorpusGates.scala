@@ -266,20 +266,26 @@ private[graft] object TextCorpusGates {
         val queries = Seq((9001L, "spark window join"),
           (9002L, "hash merge sort"), (9003L, "customer query table"))
           .toDF("qid", "qtext")
+        // every rank list is (queries × k)-bounded — ≤ 60 rows — and has
+        // several eager downstream consumers (the ANN leg's query-side
+        // pin count, MMR's contract counts, the pack join-back), so each
+        // is materialized ONCE; without this the whole retrieve tail
+        // re-evaluates per consumer (measured 29 s vs 8 s at sf0.1)
         val bm = Retrieval.bm25TopK(toked, "doc_id", "text",
-          queries, "qid", "qtext", topK = 20)
+          queries, "qid", "qtext", topK = 20).localCheckpoint()
         val seed = bm.filter(col("rank") === 1)
           .select(col("query_id"), col("doc"))
         val seedVecs = emb.join(seed, emb("vec_id") === seed("doc"))
           .select(col("query_id").as("vec_id"), col("embedding"))
         val ann = Similarity.topK(emb, seedVecs, "vec_id", "embedding", k = 20)
+          .localCheckpoint()
         val fused = Retrieval.rrfFuse(Seq(
           bm.select(col("query_id"), col("doc"), col("rank")),
           ann.select(col("query_id"), col("nn_id").as("doc"), col("rank"))),
           topK = 10)
         val mmr = Similarity.diversifyMmr(
           fused.select(col("query_id"), col("doc").as("nn_id"), col("score")),
-          emb, "vec_id", "embedding", k = 5, lambda = 0.5)
+          emb, "vec_id", "embedding", k = 5, lambda = 0.5).localCheckpoint()
         val toks = toked.select(col("doc_id").as("nn_id"),
           size(col("tk")).cast("long").as("doc_toks"))
         val sel = mmr.join(toks, Seq("nn_id"))
