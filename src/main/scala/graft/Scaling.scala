@@ -255,6 +255,22 @@ object Scaling {
           if (times.size < runs) None else Some(name -> median(times))
         }
         emit("scaling_clustered", f, dir, results)
+        // mined-pair YIELD vs margin threshold on the same clustered
+        // fixture (where true cross-lingual-style matches exist by
+        // construction): the precision/yield dial bitextMinedPairs
+        // exposes, measured so the gate's threshold choice has a
+        // documented curve behind it. The mined ranking is k-bounded —
+        // one checkpoint, three counts.
+        if (sys.env.get("SPARK_GRAFT_BITEXT_YIELD").contains("1")) {
+          val mined = llm.Similarity.bitextMineAnn(src, tgt,
+            "vec_id", "embedding", k = 4, nPlanes = 8, nTables = 8)
+            .localCheckpoint()
+          val srcN = src.count()
+          val ys = Seq(0.9, 0.95, 1.0, 1.05, 1.1).map { t =>
+            s""""$t":${llm.Similarity.bitextMinedPairs(mined, t).count()}"""
+          }.mkString("{", ",", "}")
+          println(s"""{"metric":"bitext_yield","factor":$f,"src_rows":$srcN,"yields":$ys}""")
+        }
         cdf.unpersist()
       }
 
