@@ -1003,6 +1003,69 @@ private[graft] object DedupGates {
       ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
         iters = 2, dim = 64, k = 5, nCand = 20)),
 
+    ("similarity_ivfpq_appended",
+      (s: SparkSession, dir: String) => {
+        // APPEND for the composed index: BOTH quantizers (cells and
+        // codebooks) freeze on the even-id ingest half; the odd batch
+        // is assigned + coded against the frozen sidecars with
+        // batch-sized work. The oracle trains both chains on the even
+        // half and serves the union — the frozen-sidecar semantics of
+        // each parent family, composed.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivfpq_app_${dirSuffix(dir)}"
+        Similarity.ingestIvfPq(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20, trainWhere = "id % 2 = 0")),
+
+    ("similarity_ivfpq_streamed",
+      (s: SparkSession, dir: String) => {
+        // exactly-once streamed maintenance for the sixth family: batch
+        // 0 trains both quantizers (frozen there — the oracle trains on
+        // exactly that subset), later batches code against the
+        // sidecars, the replayed delivery is a commit-log no-op.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivfpq_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_vectors", s"${table}_centroids",
+          s"${table}_codebooks", s"${table}_commits", s"${table}_tombstones")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Similarity.ivfpqSink(table, "vec_id", "embedding",
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20, trainWhere = "id % 3 = 0")),
+
+    ("similarity_ivfpq_deleted",
+      (s: SparkSession, dir: String) => {
+        // DELETE for the composed index: tombstoned ids leave the
+        // cell-pruned coarse scan AND the rescore fetch; both quantizer
+        // sidecars stay frozen at full-corpus training (oracle: train
+        // on union, serve the surviving even half).
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivfpq_del_${dirSuffix(dir)}"
+        Similarity.ingestIvfPq(e, "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.deleteFromIvfPq(s, table,
+          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20,
+        serveWhere = "a.nn_id % 2 = 0")),
+
     ("similarity_lsh_deleted",
       (s: SparkSession, dir: String) => {
         // the DELETE lifecycle verb: ingest the full corpus, tombstone

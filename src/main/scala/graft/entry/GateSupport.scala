@@ -417,13 +417,20 @@ private[graft] object GateSupport {
     */
   private[graft] def ivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
                                   nCodes: Int, iters: Int, dim: Int,
-                                  k: Int, nCand: Int): String = {
+                                  k: Int, nCand: Int,
+                                  trainWhere: String = "TRUE",
+                                  serveWhere: String = "TRUE"): String = {
     val coarse = Num.r6Sql(dotSql("c.dv", "q.v"))
     val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    // trainWhere freezes BOTH quantizers on its slice (the append/stream
+    // twins' frozen-sidecar semantics); serveWhere (a predicate over
+    // alias a) restricts the served index rows (the deleted twin). The
+    // PQ chain's trainWhere predicate ranges over its `sv` alias, so an
+    // id predicate like "id % 2 = 0" works verbatim in both chains.
     s"""WITH ${ivfAsgCtesTrainOn(
          s"inv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
-         "TRUE", nCentroids, iters, prefix = "i")},
-       |${pqAsgCtes("TRUE", m, nCodes, iters, dim)},
+         trainWhere, nCentroids, iters, prefix = "i")},
+       |${pqAsgCtes(trainWhere, m, nCodes, iters, dim)},
        |probes AS (SELECT id AS query_id, cid AS cluster FROM (
        |  SELECT q.id, c.cid,
        |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
@@ -433,7 +440,8 @@ private[graft] object GateSupport {
        |csc AS (SELECT p.query_id, a.nn_id, $coarse AS score
        |        FROM iasg a JOIN probes p ON a.cluster = p.cluster AND a.nn_id <> p.query_id
        |                    JOIN pqd c ON c.id = a.nn_id
-       |                    JOIN nv q ON q.id = p.query_id),
+       |                    JOIN nv q ON q.id = p.query_id
+       |        WHERE ($serveWhere)),
        |cnd AS (SELECT query_id, nn_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
        |  WHERE rn <= $nCand),

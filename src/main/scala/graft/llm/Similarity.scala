@@ -1020,6 +1020,34 @@ object Similarity {
     pqRescore(cand, cvec, q, k)
   }
 
+  /** Exactly-once streaming maintenance of an IVF-PQ index — the sixth
+    * family's sink, same shape as [[pqSink]]/[[ivfSink]]: the first
+    * delivered batch builds the index (BOTH quantizers train there and
+    * FREEZE), later batches assign + code against the frozen sidecars
+    * ([[appendIvfPq]], batch-sized), a RE-delivered batch id is a
+    * commit-log no-op, and an index whose quantizers trained on an
+    * empty batch 0 re-ingests on the first non-empty delivery (the
+    * empty-first-delivery heal — an empty quantizer has coded nothing,
+    * so nothing is invalidated).
+    */
+  def ivfpqSink(table: String, idCol: String, vecCol: String,
+                nCentroids: Int, m: Int, nCodes: Int, kmeansIters: Int,
+                nBuckets: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (!spark.catalog.tableExists(table))
+          ingestIvfPq(batch, idCol, vecCol, table, nCentroids, m, nCodes,
+            kmeansIters, nBuckets)
+        else if (spark.table(s"${table}_codebooks").limit(1).count() == 0L
+            && batch.limit(1).count() > 0L)
+          ingestIvfPq(batch, idCol, vecCol, table, nCentroids, m, nCodes,
+            kmeansIters, nBuckets)
+        else appendIvfPq(spark, table, batch, idCol, vecCol)
+      }
+      ()
+    }
+
   /** Logically delete ids from an [[ingestIvfPq]] index (probes exclude
     * them immediately; [[compactIvfPq]] drops them physically). Trained
     * state stays frozen — the append contract's mirror.

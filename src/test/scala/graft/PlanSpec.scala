@@ -58,6 +58,8 @@ class PlanSpec extends AnyFunSuite {
       // family's documented crossJoin over the compressed codes, like
       // every other PQ gate)
       "similarity_topk_ivfpq", "similarity_topk_ivfpq_ingested",
+      "similarity_ivfpq_appended", "similarity_ivfpq_streamed",
+      "similarity_ivfpq_deleted",
       "similarity_lsh_deleted", "similarity_ivf_deleted",
       "retrieval_bm25_deleted",
       "dedup_neardup_deleted", "similarity_bitext_mined",
