@@ -330,6 +330,34 @@ private[graft] object DedupGates {
          |       COALESCE(cc.label, doc_id) = doc_id AS is_canonical
          |FROM documents LEFT JOIN cc ON doc_id = cc.node""".stripMargin),
 
+    ("corpus_split_leakage_safe",
+      (s: SparkSession, dir: String) => {
+        // leakage-safe held-out split: the split unit is the NEAR-DUP
+        // CLUSTER (a per-document hash split would put paraphrases on
+        // both sides and contaminate the eval by construction). 20%
+        // eval share; the side is a pure function of the cluster label,
+        // so growing the corpus never moves an existing cluster's side
+        // unless new documents bridge clusters.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+        Corpus.splitByCluster(docs, "doc_id", pairs, evalPpm = 200000L)
+      },
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM mh_pairs
+         |          UNION SELECT d2, d1 FROM mh_pairs),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+         |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+         |asgn AS (SELECT doc_id AS doc, COALESCE(cc.label, doc_id) AS cluster
+         |         FROM documents LEFT JOIN cc ON doc_id = cc.node)
+         |SELECT doc, cluster,
+         |  CASE WHEN (${rhSql("CAST(cluster AS VARCHAR)")}) % 1000000 < 200000
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM asgn""".stripMargin),
+
     ("dedup_simhash",
       (s: SparkSession, dir: String) =>
         // 60-bit signature, 6 chunks, hamming <= 4: bands key on 2-chunk

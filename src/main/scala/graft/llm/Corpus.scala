@@ -964,6 +964,43 @@ object Corpus {
         graft.Num.r6(col("wm").cast("double") / lit(1000000.0d)).as("logw"))
   }
 
+  /** Leakage-safe train/eval split — the held-out-set construction a
+    * training pipeline must get right or its eval is contaminated by
+    * construction: a plain per-document hash split puts near-duplicates
+    * on BOTH sides (the model "generalizes" to paraphrases of its own
+    * training data), so the split unit here is the NEAR-DUP CLUSTER —
+    * every document in a connected component of `pairs` lands on the
+    * same side, deterministically.
+    *
+    * `pairs` is any near-dup pair relation (`(d1, d2)` — MinHash/LSH,
+    * SimHash, embedding near-dup); cluster labels come from
+    * [[Dedup.clusterAssignments]] (min-reachable-id label propagation),
+    * and the side is a pure function of the CLUSTER label:
+    * rollingHash(label) mod 1e6 < evalPpm → eval. Documents in no pair
+    * are singleton clusters of themselves. Deterministic and
+    * engine-reproducible (the rolling hash is the cross-engine one);
+    * adding documents to the corpus never moves an existing cluster's
+    * side unless the new documents BRIDGE clusters — the honest
+    * semantics of any graph-keyed split.
+    *
+    * Scale shape: label propagation is the [[Dedup.connectedComponents]]
+    * pair-relation fixpoint (pair-sized, never corpus-sized); the side
+    * assignment is one narrow expression over the assignment relation.
+    *
+    * @param evalPpm eval share in parts per million (e.g. 200000 = 20%)
+    * @return (doc, cluster, split: 'eval' | 'train')
+    */
+  def splitByCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     evalPpm: Long): DataFrame = {
+    require(evalPpm >= 0L && evalPpm <= 1000000L,
+      "evalPpm must be in [0, 1000000]")
+    Dedup.clusterAssignments(docs, idCol, pairs)
+      .select(col("doc"), col("cluster"),
+        when(pmod(TextAnalysis.rollingHash(col("cluster").cast("string")),
+          lit(1000000L)) < evalPpm, lit("eval")).otherwise(lit("train"))
+          .as("split"))
+  }
+
   /** The hashed uni+bigram per-(doc, bucket) count relation shared by
     * [[dsirWeights]] and [[qualityModel]] — `(id, b, c)`, one tokenize +
     * hash pass over the corpus, bucket ids in [0, nBuckets).

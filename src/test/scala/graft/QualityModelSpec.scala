@@ -67,6 +67,26 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out.head.getDouble(1) > 0.5, "all-positive training must push the score up")
   }
 
+  test("splitByCluster: no near-dup cluster straddles the split; share tracks evalPpm") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.llm.Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.3, maxDocFreq = Some(20))
+    val out = Corpus.splitByCluster(docs, "doc_id", pairs, evalPpm = 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === docs.count(), "every document must get a side")
+    // THE invariant: a cluster's documents all land on one side —
+    // otherwise near-duplicates straddle train/eval and the eval is
+    // contaminated by construction
+    val straddlers = out.groupBy(_._2).filter(_._2.map(_._3).distinct.size > 1)
+    assert(straddlers.isEmpty,
+      s"clusters straddling the split: ${straddlers.keys.take(5).mkString(",")}")
+    // hash share is approximate at 500 docs — just pin both sides exist
+    // and eval is the minority at 20% ppm
+    val nEval = out.count(_._3 == "eval")
+    assert(nEval > 0 && nEval < out.length / 2,
+      s"eval share $nEval/${out.length} implausible for 20% ppm")
+  }
+
   test("packSequences streamCol: caller-keyed streams pack in idCol order per stream") {
     import spark.implicits._
     val sel = Seq(
