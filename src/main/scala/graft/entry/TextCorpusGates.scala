@@ -46,6 +46,35 @@ private[graft] object TextCorpusGates {
        |       COALESCE(n_hits, 0) < 1 AS keep
        |FROM docs LEFT JOIN hits ON doc_id = hits.doc""".stripMargin
 
+  /** The DSIR importance-weight CTE chain (hashed uni+bigram features,
+    * 64 buckets, target = doc_id % 7) ending in `dw(doc_id, logw)` —
+    * shared by `corpus_dsir` and the Gumbel sampling gate built on it.
+    */
+  private lazy val dsirCtes: String = {
+    val lamExpr = Num.r6Sql(
+      "ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))"
+        + " - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE))")
+    s"""tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                   t -> t <> '') AS tk
+       |        FROM documents WHERE text IS NOT NULL),
+       |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
+       |       UNION ALL
+       |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
+       |       FROM tkz),
+       |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
+       |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+       |tc AS (SELECT b, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+       |tot AS (SELECT (SELECT count(*) FROM fb) AS tr,
+       |               (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt),
+       |lam AS (SELECT rc.b,
+       |          CAST(floor(($lamExpr) * 1000000.0 + 0.5) AS BIGINT) AS lam
+       |        FROM rc LEFT JOIN tc USING (b), tot),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b),
+       |dw AS (SELECT doc_id, ${Num.r6Sql("CAST(sum(c * lam) AS DOUBLE) / 1000000.0")} AS logw
+       |       FROM db JOIN lam USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
   private lazy val bm25OracleSql: String = bm25OracleSqlOver("TRUE")
 
   /** [[bm25OracleSql]] with a corpus predicate — the deleted-index twin
@@ -703,29 +732,33 @@ private[graft] object TextCorpusGates {
           "doc_id", "text", nBuckets = 64)
           .select(col("id").as("doc_id"), col("logw"))
       },
+      s"""WITH $dsirCtes
+         |SELECT doc_id, logw FROM dw""".stripMargin),
+
+    ("corpus_sample_gumbel",
+      (s: SparkSession, dir: String) => {
+        // weighted-without-replacement corpus sampling via the Gumbel
+        // top-k trick over the DSIR log-weights — the resampling pass
+        // dsirWeights' contract points at. Noise is a pure per-row
+        // function of the doc's own id (rolling hash → uniform →
+        // −ln(−ln u), r6'd at birth), so the "random" sample is
+        // byte-reproducible on any engine and partitioning; the top-k
+        // is a TakeOrdered, never a global sort.
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val w = Corpus.dsirWeights(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", nBuckets = 64)
+        Corpus.gumbelTopK(w, "id", "logw", k = 100)
+          .select(col("id").as("doc_id"), col("logw"),
+            col("gumbel_key"), col("rank"))
+      },
       {
-        val lamExpr = Num.r6Sql(
-          "ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))"
-            + " - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE))")
-        s"""WITH tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-           |                                        t -> t <> '') AS tk
-           |             FROM documents WHERE text IS NOT NULL),
-           |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
-           |       UNION ALL
-           |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-           |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
-           |       FROM tkz),
-           |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
-           |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
-           |tc AS (SELECT b, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
-           |tot AS (SELECT (SELECT count(*) FROM fb) AS tr,
-           |               (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt),
-           |lam AS (SELECT rc.b,
-           |          CAST(floor(($lamExpr) * 1000000.0 + 0.5) AS BIGINT) AS lam
-           |        FROM rc LEFT JOIN tc USING (b), tot),
-           |db AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b)
-           |SELECT doc_id, ${Num.r6Sql("CAST(sum(c * lam) AS DOUBLE) / 1000000.0")} AS logw
-           |FROM db JOIN lam USING (b) GROUP BY doc_id""".stripMargin
+        val u = s"((CAST((${rhSql("CAST(doc_id AS VARCHAR)")}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)"
+        val g = Num.r6Sql(s"-ln(-ln($u))")
+        s"""WITH $dsirCtes,
+           |gk AS (SELECT doc_id, logw, ($g) + logw AS gumbel_key FROM dw)
+           |SELECT doc_id, logw, gumbel_key, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank FROM gk)
+           |WHERE rank <= 100""".stripMargin
       }),
 
     ("similarity_bitext_margin",

@@ -964,6 +964,47 @@ object Corpus {
         graft.Num.r6(col("wm").cast("double") / lit(1000000.0d)).as("logw"))
   }
 
+  /** Deterministic Gumbel top-k sampling — the weighted-without-
+    * replacement resampling pass the [[dsirWeights]] contract points its
+    * consumers at (Vieira 2014: adding independent Gumbel noise to log-
+    * weights and taking the top k IS sampling k items without
+    * replacement ∝ exp(logw)): each document's noise derives from the
+    * engine-reproducible rolling hash of its OWN id, so the "random"
+    * draw is a pure per-row function — the same corpus samples the same
+    * subset on any engine, any partitioning, any day, which is what
+    * makes a sampled pretraining mix REPRODUCIBLE, the property a
+    * generator-seeded sample cannot give on a distributed engine.
+    *
+    * Arithmetic: u = (rollingHash(id) mod 1e6 + 0.5) / 1e6 ∈ (0, 1)
+    * (never 0 or 1 — both ln's stay finite), g = −ln(−ln(u)) r6-rounded
+    * at birth (the repo transcendental rule), key = g + logw (ONE IEEE
+    * addition of two identically-derived doubles — correctly rounded,
+    * so both engines produce the identical key), ties to the lowest
+    * id. The
+    * top-k is a global TakeOrdered — k rows per partition flow to the
+    * driver-side merge, never a full sort.
+    *
+    * @param weights (idCol, logwCol) — log-weights, e.g. [[dsirWeights]]
+    * @return (id, logw, gumbel_key, rank) — the k sampled rows
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, logwCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (pmod(TextAnalysis.rollingHash(col("id").cast("string")),
+      lit(1000000L)).cast("double") + lit(0.5d)) / lit(1000000.0d)
+    val g = graft.Num.r6(-log(-log(u)))
+    import org.apache.spark.sql.expressions.Window
+    // the rank window runs over the ALREADY-limited k rows — k-bounded
+    // by construction, so the unpartitioned window is safe
+    val w = Window.orderBy(col("gumbel_key").desc, col("id").asc)
+    graft.Partitioning.spread(weights)
+      .select(col(idCol).as("id"), col(logwCol).as("logw"))
+      .withColumn("gumbel_key", g + col("logw"))
+      .orderBy(col("gumbel_key").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+  }
+
   /** Leakage-safe train/eval split — the held-out-set construction a
     * training pipeline must get right or its eval is contaminated by
     * construction: a plain per-document hash split puts near-duplicates
