@@ -476,6 +476,11 @@ object Dedup {
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, batch: DataFrame,
                          idCol: String, textCol: String): Unit = {
+    // a tombstoned doc must not silently re-enter (its band/shingle
+    // rows would be probe-invisible) — loud guard, zero-cost when
+    // nothing was deleted
+    graft.ops.Tombstones.requireNotTombstoned(spark, table,
+      batch.select(col(idCol).as("doc")), "doc")
     val meta = spark.table(s"${table}_meta").first()
     val n = meta.getInt(meta.fieldIndex("n"))
     val k = meta.getInt(meta.fieldIndex("k"))

@@ -193,6 +193,11 @@ object Retrieval {
   def appendBm25(batch: DataFrame, idCol: String, textCol: String,
                  table: String): Unit = {
     val spark = batch.sparkSession
+    // a tombstoned doc must not silently re-enter (its postings would
+    // be probe-invisible while the stats sidecar drifted) — loud guard,
+    // zero-cost when nothing was deleted
+    graft.ops.Tombstones.requireNotTombstoned(spark, table,
+      batch.select(col(idCol).as("doc")), "doc")
     val (tf, dl0) = postings(batch, idCol, textCol)
     val dl = dl0.localCheckpoint() // two consumers: stats + append
     // read the old stats BEFORE the sidecar overwrite drops the table

@@ -727,6 +727,7 @@ object Similarity {
     require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
       s"appendPq: index '$table' codes $dim-dim vectors; batch contains " +
         "a different length — rebuild with ingestPq or fix the batch")
+    graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     val n = graft.ops.Bucketing.bucketCountOf(spark, table)
     graft.ops.Bucketing.appendBucketed(
       c.select(col("nn_id"), pqCodes(books).as("codes")), table, "nn_id", n)
@@ -977,6 +978,7 @@ object Similarity {
     require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
       s"appendIvfPq: index '$table' codes $dim-dim vectors; batch contains " +
         "a different length — rebuild with ingestIvfPq or fix the batch")
+    graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     graft.ops.Bucketing.appendBucketed(
       assignClusters(c, cent).select(col("nn_id"), col("cluster"),
         pqCodes(books).as("codes")),
@@ -1654,6 +1656,9 @@ object Similarity {
           "empty-corpus index defines no quantizer; rebuild with ingestIvf")
       return
     }
+    // a tombstoned id must not silently re-enter (its rows would be
+    // probe-invisible) — loud guard, zero-cost when nothing was deleted
+    graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     graft.ops.Bucketing.appendBucketed(assignClusters(c, cent), table,
       "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
   }
@@ -1774,6 +1779,7 @@ object Similarity {
     val nTables = meta.getInt(meta.fieldIndex("ntables"))
     val c = graft.Partitioning.spread(batch)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     graft.ops.Bucketing.appendBucketed(tabled(c, "cv", nPlanes, nTables),
       table, "bucket", graft.ops.Bucketing.bucketCountOf(spark, table))
   }

@@ -80,6 +80,25 @@ object Tombstones {
     else rel
   }
 
+  /** LOUD guard for the append paths: a tombstoned id that re-appends
+    * writes rows every probe silently hides — the batch looks ingested
+    * and is invisible, the worst failure class. Callers pass the
+    * incoming batch's id relation; cost is one batch-sized semi-join
+    * probe, and ZERO when no delete has ever happened (no tombstone
+    * table — the overwhelmingly common case).
+    */
+  def requireNotTombstoned(spark: SparkSession, parent: String,
+                           ids: DataFrame, idName: String): Unit = {
+    val tt = tableOf(parent)
+    if (!spark.catalog.tableExists(tt)) return
+    val hit = ids.select(col(idName))
+      .join(spark.table(tt), Seq(idName), "left_semi").limit(1).collect()
+    require(hit.isEmpty,
+      s"append into '$parent': id ${hit.headOption.map(_.get(0)).orNull} is " +
+        "tombstoned — a re-appended row would be hidden from every probe; " +
+        "purge (compact) or rebuild (ingest) before re-admitting deleted ids")
+  }
+
   /** Drop the tombstone set of `parent` — every `ingest*` rebuild calls
     * this (a rebuilt index starts with no deletes; a stale tombstone
     * table would silently hide re-ingested rows), and [[purge]] calls

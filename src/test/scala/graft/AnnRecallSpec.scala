@@ -566,6 +566,31 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
   }
 
+  test("RRF fusion dominance: a doc in BOTH legs' top-10 outranks every single-leg doc") {
+    // the provable fusion property behind the capstone: with kRrf=60 and
+    // per-list k=10, a both-lists doc scores >= 2/(60+10) = 0.028571,
+    // strictly above any single-list doc's max 1/61 = 0.016393 — so the
+    // fused ranking can never prefer a one-leg doc over a two-leg doc
+    import graft.llm.Retrieval
+    val q = emb.filter(col("vec_id") < 20)
+    val cos = Similarity.topK(emb, q, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("nn_id").as("doc"), col("rank"))
+    val mips = Similarity.topKMips(emb, q, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("nn_id").as("doc"), col("rank"))
+    val inBoth = cos.join(mips, Seq("query_id", "doc"))
+      .select(col("query_id"), col("doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Retrieval.rrfFuse(Seq(cos, mips), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQuery = fused.groupBy(_._1)
+    inBoth.groupBy(_._1).foreach { case (qid, docs) =>
+      val ranked = byQuery(qid).sortBy(_._3).map(_._2)
+      val nBoth = math.min(docs.size, 10)
+      assert(ranked.take(nBoth).forall(d => docs.exists(_._2 == d)),
+        s"query $qid: a single-leg doc outranked a both-legs doc in ${ranked.toSeq}")
+    }
+  }
+
   test("bitext miners keep same-id src/tgt pairs (line-aligned corpora, the diagonal)") {
     // line-aligned parallel corpora commonly number both sides
     // identically; a same-relation self-exclusion would drop exactly

@@ -141,6 +141,36 @@ class TombstoneSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("re-appending a tombstoned id fails LOUDLY (rows would be probe-invisible)") {
+    val t = "graft_ts_lsh_guard"
+    val deps = Seq(t, s"${t}_meta", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", t, nPlanes = 4, nTables = 4, nBuckets = 4)
+      Similarity.deleteFromLsh(spark, t,
+        emb.filter(col("vec_id") === 0).select(col("vec_id").as("nn_id")))
+      // appending a DIFFERENT batch is still fine
+      Similarity.appendLsh(spark, t,
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      // re-admitting the deleted id must not silently vanish
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendLsh(spark, t,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+      }
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      // after the physical purge the id is re-admittable
+      Similarity.compactLsh(spark, t)
+      Similarity.appendLsh(spark, t,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 10)
+      val nnIds = Similarity.topKLshIngested(spark, t, q,
+        "vec_id", "embedding", k = 50)
+        .select(col("nn_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(nnIds.contains(0L), "re-admitted id must be servable after purge")
+    } finally dropAll(deps: _*)
+  }
+
   test("ingest rebuild clears a stale tombstone set") {
     val t = "graft_ts_lsh_rebuild"
     val deps = Seq(t, s"${t}_meta", s"${t}_tombstones")
