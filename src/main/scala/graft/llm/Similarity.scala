@@ -1010,17 +1010,31 @@ object Similarity {
       spark.table(s"${table}_vectors"), "nn_id")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (books.isEmpty || cent.isEmpty) return emptyTopKResult(cvec, q)
+    val probes = ivfProbes(q, cent, nProbe)
+    // literal CELL PRUNING: the probed cluster ids are (queries ×
+    // nProbe)-bounded by construction, so collecting them costs one
+    // tiny job and turns the cell restriction into an IN literal the
+    // bucketed scan can prune FILES with — a runtime join relation
+    // cannot prune a Spark bucketed scan, a literal can. Semantics
+    // unchanged (the join would drop the same rows); this moves the
+    // drop from post-scan to the scan itself.
+    val cells = probedCells(probes)
     val coded = graft.ops.Tombstones.filterByParent(spark, table,
-        spark.table(table), "nn_id")
+        spark.table(table).where(col("cluster").isin(cells: _*)), "nn_id")
       .select(col("nn_id"), col("cluster"),
         pqReconstructCodes(books, col("codes")).as("dq"))
-    val probes = ivfProbes(q, cent, nProbe)
     val coarse = coded.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
     val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
     pqRescore(cand, cvec, q, k)
   }
+
+  /** The distinct probed cluster ids as driver literals — bounded by
+    * min(nCentroids, queries × nProbe) by construction.
+    */
+  private def probedCells(probes: DataFrame): Seq[Any] =
+    probes.select(col("cluster")).distinct().collect().map(_.get(0)).toSeq
 
   /** Exactly-once streaming maintenance of an IVF-PQ index — the sixth
     * family's sink, same shape as [[pqSink]]/[[ivfSink]]: the first
@@ -1711,22 +1725,20 @@ object Similarity {
                       k: Int, nProbe: Int = 4, nSalts: Int = 0): DataFrame = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val assign = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(table), "nn_id")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (cent.isEmpty) {
       // an index built over an EMPTY corpus has no centroids and no
       // neighbors
-      return emptyTopKResult(assign, q)
+      return emptyTopKResult(spark.table(table), q)
     }
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    val probes = q.select(col("query_id"), col("qv"), explode(typedLit(cent)).as("ct"))
-      .select(col("query_id"), col("qv"),
-        col("ct").getField("_1").as("cid"), col("ct").getField("_2").as("centv"))
-      .withColumn("sim", dot(col("qv"), col("centv")))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+    val probes = ivfProbes(q, cent, nProbe)
+    // literal cell pruning, as in [[topKIvfPqIngested]]: the probed
+    // cluster ids are (queries × nProbe)-bounded — collected once, the
+    // IN literal lets the cluster-bucketed scan prune files instead of
+    // reading every cell and discarding post-join
+    val cells = probedCells(probes)
+    val assign = graft.ops.Tombstones.filterByParent(spark, table,
+      spark.table(table).where(col("cluster").isin(cells: _*)), "nn_id")
     val scored = assign.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))

@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF/IVF-PQ ingested probes push the probed-cell IN literal to the scan") {
+    // a runtime join relation cannot prune a bucketed scan; the
+    // collected probe-cell literals can — the filter must reach the
+    // index scan as a pushed In, so non-probed cells never leave disk
+    for (q <- Seq("similarity_topk_ivf_ingested", "similarity_topk_ivfpq_ingested")) {
+      val p = plan(q)
+      assert(p.contains("In(cluster") || p.contains("cluster#"),
+        s"$q: probed-cell literal filter missing from the plan:\n${p.take(600)}")
+      assert(p.contains("PushedFilters: [In(cluster"),
+        s"$q: cell filter must reach the parquet scan as a pushed In:\n${p.take(600)}")
+    }
+  }
+
   test("retrieval_context_full: ONE documents scan feeds the whole serving DAG") {
     val p = plan("retrieval_context_full")
     assert(!p.contains("CartesianProduct"), "capstone must stay equi-join/broadcast")
