@@ -1013,6 +1013,26 @@ private[graft] object DedupGates {
       ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
         iters = 2, dim = 64, k = 5, nCand = 20)),
 
+    ("similarity_topk_ivfpq_residual",
+      (s: SparkSession, dir: String) => {
+        // RESIDUAL-coded IVFADC (per-cell codebooks over v − centroid,
+        // the LOPQ refinement): same compression budget as the
+        // global-codebook gate above — identical (nCentroids, nProbe,
+        // m, nCodes, nCand) — but codes quantize each cell's residual
+        // distribution, which concentrates near the origin, so the
+        // coarse ranking is strictly more faithful per byte.
+        // AnnRecallSpec pins this gate's recall floor STRICTLY ABOVE
+        // the global-codebook gate's at these parameters. The dual
+        // per-(cell, subspace) k-means is replayed verbatim by the
+        // oracle — seeds, integer means, empty-code carry-over and all.
+        val e = t(s, dir, "embeddings")
+        Similarity.topKIvfPqResidual(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+          m = 4, nCodes = 8, kmeansIters = 2, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
     ("similarity_topk_ivfpq_ingested",
       (s: SparkSession, dir: String) => {
         // the persisted IVFADC index: cluster-bucketed codes table (a
@@ -1151,5 +1171,89 @@ private[graft] object DedupGates {
       },
       pqTopKSqlTrainOn("TRUE", m = 4, nCodes = 8, iters = 2, dim = 64,
         k = 5, nCand = 20, serveWhere = "c.id % 2 = 0")),
+
+    // ---- snapshot (as-of) probes: ingest %3=0 (batch 0), append %3=1
+    // (batch 1), append %3=2 (batch 2), probe AS OF batch 1 — the
+    // audit/repro verb ("what did the index serve then"). Trained
+    // sidecars freeze at ingest, so the oracle trains on the %3=0 slice
+    // and serves %3<2 — the frozen-sidecar append semantics, time-sliced.
+    ("similarity_lsh_asof",
+      (s: SparkSession, dir: String) => {
+        // LSH has NO corpus-trained state, so asOf(1) is BIT-IDENTICAL
+        // to ingestLsh over batches 0–1 at any parameters — the gate
+        // shares the two-thirds oracle outright
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_asof_${dirSuffix(dir)}"
+        Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding")
+        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding")
+        Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, asOf = Some(1L))
+      },
+      mlshOracleSql(nPlanes = 4, nTables = 16, corpusWhere = "c.id % 3 < 2")),
+
+    ("similarity_ivf_asof",
+      (s: SparkSession, dir: String) => {
+        // centroids froze on the batch-0 slice; the snapshot serves
+        // batches 0–1 under them — exactly the appended-index oracle
+        // with the serve side cut at the snapshot
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivf_asof_${dirSuffix(dir)}"
+        Similarity.ingestIvf(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table, nCentroids = 16, kmeansIters = 2,
+          nBuckets = 8)
+        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding")
+        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding")
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, asOf = Some(1L))
+      },
+      ivfProbeOracleSql(ivfAsgCtesTrainOn(
+        s"nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+        "id % 3 = 0", 16, 2), serveWhere = "a.nn_id % 3 < 2")),
+
+    ("similarity_pq_asof",
+      (s: SparkSession, dir: String) => {
+        // codebooks froze on the batch-0 slice; snapshot probes read the
+        // codes AND rescore vectors of batches 0–1 only
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_pq_asof_${dirSuffix(dir)}"
+        Similarity.ingestPq(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table, m = 4, nCodes = 8, kmeansIters = 2,
+          nBuckets = 8)
+        Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding")
+        Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding")
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20, asOf = Some(1L))
+      },
+      pqTopKSqlTrainOn("id % 3 = 0", m = 4, nCodes = 8, iters = 2, dim = 64,
+        k = 5, nCand = 20, serveWhere = "c.id % 3 < 2")),
+
+    ("similarity_ivfpq_asof",
+      (s: SparkSession, dir: String) => {
+        // the composed index: BOTH quantizers froze on batch 0; the
+        // snapshot reads codes and rescore vectors of batches 0–1 only
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_ivfpq_asof_${dirSuffix(dir)}"
+        Similarity.ingestIvfPq(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding")
+        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding")
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20,
+          asOf = Some(1L))
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20,
+        trainWhere = "id % 3 = 0", serveWhere = "a.nn_id % 3 < 2")),
   )
 }

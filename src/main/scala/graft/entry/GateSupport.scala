@@ -453,6 +453,84 @@ private[graft] object GateSupport {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB oracle for [[Similarity.topKIvfPqResidual]] (queries =
+    * id < 20): the cosine k-means chain (prefix `i`) supplies cells;
+    * residuals r = v − centroid(cell) feed a PER-(cell, subspace)
+    * Euclidean k-means (the [[pqAsgCtes]] chain with the cell in every
+    * group key — seeds are each cell's nCodes lowest-id members, means
+    * are exact micro-unit integers, empty codes keep their previous
+    * codeword); reconstruction is centroid + flattened codewords, the
+    * coarse pass scores reconstructions inside the probed cells only,
+    * and survivors rescore exact — the Scala operator's arithmetic
+    * verbatim, both quantizers replayed.
+    */
+  private[graft] def rivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
+                                   nCodes: Int, iters: Int, dim: Int,
+                                   k: Int, nCand: Int): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val coarse = Num.r6Sql(dotSql("c.dq", "q.v"))
+    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    def adj(x: String, cv: String) =
+      s"${dotSql(x, cv)} - 0.5 * list_reduce(list_transform($cv, z -> z * z), (a, b) -> a + b)"
+    val rounds = (0 until iters).map { i =>
+      s"""ra$i AS (SELECT id, cl, s, x, cid FROM (
+         |  SELECT sv.id, sv.cl, sv.s, sv.x, c.cid,
+         |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
+         |  FROM rsv sv JOIN rk$i c ON c.cl = sv.cl AND c.s = sv.s) WHERE rn = 1),
+         |ru$i AS (SELECT cl, s, cid, unnest(x) AS e, unnest(generate_series(1, len(x))) AS d FROM ra$i),
+         |rg$i AS (SELECT cl, s, cid, d, sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |                count(*) AS cnt FROM ru$i GROUP BY cl, s, cid, d),
+         |rm$i AS (SELECT cl, s, cid, list(CAST(sx AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE) ORDER BY d) AS mv
+         |         FROM rg$i GROUP BY cl, s, cid),
+         |rk${i + 1} AS (SELECT c.cl, c.s, c.cid, CASE WHEN m.mv IS NULL THEN c.centv ELSE m.mv END AS centv
+         |            FROM rk$i c LEFT JOIN rm$i m ON m.cl = c.cl AND m.s = c.s AND m.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    val roundsSql = if (rounds.isEmpty) "" else rounds + ",\n"
+    s"""WITH ${ivfAsgCtesTrainOn(
+         s"inv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
+         "TRUE", nCentroids, iters, prefix = "i")},
+       |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |rsd AS (SELECT a.nn_id AS id, a.cluster AS cl,
+       |               list_transform(a.cv, (x, j) -> x - c.cv[j]) AS rv
+       |        FROM iasg a JOIN icent c ON c.cid = a.cluster),
+       |rss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+       |rsv AS (SELECT id, cl, s, list_slice(rv, s * $sub + 1, (s + 1) * $sub) AS x
+       |        FROM rsd CROSS JOIN rss),
+       |rk0 AS (SELECT cl, s, id AS cid, x AS centv FROM (
+       |  SELECT cl, s, id, x, row_number() OVER (PARTITION BY cl, s ORDER BY id) AS rn FROM rsv)
+       |  WHERE rn <= $nCodes),
+       |$roundsSql
+       |rkf AS (SELECT * FROM rk$iters),
+       |rpa AS (SELECT id, cl, s, cid FROM (
+       |  SELECT sv.id, sv.cl, sv.s, c.cid,
+       |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
+       |  FROM rsv sv JOIN rkf c ON c.cl = sv.cl AND c.s = sv.s) WHERE rn = 1),
+       |rqd AS (SELECT rpa.id, flatten(list(c.centv ORDER BY rpa.s)) AS dvr
+       |        FROM rpa JOIN rkf c ON c.cl = rpa.cl AND c.s = rpa.s AND c.cid = rpa.cid
+       |        GROUP BY rpa.id),
+       |rdq AS (SELECT a.nn_id AS id, a.cluster,
+       |               list_transform(ic.cv, (x, j) -> x + p.dvr[j]) AS dq
+       |        FROM iasg a JOIN icent ic ON ic.cid = a.cluster
+       |                    JOIN rqd p ON p.id = a.nn_id),
+       |probes AS (SELECT id AS query_id, cid AS cluster FROM (
+       |  SELECT q.id, c.cid,
+       |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM nv q CROSS JOIN icent c WHERE q.id < 20) WHERE rn <= $nProbe),
+       |csc AS (SELECT p.query_id, c.id AS nn_id, $coarse AS score
+       |        FROM rdq c JOIN probes p ON c.cluster = p.cluster AND c.id <> p.query_id
+       |                   JOIN nv q ON q.id = p.query_id),
+       |cnd AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
+       |  WHERE rn <= $nCand),
+       |rsc AS (SELECT cnd.query_id, cnd.nn_id, $exact AS score
+       |        FROM cnd JOIN nv c ON c.id = cnd.nn_id
+       |                 JOIN nv q ON q.id = cnd.query_id)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM rsc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[Similarity.diversifyMmr]] over a brute-force
     * top-`n` candidate list (queries = id < 20): the k greedy selection
     * rounds unrolled as CTE stages, each computing max-similarity to

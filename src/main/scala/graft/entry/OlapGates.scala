@@ -1195,6 +1195,33 @@ private[graft] object OlapGates {
       },
       mhIngestedOracleWhere("doc <= 250", oldWhere = "ol.doc % 5 <> 0")),
 
+    ("dedup_neardup_asof",
+      (s: SparkSession, dir: String) => {
+        // SNAPSHOT (as-of) admission for the near-dup index — "admit
+        // this batch against the index as it stood at batch 1" (the
+        // repro verb a re-run takedown review needs): ingest docs ≤ 125
+        // (batch 0 — the flood set freezes THERE), append (125, 187]
+        // (batch 1), append (187, 250] (batch 2), then admit the > 250
+        // batch AS OF batch 1. The oracle caps over the ingest slice
+        // and restricts the index side to docs ≤ 187 — the frozen-flood
+        // append semantics, time-sliced; batch-2 docs are invisible to
+        // the snapshot probe even though they sit in the same files.
+        val d = t(s, dir, "documents")
+        val table = s"graft_mh_asof_${dirSuffix(dir)}"
+        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
+          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+          maxDocFreq = Some(20), table, nBuckets = 8)
+        Dedup.appendMinhashIndex(s, table,
+          d.filter(col("doc_id") > 125 && col("doc_id") <= 187),
+          "doc_id", "text")
+        Dedup.appendMinhashIndex(s, table,
+          d.filter(col("doc_id") > 187 && col("doc_id") <= 250),
+          "doc_id", "text")
+        Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
+          "doc_id", "text", threshold = 0.3, asOf = Some(1L))
+      },
+      mhIngestedOracleWhere("doc <= 125", oldWhere = "ol.doc <= 187")),
+
     ("profile_skew",
       (s: SparkSession, dir: String) =>
         Profile.keySkew(t(s, dir, "orders"), "o_custkey", topN = 10),

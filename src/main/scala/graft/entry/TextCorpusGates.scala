@@ -130,6 +130,57 @@ private[graft] object TextCorpusGates {
        |       WHERE rank <= $topK)""".stripMargin
   }
 
+  /** The retrieval-capstone oracle (BM25 → PRF-ANN → RRF → MMR → pack
+    * over the embedded-docs corpus) — shared VERBATIM by the per-run
+    * composition and its persisted-index twin: every stage twin is
+    * bit-identical to its per-run operator by the existing parity
+    * proofs (BM25's persisted postings, the exact-parameter IVF-PQ
+    * probe, the ingested-vectors MMR, the `_dl` token counts), so one
+    * oracle pins both compositions.
+    */
+  private lazy val contextFullOracleSql: String = {
+    val qvals = Seq((9001L, "spark window join"),
+      (9002L, "hash merge sort"), (9003L, "customer query table"))
+      .flatMap { case (qid, text) =>
+        // CAST pins BIGINT — a bare literal would come out INT32 and
+        // fail the driver's schema compare against Spark's LongType
+        text.split(" ").distinct.map(tok => s"(CAST($qid AS BIGINT), '$tok')")
+      }.mkString(", ")
+    val annScore = Num.r6Sql(dotSql("c.v", "q.v"))
+    val recipMicro = s"CAST(floor(${Num.r6Sql("CAST(1 AS DOUBLE) / (60 + CAST(rank AS DOUBLE))")} * 1000000.0 + 0.5) AS BIGINT)"
+    val embedded = "doc_id IN (SELECT vec_id FROM embeddings)"
+    s"""WITH ${bm25RankCtes(embedded, qvals, topK = 20, p = "b")},
+       |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |seed AS (SELECT query_id, doc FROM brk WHERE rank = 1),
+       |sq AS (SELECT s.query_id, nv.v FROM seed s JOIN nv ON nv.id = s.doc),
+       |asc0 AS (SELECT q.query_id, c.id AS nn_id, $annScore AS score
+       |         FROM nv c JOIN sq q ON c.id <> q.query_id),
+       |ark AS (SELECT query_id, nn_id, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM asc0)
+       |  WHERE rank <= 20),
+       |rmic AS (SELECT query_id, doc, $recipMicro AS micro FROM brk
+       |         UNION ALL SELECT query_id, nn_id, $recipMicro FROM ark),
+       |fs AS (SELECT query_id, doc, ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
+       |       FROM rmic GROUP BY query_id, doc),
+       |frk AS (SELECT query_id, doc, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM fs)
+       |  WHERE rank <= 10),
+       |cv AS (SELECT f.query_id, f.doc AS nn_id, f.score,
+       |              CAST(floor(f.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
+       |       FROM frk f JOIN nv ON nv.id = f.doc),
+       |${mmrSelCtes(5, 500000L)},
+       |ntk AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS nt
+       |        FROM documents WHERE text IS NOT NULL AND $embedded),
+       |selt AS (SELECT s.query_id, s.nn_id, s.score, s.rk, n.nt
+       |         FROM sel5 s JOIN ntk n ON n.doc_id = s.nn_id),
+       |pk AS (SELECT *, CAST(coalesce(sum(nt) OVER (PARTITION BY query_id ORDER BY rk
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM selt)
+       |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank, nt AS n_toks, start_offset,
+       |  CAST(start_offset // 256 AS BIGINT) AS seq_first,
+       |  CAST(CASE WHEN nt > 0 THEN (start_offset + nt - 1) // 256 ELSE start_offset // 256 END AS BIGINT) AS seq_last
+       |FROM pk""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     ("text_pmi_bigrams",
@@ -267,6 +318,32 @@ private[graft] object TextCorpusGates {
       },
       bm25OracleSqlOver("doc_id % 2 = 0")),
 
+    ("retrieval_bm25_asof",
+      (s: SparkSession, dir: String) => {
+        // SNAPSHOT (as-of) reads for the lexical index — the audit/repro
+        // verb: ingest is batch 0, each append stamps batch 1, 2, …
+        // (one long column per row; parquet min/max prunes newer batch
+        // files), and a probe pinned to batch 1 serves the index exactly
+        // as it stood then — reproducible no matter how many batches
+        // landed since. BM25's state is pure per-row and the snapshot
+        // derives (n, avgdl) from its own length relation, so asOf(1)
+        // over batches {0,1,2} is BIT-IDENTICAL to an ingest that never
+        // saw batch 2 — the gate shares the first-two-thirds oracle.
+        import s.implicits._
+        val table = s"graft_bm25_asof_${dirSuffix(dir)}"
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Retrieval.ingestBm25(d.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", table, nBuckets = 8)
+        Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", table)
+        Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", table)
+        Retrieval.bm25TopKIngested(s, table,
+          bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10,
+          asOf = Some(1L))
+      },
+      bm25OracleSqlOver("doc_id % 3 < 2")),
+
     ("retrieval_context_full",
       (s: SparkSession, dir: String) => {
         // the RETRIEVAL CAPSTONE — the serving path a RAG pipeline runs
@@ -330,48 +407,74 @@ private[graft] object TextCorpusGates {
             col("rank").cast("int").as("rank"), col("n_toks"),
             col("start_offset"), col("seq_first"), col("seq_last"))
       },
-      {
-        val qvals = Seq((9001L, "spark window join"),
+      contextFullOracleSql),
+
+    ("retrieval_context_full_ingested",
+      (s: SparkSession, dir: String) => {
+        // the PERSISTED-INDEX capstone twin — production RAG serves
+        // from persisted tables, not per-request corpus scans: BM25
+        // retrieves from the ingested posting/length/stats tables
+        // (bit-identical to the per-run tokenizer), the PRF-ANN leg
+        // probes the ingested IVF-PQ index at EXACTNESS parameters
+        // (nProbe = nCentroids probes every cell; nCandidates ≥ corpus
+        // rescores every candidate exactly — chosen so the stage is
+        // bit-identical to the per-run brute leg and the twin SHARES
+        // the capstone oracle; a production probe tunes both down and
+        // trades recall), MMR diversifies against the index's persisted
+        // normalized vectors, and the pack stage takes its token counts
+        // from BM25's `_dl` length table (dl IS the whitespace token
+        // count — same tokenizer). The documents corpus is scanned
+        // ZERO times in the probe DAG (PlanSpec asserts it); the only
+        // raw-parquet touch is the embeddings seed lookup, an id-keyed
+        // fetch a production deployment serves from an id-bucketed
+        // store. Same materialize-once discipline as the per-run
+        // capstone (each k-bounded rank list has several eager
+        // consumers).
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+            "left_semi")
+        val bmT = s"graft_ctx_bm25_${dirSuffix(dir)}"
+        val annT = s"graft_ctx_ivfpq_${dirSuffix(dir)}"
+        Retrieval.ingestBm25(docs, "doc_id", "text", bmT, nBuckets = 8)
+        Similarity.ingestIvfPq(emb, "vec_id", "embedding", annT,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        val queries = Seq((9001L, "spark window join"),
           (9002L, "hash merge sort"), (9003L, "customer query table"))
-          .flatMap { case (qid, text) =>
-            // CAST pins BIGINT — a bare literal would come out INT32 and
-            // fail the driver's schema compare against Spark's LongType
-            text.split(" ").distinct.map(tok => s"(CAST($qid AS BIGINT), '$tok')")
-          }.mkString(", ")
-        val annScore = Num.r6Sql(dotSql("c.v", "q.v"))
-        val recipMicro = s"CAST(floor(${Num.r6Sql("CAST(1 AS DOUBLE) / (60 + CAST(rank AS DOUBLE))")} * 1000000.0 + 0.5) AS BIGINT)"
-        val embedded = "doc_id IN (SELECT vec_id FROM embeddings)"
-        s"""WITH ${bm25RankCtes(embedded, qvals, topK = 20, p = "b")},
-           |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
-           |seed AS (SELECT query_id, doc FROM brk WHERE rank = 1),
-           |sq AS (SELECT s.query_id, nv.v FROM seed s JOIN nv ON nv.id = s.doc),
-           |asc0 AS (SELECT q.query_id, c.id AS nn_id, $annScore AS score
-           |         FROM nv c JOIN sq q ON c.id <> q.query_id),
-           |ark AS (SELECT query_id, nn_id, rank FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank FROM asc0)
-           |  WHERE rank <= 20),
-           |rmic AS (SELECT query_id, doc, $recipMicro AS micro FROM brk
-           |         UNION ALL SELECT query_id, nn_id, $recipMicro FROM ark),
-           |fs AS (SELECT query_id, doc, ${Num.r6Sql("CAST(sum(micro) AS DOUBLE) / 1000000.0")} AS score
-           |       FROM rmic GROUP BY query_id, doc),
-           |frk AS (SELECT query_id, doc, score FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank FROM fs)
-           |  WHERE rank <= 10),
-           |cv AS (SELECT f.query_id, f.doc AS nn_id, f.score,
-           |              CAST(floor(f.score * 1000000.0 + 0.5) AS BIGINT) AS relm, nv.v
-           |       FROM frk f JOIN nv ON nv.id = f.doc),
-           |${mmrSelCtes(5, 500000L)},
-           |ntk AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS nt
-           |        FROM documents WHERE text IS NOT NULL AND $embedded),
-           |selt AS (SELECT s.query_id, s.nn_id, s.score, s.rk, n.nt
-           |         FROM sel5 s JOIN ntk n ON n.doc_id = s.nn_id),
-           |pk AS (SELECT *, CAST(coalesce(sum(nt) OVER (PARTITION BY query_id ORDER BY rk
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM selt)
-           |SELECT query_id, nn_id, score, CAST(rk AS INT) AS rank, nt AS n_toks, start_offset,
-           |  CAST(start_offset // 256 AS BIGINT) AS seq_first,
-           |  CAST(CASE WHEN nt > 0 THEN (start_offset + nt - 1) // 256 ELSE start_offset // 256 END AS BIGINT) AS seq_last
-           |FROM pk""".stripMargin
-      }),
+          .toDF("qid", "qtext")
+        val bm = Retrieval.bm25TopKIngested(s, bmT, queries, "qid", "qtext",
+          topK = 20).localCheckpoint()
+        val seed = bm.filter(col("rank") === 1)
+          .select(col("query_id"), col("doc"))
+        val seedVecs = emb.join(seed, emb("vec_id") === seed("doc"))
+          .select(col("query_id").as("vec_id"), col("embedding"))
+        val ann = Similarity.topKIvfPqIngested(s, annT, seedVecs,
+          "vec_id", "embedding", k = 20, nProbe = 16, nCandidates = 1 << 20)
+          .localCheckpoint()
+        val fused = Retrieval.rrfFuse(Seq(
+          bm.select(col("query_id"), col("doc"), col("rank")),
+          ann.select(col("query_id"), col("nn_id").as("doc"), col("rank"))),
+          topK = 10)
+        val mmr = Similarity.diversifyMmrIngested(s, s"${annT}_vectors",
+          fused.select(col("query_id"), col("doc").as("nn_id"), col("score")),
+          k = 5, lambda = 0.5).localCheckpoint()
+        val toks = graft.ops.Snapshots.readAsOf(s, s"${bmT}_dl", bmT, None)
+          .select(col("doc").as("nn_id"), col("dl").as("doc_toks"))
+        val sel = mmr.join(toks, Seq("nn_id"))
+        val packed = Corpus.packSequences(
+          sel.select(col("query_id"), col("rank"), col("doc_toks")),
+          idCol = "rank", tokensCol = "doc_toks", capacity = 256,
+          streamCol = Some("query_id"))
+        packed.select(col("stream").as("query_id"), col("doc").as("rank"),
+            col("n_toks"), col("start_offset"), col("seq_first"),
+            col("seq_last"))
+          .join(mmr, Seq("query_id", "rank"))
+          .select(col("query_id"), col("nn_id"), col("score"),
+            col("rank").cast("int").as("rank"), col("n_toks"),
+            col("start_offset"), col("seq_first"), col("seq_last"))
+      },
+      contextFullOracleSql),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>
@@ -682,11 +785,13 @@ private[graft] object TextCorpusGates {
         // at 100 TB the per-run operator re-hashes the eval suite per
         // batch and assumes it broadcasts; this twin does neither.
         // Built as ingest(every-74th) + append(every-37th): the append
-        // anti-joins hashes already present, so OVERLAPPING benchmark
-        // batches (the %74 set is a subset of the %37 set) land exactly
-        // once — a duplicated h row would double-count n_hits and
-        // silently tighten admission. ingest+append ≡ the per-run
-        // operator's eval hash set, so this SHARES its oracle.
+        // anti-joins (h, doc) pairs already present, so OVERLAPPING
+        // benchmark batches (the %74 set is a subset of the %37 set)
+        // land every pair exactly once, and the probe dedups to
+        // distinct h (exchange-free — h is the bucket key) before
+        // counting, so a shared hash can never double-count n_hits.
+        // ingest+append ≡ the per-run operator's eval hash set, so
+        // this SHARES its oracle.
         import s.implicits._
         val table = s"graft_decontam_${dirSuffix(dir)}"
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -695,6 +800,34 @@ private[graft] object TextCorpusGates {
           "doc_id", "text", n = 8, table, nBuckets = 8)
         Corpus.appendDecontamIndex(s, table,
           docs.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+        Corpus.decontaminateIngested(s, table, docs, "doc_id", "text")
+      },
+      decontamOracleSql),
+
+    ("corpus_decontaminate_deleted",
+      (s: SparkSession, dir: String) => {
+        // DELETE for the decontamination index — the benchmark
+        // RETRACTION verb: a withdrawn eval suite must stop gating
+        // admission without a full re-hash. Ingest the %37 benchmarks
+        // PLUS a retractable %5=3 suite (disjointified — docs in both
+        // stay), tombstone the retractable docs, probe. Because the
+        // index is (h, doc) pairs, a hash SHARED between a retracted
+        // and a remaining benchmark keeps gating through the surviving
+        // row while hashes only the retracted suite contributed stop —
+        // so ingest(A∪B); delete(B) is BIT-IDENTICAL to ingest(A) at
+        // probe time and this gate shares the %37-only oracle: the
+        // hash match IS the retraction proof. Physical drop rides
+        // compactDecontamIndex.
+        import s.implicits._
+        val table = s"graft_decontam_del_${dirSuffix(dir)}"
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        val keepSuite = col("doc_id") % 37 === 0
+        val retractable = col("doc_id") % 5 === 3 && col("doc_id") % 37 =!= 0
+        Corpus.ingestDecontamIndex(docs.filter(keepSuite || retractable),
+          "doc_id", "text", n = 8, table, nBuckets = 8)
+        Corpus.deleteFromDecontamIndex(s, table,
+          docs.filter(retractable).select(col("doc_id").as("doc")))
         Corpus.decontaminateIngested(s, table, docs, "doc_id", "text")
       },
       decontamOracleSql),
@@ -944,6 +1077,93 @@ private[graft] object TextCorpusGates {
            |${step(1)},
            |zf AS (SELECT doc_id, sum(c * wm) AS zm
            |       FROM db2 JOIN w2 USING (b) GROUP BY doc_id)
+           |SELECT doc_id, $sig AS score, ($sig) >= 0.5 AS pred FROM zf""".stripMargin
+      }),
+
+    ("corpus_quality_streamed",
+      (s: SparkSession, dir: String) => {
+        // exactly-once STREAMED training of the quality classifier —
+        // the online-learning twin: the labeled corpus arrives as three
+        // foreachBatch deliveries (doc_id % 3), each continuing the
+        // persisted weight vector with 2 gradient steps over ITS OWN
+        // docs; the hashing (64 buckets) froze at ingest via the meta
+        // sidecar; batch 1 is RE-delivered and must be a commit-log
+        // no-op — a doubled gradient step would shift every score, and
+        // this oracle (which replays the three batch updates exactly
+        // once each, in order) would catch it. Scores serve from the
+        // persisted weights over the full corpus.
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
+        val labeled = d
+          .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("label"), lit(0)).as("label"))
+        val table = s"graft_qm_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_meta", s"${table}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Corpus.qualityModelSink(table, "doc_id", "text",
+          nBuckets = 64, steps = 2)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        Corpus.qualityScoreIngested(s, table, d, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("score"), col("pred"))
+      },
+      {
+        val sig = Num.r6Sql("1.0 / (1.0 + exp(-CAST(zm AS DOUBLE) / 1000000.0))")
+        val pm = s"CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT)"
+        // one gradient step over batch `db` dividing by batch size `nn`
+        // — the per-run gate's step CTE with the relation names
+        // parameterized (the weight-vector chain w0..w6 threads through
+        // all three batches in delivery order)
+        def step(i: Int, db: String, nn: String) =
+          s"""z$i AS (SELECT doc_id, sum(c * wm) AS zm
+             |       FROM $db JOIN w$i USING (b) GROUP BY doc_id),
+             |e$i AS (SELECT z$i.doc_id, $pm - ym AS errm
+             |       FROM z$i JOIN lbl USING (doc_id)),
+             |g$i AS (SELECT b, sum(errm * c) AS g
+             |       FROM $db JOIN e$i USING (doc_id) GROUP BY b),
+             |w${i + 1} AS (SELECT w.b, w.wm - coalesce(g.g, 0) // (2 * (SELECT n FROM $nn)) AS wm
+             |       FROM w$i w LEFT JOIN g$i g USING (b))""".stripMargin
+        s"""WITH $textBCte,
+           |$qualityCtes,
+           |${repetitionCtes("documents")},
+           |lbl AS (SELECT q.doc_id,
+           |          CASE WHEN q.n_tokens BETWEEN 40 AND 100000
+           |                AND q.avg_token_len BETWEEN 3.0 AND 10.0
+           |                AND q.stopword_ratio >= 0.05
+           |                AND r.top_word_frac <= 0.2
+           |                AND r.distinct_frac >= 0.3
+           |               THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ym
+           |        FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+           |tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                                   t -> t <> '') AS tk
+           |        FROM documents WHERE text IS NOT NULL),
+           |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
+           |       UNION ALL
+           |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+           |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |       FROM tkz),
+           |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
+           |db2 AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, b
+           |        UNION ALL
+           |        SELECT DISTINCT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM fb),
+           |dba AS (SELECT * FROM db2 WHERE doc_id % 3 = 0),
+           |dbb AS (SELECT * FROM db2 WHERE doc_id % 3 = 1),
+           |dbc AS (SELECT * FROM db2 WHERE doc_id % 3 = 2),
+           |nna AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 0),
+           |nnb AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 1),
+           |nnc AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 2),
+           |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM db2),
+           |${step(0, "dba", "nna")},
+           |${step(1, "dba", "nna")},
+           |${step(2, "dbb", "nnb")},
+           |${step(3, "dbb", "nnb")},
+           |${step(4, "dbc", "nnc")},
+           |${step(5, "dbc", "nnc")},
+           |zf AS (SELECT doc_id, sum(c * wm) AS zm
+           |       FROM db2 JOIN w6 USING (b) GROUP BY doc_id)
            |SELECT doc_id, $sig AS score, ($sig) >= 0.5 AS pred FROM zf""".stripMargin
       }),
 
@@ -1330,6 +1550,58 @@ private[graft] object TextCorpusGates {
          |       CAST(CASE WHEN ne > 0 THEN (start_offset + ne - 1) // 256
          |            ELSE start_offset // 256 END AS BIGINT) AS seq_last
          |FROM o ORDER BY doc""".stripMargin),
+
+    ("corpus_pack_bestfit",
+      (s: SparkSession, dir: String) => {
+        // BEST-FIT-DECREASING packing — the no-straddling alternative
+        // to concat-and-chunk: within each stream, docs sort (tokens
+        // DESC, id ASC) and each takes the open bin with the smallest
+        // sufficient remainder; no fit opens a new bin; an oversize doc
+        // (n = byte length here, frequently > 256) gets its own bin.
+        // The whole fold is ONE codegen'd aggregate expression per
+        // stream — the oracle replays it as a recursive CTE folding
+        // doc-by-doc over the identical order, so the hash match pins
+        // every placement decision, not just aggregate waste. Same
+        // NULL-rides-along + byte-length conventions as corpus_pack.
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.packBestFit(d, "doc_id", "n", capacity = 256, nStreams = 8)
+          .orderBy(col("doc"))
+      },
+      {
+        val cand = "list_filter(list_transform(f.bins, (l, i) -> " +
+          "struct_pack(l := l, i := CAST(i - 1 AS INT))), c -> c.l + b.ne <= 256)"
+        val pick = s"list_reduce($cand, (a, c) -> CASE WHEN c.l > a.l THEN c ELSE a END)"
+        s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents
+           |              UNION ALL SELECT 99991, NULL),
+           |d AS (SELECT doc_id,
+           |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
+           |      FROM docs),
+           |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+           |base AS (SELECT doc_id, ne, stream,
+           |           CAST(row_number() OVER (PARTITION BY stream ORDER BY ne DESC, doc_id) AS BIGINT) AS rn
+           |         FROM st),
+           |f(stream, rn, bins, doc, n, bin, off) AS (
+           |  SELECT DISTINCT stream, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+           |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           |         CAST(NULL AS INT), CAST(NULL AS BIGINT) FROM base
+           |  UNION ALL
+           |  SELECT b.stream, f.rn + 1,
+           |         CASE WHEN len($cand) = 0 THEN list_append(f.bins, b.ne)
+           |              ELSE list_transform(f.bins, (l, i) ->
+           |                CASE WHEN i - 1 = ($pick).i THEN l + b.ne ELSE l END) END,
+           |         b.doc_id, b.ne,
+           |         CASE WHEN len($cand) = 0 THEN CAST(len(f.bins) AS INT)
+           |              ELSE ($pick).i END,
+           |         CASE WHEN len($cand) = 0 THEN CAST(0 AS BIGINT)
+           |              ELSE ($pick).l END
+           |  FROM f JOIN base b ON b.stream = f.stream AND b.rn = f.rn + 1
+           |)
+           |SELECT doc, n AS n_toks, stream, bin, off AS bin_offset
+           |FROM f WHERE rn > 0 ORDER BY doc""".stripMargin
+      }),
 
     ("corpus_pack_edges",
       (s: SparkSession, dir: String) => {

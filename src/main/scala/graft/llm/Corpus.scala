@@ -164,74 +164,102 @@ object Corpus {
         (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
   }
 
-  /** Persist the eval suite's distinct n-gram hash set ONCE —
+  /** Persist the eval suite's n-gram hash relation ONCE —
     * decontamination's pay-once index (the `ingestBm25` pattern applied
     * to eval integrity): the benchmark suite is FIXED while the corpus
     * streams in, so tokenizing and hashing the eval set per admission
     * batch is pure waste, and for a very large eval suite the per-run
-    * operator's broadcast assumption stops holding. The hash set is
-    * written bucketed by h — exactly the probe's join key — so
-    * [[decontaminateIngested]] reads it exchange-free regardless of
-    * size (only the batch side shuffles, and it is batch-sized). A
-    * 1-row `n` sidecar makes probing with a mismatched n-gram order
-    * impossible by construction.
+    * operator's broadcast assumption stops holding. Rows are
+    * `(h, doc)` — the hash WITH its benchmark doc of origin — bucketed
+    * by h, exactly the probe's join key, so [[decontaminateIngested]]
+    * reads it exchange-free regardless of size (only the batch side
+    * shuffles, and it is batch-sized). The provenance column is what
+    * makes [[deleteFromDecontamIndex]] possible: a retracted benchmark
+    * deletes by doc id, and a hash SHARED with a remaining benchmark
+    * keeps gating through the surviving row — a bare hash set cannot
+    * retract without that attribution. Probes dedup to distinct h
+    * post-filter (h is the bucket key — the dedup is exchange-free), so
+    * verdicts are identical to the old set-shaped index. A 1-row `n`
+    * sidecar makes probing with a mismatched n-gram order impossible by
+    * construction.
     */
   def ingestDecontamIndex(evalSet: DataFrame, idCol: String, textCol: String,
                           n: Int, table: String, nBuckets: Int): Unit = {
     require(n > 0, "n must be positive")
-    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
-      .select(col("h")).distinct()
-    graft.ops.Bucketing.writeBucketed(evalH, table, "h", nBuckets)
     val spark = evalSet.sparkSession
+    // a rebuild starts with no deletes and a fresh snapshot timeline
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
+    val evalH = Dedup.docShinglesHashed(evalSet, idCol, textCol, n)
+      .select(col("h"), col("doc"))
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(evalH, 0L), table, "h", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(Seq(n).toDF("n"), s"${table}_meta")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Fold a NEW benchmark batch into an [[ingestDecontamIndex]] index —
     * eval suites grow too (each new benchmark release must start
     * gating admission immediately, without re-hashing the whole
-    * suite). The batch's distinct hashes anti-join the persisted set
-    * first (index side exchange-free — bucketed on h) so hashes shared
-    * WITH EXISTING BENCHMARKS are not duplicated: a duplicate h row
-    * would double-count every training doc's `n_hits` against it,
-    * silently tightening the admission rule. `ingest(A); append(B)` is
-    * therefore row-identical to `ingest(A ∪ B)` — the index is a SET.
+    * suite). The index is a SET of `(h, doc)` pairs: the batch's pairs
+    * anti-join the persisted relation on BOTH columns, so OVERLAPPING
+    * eval batches (a re-released benchmark) land every pair exactly
+    * once — full per-doc provenance is preserved for
+    * [[deleteFromDecontamIndex]] (an h-only anti-join would drop a
+    * shared hash's second attribution, and a later retraction of the
+    * first benchmark would then silently stop gating a hash this batch
+    * still vouches for). `ingest(A); append(B)` is row-identical to
+    * `ingest(A ∪ B)` at the (h, doc) granularity, snapshot stamps
+    * aside. Tombstoned docs must not re-append (purge or rebuild
+    * first — the standard contract).
     */
   def appendDecontamIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, evalBatch: DataFrame,
                           idCol: String, textCol: String): Unit = {
     val meta = spark.table(s"${table}_meta").first()
     val n = meta.getInt(meta.fieldIndex("n"))
+    graft.ops.Tombstones.requireNotTombstoned(spark, table,
+      evalBatch.select(col(idCol).as("doc")), "doc")
     // localCheckpoint BEFORE the append (the appendMinhashIndex
     // discipline): the anti-join's plan READS the very table the append
     // writes into — materializing the batch-sized result first removes
     // the read-from-write-target hazard (a mid-write file re-listing
-    // would re-read partial output and silently drop hashes)
+    // would re-read partial output and silently drop pairs)
     val newH = Dedup.docShinglesHashed(evalBatch, idCol, textCol, n)
-      .select(col("h")).distinct()
-      .join(spark.table(table), Seq("h"), "left_anti")
+      .select(col("h"), col("doc"))
+      .join(spark.table(table), Seq("h", "doc"), "left_anti")
       .localCheckpoint()
-    graft.ops.Bucketing.appendBucketed(newH, table, "h",
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(newH, b), table, "h",
       graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** [[decontaminate]] against an [[ingestDecontamIndex]] index:
-    * bit-identical verdicts (the index IS the per-run operator's
-    * distinct eval hash set, parquet round-trips longs exactly — the
-    * gate shares the oracle), but the probe never re-tokenizes the
-    * eval suite and never assumes it broadcasts: the hit join reads
-    * the h-bucketed scan exchange-free and only the batch side
-    * shuffles. n comes from the sidecar — parameter mismatch
-    * impossible.
+    * bit-identical verdicts (the distinct-h projection of the filtered
+    * index IS the per-run operator's eval hash set, parquet round-trips
+    * longs exactly — the gate shares the oracle), but the probe never
+    * re-tokenizes the eval suite and never assumes it broadcasts: both
+    * the tombstone-filtered dedup to distinct h AND the hit join read
+    * the h-bucketed scan exchange-free; only the batch side shuffles.
+    * n comes from the sidecar — parameter mismatch impossible. `asOf`
+    * serves the suite as of an append batch (tombstones still apply —
+    * retraction is retroactive).
     */
   def decontaminateIngested(spark: org.apache.spark.sql.SparkSession,
                             table: String, train: DataFrame, idCol: String,
-                            textCol: String, minHits: Long = 1L): DataFrame = {
+                            textCol: String, minHits: Long = 1L,
+                            asOf: Option[Long] = None): DataFrame = {
     require(minHits > 0, "minHits must be positive")
     val meta = spark.table(s"${table}_meta").first()
     val n = meta.getInt(meta.fieldIndex("n"))
+    val evalH = graft.ops.Tombstones.filterByParent(spark, table,
+        graft.ops.Snapshots.readAsOf(spark, table, table, asOf), "doc")
+      .select(col("h")).distinct()
     val trainSh = Dedup.docShinglesHashed(train, idCol, textCol, n)
-    val hits = trainSh.join(spark.table(table), Seq("h"))
+    val hits = trainSh.join(evalH, Seq("h"))
       .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
     graft.Partitioning.spread(train).select(col(idCol).as("doc"))
       .join(hits, Seq("doc"), "left")
@@ -239,6 +267,31 @@ object Corpus {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) < minHits).as("keep"))
   }
+
+  /** Logically delete benchmark documents from an
+    * [[ingestDecontamIndex]] index — the retraction verb the seventh
+    * index family was missing: a withdrawn or corrected benchmark must
+    * stop gating admission WITHOUT a full suite re-hash. Doc ids
+    * tombstone (takedown-list-sized); probes exclude the retracted
+    * docs' rows before the distinct-h dedup, so a hash shared with a
+    * REMAINING benchmark keeps gating (the provenance column's whole
+    * point) while hashes only the retracted benchmark contributed stop.
+    * Because the index state is pure per-row, `ingest(A∪B); delete(B)`
+    * is BIT-IDENTICAL to `ingest(A)` at probe time — the delete gate
+    * shares the A-only oracle. [[compactDecontamIndex]] drops the rows
+    * physically.
+    */
+  def deleteFromDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "doc"); ()
+  }
+
+  /** Physical drop + tombstone clear for a decontamination index (a
+    * per-bucket local rewrite of the h-bucketed relation).
+    */
+  def compactDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table, Seq(table -> "h"), "doc")
 
   /** Contamination ATTRIBUTION report — the auditor view behind
     * [[decontaminate]]: for each (benchmark doc, training doc) pair
@@ -637,6 +690,95 @@ object Corpus {
           .otherwise(expr(s"start_offset div $capacity")).as("seq_last"))
   }
 
+  /** Best-fit-decreasing sequence packing — the bounded-waste BIN-PACKED
+    * alternative to [[packSequences]]' concat-and-chunk: documents are
+    * NEVER split across context windows (concat-and-chunk straddles a
+    * doc over two windows, which truncates attention over its boundary
+    * tokens — the padding-vs-straddling trade every training pipeline
+    * picks a side of), and padding waste is bounded by the classic FFD
+    * guarantee (≤ 11/9·OPT + 6/9 bins per stream). Within each stream,
+    * docs sort by (tokens DESC, id ASC) and each places into the open
+    * bin with the SMALLEST sufficient remaining capacity (ties to the
+    * lowest bin index); no fit opens a new bin. A doc LONGER than
+    * `capacity` gets a bin of its own (overfull — the caller's
+    * truncation policy applies downstream); zero/NULL-token docs pack
+    * into the fullest open bin at zero cost.
+    *
+    * Scale shape: docs hash into `nStreams` independent streams (the
+    * [[packSequences]] sharding — a doc's stream never changes as the
+    * corpus grows) and the ENTIRE fold is one codegen'd
+    * `aggregate` expression over each stream's sorted doc array: no
+    * driver-side state, no window, parallelism = nStreams. The honest
+    * trade vs the running-sum pack: FFD is inherently sequential per
+    * stream AND needs the stream's docs in one task (collect_list), so
+    * per-stream memory is O(docs/nStreams) structs and open-bin state
+    * is O(bins/stream) — size nStreams so a stream's docs fit a task
+    * (at 100 TB: tens of thousands of streams), where packSequences
+    * needs only a running sum. Deterministic and engine-reproducible
+    * by construction (pure integer arithmetic, total order).
+    *
+    * @return (doc, n_toks, stream, bin, bin_offset) — bin is 0-based
+    *         per stream; bin_offset is the doc's token offset within
+    *         its bin (sum of earlier-placed docs' tokens)
+    */
+  def packBestFit(df: DataFrame, idCol: String, tokensCol: String,
+                  capacity: Long, nStreams: Int = 64,
+                  streamCol: Option[String] = None): DataFrame = {
+    require(capacity > 0 && nStreams > 0, "capacity and nStreams must be positive")
+    require(!(Seq(idCol, tokensCol) ++ streamCol).exists(c =>
+      Seq("stream", "n_toks", "bin", "bin_offset").exists(c.equalsIgnoreCase)),
+      "idCol/tokensCol/streamCol must not be named 'stream', 'n_toks', " +
+        "'bin' or 'bin_offset' — reserved by packBestFit")
+    val nTok = greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L))
+    val src = graft.Partitioning.spread(df)
+      .withColumn("stream", streamCol.map(col).getOrElse(
+        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
+          lit(nStreams.toLong))))
+      // o1 = −tokens: ascending struct sort = (tokens DESC, id ASC) —
+      // the FFD order
+      .select(col("stream"),
+        struct((-nTok).as("o1"), col(idCol).as("doc"), nTok.as("n")).as("it"))
+    val grouped = src.groupBy(col("stream"))
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+    val capL = lit(capacity)
+    // empty arrays OF THE RIGHT ELEMENT TYPE: slice(single-element, 1, 0)
+    // — the doc field inherits the input id type, so the accumulator
+    // cannot pin a wrong schema
+    val zero = struct(
+      slice(array(lit(0L)), 1, 0).as("bins"),
+      slice(array(struct(
+        element_at(col("items"), 1).getField("doc").as("doc"),
+        lit(0L).as("n"), lit(0).as("bin"), lit(0L).as("off"))), 1, 0).as("asg"))
+    def mergeFn(acc: Column, it: Column): Column = {
+      val n = it.getField("n")
+      // best fit = among bins with room, the LARGEST load (smallest
+      // remainder); the fold visits bins in index order with a STRICT
+      // improvement test, so load ties break to the lowest index
+      val cands = filter(
+        transform(acc.getField("bins"), (l, i) => struct(l.as("l"), i.as("i"))),
+        c => c.getField("l") + n <= capL)
+      val pick = aggregate(cands,
+        struct(lit(-1L).as("l"), lit(-1).as("i")),
+        (b, c) => when(c.getField("l") > b.getField("l"), c).otherwise(b))
+      val isNew = pick.getField("i") < 0
+      val bin = when(isNew, size(acc.getField("bins")))
+        .otherwise(pick.getField("i"))
+      val off = when(isNew, lit(0L)).otherwise(pick.getField("l"))
+      val bins2 = when(isNew, concat(acc.getField("bins"), array(n)))
+        .otherwise(transform(acc.getField("bins"),
+          (l, i) => when(i === pick.getField("i"), l + n).otherwise(l)))
+      val asg2 = concat(acc.getField("asg"),
+        array(struct(it.getField("doc").as("doc"), n.as("n"),
+          bin.cast("int").as("bin"), off.as("off"))))
+      struct(bins2.as("bins"), asg2.as("asg"))
+    }
+    grouped
+      .select(col("stream"),
+        explode(aggregate(col("items"), zero, mergeFn).getField("asg")).as("a"))
+      .select(col("a.doc").as("doc"), col("a.n").as("n_toks"), col("stream"),
+        col("a.bin").cast("int").as("bin"), col("a.off").as("bin_offset"))
+  }
+
   /** Token-budget corpus selection — the "best N tokens" cut a
     * quality-filtered pretraining run makes when compute (not data) is
     * the constraint: admit the highest-`scoreCol` documents until
@@ -993,16 +1135,27 @@ object Corpus {
     val u = (pmod(TextAnalysis.rollingHash(col("id").cast("string")),
       lit(1000000L)).cast("double") + lit(0.5d)) / lit(1000000.0d)
     val g = graft.Num.r6(-log(-log(u)))
-    import org.apache.spark.sql.expressions.Window
-    // the rank window runs over the ALREADY-limited k rows — k-bounded
-    // by construction, so the unpartitioned window is safe
-    val w = Window.orderBy(col("gumbel_key").desc, col("id").asc)
-    graft.Partitioning.spread(weights)
+    val sorted = graft.Partitioning.spread(weights)
       .select(col(idCol).as("id"), col(logwCol).as("logw"))
       .withColumn("gumbel_key", g + col("logw"))
       .orderBy(col("gumbel_key").desc, col("id").asc)
       .limit(k)
-      .withColumn("rank", row_number().over(w).cast("int"))
+    // ranks from the collected k rows, not a window: TakeOrderedAndProject
+    // already funnels exactly these k rows (the sample — the caller's
+    // output) through the driver-side merge, so collecting adds no new
+    // bound, and it removes the unpartitioned Window.orderBy a future
+    // caller lifting the limit would silently turn into a
+    // single-partition sort over the whole corpus. collect() on the
+    // sorted-limited plan preserves order, so rank = position + 1.
+    val spark = weights.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val ranked = sorted.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(ranked: _*)), schema)
   }
 
   /** Leakage-safe train/eval split — the held-out-set construction a
@@ -1087,9 +1240,12 @@ object Corpus {
     * bucket-count relation, one id-keyed join against the labels, and
     * one (nBuckets + 1)-row integer aggregate — bucket-count-relation
     * work, never corpus-text work, and driver state is the weight
-    * vector by construction. Documents with no features score through
-    * the bias weight alone. Null-text documents are absent (no
-    * evidence), matching [[dsirWeights]].
+    * vector by construction. Documents with NO features (null text, or
+    * text that tokenizes to nothing — whitespace-only) are ABSENT from
+    * the output: the bias rows derive from the feature relation's doc
+    * ids, so a zero-evidence doc never enters training or scoring
+    * (QualityModelSpec pins exactly that absence), matching
+    * [[dsirWeights]]'s no-evidence semantics.
     *
     * @param labels `(idCol, label)` with label ∈ {0, 1}
     * @return (id, score, pred) — score = r6(sigmoid(z)), pred = score ≥ ½
@@ -1098,23 +1254,58 @@ object Corpus {
                    labels: DataFrame, nBuckets: Int, steps: Int): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     require(steps >= 1, "steps must be >= 1")
-    val bias = nBuckets.toLong // the virtual always-on feature bucket
+    val db = qmFeatures(docs, idCol, textCol, nBuckets)
+    val wm = qmSteps(db, qmLabels(labels, idCol), nBuckets, steps,
+      qmZeroWeights(nBuckets))
+    qmScore(db, wm)
+  }
+
+  /** The feature relation every quality-model consumer reads: hashed
+    * uni+bigram per-(doc, bucket) counts PLUS one bias row per featured
+    * doc, materialized so every gradient step (and the final scoring)
+    * is one scan of it.
+    */
+  private def qmFeatures(docs: DataFrame, idCol: String, textCol: String,
+                         nBuckets: Int): DataFrame = {
     val db0 = hashedFeatureCounts(docs, idCol, textCol, nBuckets)
-    val spark = docs.sparkSession
-    // bias rows ride the SAME relation so every step is one scan of it
-    val db = db0.select(col("id"), col("b"), col("c"))
+    db0.select(col("id"), col("b"), col("c"))
       .unionByName(db0.select(col("id")).distinct()
-        .select(col("id"), lit(bias).as("b"), lit(1L).as("c")))
+        .select(col("id"), lit(nBuckets.toLong).as("b"), lit(1L).as("c")))
       .localCheckpoint()
-    val lab = labels.select(col(idCol).as("id"),
+  }
+
+  private def qmLabels(labels: DataFrame, idCol: String): DataFrame =
+    labels.select(col(idCol).as("id"),
       (col("label").cast("long") * lit(1000000L)).as("ym"))
-    def zm(wm: Map[Long, Long]) =
-      db.groupBy("id").agg(sum(col("c") *
-        element_at(typedLit(wm), col("b"))).as("zm"))
+
+  private def qmZeroWeights(nBuckets: Int): Map[Long, Long] =
+    (0L to nBuckets.toLong).map(_ -> 0L).toMap
+
+  private def qmZm(db: DataFrame, wm: Map[Long, Long]): DataFrame =
+    db.groupBy("id").agg(sum(col("c") *
+      element_at(typedLit(wm), col("b"))).as("zm"))
+
+  private def qmScore(db: DataFrame, wm: Map[Long, Long]): DataFrame =
+    qmZm(db, wm).select(col("id"),
+        graft.Num.r6(lit(1.0d) /
+          (lit(1.0d) + exp(-col("zm").cast("double") / lit(1000000.0d)))).as("score"))
+      .withColumn("pred", col("score") >= lit(0.5d))
+
+  /** `steps` deterministic full-batch gradient steps over the feature
+    * relation `db` from the starting weights `wm0` — the shared core of
+    * [[qualityModel]] (from zero) and [[qualityModelSink]] (continuing
+    * from the persisted weights). Arithmetic as documented on
+    * [[qualityModel]]: literal weights, exact integer logits, r6'd
+    * sigmoid, truncating integer division (Java long `/` IS DuckDB's
+    * BIGINT `//`).
+    */
+  private def qmSteps(db: DataFrame, lab: DataFrame, nBuckets: Int,
+                      steps: Int, wm0: Map[Long, Long]): Map[Long, Long] = {
+    val bias = nBuckets.toLong
     def pMicro = floor(graft.Num.r6(lit(1.0d) /
       (lit(1.0d) + exp(-col("zm").cast("double") / lit(1000000.0d))))
       * lit(1000000.0d) + lit(0.5d)).cast("long")
-    var wm: Map[Long, Long] = (0L to bias).map(_ -> 0L).toMap
+    var wm = wm0
     // the training-set size is step-invariant: labeled docs with
     // features (the bias row is one per featured doc) — computed once
     val n = math.max(1L, db.where(col("b") === bias)
@@ -1122,7 +1313,7 @@ object Corpus {
     for (_ <- 0 until steps) {
       // one job: per-doc logit -> r6 sigmoid -> residual joins back to
       // the bucket counts -> (nBuckets + 1)-row integer gradient
-      val rows = zm(wm)
+      val rows = qmZm(db, wm)
         .join(lab, Seq("id"))
         .select(col("id"), (pMicro - col("ym")).as("errm"))
         .join(db, Seq("id"))
@@ -1137,9 +1328,74 @@ object Corpus {
         b -> (w - byB.getOrElse(b, 0L) / (2L * n))
       }
     }
-    zm(wm).select(col("id"),
-        graft.Num.r6(lit(1.0d) /
-          (lit(1.0d) + exp(-col("zm").cast("double") / lit(1000000.0d)))).as("score"))
-      .withColumn("pred", col("score") >= lit(0.5d))
+    wm
+  }
+
+  /** Exactly-once STREAMING maintenance of the quality model — the
+    * online-learning twin every other corpus-state operator already
+    * has: each delivered batch of `(id, text, label)` rows continues
+    * training with `steps` gradient steps over ITS OWN labeled docs
+    * (per-batch full-batch gradient = deterministic mini-batch SGD with
+    * batch = delivery), starting from the persisted weight vector. The
+    * HASHING IS FROZEN at ingest (`nBuckets` and `steps` live in the
+    * `<table>_meta` sidecar — a batch hashed with a different bucket
+    * count would scatter its gradient into the wrong weights, the
+    * histMerge failure mode, closed by construction), while the weight
+    * vector is the accumulating state: `<table> (b, wm)`, nBuckets + 1
+    * rows, rewritten per batch — state is literal-sized, so the
+    * "index" write is a sidecar write, never a corpus-sized table. A
+    * RE-delivered batch id is a commit-log no-op ([[graft.streaming
+    * .ExactlyOnce]]) — without it a replayed batch would apply its
+    * gradient twice and every downstream score would silently shift
+    * (the streamed gate's oracle catches exactly that). An EMPTY batch
+    * is a natural no-op (no labeled featured docs → zero gradient).
+    * Score serving reads the persisted weights via
+    * [[qualityScoreIngested]].
+    */
+  def qualityModelSink(table: String, idCol: String, textCol: String,
+                       nBuckets: Int, steps: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        val first = !spark.catalog.tableExists(s"${table}_meta")
+        val (nb, st) =
+          if (first) (nBuckets, steps)
+          else {
+            val m = spark.table(s"${table}_meta").first()
+            (m.getInt(m.fieldIndex("nbuckets")), m.getInt(m.fieldIndex("steps")))
+          }
+        val wm0 =
+          if (first) qmZeroWeights(nb)
+          else spark.table(table).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val db = qmFeatures(batch, idCol, textCol, nb)
+        val wm = qmSteps(db, qmLabels(batch, idCol), nb, st, wm0)
+        import spark.implicits._
+        graft.ops.Bucketing.writeSmall(
+          wm.toSeq.sortBy(_._1).toDF("b", "wm"), table)
+        if (first)
+          graft.ops.Bucketing.writeSmall(
+            Seq((nb, st)).toDF("nbuckets", "steps"), s"${table}_meta")
+      }
+      ()
+    }
+
+  /** Score documents against a [[qualityModelSink]]-trained model: the
+    * persisted weight vector (nBuckets + 1 rows — literal-sized by
+    * construction) rides the scoring plan as a literal; nBuckets comes
+    * from the frozen sidecar so the features hash exactly as training
+    * did. One tokenize + hash pass over the input, no shuffle beyond
+    * the per-doc logit aggregation.
+    *
+    * @return (id, score, pred) — [[qualityModel]]'s output contract
+    */
+  def qualityScoreIngested(spark: org.apache.spark.sql.SparkSession,
+                           table: String, docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val m = spark.table(s"${table}_meta").first()
+    val nb = m.getInt(m.fieldIndex("nbuckets"))
+    val wm = spark.table(table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qmScore(qmFeatures(docs, idCol, textCol, nb), wm)
   }
 }

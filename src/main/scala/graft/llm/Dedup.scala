@@ -425,8 +425,10 @@ object Dedup {
                          nBuckets: Int): Unit = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val spark = corpus.sparkSession
-    // a rebuild starts with no deletes (the Tombstones contract)
+    // a rebuild starts with no deletes (the Tombstones contract) and a
+    // fresh snapshot timeline (the Snapshots contract: this IS batch 0)
     graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
     val raw = docShinglesHashed(corpus, idCol, textCol, n, None)
       .localCheckpoint()
     val flood = maxDocFreq match {
@@ -435,10 +437,12 @@ object Dedup {
         .filter(col("df") > cap).select(col("h"))
     }
     graft.ops.Bucketing.writeBucketed(
-      raw.join(flood, Seq("h"), "left_anti"),
+      graft.ops.Snapshots.stamp(raw.join(flood, Seq("h"), "left_anti"), 0L),
       s"${table}_shingles", "h", nBuckets)
     graft.ops.Bucketing.writeBucketed(
-      bandKeys(spark.table(s"${table}_shingles"), k, rowsPerBand),
+      graft.ops.Snapshots.stamp(
+        bandKeys(spark.table(s"${table}_shingles")
+          .drop(graft.ops.Snapshots.BatchCol), k, rowsPerBand), 0L),
       table, "bkey", nBuckets)
     // the flood set is NOT written via writeSmall: writeSmall's
     // contract is dimension-sized-by-contract, but a boilerplate-heavy
@@ -451,6 +455,7 @@ object Dedup {
     graft.ops.Bucketing.writeSmall(
       Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"),
       s"${table}_meta")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a new batch into an [[ingestMinhashIndex]] index — the
@@ -488,10 +493,14 @@ object Dedup {
     val dsNew = docShinglesHashed(batch, idCol, textCol, n, None)
       .join(spark.table(s"${table}_flood"), Seq("h"), "left_anti")
       .localCheckpoint() // two consumers: shingle append + band append
-    graft.ops.Bucketing.appendBucketed(dsNew, s"${table}_shingles", "h",
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(dsNew, b), s"${table}_shingles", "h",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_shingles"))
-    graft.ops.Bucketing.appendBucketed(bandKeys(dsNew, k, rpb), table, "bkey",
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(bandKeys(dsNew, k, rpb), b), table, "bkey",
       graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Exactly-once streaming maintenance of a MinHash near-dup index —
@@ -557,17 +566,22 @@ object Dedup {
     */
   def minhashLshIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                          newBatch: DataFrame, idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         asOf: Option[Long] = None): DataFrame = {
     val meta = spark.table(s"${table}_meta").first()
     val n = meta.getInt(meta.fieldIndex("n"))
     val k = meta.getInt(meta.fieldIndex("k"))
     val rpb = meta.getInt(meta.fieldIndex("rows_per_band"))
+    // the flood set is frozen at ingest (corpus-trained state), so every
+    // snapshot admits under the same cap — the Snapshots contract
     val flood = spark.table(s"${table}_flood")
     // tombstoned docs are excluded from both persisted relations — a
     // deleted document must neither generate candidates nor contribute
-    // shingles to a Jaccard intersection
+    // shingles to a Jaccard intersection; asOf additionally restricts
+    // both to batches ≤ asOf (takedowns stay retroactive)
     val dsOld = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(s"${table}_shingles"), "doc")
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_shingles", table, asOf),
+      "doc")
     // no broadcast hint: the flood set is usually tiny (shingles above
     // the cap) and Catalyst broadcasts it from table stats, but on a
     // boilerplate-heavy corpus it can grow past broadcast size — let
@@ -578,7 +592,7 @@ object Dedup {
     val cand = bandKeys(dsNew, k, rpb)
       .select(col("doc").as("d_new"), col("bkey"), col("bkey2"))
       .join(graft.ops.Tombstones.filterByParent(spark, table,
-          spark.table(table), "doc")
+          graft.ops.Snapshots.readAsOf(spark, table, table, asOf), "doc")
         .select(col("doc").as("d_old"), col("bkey"), col("bkey2")),
         Seq("bkey", "bkey2"))
       .select(col("d_new"), col("d_old")).distinct()

@@ -157,15 +157,21 @@ object Retrieval {
     */
   def ingestBm25(docs: DataFrame, idCol: String, textCol: String,
                  table: String, nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
     val (tf, dl) = postings(docs, idCol, textCol)
-    // a rebuild starts with no deletes (the Tombstones contract)
-    graft.ops.Tombstones.clear(docs.sparkSession, table)
-    graft.ops.Bucketing.writeBucketed(tf, table, "term", nBuckets)
-    graft.ops.Bucketing.writeBucketed(dl, s"${table}_dl", "doc", nBuckets)
+    // a rebuild starts with no deletes (the Tombstones contract) and a
+    // fresh snapshot timeline (the Snapshots contract: this IS batch 0)
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(tf, 0L), table, "term", nBuckets)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(dl, 0L), s"${table}_dl", "doc", nBuckets)
     graft.ops.Bucketing.writeSmall(
       dl.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sumdl")),
       s"${table}_stats")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a new document batch into an [[ingestBm25]] index — the
@@ -204,15 +210,19 @@ object Retrieval {
     val st = spark.table(s"${table}_stats").first()
     val bs = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sumdl")).first()
-    graft.ops.Bucketing.appendBucketed(tf, table, "term",
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(tf, b), table, "term",
       graft.ops.Bucketing.bucketCountOf(spark, table))
-    graft.ops.Bucketing.appendBucketed(dl, s"${table}_dl", "doc",
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(dl, b), s"${table}_dl", "doc",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_dl"))
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       Seq((st.getLong(st.fieldIndex("n")) + bs.getLong(0),
         st.getLong(st.fieldIndex("sumdl")) + bs.getLong(1))).toDF("n", "sumdl"),
       s"${table}_stats")
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Exactly-once streaming maintenance of a BM25 index — the full
@@ -246,20 +256,40 @@ object Retrieval {
     * never touches the document corpus — the df aggregation reads the
     * term-bucketed posting scan with NO exchange, and the doc-keyed
     * scoring join finds the length table pre-bucketed on its key.
+    *
+    * `asOf = Some(b)` serves the index AS OF append batch `b`
+    * ([[graft.ops.Snapshots]] — ingest is batch 0): both posting
+    * relations restrict to batches ≤ b (parquet min/max file pruning),
+    * tombstones still apply (takedowns are retroactive — the delete
+    * verb wins over time travel), and the `(n, avgdl)` stats come from
+    * ONE narrow aggregate over the snapshot's length relation instead
+    * of the current-view sidecar — so a snapshot probe is bit-identical
+    * to [[bm25TopK]] over exactly the documents the snapshot contains
+    * (df already derives from the filtered postings at probe time).
     */
   def bm25TopKIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                        queries: DataFrame, qidCol: String, qTextCol: String,
-                       topK: Int, k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
+                       topK: Int, k1: Double = 1.2d, b: Double = 0.75d,
+                       asOf: Option[Long] = None): DataFrame = {
     // tombstoned docs are excluded from BOTH posting relations, and the
-    // stats sidecar was exactly adjusted at delete time — so the probe
+    // stats sidecar was exactly recomputed at delete time — so the probe
     // is bit-identical to an ingest that never saw the deleted docs
     val tf = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(table), "doc")
+      graft.ops.Snapshots.readAsOf(spark, table, table, asOf), "doc")
     val dl = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(s"${table}_dl"), "doc")
-    val st = spark.table(s"${table}_stats").first()
-    val n = st.getLong(st.fieldIndex("n"))
-    val sumdl = st.getLong(st.fieldIndex("sumdl"))
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_dl", table, asOf), "doc")
+    val (n, sumdl) = asOf match {
+      case None =>
+        val st = spark.table(s"${table}_stats").first()
+        (st.getLong(st.fieldIndex("n")), st.getLong(st.fieldIndex("sumdl")))
+      case Some(_) =>
+        // the sidecar tracks the CURRENT view; a snapshot derives its
+        // stats from its own length relation — exact integers, one
+        // narrow batch-pruned aggregate
+        val st = dl.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sumdl")).first()
+        (st.getLong(0), st.getLong(1))
+    }
     scoreBm25(tf, dl, n, sumdl,
       queryTerms(queries, qidCol, qTextCol), topK, k1, b)
   }
@@ -267,29 +297,36 @@ object Retrieval {
   /** Logically delete documents from an [[ingestBm25]] index — the
     * takedown verb: the doc ids tombstone (takedown-list-sized work),
     * every probe anti-joins both posting relations against the set, and
-    * the `(n, sumdl)` stats sidecar is adjusted by EXACT integer
-    * subtraction of the deleted docs' counts (one doc-bucketed semi-join
-    * over the length table — never a corpus re-scan). Because document
-    * frequency is derived from the (filtered) posting lists at probe
-    * time, `ingestBm25(A∪B); deleteFromBm25(B)` is BIT-IDENTICAL to
+    * the `(n, sumdl)` stats sidecar is RECOMPUTED from the
+    * tombstone-filtered length table (one narrow aggregate over
+    * `(doc, dl)` rows — doc-count-sized, never corpus-TEXT-sized, and
+    * deletes are takedown-batch-rare). Because document frequency is
+    * derived from the (filtered) posting lists at probe time,
+    * `ingestBm25(A∪B); deleteFromBm25(B)` is BIT-IDENTICAL to
     * `ingestBm25(A)` at probe time — N, avgdl, df, tf and every score
     * match; the delete gate shares the A-only oracle as proof.
-    * [[compactBm25]] performs the physical drop. Already-deleted ids
-    * are ignored (the stats adjustment sees only NEWLY tombstoned ids,
-    * so a repeated delete cannot double-subtract).
+    * [[compactBm25]] performs the physical drop.
+    *
+    * CRASH RECOVERY: the tombstone append and the sidecar rewrite are
+    * two writes; a crash between them leaves stats stale-INFLATED (docs
+    * already probe-invisible, stats still counting them). Because the
+    * recount reads the filtered relation — not an incremental delta —
+    * RE-RUNNING the delete (same ids, any ids, or none) recomputes the
+    * sidecar to the correct value: the repair path an incremental
+    * subtraction cannot offer (it sees no newly-tombstoned ids on the
+    * retry). Idempotent by construction for the same reason.
     */
   def deleteFromBm25(spark: org.apache.spark.sql.SparkSession, table: String,
                      ids: DataFrame): Unit = {
-    val fresh = graft.ops.Tombstones.add(spark, table, ids, "doc")
-    val del = spark.table(s"${table}_dl")
-      .join(fresh, Seq("doc"), "left_semi")
+    graft.ops.Tombstones.add(spark, table, ids, "doc")
+    // recount BEFORE the overwrite drops the table (first() materializes)
+    val live = graft.ops.Tombstones.filterByParent(spark, table,
+        spark.table(s"${table}_dl"), "doc")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
       .first()
-    val st = spark.table(s"${table}_stats").first()
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
-      Seq((st.getLong(st.fieldIndex("n")) - del.getLong(0),
-        st.getLong(st.fieldIndex("sumdl")) - del.getLong(1))).toDF("n", "sumdl"),
+      Seq((live.getLong(0), live.getLong(1))).toDF("n", "sumdl"),
       s"${table}_stats")
   }
 

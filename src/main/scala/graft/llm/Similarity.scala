@@ -681,18 +681,22 @@ object Similarity {
     // of real rows reject loudly (no quantizer to code against)
     val codesCol =
       if (books.isEmpty) typedLit(Seq.empty[Long]) else pqCodes(books)
-    graft.ops.Tombstones.clear(corpus.sparkSession, table)
+    val spark = corpus.sparkSession
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
     graft.ops.Bucketing.writeBucketed(
-      c.select(col("nn_id"), codesCol.as("codes")),
+      graft.ops.Snapshots.stamp(
+        c.select(col("nn_id"), codesCol.as("codes")), 0L),
       table, "nn_id", nBuckets)
     graft.ops.Bucketing.writeBucketed(
-      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id", nBuckets)
-    val spark = corpus.sparkSession
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), 0L),
+      s"${table}_vectors", "nn_id", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       books.zipWithIndex.flatMap { case (book, s) =>
         book.map { case (cid, centv) => (s, cid, centv) }
       }.toDF("s", "cid", "centv"), s"${table}_codebooks")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a new batch into an [[ingestPq]] index: the batch is
@@ -729,11 +733,16 @@ object Similarity {
         "a different length — rebuild with ingestPq or fix the batch")
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     val n = graft.ops.Bucketing.bucketCountOf(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
     graft.ops.Bucketing.appendBucketed(
-      c.select(col("nn_id"), pqCodes(books).as("codes")), table, "nn_id", n)
+      graft.ops.Snapshots.stamp(
+        c.select(col("nn_id"), pqCodes(books).as("codes")), b),
+      table, "nn_id", n)
     graft.ops.Bucketing.appendBucketed(
-      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id",
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), b),
+      s"${table}_vectors", "nn_id",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Exactly-once streaming maintenance of a PQ index — [[ivfSink]]'s
@@ -802,9 +811,13 @@ object Similarity {
                    table: String): DataFrame = {
     val books = pqBooksOf(spark, table)
     // tombstoned rows are excluded: the drift signal should reflect the
-    // LIVE index, not rows a probe can no longer see
+    // LIVE index, not rows a probe can no longer see (snapshot stamps
+    // dropped — a duplicate _batch_id column would make the join output
+    // ambiguous)
     val joined = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(s"${table}_vectors").join(spark.table(table), Seq("nn_id")),
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, None)
+        .join(graft.ops.Snapshots.readAsOf(spark, table, table, None),
+          Seq("nn_id")),
       "nn_id")
     if (books.isEmpty)
       return joined.select(lit(0).as("s"), lit(0L).as("n_vectors"),
@@ -838,17 +851,19 @@ object Similarity {
     */
   def topKPqIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                      queries: DataFrame, idCol: String, vecCol: String,
-                     k: Int, nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+                     k: Int, nCandidates: Int = 0, nSalts: Int = 0,
+                     asOf: Option[Long] = None): DataFrame = {
     val books = pqBooksOf(spark, table)
     val cvec = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(s"${table}_vectors"), "nn_id")
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, asOf),
+      "nn_id")
     if (books.isEmpty) {
       // empty-corpus index
       val (q, _) = prepQueries(queries, idCol, vecCol, nSalts = 1)
       return emptyTopKResult(cvec, q)
     }
     val cq = graft.ops.Tombstones.filterByParent(spark, table,
-        spark.table(table), "nn_id")
+        graft.ops.Snapshots.readAsOf(spark, table, table, asOf), "nn_id")
       .select(col("nn_id"), pqReconstructCodes(books, col("codes")).as("dq"))
     pqServe(cq, cvec, queries, idCol, vecCol, k, nCandidates, nSalts)
   }
@@ -935,12 +950,15 @@ object Similarity {
       if (books.isEmpty) typedLit(Seq.empty[Long]) else pqCodes(books)
     val spark = corpus.sparkSession
     graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
     graft.ops.Bucketing.writeBucketed(
-      assignClusters(c, cent).select(col("nn_id"), col("cluster"),
-        codesCol.as("codes")),
+      graft.ops.Snapshots.stamp(
+        assignClusters(c, cent).select(col("nn_id"), col("cluster"),
+          codesCol.as("codes")), 0L),
       table, "cluster", nBuckets)
     graft.ops.Bucketing.writeBucketed(
-      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id", nBuckets)
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), 0L),
+      s"${table}_vectors", "nn_id", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       cent.toDF("cid", "centv"), s"${table}_centroids")
@@ -948,6 +966,7 @@ object Similarity {
       books.zipWithIndex.flatMap { case (book, s) =>
         book.map { case (cid, centv) => (s, cid, centv) }
       }.toDF("s", "cid", "centv"), s"${table}_codebooks")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a batch into an [[ingestIvfPq]] index: assignment and codes
@@ -979,13 +998,17 @@ object Similarity {
       s"appendIvfPq: index '$table' codes $dim-dim vectors; batch contains " +
         "a different length — rebuild with ingestIvfPq or fix the batch")
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
     graft.ops.Bucketing.appendBucketed(
-      assignClusters(c, cent).select(col("nn_id"), col("cluster"),
-        pqCodes(books).as("codes")),
+      graft.ops.Snapshots.stamp(
+        assignClusters(c, cent).select(col("nn_id"), col("cluster"),
+          pqCodes(books).as("codes")), b),
       table, "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
     graft.ops.Bucketing.appendBucketed(
-      c.select(col("nn_id"), col("cv")), s"${table}_vectors", "nn_id",
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), b),
+      s"${table}_vectors", "nn_id",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Serve a query batch against an [[ingestIvfPq]] index: both
@@ -999,7 +1022,7 @@ object Similarity {
   def topKIvfPqIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                         queries: DataFrame, idCol: String, vecCol: String,
                         k: Int, nProbe: Int, nCandidates: Int = 0,
-                        nSalts: Int = 0): DataFrame = {
+                        nSalts: Int = 0, asOf: Option[Long] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
     val nCand = if (nCandidates > 0) nCandidates else 4 * k
     require(nCand >= k, "nCandidates must be >= k")
@@ -1007,7 +1030,8 @@ object Similarity {
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
     val books = pqBooksOf(spark, table)
     val cvec = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(s"${table}_vectors"), "nn_id")
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, asOf),
+      "nn_id")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (books.isEmpty || cent.isEmpty) return emptyTopKResult(cvec, q)
     val probes = ivfProbes(q, cent, nProbe)
@@ -1020,7 +1044,8 @@ object Similarity {
     // drop from post-scan to the scan itself.
     val cells = probedCells(probes)
     val coded = graft.ops.Tombstones.filterByParent(spark, table,
-        spark.table(table).where(col("cluster").isin(cells: _*)), "nn_id")
+        graft.ops.Snapshots.readAsOf(spark, table, table, asOf)
+          .where(col("cluster").isin(cells: _*)), "nn_id")
       .select(col("nn_id"), col("cluster"),
         pqReconstructCodes(books, col("codes")).as("dq"))
     val coarse = coded.join(broadcast(probes), Seq("cluster"))
@@ -1080,6 +1105,182 @@ object Similarity {
                    table: String): Unit =
     graft.ops.Tombstones.purge(spark, table,
       Seq(table -> "cluster", s"${table}_vectors" -> "nn_id"), "nn_id")
+
+  // ------------------------------------------------ residual-coded IVF-PQ
+
+  /** RESIDUAL-coded IVF-PQ top-k — the recall-per-byte refinement
+    * [[topKIvfPq]]'s scaladoc names as ADC's standard production form
+    * (Jégou et al. 2011 §V's by-residual encoding; per-cell local
+    * codebooks as in LOPQ, Kalantidis & Avrithis CVPR 2014): instead of
+    * quantizing the raw vector with one global codebook, each vector
+    * encodes its RESIDUAL r = v − centroid(cell) with its OWN CELL's
+    * per-subspace codebooks. Residuals concentrate near the origin
+    * (most of a vector's energy is explained by its cell centroid), so
+    * the same (m, nCodes) budget spends its codewords on a much tighter
+    * distribution — reconstruction dq = centroid + codewords is
+    * strictly more faithful, and coarse-rank recall rises at equal
+    * compression (AnnRecallSpec pins the floor strictly above the
+    * global-codebook gate's at identical parameters).
+    *
+    * The trade, honestly: codebook state grows from m × nCodes to
+    * nCentroids × m × nCodes codewords, and a code is only meaningful
+    * WITH its cell — cell reassignment invalidates codes, which is why
+    * the frozen-sidecar append contract matters even more here. At the
+    * gate parameters the books are a plan literal (16 × 4 × 8 × 16
+    * doubles); at production cell counts (tens of thousands) the
+    * codebook is a cluster-keyed TABLE joined against the
+    * cluster-bucketed codes scan — co-located by the same bucketing,
+    * the literal form is the bounded local-mode stand-in (the
+    * [[kmeansRefine]] collect discipline, one cell-sized factor wider).
+    *
+    * Training is the [[pqCodebooks]] machinery with the cell in every
+    * key: per (cell, subspace), seeds are the nCodes lowest-id members'
+    * residual subvectors (a cell with fewer members gets fewer
+    * codewords), each Lloyd's round is ONE narrow scan exploding
+    * (cell, subspace, code, residual-subvector) into a
+    * map-side-combined groupBy whose ≤ nCentroids·m·nCodes integer
+    * rows collect to the driver; assignment is the argmax-dot form of
+    * argmin-L2 with the −½‖c‖² bias folded in ([[argminL2]]'s identity,
+    * iterated in ascending cid so ties break low). Residual subtraction
+    * and centroid re-addition are single IEEE ops — correctly rounded,
+    * byte-reproducible on any engine (the oracle replays both chains
+    * verbatim).
+    *
+    * @return (query_id, nn_id, score, rank) — score is the EXACT cosine
+    */
+  def topKIvfPqResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                        m: Int, nCodes: Int, kmeansIters: Int,
+                        nCandidates: Int = 0, nSalts: Int = 0): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    require(m >= 1 && nCodes >= 1 && kmeansIters >= 0,
+      "m, nCodes must be positive; kmeansIters non-negative")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val c = normalizedCorpus(corpus, idCol, vecCol, math.max(kmeansIters, 1))
+    val cent = coarseQuantizer(c, nCentroids, kmeansIters)
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    if (cent.isEmpty) return emptyTopKResult(c, q)
+    val dim = cent.head._2.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    // ragged input would slice into silently-truncated residuals — the
+    // pqCodebooks guard, applied once up front (limit-1 short-circuit)
+    require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+      s"topKIvfPqResidual requires uniform $dim-dim vectors; found a different length")
+    // (nn_id, cluster, rv): residual against the OWN cell's centroid —
+    // one IEEE subtraction per dimension, pinned across the training
+    // scans by normalizedCorpus' pinForReuse
+    val centMap = typedLit(cent.toMap)
+    val resid = assignClusters(c, cent)
+      .withColumn("rv", zip_with(col("cv"),
+        element_at(centMap, col("cluster")), (a, b) => a - b))
+    val books = residualCodebooks(resid, m, nCodes, kmeansIters, dim)
+    val sub = dim / m
+    // reconstruction: centroid + per-subspace codeword of the OWN cell's
+    // codebook — assign + look up in one expression (pqReconstruct's
+    // shape, cell-keyed)
+    val dqr = concat(books.indices.map { s =>
+      val plain = typedLit(books(s).map { case (cl, book) =>
+        cl -> book.map { case (cid, v, _) => cid -> v }.toMap })
+      element_at(element_at(plain, col("cluster")),
+        residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"), books(s)))
+    }: _*)
+    val coded = resid.select(col("nn_id"), col("cluster"),
+      zip_with(element_at(centMap, col("cluster")), dqr, (a, b) => a + b).as("dq"))
+    val probes = ivfProbes(q, cent, nProbe)
+    val coarse = coded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    pqRescore(cand, c, q, k)
+  }
+
+  /** Per-cell residual codebook: cluster → Seq of (cid, codeword,
+    * −½‖codeword‖²) in ascending cid order — the augmented-bias form
+    * [[residArgmin]] folds over.
+    */
+  private type CellBook = Map[Long, Seq[(Long, Seq[Double], Double)]]
+
+  /** argmin-L2 over the row's OWN cell's codebook, as the argmax of
+    * dot(sv, c) − ½‖c‖² ([[argminL2]]'s identity): the book rides the
+    * plan as a cluster-keyed literal map, and the fold visits codewords
+    * in ascending cid with a STRICT improvement test, so ties break to
+    * the lowest cid — the oracle's `ORDER BY adj DESC, cid ASC` rule.
+    */
+  private def residArgmin(sv: Column, cluster: Column, book: CellBook): Column = {
+    val lut = typedLit(book)
+    aggregate(element_at(lut, cluster),
+      struct(lit(Double.NegativeInfinity).as("sc"), lit(-1L).as("cid")),
+      (acc, e) => {
+        val adj = dot(sv, e.getField("_2")) + e.getField("_3")
+        when(adj > acc.getField("sc"),
+          struct(adj.as("sc"), e.getField("_1").as("cid"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Train the per-(cell, subspace) Euclidean codebooks over the
+    * residual relation `resid (nn_id, cluster, rv)` — [[pqCodebooks]]
+    * with the cell in every key. Returns one [[CellBook]] per subspace.
+    * Seeds: per cell, the nCodes lowest-id members' residual subvectors
+    * (one bounded window-rank collect — ≤ nCentroids × nCodes rows);
+    * each round: one narrow scan, a map-side-combined groupBy(cluster,
+    * s, code), a ≤ nCentroids·m·nCodes-row integer collect, exact
+    * micro-unit means. Cells that lose all members in a round keep
+    * their previous codewords (the kmeansRefine rule).
+    */
+  private def residualCodebooks(resid: DataFrame, m: Int,
+                                nCodes: Int, kmeansIters: Int, dim: Int)
+      : IndexedSeq[CellBook] = {
+    val sub = dim / m
+    val wSeed = Window.partitionBy(col("cluster")).orderBy(col("nn_id").asc)
+    val seedRows = resid.withColumn("_rn", row_number().over(wSeed))
+      .filter(col("_rn") <= nCodes)
+      .select(col("cluster"), col("nn_id").cast("long"), col("rv"))
+      .collect()
+    def withBias(v: Seq[Double]): (Seq[Double], Double) =
+      (v, -0.5d * v.foldLeft(0.0d)((a, x) => a + x * x))
+    var books: IndexedSeq[CellBook] = (0 until m).map { s =>
+      seedRows.groupBy(_.getLong(0)).map { case (cl, rs) =>
+        cl -> rs.toSeq.sortBy(_.getLong(1)).map { r =>
+          val (v, b) = withBias(r.getSeq[Double](2).slice(s * sub, (s + 1) * sub))
+          (r.getLong(1), v, b)
+        }
+      }.toMap
+    }
+    for (_ <- 0 until kmeansIters) {
+      val perS = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
+            books(s)).as("code"),
+          slice(col("rv"), s * sub + 1, sub).as("sv"))
+      }
+      val aggCols = Seq(count(lit(1)).as("cnt")) ++ (0 until sub).map(d =>
+        sum(floor(element_at(col("sv"), d + 1) * lit(1000000.0d) + lit(0.5d))
+          .cast("long")).as(s"x$d"))
+      val rows = resid.select(col("cluster"), explode(array(perS: _*)).as("e"))
+        .select(col("cluster"), col("e.s").as("s"), col("e.code").as("code"),
+          col("e.sv").as("sv"))
+        .groupBy(col("cluster"), col("s"), col("code"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val byKey = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { case (cl, cws) =>
+          cl -> cws.map { case (cid, old, oldBias) =>
+            byKey.get((cl, s, cid)) match {
+              case Some(r) =>
+                val cnt = r.getLong(3).toDouble
+                val (v, b) = withBias(
+                  (0 until sub).map(d => r.getLong(4 + d).toDouble / 1000000.0d / cnt))
+                (cid, v, b)
+              case None => (cid, old, oldBias)
+            }
+          }
+        }
+      }
+    }
+    books
+  }
 
   // ------------------------------------------- DELETE (tombstone) verbs
 
@@ -1226,12 +1427,21 @@ object Similarity {
     // contract check, loud: every candidate id must resolve to exactly
     // one corpus vector — a silently-dropped candidate (id-space mixup,
     // wrong embedding table) would shrink the result below k with no
-    // error, and a duplicated corpus id would rank one candidate twice
-    val nIn = candIn.count()
-    val nGot = cand.count()
-    require(nGot == nIn,
-      s"diversifyMmr: $nIn candidates resolved to $nGot corpus vectors — " +
-        "candidate ids must match exactly one corpus row each")
+    // error, and a duplicated corpus id would rank one candidate twice.
+    // The contract FAILURE path (stale candidates against a tombstoned
+    // vector table — diversifyMmrIngested's documented loud failure)
+    // must not leak the untracked candIn pin: a long-lived serving
+    // session that catches the error and retries would otherwise
+    // accumulate cache linearly in retries
+    try {
+      val nIn = candIn.count()
+      val nGot = cand.count()
+      require(nGot == nIn,
+        s"diversifyMmr: $nIn candidates resolved to $nGot corpus vectors — " +
+          "candidate ids must match exactly one corpus row each")
+    } catch {
+      case t: Throwable => candIn.unpersist(blocking = false); throw t
+    }
     // the second count materialized `cand` in full, so candIn's cache
     // has no further reader — release it NOW instead of tracking it to
     // unpersistPins (lineage stays intact for executor-loss recompute);
@@ -1620,14 +1830,18 @@ object Similarity {
                 nCentroids: Int, kmeansIters: Int, nBuckets: Int): Unit = {
     val (c, cent) = quantizedCorpus(corpus, idCol, vecCol, nCentroids, kmeansIters)
     // a rebuild starts with no deletes — a stale tombstone set would
-    // silently hide re-ingested rows from every probe
-    graft.ops.Tombstones.clear(corpus.sparkSession, table)
-    graft.ops.Bucketing.writeBucketed(assignClusters(c, cent), table,
-      "cluster", nBuckets)
+    // silently hide re-ingested rows from every probe — and a fresh
+    // snapshot timeline (this IS batch 0)
     val spark = corpus.sparkSession
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(assignClusters(c, cent), 0L), table,
+      "cluster", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       cent.toDF("cid", "centv"), s"${table}_centroids")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a new batch into an [[ingestIvf]] index — the maintenance
@@ -1673,8 +1887,11 @@ object Similarity {
     // a tombstoned id must not silently re-enter (its rows would be
     // probe-invisible) — loud guard, zero-cost when nothing was deleted
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    graft.ops.Bucketing.appendBucketed(assignClusters(c, cent), table,
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(assignClusters(c, cent), b), table,
       "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Exactly-once streaming maintenance of an IVF index —
@@ -1722,14 +1939,16 @@ object Similarity {
     */
   def topKIvfIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                       queries: DataFrame, idCol: String, vecCol: String,
-                      k: Int, nProbe: Int = 4, nSalts: Int = 0): DataFrame = {
+                      k: Int, nProbe: Int = 4, nSalts: Int = 0,
+                      asOf: Option[Long] = None): DataFrame = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
     if (cent.isEmpty) {
       // an index built over an EMPTY corpus has no centroids and no
       // neighbors
-      return emptyTopKResult(spark.table(table), q)
+      return emptyTopKResult(
+        graft.ops.Snapshots.readAsOf(spark, table, table, asOf), q)
     }
     val probes = ivfProbes(q, cent, nProbe)
     // literal cell pruning, as in [[topKIvfPqIngested]]: the probed
@@ -1738,7 +1957,8 @@ object Similarity {
     // reading every cell and discarding post-join
     val cells = probedCells(probes)
     val assign = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(table).where(col("cluster").isin(cells: _*)), "nn_id")
+      graft.ops.Snapshots.readAsOf(spark, table, table, asOf)
+        .where(col("cluster").isin(cells: _*)), "nn_id")
     val scored = assign.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("cv"), col("qv"))))
@@ -1763,13 +1983,16 @@ object Similarity {
     require(nPlanes >= 1 && nTables >= 1, "nPlanes/nTables must be positive")
     val c0 = graft.Partitioning.spread(corpus)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    graft.ops.Tombstones.clear(corpus.sparkSession, table)
-    graft.ops.Bucketing.writeBucketed(tabled(c0, "cv", nPlanes, nTables),
-      table, "bucket", nBuckets)
     val spark = corpus.sparkSession
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(tabled(c0, "cv", nPlanes, nTables), 0L),
+      table, "bucket", nBuckets)
     import spark.implicits._
     graft.ops.Bucketing.writeSmall(
       Seq((nPlanes, nTables)).toDF("nplanes", "ntables"), s"${table}_meta")
+    graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** Append a new batch into an [[ingestLsh]] index — the maintenance
@@ -1792,8 +2015,11 @@ object Similarity {
     val c = graft.Partitioning.spread(batch)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    graft.ops.Bucketing.appendBucketed(tabled(c, "cv", nPlanes, nTables),
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(tabled(c, "cv", nPlanes, nTables), b),
       table, "bucket", graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Snapshots.record(spark, table, b)
   }
 
   /** Exactly-once streaming maintenance of an LSH index — the fourth
@@ -1835,7 +2061,7 @@ object Similarity {
     spark.table(s"${table}_centroids")
       .select(col("cid").as("cluster"))
       .join(graft.ops.Tombstones.filterByParent(spark, table,
-          spark.table(table), "nn_id")
+          graft.ops.Snapshots.readAsOf(spark, table, table, None), "nn_id")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n")), Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n_members"))
@@ -1850,12 +2076,13 @@ object Similarity {
     */
   def topKLshIngested(spark: org.apache.spark.sql.SparkSession, table: String,
                       queries: DataFrame, idCol: String, vecCol: String,
-                      k: Int, nSalts: Int = 0): DataFrame = {
+                      k: Int, nSalts: Int = 0,
+                      asOf: Option[Long] = None): DataFrame = {
     val meta = spark.table(s"${table}_meta").first()
     val nPlanes = meta.getInt(meta.fieldIndex("nplanes"))
     val nTables = meta.getInt(meta.fieldIndex("ntables"))
     val banded = graft.ops.Tombstones.filterByParent(spark, table,
-      spark.table(table), "nn_id")
+      graft.ops.Snapshots.readAsOf(spark, table, table, asOf), "nn_id")
     val (q0, salts) = prepQueries(queries, idCol, vecCol, nSalts, floor = 1L)
     val matched = banded
       .join(broadcast(tabled(q0, "qv", nPlanes, nTables)), Seq("tbl", "bucket"))

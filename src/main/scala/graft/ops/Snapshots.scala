@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-stamped snapshot (as-of) reads for the persisted index
+  * families — the reproducibility verb next to ingest/append/delete:
+  * "train against the index AS OF batch N" and "what did the index
+  * serve last Tuesday" (the audit question a takedown review asks) are
+  * unanswerable from plain append-only parquet unless every row carries
+  * its batch of origin, because parquet has no file→batch mapping and
+  * reconstruction after the fact is impossible. This is
+  * [[graft.streaming.BucketedLogSink]]'s `_batch_id` discipline factored
+  * out for the multi-table index layouts (BM25 postings, MinHash
+  * bands/shingles, LSH bands, IVF/PQ/IVF-PQ codes and vectors).
+  *
+  * Numbering: ingest stamps batch 0; each append stamps max + 1, read
+  * from the `<parent>_batches` sidecar (one row per completed batch —
+  * batches-per-deployment-sized, so [[nextBatchId]] is a bounded scan).
+  * The streaming sinks route through the same ingest/append paths, so
+  * streamed indexes snapshot identically; note the snapshot sequence is
+  * this sidecar's, not the stream's commit-log batch ids (a replayed
+  * stream batch is a commit-log no-op and consumes no snapshot id).
+  *
+  * Semantics of `asOf = Some(b)`:
+  *   - rows of batches ≤ b, with a broadcast semi-join against the
+  *     batches sidecar excluding orphans of the documented two-writes
+  *     crash window (data landed, batch record didn't) — the
+  *     [[graft.streaming.BucketedLogSink.asOf]] rule verbatim;
+  *   - TOMBSTONES STILL APPLY (probes compose this read with
+  *     [[Tombstones.filterByParent]]): a takedown must hide the row in
+  *     historical snapshots too — retraction is retroactive by law,
+  *     so the delete verb wins over time travel by design;
+  *   - corpus-TRAINED sidecars (centroids, codebooks, the MinHash flood
+  *     set, BM25's it-derives-at-probe-time df) are frozen at ingest,
+  *     so every snapshot serves under the same quantizer — exactly the
+  *     frozen-sidecar append contract, time-sliced.
+  *
+  * Scale shape: the stamp is one long column per row that
+  * dictionary/RLE-compresses to near nothing per batch file; the asOf
+  * predicate prunes newer batch files via parquet min/max stats (each
+  * append writes fresh files, so files are batch-pure until
+  * compaction). [[Bucketing.compactBucketed]] preserves the column but
+  * merges files ACROSS batches — compact only when snapshots older than
+  * the compaction horizon are no longer needed, or compact per batch
+  * range (the BucketedLogSink note, inherited).
+  */
+object Snapshots {
+
+  /** The per-row provenance column every stamped index table carries. */
+  val BatchCol = "_batch_id"
+
+  def batchesTable(parent: String): String = s"${parent}_batches"
+
+  /** The id the NEXT batch stamps: 0 for a fresh index, max + 1 after.
+    * Bounded: the sidecar holds one row per completed batch.
+    */
+  def nextBatchId(spark: SparkSession, parent: String): Long = {
+    val bt = batchesTable(parent)
+    if (!spark.catalog.tableExists(bt)) 0L
+    else {
+      val r = spark.table(bt).agg(max(col("batch_id"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
+  }
+
+  /** Stamp a relation with its batch of origin — applied to every row
+    * an ingest (batch 0) or append (nextBatchId) writes.
+    */
+  def stamp(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn(BatchCol, lit(batchId))
+
+  /** Record `batchId` as fully written — called AFTER the data appends
+    * (the commit-last rule: a crash between data and record leaves
+    * orphan rows that every asOf read excludes via the semi-join; the
+    * reverse order would let a snapshot see a half-written batch).
+    */
+  def record(spark: SparkSession, parent: String, batchId: Long): Unit = {
+    val bt = batchesTable(parent)
+    // first record of a fresh sidecar: clear any orphan dir a previous
+    // JVM's in-memory catalog left behind (the dropManaged discipline)
+    if (!spark.catalog.tableExists(bt)) Bucketing.dropManaged(spark, bt)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").write.mode("append")
+      .format("parquet").saveAsTable(bt)
+  }
+
+  /** Drop the batch history — every `ingest*` rebuild calls this before
+    * re-stamping from 0 (a rebuilt index starts a fresh timeline; stale
+    * history would mislabel the new batch 0 rows).
+    */
+  def reset(spark: SparkSession, parent: String): Unit =
+    Bucketing.dropManaged(spark, batchesTable(parent))
+
+  /** Read a stamped index table, optionally as of a batch. `None` is
+    * the current view — the full table, stamp dropped (probe outputs
+    * never leak provenance columns). `Some(b)` filters to batches ≤ b
+    * (parquet min/max file pruning) and semi-joins the batches sidecar
+    * (batches-sized, broadcast) to exclude crash-window orphans, then
+    * drops the stamp. `parent` owns the sidecar — pass the index root
+    * when reading a satellite table (`<root>_dl`, `<root>_shingles`).
+    */
+  def readAsOf(spark: SparkSession, table: String, parent: String,
+               asOf: Option[Long]): DataFrame = asOf match {
+    case None => spark.table(table).drop(BatchCol)
+    case Some(b) =>
+      val committed = spark.table(batchesTable(parent))
+        .where(col("batch_id") <= b)
+        .select(col("batch_id").as(BatchCol))
+      spark.table(table).where(col(BatchCol) <= b)
+        .join(broadcast(committed), Seq(BatchCol), "left_semi")
+        .drop(BatchCol)
+  }
+}

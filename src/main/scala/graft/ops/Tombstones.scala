@@ -52,12 +52,16 @@ object Tombstones {
   def add(spark: SparkSession, parent: String, ids: DataFrame,
           idName: String): DataFrame = {
     val tt = tableOf(parent)
+    // ONE existence probe decides both the anti-join and the write path —
+    // a second check could in principle observe a different catalog state
+    // and write a fresh table over a just-appended one, violating the
+    // single-writer contract's spirit even where its letter holds
+    val exists = spark.catalog.tableExists(tt)
     val in = ids.select(col(idName)).distinct()
     val fresh =
-      (if (spark.catalog.tableExists(tt))
-        in.join(spark.table(tt), Seq(idName), "left_anti")
+      (if (exists) in.join(spark.table(tt), Seq(idName), "left_anti")
       else in).localCheckpoint(true)
-    if (spark.catalog.tableExists(tt))
+    if (exists)
       Bucketing.appendBucketed(fresh, tt, idName,
         Bucketing.bucketCountOf(spark, tt))
     else Bucketing.writeBucketed(fresh, tt, idName,

@@ -566,6 +566,59 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
   }
 
+  test("residual IVF-PQ recall at the gate parameters holds a floor STRICTLY above the global-codebook gate's") {
+    // equal compression budget (m=4, nCodes=8, nCand=40 — identical to
+    // the global-codebook test above, whose floor is 0.55): residual
+    // codes quantize v − centroid(cell) with per-cell books, so the
+    // coarse ranking is more faithful per byte and the floor moves up
+    val res = Similarity.topKIvfPqResidual(emb, queries, "vec_id", "embedding",
+      k = K, nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+      kmeansIters = 2, nCandidates = 40)
+    val r = recallAt(res, exactSets)
+    // measured 0.755 (2026-08-15) vs the global-codebook gate's 0.620 —
+    // floor with the usual ~0.05 margin, sitting 0.15 above global's
+    info(f"residual IVF-PQ recall@$K = $r%.3f (16 cells/nProbe 4 × m4/8codes per cell, nCand 40)")
+    assert(r >= 0.70, f"residual IVF-PQ recall@$K degraded to $r%.3f (floor 0.70 — must stay above the global gate's 0.55)")
+  }
+
+  test("residual coding beats the global codebook at equal (m, nCodes) on clustered data — the distribution it exists for") {
+    import spark.implicits._
+    // deterministic clustered fixture: 8 well-separated cells ± small
+    // arithmetic noise. Residual coding's premise is that the centroid
+    // explains most of a vector's energy so the codes spend their bits
+    // on the remainder; the near-random real embeddings are the
+    // adversarial case (residual ≈ vector there), so the HEADROOM claim
+    // is pinned where the premise holds, and the floor above guards the
+    // adversarial case separately.
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield {
+      val id = (c * 40 + i).toLong
+      val v = (0 until dim).map { d =>
+        val base =
+          if (d % 8 == c % 8) 10.0f
+          else if ((d + c) % 5 == 0) 4.0f
+          else 0.5f
+        base + (((id * 31 + d * 17) % 19).toInt - 9) * 0.08f
+      }
+      (id, v)
+    }
+    val data = rows.toDF("vec_id", "embedding")
+    val qs = data.filter(col("vec_id") % 40 < 3)
+    val exact = resultSets(Similarity.topK(data, qs, "vec_id", "embedding", k = K))
+    // nProbe = all cells isolates CODE quality (both variants see every
+    // candidate — only the coarse-ranking fidelity differs); m=4 codes
+    // of 4 words each is deliberately tight so the global book underfits
+    val glob = recallAt(Similarity.topKIvfPq(data, qs, "vec_id", "embedding",
+      k = K, nCentroids = 8, nProbe = 8, m = 4, nCodes = 4,
+      kmeansIters = 2, nCandidates = 20), exact)
+    val res = recallAt(Similarity.topKIvfPqResidual(data, qs, "vec_id", "embedding",
+      k = K, nCentroids = 8, nProbe = 8, m = 4, nCodes = 4,
+      kmeansIters = 2, nCandidates = 20), exact)
+    info(f"clustered fixture recall@$K: residual = $res%.3f vs global = $glob%.3f")
+    assert(res > glob,
+      f"residual coding must beat the global codebook on clustered data: $res%.3f <= $glob%.3f")
+  }
+
   test("RRF fusion dominance: a doc in BOTH legs' top-10 outranks every single-leg doc") {
     // the provable fusion property behind the capstone: with kRrf=60 and
     // per-list k=10, a both-lists doc scores >= 2/(60+10) = 0.028571,

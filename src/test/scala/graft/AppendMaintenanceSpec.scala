@@ -27,6 +27,13 @@ class AppendMaintenanceSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  // table-content comparisons ignore the snapshot stamp: `_batch_id` is
+  // append PROVENANCE (ingest(A)+append(B) stamps 0 then 1 where
+  // ingest(A∪B) stamps all 0 — the as-of feature, not a divergence), so
+  // row-identity claims are over the data columns
+  private def live(table: String): DataFrame =
+    spark.table(table).drop(graft.ops.Snapshots.BatchCol)
+
   private def dropAll(tables: String*): Unit =
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
 
@@ -41,9 +48,9 @@ class AppendMaintenanceSpec extends AnyFunSuite {
       Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", tA)
       Retrieval.ingestBm25(docs, "doc_id", "text", tU, nBuckets = 4)
-      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+      assert(rows(live(tA)) == rows(live(tU)),
         "posting tables diverge")
-      assert(rows(spark.table(s"${tA}_dl")) == rows(spark.table(s"${tU}_dl")),
+      assert(rows(live(s"${tA}_dl")) == rows(live(s"${tU}_dl")),
         "doc-length tables diverge")
       assert(rows(spark.table(s"${tA}_stats")) == rows(spark.table(s"${tU}_stats")),
         "stats sidecars diverge — the exact-integer refresh must equal a recount")
@@ -78,7 +85,7 @@ class AppendMaintenanceSpec extends AnyFunSuite {
           .select(col("vec_id").as("nn_id"),
             Similarity.normalize(col("embedding")).as("cv")),
         cent)
-      assert(rows(spark.table(tA)) == rows(expected))
+      assert(rows(live(tA)) == rows(expected))
       // an index over an empty corpus has no quantizer — append must
       // reject loudly, not write unassignable rows
       val tE = "graft_ivf_emptyspec"
@@ -110,8 +117,8 @@ class AppendMaintenanceSpec extends AnyFunSuite {
         "doc_id", "text")
       Dedup.ingestMinhashIndex(idx, "doc_id", "text", n = 3, k = 8,
         rowsPerBand = 2, maxDocFreq = None, tU, nBuckets = 4)
-      assert(rows(spark.table(s"${tA}_shingles")) == rows(spark.table(s"${tU}_shingles")))
-      assert(rows(spark.table(tA)) == rows(spark.table(tU)))
+      assert(rows(live(s"${tA}_shingles")) == rows(live(s"${tU}_shingles")))
+      assert(rows(live(tA)) == rows(live(tU)))
       assert(rows(Dedup.minhashLshIngested(spark, tA, batch, "doc_id", "text", 0.3)) ==
         rows(Dedup.minhashLshIngested(spark, tU, batch, "doc_id", "text", 0.3)),
         "admission probes diverge")
@@ -167,7 +174,7 @@ class AppendMaintenanceSpec extends AnyFunSuite {
         "vec_id", "embedding")
       Similarity.ingestLsh(emb, "vec_id", "embedding", tU,
         nPlanes = 3, nTables = 4, nBuckets = 4)
-      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+      assert(rows(live(tA)) == rows(live(tU)),
         "banded tables diverge — band keys must be a pure function of the sidecar params")
       assert(rows(Similarity.topKLshIngested(spark, tA,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)) ==
@@ -211,7 +218,7 @@ class AppendMaintenanceSpec extends AnyFunSuite {
       graft.llm.Corpus.appendDecontamIndex(spark, tA, ev, "doc_id", "text")
       graft.llm.Corpus.ingestDecontamIndex(ev, "doc_id", "text",
         n = 8, tU, nBuckets = 4)
-      assert(rows(spark.table(tA)) == rows(spark.table(tU)),
+      assert(rows(live(tA)) == rows(live(tU)),
         "hash sets diverge — duplicates would double-count n_hits")
       val probe = docs.filter(col("doc_id") < 200)
       val got = graft.llm.Corpus.decontaminateIngested(spark, tA, probe,

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Retrieval, Similarity}
+import graft.ops.{Bucketing, Snapshots}
+
+/** Snapshot (as-of) semantics for the batch-stamped index families —
+  * the properties the cross-engine gates can't easily pin: snapshot
+  * STABILITY (a pinned probe never changes as batches land),
+  * crash-window orphan exclusion (rows stamped but never recorded are
+  * invisible to every snapshot), and tombstone retroactivity (a
+  * takedown hides the row in HISTORICAL snapshots too — retraction is
+  * retroactive by law, so the delete verb wins over time travel).
+  */
+class IndexSnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def dropAll(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  private def bmDeps(t: String) =
+    Seq(t, s"${t}_dl", s"${t}_stats", s"${t}_batches", s"${t}_tombstones")
+
+  test("bm25 asOf: snapshot stability — the pinned probe never moves as batches land") {
+    import spark.implicits._
+    val t = "graft_snap_bm25"
+    dropAll(bmDeps(t): _*)
+    val q = Seq((1L, "the quick brown fox"), (2L, "model training data"))
+      .toDF("qid", "qtext")
+    try {
+      Retrieval.ingestBm25(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", t, nBuckets = 4)
+      Retrieval.appendBm25(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", t)
+      // at the head, the snapshot IS the current view (stats derived
+      // from the snapshot relation must equal the maintained sidecar)
+      val atHead = rows(Retrieval.bm25TopKIngested(spark, t, q,
+        "qid", "qtext", topK = 5, asOf = Some(1L)))
+      assert(atHead == rows(Retrieval.bm25TopKIngested(spark, t, q,
+        "qid", "qtext", topK = 5)),
+        "asOf at the newest batch must equal the current view")
+      // land another batch: the pinned snapshot must not move
+      Retrieval.appendBm25(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", t)
+      assert(rows(Retrieval.bm25TopKIngested(spark, t, q,
+        "qid", "qtext", topK = 5, asOf = Some(1L))) == atHead,
+        "a pinned snapshot changed after a later append — reproducibility broken")
+      // and asOf at the new head equals the new current view
+      assert(rows(Retrieval.bm25TopKIngested(spark, t, q,
+        "qid", "qtext", topK = 5, asOf = Some(2L))) ==
+        rows(Retrieval.bm25TopKIngested(spark, t, q, "qid", "qtext", topK = 5)))
+    } finally dropAll(bmDeps(t): _*)
+  }
+
+  test("asOf excludes crash-window orphans: stamped rows without a batch record are invisible") {
+    val t = "graft_snap_lsh"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      val snap0 = rows(Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(0L)))
+      // simulate the documented crash window: data landed under batch
+      // id 1, the batch record did NOT — append stamped rows directly,
+      // bypassing Snapshots.record (a shifted-id copy of the index, so
+      // any leak visibly changes candidate sets)
+      val orphan = Snapshots.stamp(
+        spark.table(t).drop(Snapshots.BatchCol)
+          .withColumn("nn_id", col("nn_id") + 100000L)
+          .localCheckpoint(), 1L)
+      Bucketing.appendBucketed(orphan, t, "bucket",
+        Bucketing.bucketCountOf(spark, t))
+      // the orphans are stamped batch 1 but batch 1 was never recorded:
+      // every asOf ≤ 1 must exclude them
+      assert(rows(Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(1L))) == snap0,
+        "asOf must semi-join the batches sidecar — orphan rows leaked into a snapshot")
+    } finally dropAll(deps: _*)
+  }
+
+  test("tombstones are retroactive: a takedown hides the row in historical snapshots too") {
+    val t = "graft_snap_lsh_del"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb, "vec_id", "embedding", t,
+        nPlanes = 3, nTables = 2, nBuckets = 4)
+      val q = emb.filter(col("vec_id") < 5)
+      val before = Similarity.topKLshIngested(spark, t, q,
+        "vec_id", "embedding", k = 5, asOf = Some(0L))
+        .select(col("nn_id")).collect().map(_.getLong(0)).toSet
+      val victim = before.head
+      Similarity.deleteFromLsh(spark, t,
+        emb.filter(col("vec_id") === victim).select(col("vec_id").as("nn_id")))
+      val after = Similarity.topKLshIngested(spark, t, q,
+        "vec_id", "embedding", k = 5, asOf = Some(0L))
+        .select(col("nn_id")).collect().map(_.getLong(0)).toSet
+      assert(!after.contains(victim),
+        "a tombstoned id surfaced in a historical snapshot — takedowns must be retroactive")
+    } finally dropAll(deps: _*)
+  }
+
+  test("batch numbering: ingest restarts the timeline at 0; appends count up") {
+    val t = "graft_snap_seq"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      Similarity.appendLsh(spark, t,
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        "vec_id", "embedding")
+      assert(Snapshots.nextBatchId(spark, t) == 2L)
+      // a REBUILD starts a fresh timeline — stale history would
+      // mislabel the new batch-0 rows
+      Similarity.ingestLsh(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      assert(Snapshots.nextBatchId(spark, t) == 1L,
+        "rebuild must reset the snapshot timeline")
+      assert(spark.table(t).agg(max(col(Snapshots.BatchCol))).first().getLong(0) == 0L)
+    } finally dropAll(deps: _*)
+  }
+}

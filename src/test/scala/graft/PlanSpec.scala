@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite {
       s"stages must read the shared tokenized relation, not re-scan the corpus:\n${p.take(800)}")
   }
 
+  test("retrieval_context_full_ingested: ZERO documents scans — the probe serves from persisted tables") {
+    val p = plan("retrieval_context_full_ingested")
+    assert(!p.contains("CartesianProduct"), "ingested capstone must stay equi-join/broadcast")
+    // production RAG serves from the persisted index layer: BM25 reads
+    // the posting/length/stats tables, the ANN leg reads the IVF-PQ
+    // codes + rescore tables, MMR reads the persisted vectors, and the
+    // pack stage takes token counts from the `_dl` length table — the
+    // document corpus itself is scanned ZERO times per request (the
+    // per-run capstone's one scan, paid once at ingest instead)
+    assert(!p.contains("documents.parquet"),
+      s"the probe DAG must never scan the document corpus:\n${p.take(800)}")
+  }
+
   test("diversifyMmrIngested: reads the persisted vector table, results identical to the raw-corpus form") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -55,6 +55,38 @@ class QualityModelSpec extends AnyFunSuite {
     assert(again === out, "training must be bit-reproducible")
   }
 
+  test("streamed training: one-batch sink ≡ batch qualityModel; replay is a no-op; weights accumulate") {
+    import spark.implicits._
+    val t = "graft_qm_sink_spec"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      val deliver = Corpus.qualityModelSink(t, "doc_id", "text",
+        nBuckets = 32, steps = 3)
+      // batch 0 = the whole labeled set: the sink's first delivery must
+      // train EXACTLY like the batch operator (same zero start, same
+      // steps) — scores bit-identical
+      deliver(labeled, 0L)
+      val streamed = Corpus.qualityScoreIngested(spark, t, fixture,
+        "doc_id", "text").collect().map(_.toString).sorted.toSeq
+      val batch = Corpus.qualityModel(fixture, "doc_id", "text", labels,
+        nBuckets = 32, steps = 3).collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "one-delivery streamed model must be bit-identical to the batch operator")
+      // a REPLAYED batch id must not move the weights (a doubled
+      // gradient would shift every score silently)
+      val w0 = spark.table(t).collect().map(_.toString).sorted.toSeq
+      deliver(labeled, 0L) // at-least-once replay
+      assert(spark.table(t).collect().map(_.toString).sorted.toSeq == w0,
+        "replayed batch applied its gradient twice")
+      // a genuinely NEW batch does move them (training continues)
+      deliver(labeled.filter(col("doc_id") < 20), 1L)
+      assert(spark.table(t).collect().map(_.toString).sorted.toSeq != w0,
+        "a new labeled batch must continue training")
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
   test("degenerate inputs: no-feature docs absent; single-class labels converge to that class") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "   "),

@@ -983,8 +983,11 @@ class StreamingSpec extends AnyFunSuite {
         b2.toDF("doc_id", "text"), lastBatch)
       graft.llm.Retrieval.ingestBm25((b1 ++ b2).toDF("doc_id", "text"),
         "doc_id", "text", ref, nBuckets = 4)
+      // data columns only: the snapshot stamp legitimately differs
+      // (streamed batches 0/1 vs the reference ingest's all-0)
       def rows(x: String) =
-        spark.table(x).collect().map(_.toString).sorted.toSeq
+        spark.table(x).drop(graft.ops.Snapshots.BatchCol)
+          .collect().map(_.toString).sorted.toSeq
       assert(rows(t) == rows(ref), "postings diverge after replay")
       assert(rows(s"${t}_dl") == rows(s"${ref}_dl"))
       assert(rows(s"${t}_stats") == rows(s"${ref}_stats"),
