@@ -1033,6 +1033,92 @@ private[graft] object DedupGates {
       rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
         iters = 2, dim = 64, k = 5, nCand = 20)),
 
+    ("similarity_topk_ivfpq_residual_ingested",
+      (s: SparkSession, dir: String) => {
+        // the persisted residual index: cluster-bucketed per-cell codes,
+        // id-bucketed rescore vectors, centroid + PER-CELL codebook
+        // sidecars. Probes bit-identical to the per-run operator — the
+        // gate shares its dual-quantizer oracle, the hash match IS the
+        // parity proof.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("similarity_ivfpq_residual_appended",
+      (s: SparkSession, dir: String) => {
+        // APPEND under the residual contract: cells AND per-cell books
+        // freeze on the even-id half; the odd batch codes its residuals
+        // against the frozen sidecars (a residual code is only
+        // meaningful WITH its cell — the frozen-centroid contract is
+        // what keeps old codes valid). Oracle trains both chains on the
+        // even half and serves the union.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_app_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPqResidual(s, table,
+          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20, trainWhere = "id % 2 = 0")),
+
+    ("similarity_ivfpq_residual_streamed",
+      (s: SparkSession, dir: String) => {
+        // exactly-once streamed maintenance for the SEVENTH index
+        // family: batch 0 trains cells + per-cell residual books
+        // (frozen there — the oracle trains on exactly that subset),
+        // later batches code against the sidecars, the replayed
+        // delivery is a commit-log no-op.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_str_${dirSuffix(dir)}"
+        Seq(table, s"${table}_vectors", s"${table}_centroids",
+          s"${table}_cellbooks", s"${table}_commits", s"${table}_tombstones",
+          s"${table}_batches")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Similarity.ivfpqResidualSink(table, "vec_id", "embedding",
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20, trainWhere = "id % 3 = 0")),
+
+    ("similarity_ivfpq_residual_deleted",
+      (s: SparkSession, dir: String) => {
+        // DELETE for the residual index: tombstoned ids leave the
+        // cell-pruned coarse scan AND the rescore fetch; both frozen
+        // sidecars stay at full-corpus training (oracle: train on
+        // union, serve the surviving even half).
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_del_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.deleteFromIvfPqResidual(s, table,
+          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20,
+        serveWhere = "c.id % 2 = 0")),
+
     ("similarity_topk_ivfpq_ingested",
       (s: SparkSession, dir: String) => {
         // the persisted IVFADC index: cluster-bucketed codes table (a

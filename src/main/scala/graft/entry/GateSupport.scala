@@ -464,9 +464,18 @@ private[graft] object GateSupport {
     * and survivors rescore exact — the Scala operator's arithmetic
     * verbatim, both quantizers replayed.
     */
+  /** `trainWhere` (an id predicate) freezes BOTH quantizers on its
+    * slice — cells AND per-cell residual books train there, everything
+    * codes/assigns against the frozen state (the append/stream twins'
+    * semantics); `serveWhere` (a predicate over alias c = the
+    * reconstructed relation) restricts the served rows (the deleted
+    * twin).
+    */
   private[graft] def rivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
                                    nCodes: Int, iters: Int, dim: Int,
-                                   k: Int, nCand: Int): String = {
+                                   k: Int, nCand: Int,
+                                   trainWhere: String = "TRUE",
+                                   serveWhere: String = "TRUE"): String = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val coarse = Num.r6Sql(dotSql("c.dq", "q.v"))
@@ -477,7 +486,7 @@ private[graft] object GateSupport {
       s"""ra$i AS (SELECT id, cl, s, x, cid FROM (
          |  SELECT sv.id, sv.cl, sv.s, sv.x, c.cid,
          |         row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY (${adj("sv.x", "c.centv")}) DESC, c.cid ASC) AS rn
-         |  FROM rsv sv JOIN rk$i c ON c.cl = sv.cl AND c.s = sv.s) WHERE rn = 1),
+         |  FROM rsvt sv JOIN rk$i c ON c.cl = sv.cl AND c.s = sv.s) WHERE rn = 1),
          |ru$i AS (SELECT cl, s, cid, unnest(x) AS e, unnest(generate_series(1, len(x))) AS d FROM ra$i),
          |rg$i AS (SELECT cl, s, cid, d, sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)) AS sx,
          |                count(*) AS cnt FROM ru$i GROUP BY cl, s, cid, d),
@@ -489,7 +498,7 @@ private[graft] object GateSupport {
     val roundsSql = if (rounds.isEmpty) "" else rounds + ",\n"
     s"""WITH ${ivfAsgCtesTrainOn(
          s"inv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
-         "TRUE", nCentroids, iters, prefix = "i")},
+         trainWhere, nCentroids, iters, prefix = "i")},
        |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
        |rsd AS (SELECT a.nn_id AS id, a.cluster AS cl,
        |               list_transform(a.cv, (x, j) -> x - c.cv[j]) AS rv
@@ -497,8 +506,9 @@ private[graft] object GateSupport {
        |rss AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
        |rsv AS (SELECT id, cl, s, list_slice(rv, s * $sub + 1, (s + 1) * $sub) AS x
        |        FROM rsd CROSS JOIN rss),
+       |rsvt AS (SELECT * FROM rsv WHERE $trainWhere),
        |rk0 AS (SELECT cl, s, id AS cid, x AS centv FROM (
-       |  SELECT cl, s, id, x, row_number() OVER (PARTITION BY cl, s ORDER BY id) AS rn FROM rsv)
+       |  SELECT cl, s, id, x, row_number() OVER (PARTITION BY cl, s ORDER BY id) AS rn FROM rsvt)
        |  WHERE rn <= $nCodes),
        |$roundsSql
        |rkf AS (SELECT * FROM rk$iters),
@@ -519,7 +529,8 @@ private[graft] object GateSupport {
        |  FROM nv q CROSS JOIN icent c WHERE q.id < 20) WHERE rn <= $nProbe),
        |csc AS (SELECT p.query_id, c.id AS nn_id, $coarse AS score
        |        FROM rdq c JOIN probes p ON c.cluster = p.cluster AND c.id <> p.query_id
-       |                   JOIN nv q ON q.id = p.query_id),
+       |                   JOIN nv q ON q.id = p.query_id
+       |        WHERE ($serveWhere)),
        |cnd AS (SELECT query_id, nn_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rn FROM csc)
        |  WHERE rn <= $nCand),

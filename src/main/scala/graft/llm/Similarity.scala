@@ -1195,6 +1195,229 @@ object Similarity {
     pqRescore(cand, c, q, k)
   }
 
+  /** Persist the residual-coded IVF-PQ index ONCE — [[ingestIvfPq]]'s
+    * sibling for the by-residual form: the cluster-bucketed
+    * `(nn_id, cluster, codes)` table, the id-bucketed full-precision
+    * rescore table, the centroid sidecar, and the PER-CELL codebook
+    * sidecar `(cluster, s, cid, centv)` — nCentroids × m × nCodes rows,
+    * a literal at gate parameters and a cluster-keyed (co-locatable)
+    * table at production cell counts, the documented trade. Probes are
+    * bit-identical to [[topKIvfPqResidual]] at the index parameters
+    * (codes are pure functions of the two frozen sidecars; parquet
+    * round-trips exactly) — the gate shares the per-run oracle. Same
+    * single-writer contract; rebuild clears tombstones and restarts
+    * the snapshot timeline.
+    */
+  def ingestIvfPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                          table: String, nCentroids: Int, m: Int, nCodes: Int,
+                          kmeansIters: Int, nBuckets: Int): Unit = {
+    val spark = corpus.sparkSession
+    val c = normalizedCorpus(corpus, idCol, vecCol, math.max(kmeansIters, 1))
+    val cent = coarseQuantizer(c, nCentroids, kmeansIters)
+    graft.ops.Tombstones.clear(spark, table)
+    graft.ops.Snapshots.reset(spark, table)
+    import spark.implicits._
+    if (cent.isEmpty) {
+      // empty corpus: contract-schema empty tables + empty sidecars —
+      // probes degrade to typed empty results, appends reject loudly
+      graft.ops.Bucketing.writeBucketed(
+        graft.ops.Snapshots.stamp(c.select(col("nn_id"),
+          lit(0L).as("cluster"), typedLit(Seq.empty[Long]).as("codes")), 0L),
+        table, "cluster", nBuckets)
+      graft.ops.Bucketing.writeBucketed(
+        graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), 0L),
+        s"${table}_vectors", "nn_id", nBuckets)
+      graft.ops.Bucketing.writeSmall(
+        Seq.empty[(Long, Seq[Double])].toDF("cid", "centv"),
+        s"${table}_centroids")
+      graft.ops.Bucketing.writeSmall(
+        Seq.empty[(Long, Int, Long, Seq[Double])].toDF("cluster", "s", "cid", "centv"),
+        s"${table}_cellbooks")
+      graft.ops.Snapshots.record(spark, table, 0L)
+      return
+    }
+    val dim = cent.head._2.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+      s"ingestIvfPqResidual requires uniform $dim-dim vectors; found a different length")
+    val centMap = typedLit(cent.toMap)
+    val resid = assignClusters(c, cent)
+      .withColumn("rv", zip_with(col("cv"),
+        element_at(centMap, col("cluster")), (a, b) => a - b))
+    val books = residualCodebooks(resid, m, nCodes, kmeansIters, dim)
+    val sub = dim / m
+    val codesCol = array(books.indices.map(s =>
+      residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
+        books(s))): _*)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(
+        resid.select(col("nn_id"), col("cluster"), codesCol.as("codes")), 0L),
+      table, "cluster", nBuckets)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), 0L),
+      s"${table}_vectors", "nn_id", nBuckets)
+    graft.ops.Bucketing.writeSmall(
+      cent.toDF("cid", "centv"), s"${table}_centroids")
+    graft.ops.Bucketing.writeSmall(
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.toSeq.flatMap { case (cl, cws) =>
+          cws.map { case (cid, v, _) => (cl, s, cid, v) } }
+      }.toDF("cluster", "s", "cid", "centv"), s"${table}_cellbooks")
+    graft.ops.Snapshots.record(spark, table, 0L)
+  }
+
+  /** The per-cell codebook sidecar collected back into the
+    * [[CellBook]]-per-subspace literal form (biases recomputed — exact
+    * doubles, same fold as training).
+    */
+  private def cellBooksOf(spark: org.apache.spark.sql.SparkSession,
+                          table: String): IndexedSeq[CellBook] = {
+    val rows = spark.table(s"${table}_cellbooks").collect()
+    if (rows.isEmpty) return IndexedSeq.empty
+    val m = rows.map(_.getInt(1)).max + 1
+    (0 until m).map { s =>
+      rows.filter(_.getInt(1) == s).groupBy(_.getLong(0)).map { case (cl, rs) =>
+        cl -> rs.toSeq.sortBy(_.getLong(2)).map { r =>
+          val v = r.getSeq[Double](3)
+          (r.getLong(2), v, -0.5d * v.foldLeft(0.0d)((a, x) => a + x * x))
+        }
+      }.toMap
+    }
+  }
+
+  /** Append a batch into an [[ingestIvfPqResidual]] index: assignment
+    * and residual codes are pure per-vector functions of the two FROZEN
+    * sidecars, so work is batch-sized and `ingest(A); append(B)` equals
+    * coding A∪B under A's quantizers — with the residual-specific
+    * caveat made explicit: a code is only meaningful WITH its cell, so
+    * the frozen-centroid contract is what keeps old codes valid. Drift
+    * monitors and the rebuild trigger as on [[appendIvfPq]].
+    */
+  def appendIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batch: DataFrame, idCol: String,
+                          vecCol: String): Unit = {
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val books = cellBooksOf(spark, table)
+    val c = graft.Partitioning.spread(batch)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
+    if (cent.isEmpty || books.isEmpty) {
+      require(c.limit(1).count() == 0L,
+        s"appendIvfPqResidual: index '$table' has an empty quantizer sidecar — " +
+          "an empty-corpus index defines no quantizer; rebuild with ingestIvfPqResidual")
+      return
+    }
+    val dim = cent.head._2.length
+    require(c.where(size(col("cv")) =!= lit(dim)).limit(1).count() == 0L,
+      s"appendIvfPqResidual: index '$table' codes $dim-dim vectors; batch " +
+        "contains a different length — rebuild or fix the batch")
+    graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
+    val sub = dim / books.length
+    val centMap = typedLit(cent.toMap)
+    val resid = assignClusters(c, cent)
+      .withColumn("rv", zip_with(col("cv"),
+        element_at(centMap, col("cluster")), (a, b) => a - b))
+    val codesCol = array(books.indices.map(s =>
+      residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
+        books(s))): _*)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(
+        resid.select(col("nn_id"), col("cluster"), codesCol.as("codes")), b),
+      table, "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
+    graft.ops.Bucketing.appendBucketed(
+      graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), b),
+      s"${table}_vectors", "nn_id",
+      graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
+    graft.ops.Snapshots.record(spark, table, b)
+  }
+
+  /** Serve a query batch against an [[ingestIvfPqResidual]] index:
+    * both sidecars ride the plan as literals, the probe reads only the
+    * probed cells (IN-literal file pruning, as on
+    * [[topKIvfPqIngested]]), reconstruction is centroid + per-cell
+    * codewords in place, survivors exact-rescore. Bit-identical to
+    * [[topKIvfPqResidual]] at the index parameters.
+    */
+  def topKIvfPqResidualIngested(spark: org.apache.spark.sql.SparkSession,
+                                table: String, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                nProbe: Int, nCandidates: Int = 0,
+                                nSalts: Int = 0,
+                                asOf: Option[Long] = None): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val nCand = if (nCandidates > 0) nCandidates else 4 * k
+    require(nCand >= k, "nCandidates must be >= k")
+    val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val books = cellBooksOf(spark, table)
+    val cvec = graft.ops.Tombstones.filterByParent(spark, table,
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, asOf),
+      "nn_id")
+    val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
+    if (cent.isEmpty || books.isEmpty) return emptyTopKResult(cvec, q)
+    val probes = ivfProbes(q, cent, nProbe)
+    val cells = probedCells(probes)
+    val centMap = typedLit(cent.toMap)
+    val dqr = concat(books.indices.map { s =>
+      val plain = typedLit(books(s).map { case (cl, book) =>
+        cl -> book.map { case (cid, v, _) => cid -> v }.toMap })
+      element_at(element_at(plain, col("cluster")),
+        element_at(col("codes"), s + 1))
+    }: _*)
+    val coded = graft.ops.Tombstones.filterByParent(spark, table,
+        graft.ops.Snapshots.readAsOf(spark, table, table, asOf)
+          .where(col("cluster").isin(cells: _*)), "nn_id")
+      .select(col("nn_id"), col("cluster"),
+        zip_with(element_at(centMap, col("cluster")), dqr, (a, b) => a + b).as("dq"))
+    val coarse = coded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
+    val cand = topKMerge(coarse, nCand, salts).select(col("query_id"), col("nn_id"))
+    pqRescore(cand, cvec, q, k)
+  }
+
+  /** Exactly-once streaming maintenance of a residual IVF-PQ index —
+    * the seventh family's sink, [[ivfpqSink]]'s shape: batch 0 trains
+    * BOTH quantizers (cells + per-cell residual books) and freezes
+    * them, later batches assign + code against the frozen sidecars,
+    * replays are commit-log no-ops, and an empty first delivery heals
+    * by re-ingesting on the first non-empty one.
+    */
+  def ivfpqResidualSink(table: String, idCol: String, vecCol: String,
+                        nCentroids: Int, m: Int, nCodes: Int,
+                        kmeansIters: Int, nBuckets: Int)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        if (!spark.catalog.tableExists(table))
+          ingestIvfPqResidual(batch, idCol, vecCol, table, nCentroids, m,
+            nCodes, kmeansIters, nBuckets)
+        else if (spark.table(s"${table}_cellbooks").limit(1).count() == 0L
+            && batch.limit(1).count() > 0L)
+          ingestIvfPqResidual(batch, idCol, vecCol, table, nCentroids, m,
+            nCodes, kmeansIters, nBuckets)
+        else appendIvfPqResidual(spark, table, batch, idCol, vecCol)
+      }
+      ()
+    }
+
+  /** Logical delete / physical compaction for a residual IVF-PQ index —
+    * the [[deleteFromIvfPq]]/[[compactIvfPq]] verbs on the same two
+    * tables; frozen sidecars stay, as everywhere.
+    */
+  def deleteFromIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame): Unit = {
+    graft.ops.Tombstones.add(spark, table, ids, "nn_id"); ()
+  }
+
+  def compactIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit =
+    graft.ops.Tombstones.purge(spark, table,
+      Seq(table -> "cluster", s"${table}_vectors" -> "nn_id"), "nn_id")
+
   /** Per-cell residual codebook: cluster → Seq of (cid, codeword,
     * −½‖codeword‖²) in ascending cid order — the augmented-bias form
     * [[residArgmin]] folds over.

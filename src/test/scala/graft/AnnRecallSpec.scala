@@ -581,6 +581,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.70, f"residual IVF-PQ recall@$K degraded to $r%.3f (floor 0.70 — must stay above the global gate's 0.55)")
   }
 
+  test("residual IVF-PQ ingested probe is bit-identical to the per-run operator") {
+    val table = "graft_recall_rivfpq"
+    val deps = Seq(table, s"${table}_vectors", s"${table}_centroids",
+      s"${table}_cellbooks", s"${table}_tombstones", s"${table}_batches")
+    deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    try {
+      Similarity.ingestIvfPqResidual(emb, "vec_id", "embedding", table,
+        nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+      val served = Similarity.topKIvfPqResidualIngested(spark, table, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+        .collect().toSet
+      val per = Similarity.topKIvfPqResidual(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        kmeansIters = 2, nCandidates = 20).collect().toSet
+      assert(served == per,
+        "persisted residual index must serve bit-identically to the per-run operator")
+    } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+  }
+
   test("residual coding beats the global codebook at equal (m, nCodes) on clustered data — the distribution it exists for") {
     import spark.implicits._
     // deterministic clustered fixture: 8 well-separated cells ± small
