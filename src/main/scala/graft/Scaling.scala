@@ -292,6 +292,24 @@ object Scaling {
           m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
         llm.Similarity.ingestIvfPq(emb, "vec_id", "embedding", ivfpqT,
           nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        // round-16 probe targets: the residual index, and TWO-BATCH
+        // builds of the bm25/ivfpq indexes so an asOf probe actually
+        // exercises the snapshot path (batch filter + sidecar semi-join
+        // + stats recompute) rather than degenerating to the full view
+        val rivfpqT = s"graft_scaling_rivfpq_$sfx"
+        val bm25T2 = s"graft_scaling_bm25b_$sfx"
+        val ivfpqT2 = s"graft_scaling_ivfpqb_$sfx"
+        llm.Similarity.ingestIvfPqResidual(emb, "vec_id", "embedding", rivfpqT,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        llm.Retrieval.ingestBm25(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", bm25T2, nBuckets = 8)
+        llm.Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", bm25T2)
+        llm.Similarity.ingestIvfPq(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", ivfpqT2,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        llm.Similarity.appendIvfPq(spark, ivfpqT2,
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
         val qBatch = emb.filter(col("vec_id") < 20)
         val qText = Seq((1L, "the quick brown fox"), (2L, "model training data"),
           (3L, "distributed query engine"), (4L, "language identification"))
@@ -313,7 +331,23 @@ object Scaling {
           // parents' probe cost as the corpus grows
           "probe_ivfpq_ingested" -> (() => llm.Similarity.topKIvfPqIngested(
             spark, ivfpqT, qBatch, "vec_id", "embedding",
-            k = 5, nProbe = 4, nCandidates = 20).count()))
+            k = 5, nProbe = 4, nCandidates = 20).count()),
+          // residual probe: same cell pruning + m-code read, plus the
+          // per-cell codeword lookup — predicted flat like its parent
+          "probe_rivfpq_ingested" -> (() => llm.Similarity.topKIvfPqResidualIngested(
+            spark, rivfpqT, qBatch, "vec_id", "embedding",
+            k = 5, nProbe = 4, nCandidates = 20).count()),
+          // SNAPSHOT probes over two-batch indexes, pinned to batch 0:
+          // the asOf overheads are the batches-sidecar semi-join (tiny,
+          // broadcast) and — for BM25 — the snapshot stats aggregate
+          // over the length relation; the batch filter itself PRUNES
+          // (appends write batch-pure files)
+          "probe_bm25_asof" -> (() => llm.Retrieval.bm25TopKIngested(
+            spark, bm25T2, qText, "qid", "qtext", topK = 10,
+            asOf = Some(0L)).count()),
+          "probe_ivfpq_asof" -> (() => llm.Similarity.topKIvfPqIngested(
+            spark, ivfpqT2, qBatch, "vec_id", "embedding",
+            k = 5, nProbe = 4, nCandidates = 20, asOf = Some(0L)).count()))
         val results = thunks.flatMap { case (name, thunk) =>
           // one untimed warm call per factor: the probe plan's codegen
           // compiles here, not inside the first timed run. NonFatal

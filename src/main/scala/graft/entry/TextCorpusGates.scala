@@ -1558,11 +1558,12 @@ private[graft] object TextCorpusGates {
         // DESC, id ASC) and each takes the open bin with the smallest
         // sufficient remainder; no fit opens a new bin; an oversize doc
         // (n = byte length here, frequently > 256) gets its own bin.
-        // The whole fold is ONE codegen'd aggregate expression per
-        // stream — the oracle replays it as a recursive CTE folding
-        // doc-by-doc over the identical order, so the hash match pins
-        // every placement decision, not just aggregate waste. Same
-        // NULL-rides-along + byte-length conventions as corpus_pack.
+        // The fold is one deterministic JVM fold per stream over
+        // (rank, tokens) longs (doc ids join back on rank) — the
+        // oracle replays it as a recursive CTE folding doc-by-doc over
+        // the identical order, so the hash match pins every placement
+        // decision, not just aggregate waste. Same NULL-rides-along +
+        // byte-length conventions as corpus_pack.
         import s.implicits._
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))

@@ -706,16 +706,23 @@ object Corpus {
     *
     * Scale shape: docs hash into `nStreams` independent streams (the
     * [[packSequences]] sharding — a doc's stream never changes as the
-    * corpus grows) and the ENTIRE fold is one codegen'd
-    * `aggregate` expression over each stream's sorted doc array: no
-    * driver-side state, no window, parallelism = nStreams. The honest
-    * trade vs the running-sum pack: FFD is inherently sequential per
-    * stream AND needs the stream's docs in one task (collect_list), so
-    * per-stream memory is O(docs/nStreams) structs and open-bin state
-    * is O(bins/stream) — size nStreams so a stream's docs fit a task
-    * (at 100 TB: tens of thousands of streams), where packSequences
-    * needs only a running sum. Deterministic and engine-reproducible
-    * by construction (pure integer arithmetic, total order).
+    * corpus grows); the fold itself runs as ONE deterministic JVM fold
+    * per stream inside a typed UDF over the stream's sorted
+    * `(rank, tokens)` pairs — deliberately NOT a Catalyst
+    * higher-order `aggregate`: HOF lambdas evaluate interpreted per
+    * element and an array-append accumulator copies O(n) per doc,
+    * which measured 43 s on a 5 000-doc fixture (quadratic — a
+    * scale-killer); the UDF is the documented last-resort for
+    * genuinely sequential imperative per-group logic, and only
+    * `(rank, n)` longs pass through it — doc ids never serialize into
+    * the UDF, they join back on (stream, rank). The honest trade vs
+    * the running-sum pack stands: FFD needs the stream's pairs in one
+    * task (collect_list), so per-stream memory is O(docs/nStreams)
+    * pairs + O(bins/stream) open-bin state — size nStreams so a
+    * stream fits a task (at 100 TB: tens of thousands of streams),
+    * where packSequences needs only a running sum. Deterministic and
+    * engine-reproducible by construction (pure integer arithmetic,
+    * total order).
     *
     * @return (doc, n_toks, stream, bin, bin_offset) — bin is 0-based
     *         per stream; bin_offset is the doc's token offset within
@@ -730,54 +737,57 @@ object Corpus {
       "idCol/tokensCol/streamCol must not be named 'stream', 'n_toks', " +
         "'bin' or 'bin_offset' — reserved by packBestFit")
     val nTok = greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L))
-    val src = graft.Partitioning.spread(df)
+    import org.apache.spark.sql.expressions.Window
+    // rank = the FFD visit order (tokens DESC, id ASC) — the fold's
+    // input AND the join-back key, so the UDF never sees doc ids
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(col("n_toks").desc, col(idCol).asc)
+    val ranked = graft.Partitioning.spread(df)
       .withColumn("stream", streamCol.map(col).getOrElse(
         pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
           lit(nStreams.toLong))))
-      // o1 = −tokens: ascending struct sort = (tokens DESC, id ASC) —
-      // the FFD order
+      .withColumn("n_toks", nTok)
+      .withColumn("_rn", row_number().over(w))
+      .select(col(idCol).as("doc"), col("n_toks"), col("stream"), col("_rn"))
+      .localCheckpoint() // two consumers: the fold input and the join-back
+    val asg = ranked
+      .groupBy(col("stream"))
+      .agg(sort_array(collect_list(struct(col("_rn"), col("n_toks")))).as("items"))
       .select(col("stream"),
-        struct((-nTok).as("o1"), col(idCol).as("doc"), nTok.as("n")).as("it"))
-    val grouped = src.groupBy(col("stream"))
-      .agg(sort_array(collect_list(col("it"))).as("items"))
-    val capL = lit(capacity)
-    // empty arrays OF THE RIGHT ELEMENT TYPE: slice(single-element, 1, 0)
-    // — the doc field inherits the input id type, so the accumulator
-    // cannot pin a wrong schema
-    val zero = struct(
-      slice(array(lit(0L)), 1, 0).as("bins"),
-      slice(array(struct(
-        element_at(col("items"), 1).getField("doc").as("doc"),
-        lit(0L).as("n"), lit(0).as("bin"), lit(0L).as("off"))), 1, 0).as("asg"))
-    def mergeFn(acc: Column, it: Column): Column = {
-      val n = it.getField("n")
-      // best fit = among bins with room, the LARGEST load (smallest
-      // remainder); the fold visits bins in index order with a STRICT
-      // improvement test, so load ties break to the lowest index
-      val cands = filter(
-        transform(acc.getField("bins"), (l, i) => struct(l.as("l"), i.as("i"))),
-        c => c.getField("l") + n <= capL)
-      val pick = aggregate(cands,
-        struct(lit(-1L).as("l"), lit(-1).as("i")),
-        (b, c) => when(c.getField("l") > b.getField("l"), c).otherwise(b))
-      val isNew = pick.getField("i") < 0
-      val bin = when(isNew, size(acc.getField("bins")))
-        .otherwise(pick.getField("i"))
-      val off = when(isNew, lit(0L)).otherwise(pick.getField("l"))
-      val bins2 = when(isNew, concat(acc.getField("bins"), array(n)))
-        .otherwise(transform(acc.getField("bins"),
-          (l, i) => when(i === pick.getField("i"), l + n).otherwise(l)))
-      val asg2 = concat(acc.getField("asg"),
-        array(struct(it.getField("doc").as("doc"), n.as("n"),
-          bin.cast("int").as("bin"), off.as("off"))))
-      struct(bins2.as("bins"), asg2.as("asg"))
-    }
-    grouped
-      .select(col("stream"),
-        explode(aggregate(col("items"), zero, mergeFn).getField("asg")).as("a"))
-      .select(col("a.doc").as("doc"), col("a.n").as("n_toks"), col("stream"),
-        col("a.bin").cast("int").as("bin"), col("a.off").as("bin_offset"))
+        explode(bestFitFold(capacity)(col("items"))).as("a"))
+      .select(col("stream"), col("a._1").as("_rn"),
+        col("a._2").as("bin"), col("a._3").as("bin_offset"))
+    ranked.join(asg, Seq("stream", "_rn"))
+      .select(col("doc"), col("n_toks"), col("stream"),
+        col("bin").cast("int").as("bin"), col("bin_offset"))
   }
+
+  /** The per-stream best-fit-decreasing fold as a deterministic JVM
+    * function: input the stream's (rank, tokens) pairs sorted by rank
+    * (= tokens DESC, id ASC), output (rank, bin, bin_offset). Best fit
+    * = among bins with room, the LARGEST load (smallest remainder),
+    * ties to the lowest bin index (strict `>` over an in-order scan);
+    * no fit opens a new bin. O(docs × bins) per stream with mutable
+    * open-bin state — the imperative shape the interpreted Catalyst
+    * fold could not express without quadratic array copying.
+    */
+  private def bestFitFold(capacity: Long) =
+    udf((items: Seq[org.apache.spark.sql.Row]) => {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      items.map { r =>
+        val rn = r.getInt(0); val n = r.getLong(1)
+        var best = -1; var bestLoad = -1L
+        var i = 0
+        while (i < bins.length) {
+          if (bins(i) + n <= capacity && bins(i) > bestLoad) {
+            best = i; bestLoad = bins(i)
+          }
+          i += 1
+        }
+        if (best < 0) { bins += n; (rn, bins.length - 1, 0L) }
+        else { val off = bins(best); bins(best) += n; (rn, best, off) }
+      }
+    })
 
   /** Token-budget corpus selection — the "best N tokens" cut a
     * quality-filtered pretraining run makes when compute (not data) is
