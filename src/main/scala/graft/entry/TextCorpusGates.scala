@@ -1094,10 +1094,14 @@ private[graft] object TextCorpusGates {
         // persisted weights over the full corpus.
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
+        // materialized ONCE: the labeled relation feeds every delivery's
+        // feature build, label join and batch-size count (4 deliveries ×
+        // 3 consumers — without this the Gopher scorer re-evaluates ~12×)
         val labeled = d
           .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
           .select(col("doc_id"), col("text"),
             coalesce(col("label"), lit(0)).as("label"))
+          .localCheckpoint()
         val table = s"graft_qm_str_${dirSuffix(dir)}"
         Seq(table, s"${table}_meta", s"${table}_commits")
           .foreach(graft.ops.Bucketing.dropManaged(s, _))
