@@ -804,6 +804,30 @@ private[graft] object TextCorpusGates {
       },
       decontamOracleSql),
 
+    ("corpus_decontaminate_asof",
+      (s: SparkSession, dir: String) => {
+        // SNAPSHOT admission for the decontamination index — "gate this
+        // corpus against the eval suite as it stood at batch 0": the
+        // %37 benchmarks ingest as batch 0, a later suite appends as
+        // batch 1, and the asOf(0) probe must gate against EXACTLY the
+        // batch-0 hashes (batch-1 rows are invisible even though they
+        // share files and buckets) — so it shares the %37-only oracle,
+        // completing the as-of verb across all SEVEN persisted
+        // families.
+        import s.implicits._
+        val table = s"graft_decontam_asof_${dirSuffix(dir)}"
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+        Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8, table, nBuckets = 8)
+        Corpus.appendDecontamIndex(s, table,
+          docs.filter(col("doc_id") % 5 === 3 && col("doc_id") % 37 =!= 0),
+          "doc_id", "text")
+        Corpus.decontaminateIngested(s, table, docs, "doc_id", "text",
+          asOf = Some(0L))
+      },
+      decontamOracleSql),
+
     ("corpus_decontaminate_deleted",
       (s: SparkSession, dir: String) => {
         // DELETE for the decontamination index — the benchmark
