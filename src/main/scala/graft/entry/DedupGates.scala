@@ -1119,6 +1119,54 @@ private[graft] object DedupGates {
         iters = 2, dim = 64, k = 5, nCand = 20,
         serveWhere = "c.id % 2 = 0")),
 
+    ("similarity_rivfpq_stats",
+      (s: SparkSession, dir: String) => {
+        // the drift monitor for the MOST drift-sensitive family: a
+        // residual code is only meaningful WITH its cell, so
+        // reconstruction MSE is tracked PER CELL — an
+        // out-of-distribution append concentrates error in the cells it
+        // lands in, and those rows rising is the rebuild trigger
+        // appendIvfPqResidual promises (AppendMaintenanceSpec shows the
+        // rise on a shifted batch). Ingest evens (both quantizers
+        // freeze), append odds, measure: the oracle replays the dual
+        // k-means and re-derives every reconstruction, so the hash
+        // match pins the MSE arithmetic per cell. Reconstruction goes
+        // through the cluster-keyed codebook TABLE join — the monitor
+        // never collects books.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_sts_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPqResidual(s, table,
+          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        Similarity.ivfPqResidualCellStats(s, table)
+      },
+      rivfpqCellStatsSql(nCentroids = 16, m = 4, nCodes = 8,
+        iters = 2, dim = 64, trainWhere = "id % 2 = 0")),
+
+    ("similarity_topk_rivfpq_booktable",
+      (s: SparkSession, dir: String) => {
+        // the PRODUCTION serving form for per-cell codebooks: the probe
+        // JOINS the cluster-keyed _cellbooks TABLE (co-bucketed with the
+        // codes scan) instead of collecting nCentroids × m × nCodes
+        // codewords to a plan literal — the driver-side bottleneck at
+        // the cell counts users actually crank. maxLiteralBookRows = 0
+        // FORCES the table path; the gate shares the literal-path
+        // oracle outright, so the hash match proves the two paths
+        // bit-identical (PlanSpec asserts the plan scans _cellbooks and
+        // collects nothing book-sized).
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_bt_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20, maxLiteralBookRows = 0)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
     ("similarity_topk_ivfpq_ingested",
       (s: SparkSession, dir: String) => {
         // the persisted IVFADC index: cluster-bucketed codes table (a

@@ -471,15 +471,18 @@ private[graft] object GateSupport {
     * reconstructed relation) restricts the served rows (the deleted
     * twin).
     */
-  private[graft] def rivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
-                                   nCodes: Int, iters: Int, dim: Int,
-                                   k: Int, nCand: Int,
-                                   trainWhere: String = "TRUE",
-                                   serveWhere: String = "TRUE"): String = {
+  /** The shared PREFIX of the residual-IVF-PQ oracles: cells + per-cell
+    * residual codebooks + assignment + reconstruction, ending at
+    * `rdq (id, cluster, dq)` (with `iasg`/`icent`/`nv` in scope) — the
+    * top-k oracle appends probing/scoring, the cell-stats oracle
+    * appends the per-cell MSE aggregation; both hash matches then pin
+    * the same dual-quantizer replay.
+    */
+  private[graft] def rivfpqReconCtes(nCentroids: Int, m: Int, nCodes: Int,
+                                     iters: Int, dim: Int,
+                                     trainWhere: String): String = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val coarse = Num.r6Sql(dotSql("c.dq", "q.v"))
-    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
     def adj(x: String, cv: String) =
       s"${dotSql(x, cv)} - 0.5 * list_reduce(list_transform($cv, z -> z * z), (a, b) -> a + b)"
     val rounds = (0 until iters).map { i =>
@@ -496,7 +499,7 @@ private[graft] object GateSupport {
          |            FROM rk$i c LEFT JOIN rm$i m ON m.cl = c.cl AND m.s = c.s AND m.cid = c.cid)""".stripMargin
     }.mkString(",\n")
     val roundsSql = if (rounds.isEmpty) "" else rounds + ",\n"
-    s"""WITH ${ivfAsgCtesTrainOn(
+    s"""${ivfAsgCtesTrainOn(
          s"inv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings)",
          trainWhere, nCentroids, iters, prefix = "i")},
        |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
@@ -522,7 +525,36 @@ private[graft] object GateSupport {
        |rdq AS (SELECT a.nn_id AS id, a.cluster,
        |               list_transform(ic.cv, (x, j) -> x + p.dvr[j]) AS dq
        |        FROM iasg a JOIN icent ic ON ic.cid = a.cluster
-       |                    JOIN rqd p ON p.id = a.nn_id),
+       |                    JOIN rqd p ON p.id = a.nn_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[Similarity.ivfPqResidualCellStats]] over an
+    * ingest-on-`trainWhere` index serving the full corpus: the shared
+    * reconstruction chain, then per-cell micro-quantized SSE — the
+    * Scala monitor's exact-integer aggregation verbatim.
+    */
+  private[graft] def rivfpqCellStatsSql(nCentroids: Int, m: Int, nCodes: Int,
+                                        iters: Int, dim: Int,
+                                        trainWhere: String = "TRUE"): String = {
+    val sse = "list_reduce(list_transform(a.cv, (x, j) -> " +
+      "(x - d.dq[j]) * (x - d.dq[j])), (p_, q_) -> p_ + q_)"
+    s"""WITH ${rivfpqReconCtes(nCentroids, m, nCodes, iters, dim, trainWhere)},
+       |er AS (SELECT d.cluster,
+       |         CAST(floor(($sse) * 1000000.0 + 0.5) AS BIGINT) AS ssem
+       |       FROM rdq d JOIN iasg a ON a.nn_id = d.id)
+       |SELECT cluster, count(*) AS n_vectors,
+       |  ${Num.r6Sql("CAST(sum(ssem) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)")} AS mse
+       |FROM er GROUP BY cluster""".stripMargin
+  }
+
+  private[graft] def rivfpqTopKSql(nCentroids: Int, nProbe: Int, m: Int,
+                                   nCodes: Int, iters: Int, dim: Int,
+                                   k: Int, nCand: Int,
+                                   trainWhere: String = "TRUE",
+                                   serveWhere: String = "TRUE"): String = {
+    val coarse = Num.r6Sql(dotSql("c.dq", "q.v"))
+    val exact = Num.r6Sql(dotSql("c.v", "q.v"))
+    s"""WITH ${rivfpqReconCtes(nCentroids, m, nCodes, iters, dim, trainWhere)},
        |probes AS (SELECT id AS query_id, cid AS cluster FROM (
        |  SELECT q.id, c.cid,
        |         row_number() OVER (PARTITION BY q.id ORDER BY ${dotSql("q.v", "c.cv")} DESC, c.cid ASC) AS rn

@@ -138,7 +138,21 @@ private[graft] object TextCorpusGates {
     * probe, the ingested-vectors MMR, the `_dl` token counts), so one
     * oracle pins both compositions.
     */
-  private lazy val contextFullOracleSql: String = {
+  private lazy val contextFullOracleSql: String =
+    contextFullOracleSqlOver("TRUE", "TRUE")
+
+  /** [[contextFullOracleSql]] restricted to a corpus slice — the as-of
+    * twin's oracle: `docsWhere` (over doc_id) cuts the BM25 corpus and
+    * the token-count relation, `vecsWhere` (over vec_id) cuts the ANN /
+    * MMR vector pool — together they ARE the snapshot: every stage of
+    * the asOf-0 probe serves exactly the batch-0 slice (BM25's df
+    * derives from the filtered postings, the ANN leg runs at exactness
+    * parameters so training slices cannot matter, MMR and pack read the
+    * sliced sidecars), so the first-batch-only capstone oracle pins the
+    * whole snapshot DAG.
+    */
+  private def contextFullOracleSqlOver(docsWhere: String,
+                                       vecsWhere: String): String = {
     val qvals = Seq((9001L, "spark window join"),
       (9002L, "hash merge sort"), (9003L, "customer query table"))
       .flatMap { case (qid, text) =>
@@ -148,9 +162,11 @@ private[graft] object TextCorpusGates {
       }.mkString(", ")
     val annScore = Num.r6Sql(dotSql("c.v", "q.v"))
     val recipMicro = s"CAST(floor(${Num.r6Sql("CAST(1 AS DOUBLE) / (60 + CAST(rank AS DOUBLE))")} * 1000000.0 + 0.5) AS BIGINT)"
-    val embedded = "doc_id IN (SELECT vec_id FROM embeddings)"
+    val embedded =
+      s"doc_id IN (SELECT vec_id FROM embeddings) AND ($docsWhere)"
     s"""WITH ${bm25RankCtes(embedded, qvals, topK = 20, p = "b")},
-       |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings),
+       |nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS v FROM embeddings
+       |       WHERE ($vecsWhere)),
        |seed AS (SELECT query_id, doc FROM brk WHERE rank = 1),
        |sq AS (SELECT s.query_id, nv.v FROM seed s JOIN nv ON nv.id = s.doc),
        |asc0 AS (SELECT q.query_id, c.id AS nn_id, $annScore AS score
@@ -301,8 +317,10 @@ private[graft] object TextCorpusGates {
       (s: SparkSession, dir: String) => {
         // the DELETE lifecycle verb for the lexical index: ingest the
         // full corpus, tombstone the odd doc ids (takedown-list-sized —
-        // postings are never rewritten; the (n, sumdl) sidecar adjusts
-        // by exact integer subtraction), probe. Because df derives from
+        // postings are never rewritten; the (n, sumdl) sidecar is
+        // RECOUNTED from the tombstone-filtered _dl relation, so the
+        // rewrite is self-healing and idempotent), probe. Because df
+        // derives from
         // the FILTERED posting lists at probe time, ingest(A∪B);
         // delete(B) is bit-identical to ingest(A): N, avgdl, df, tf and
         // every score match the even-half oracle — the hash match IS
@@ -475,6 +493,74 @@ private[graft] object TextCorpusGates {
             col("start_offset"), col("seq_first"), col("seq_last"))
       },
       contextFullOracleSql),
+
+    ("retrieval_context_full_asof",
+      (s: SparkSession, dir: String) => {
+        // the capstone's AS-OF twin — the audit/repro question asked at
+        // the SERVING-PATH level: both indexes ingest the even-id half
+        // (batch 0) and append the odd half (batch 1), and the whole
+        // RAG DAG — BM25 retrieval, the exactness-parameter PRF-ANN
+        // probe, MMR over the persisted vectors, `_dl` token counts for
+        // packing — serves at asOf = 0. Every stage's snapshot read is
+        // exactly the batch-0 slice (BM25's df derives from the
+        // filtered postings; the ANN leg probes every cell and rescores
+        // every candidate, so frozen-quantizer details cannot leak), so
+        // the gate shares a first-batch-only capstone oracle — the hash
+        // match pins the END-TO-END snapshot, not one index at a time.
+        // Zero documents scans in the probe DAG, as on the ingested
+        // twin (PlanSpec asserts it).
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+            "left_semi")
+        val bmT = s"graft_ctxa_bm25_${dirSuffix(dir)}"
+        val annT = s"graft_ctxa_ivfpq_${dirSuffix(dir)}"
+        Retrieval.ingestBm25(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", bmT, nBuckets = 8)
+        Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", bmT)
+        Similarity.ingestIvfPq(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", annT,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPq(s, annT, emb.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding")
+        val asOf0 = Some(0L)
+        val queries = Seq((9001L, "spark window join"),
+          (9002L, "hash merge sort"), (9003L, "customer query table"))
+          .toDF("qid", "qtext")
+        val bm = Retrieval.bm25TopKIngested(s, bmT, queries, "qid", "qtext",
+          topK = 20, asOf = asOf0).localCheckpoint()
+        val seed = bm.filter(col("rank") === 1)
+          .select(col("query_id"), col("doc"))
+        val seedVecs = emb.join(seed, emb("vec_id") === seed("doc"))
+          .select(col("query_id").as("vec_id"), col("embedding"))
+        val ann = Similarity.topKIvfPqIngested(s, annT, seedVecs,
+          "vec_id", "embedding", k = 20, nProbe = 16, nCandidates = 1 << 20,
+          asOf = asOf0).localCheckpoint()
+        val fused = Retrieval.rrfFuse(Seq(
+          bm.select(col("query_id"), col("doc"), col("rank")),
+          ann.select(col("query_id"), col("nn_id").as("doc"), col("rank"))),
+          topK = 10)
+        val mmr = Similarity.diversifyMmrIngested(s, s"${annT}_vectors",
+          fused.select(col("query_id"), col("doc").as("nn_id"), col("score")),
+          k = 5, lambda = 0.5, asOf = Some((annT, 0L))).localCheckpoint()
+        val toks = graft.ops.Snapshots.readAsOf(s, s"${bmT}_dl", bmT, asOf0)
+          .select(col("doc").as("nn_id"), col("dl").as("doc_toks"))
+        val sel = mmr.join(toks, Seq("nn_id"))
+        val packed = Corpus.packSequences(
+          sel.select(col("query_id"), col("rank"), col("doc_toks")),
+          idCol = "rank", tokensCol = "doc_toks", capacity = 256,
+          streamCol = Some("query_id"))
+        packed.select(col("stream").as("query_id"), col("doc").as("rank"),
+            col("n_toks"), col("start_offset"), col("seq_first"),
+            col("seq_last"))
+          .join(mmr, Seq("query_id", "rank"))
+          .select(col("query_id"), col("nn_id"), col("score"),
+            col("rank").cast("int").as("rank"), col("n_toks"),
+            col("start_offset"), col("seq_first"), col("seq_last"))
+      },
+      contextFullOracleSqlOver("doc_id % 2 = 0", "vec_id % 2 = 0")),
     // ---- text analysis ----------------------------------------------------
     ("text_quality",
       (s: SparkSession, dir: String) =>
@@ -1599,38 +1685,38 @@ private[graft] object TextCorpusGates {
         Corpus.packBestFit(d, "doc_id", "n", capacity = 256, nStreams = 8)
           .orderBy(col("doc"))
       },
-      {
-        val cand = "list_filter(list_transform(f.bins, (l, i) -> " +
-          "struct_pack(l := l, i := CAST(i - 1 AS INT))), c -> c.l + b.ne <= 256)"
-        val pick = s"list_reduce($cand, (a, c) -> CASE WHEN c.l > a.l THEN c ELSE a END)"
-        s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents
-           |              UNION ALL SELECT 99991, NULL),
-           |d AS (SELECT doc_id,
-           |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
-           |      FROM docs),
-           |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
-           |base AS (SELECT doc_id, ne, stream,
-           |           CAST(row_number() OVER (PARTITION BY stream ORDER BY ne DESC, doc_id) AS BIGINT) AS rn
-           |         FROM st),
-           |f(stream, rn, bins, doc, n, bin, off) AS (
-           |  SELECT DISTINCT stream, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
-           |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           |         CAST(NULL AS INT), CAST(NULL AS BIGINT) FROM base
-           |  UNION ALL
-           |  SELECT b.stream, f.rn + 1,
-           |         CASE WHEN len($cand) = 0 THEN list_append(f.bins, b.ne)
-           |              ELSE list_transform(f.bins, (l, i) ->
-           |                CASE WHEN i - 1 = ($pick).i THEN l + b.ne ELSE l END) END,
-           |         b.doc_id, b.ne,
-           |         CASE WHEN len($cand) = 0 THEN CAST(len(f.bins) AS INT)
-           |              ELSE ($pick).i END,
-           |         CASE WHEN len($cand) = 0 THEN CAST(0 AS BIGINT)
-           |              ELSE ($pick).l END
-           |  FROM f JOIN base b ON b.stream = f.stream AND b.rn = f.rn + 1
-           |)
-           |SELECT doc, n AS n_toks, stream, bin, off AS bin_offset
-           |FROM f WHERE rn > 0 ORDER BY doc""".stripMargin
-      }),
+      s"""$bestFitFoldCtes
+         |SELECT doc, n_toks, stream, bin, bin_offset
+         |FROM pl ORDER BY doc""".stripMargin),
+
+    ("corpus_pack_bestfit_segments",
+      (s: SparkSession, dir: String) => {
+        // the WRITER view over the best-fit placements — one manifest
+        // row per (stream, bin): docs in placement order (offsets
+        // strictly increase for token-bearing docs; the zero-token
+        // fixture row reconstructs by id among equal offsets), fill,
+        // zero-clamped waste, and the overfull flag for
+        // longer-than-capacity single-doc bins. Same fixture (byte
+        // lengths, NULL row) as corpus_pack_bestfit; the oracle runs
+        // the identical recursive-CTE fold and re-derives the manifest
+        // with plain SQL aggregation, so the hash match pins the
+        // fill/waste arithmetic AND the emission order per bin.
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        Corpus.packBestFitBins(
+          Corpus.packBestFit(d, "doc_id", "n", capacity = 256, nStreams = 8),
+          capacity = 256)
+          .orderBy(col("stream"), col("bin"))
+      },
+      s"""$bestFitFoldCtes
+         |SELECT stream, bin, count(*) AS n_docs,
+         |       list(doc ORDER BY bin_offset, n_toks DESC, doc) AS docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS fill,
+         |       CAST(greatest(256 - sum(n_toks), 0) AS BIGINT) AS waste,
+         |       sum(n_toks) > 256 AS overfull
+         |FROM pl GROUP BY stream, bin ORDER BY stream, bin""".stripMargin),
 
     ("corpus_pack_edges",
       (s: SparkSession, dir: String) => {
@@ -1741,6 +1827,47 @@ private[graft] object TextCorpusGates {
          |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
          |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
   )
+
+  /** The [[graft.llm.Corpus.packBestFit]] oracle: the shared fixture
+    * (byte lengths over documents plus the NULL row) and the recursive
+    * CTE that replays the best-fit-decreasing fold doc-by-doc over the
+    * identical (tokens DESC, id ASC) order — ending at the placements
+    * relation `pl (doc, n_toks, stream, bin, bin_offset)`. Shared by
+    * the placement gate and the per-bin manifest gate, so both hash
+    * matches pin the same fold.
+    */
+  private def bestFitFoldCtes: String = {
+    val cand = "list_filter(list_transform(f.bins, (l, i) -> " +
+      "struct_pack(l := l, i := CAST(i - 1 AS INT))), c -> c.l + b.ne <= 256)"
+    val pick = s"list_reduce($cand, (a, c) -> CASE WHEN c.l > a.l THEN c ELSE a END)"
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents
+       |              UNION ALL SELECT 99991, NULL),
+       |d AS (SELECT doc_id,
+       |        greatest(COALESCE(CAST(strlen(text) AS BIGINT), 0), 0) AS ne
+       |      FROM docs),
+       |st AS (SELECT doc_id, ne, ${rhSql("CAST(doc_id AS VARCHAR)")} % 8 AS stream FROM d),
+       |base AS (SELECT doc_id, ne, stream,
+       |           CAST(row_number() OVER (PARTITION BY stream ORDER BY ne DESC, doc_id) AS BIGINT) AS rn
+       |         FROM st),
+       |f(stream, rn, bins, doc, n, bin, off) AS (
+       |  SELECT DISTINCT stream, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS INT), CAST(NULL AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT b.stream, f.rn + 1,
+       |         CASE WHEN len($cand) = 0 THEN list_append(f.bins, b.ne)
+       |              ELSE list_transform(f.bins, (l, i) ->
+       |                CASE WHEN i - 1 = ($pick).i THEN l + b.ne ELSE l END) END,
+       |         b.doc_id, b.ne,
+       |         CASE WHEN len($cand) = 0 THEN CAST(len(f.bins) AS INT)
+       |              ELSE ($pick).i END,
+       |         CASE WHEN len($cand) = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE ($pick).l END
+       |  FROM f JOIN base b ON b.stream = f.stream AND b.rn = f.rn + 1
+       |),
+       |pl AS (SELECT doc, n AS n_toks, stream, bin, off AS bin_offset
+       |       FROM f WHERE rn > 0)""".stripMargin
+  }
 
   /** DuckDB CTE chain `wt → w0 → (p1,m1,w1) … (pN,mN,wN)` mirroring
     * [[graft.llm.Bpe.learnMerges]]: the distinct `[a-z]+` word table

@@ -230,7 +230,7 @@ object Corpus {
       .select(col("h"), col("doc"))
       .join(spark.table(table), Seq("h", "doc"), "left_anti")
       .localCheckpoint()
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table, Seq(table))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(newH, b), table, "h",
       graft.ops.Bucketing.bucketCountOf(spark, table))
@@ -788,6 +788,40 @@ object Corpus {
         else { val off = bins(best); bins(best) += n; (rn, best, off) }
       }
     })
+
+  /** The per-BIN manifest over [[packBestFit]]'s placements — the
+    * writer view ([[packedSegments]]'s sibling for the no-straddling
+    * packer): one row per (stream, bin) with the docs IN PLACEMENT
+    * ORDER (the artifact a sequence writer consumes — it emits the
+    * bin's docs contiguously), the fill, and the padding waste the bin
+    * ships. Placement order reconstructs from the placements alone:
+    * within a bin offsets strictly increase for token-bearing docs, and
+    * zero-token docs (equal offsets) were visited in id order — so
+    * (bin_offset ASC, n_toks DESC, doc ASC) IS the order the fold
+    * placed them, no rank column needed. Waste is clamped at zero for
+    * the overfull single-doc bins (a doc longer than capacity — flagged
+    * instead: the caller's truncation policy owns those tokens).
+    *
+    * One narrow aggregation over the placements, grouped on the same
+    * (stream, bin) key the placements already carry — no second fold,
+    * no join back to the corpus. Integer-only, engine-reproducible.
+    *
+    * @return (stream, bin, n_docs, docs, fill, waste, overfull)
+    */
+  def packBestFitBins(placements: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    placements
+      .groupBy(col("stream"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        transform(sort_array(collect_list(struct(col("bin_offset"),
+            (-col("n_toks")).as("negn"), col("doc")))),
+          e => e.getField("doc")).as("docs"),
+        sum(col("n_toks")).as("fill"))
+      .select(col("stream"), col("bin"), col("n_docs"), col("docs"),
+        col("fill"),
+        greatest(lit(capacity) - col("fill"), lit(0L)).as("waste"),
+        (col("fill") > lit(capacity)).as("overfull"))
+  }
 
   /** Token-budget corpus selection — the "best N tokens" cut a
     * quality-filtered pretraining run makes when compute (not data) is
@@ -1351,51 +1385,93 @@ object Corpus {
     * `<table>_meta` sidecar — a batch hashed with a different bucket
     * count would scatter its gradient into the wrong weights, the
     * histMerge failure mode, closed by construction), while the weight
-    * vector is the accumulating state: `<table> (b, wm)`, nBuckets + 1
-    * rows, rewritten per batch — state is literal-sized, so the
-    * "index" write is a sidecar write, never a corpus-sized table. A
-    * RE-delivered batch id is a commit-log no-op ([[graft.streaming
-    * .ExactlyOnce]]) — without it a replayed batch would apply its
-    * gradient twice and every downstream score would silently shift
-    * (the streamed gate's oracle catches exactly that). An EMPTY batch
-    * is a natural no-op (no labeled featured docs → zero gradient).
-    * Score serving reads the persisted weights via
-    * [[qualityScoreIngested]].
+    * vector is the accumulating state.
+    *
+    * CRASH-SAFE STATE SHAPE: the weights live in a batch-keyed APPEND
+    * log `<table> (batch_id, b, wm)` — (nBuckets + 1) rows per batch,
+    * literal-sized — and the CURRENT vector is the rows of the newest
+    * batch id present in the `<table>_commits` log. An overwrite-style
+    * weight table here would break exactly-once under the documented
+    * one-batch crash window (work done, commit record not yet written):
+    * the replay would re-read the already-stepped weights and apply the
+    * gradient TWICE. With the log, a replayed uncommitted batch
+    * restarts from the last COMMITTED vector (the crash's orphan rows
+    * are not committed, so they are invisible to the restart), and
+    * because the step is deterministic — exact integers from a frozen
+    * wm0 and the same batch — the retry's rows are bit-identical to the
+    * orphans, which reads collapse with DISTINCT. The meta sidecar is
+    * written BEFORE the first batch's weights: a batch-0 crash between
+    * them leaves first = false with zero committed batches, and the
+    * replay correctly restarts from the zero vector under the frozen
+    * (nBuckets, steps) rather than silently re-freezing new parameters.
+    *
+    * A RE-delivered COMMITTED batch id is a commit-log no-op
+    * ([[graft.streaming.ExactlyOnce]]) — without it a replayed batch
+    * would apply its gradient twice and every downstream score would
+    * silently shift (the streamed gate's oracle catches exactly that).
+    * An EMPTY batch is a natural no-op gradient (the weights log still
+    * records its vector, unchanged). Score serving reads the persisted
+    * weights via [[qualityScoreIngested]].
     */
   def qualityModelSink(table: String, idCol: String, textCol: String,
                        nBuckets: Int, steps: Int): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       graft.streaming.ExactlyOnce.once(spark, s"${table}_commits", batchId) {
+        import spark.implicits._
         val first = !spark.catalog.tableExists(s"${table}_meta")
+        if (first) {
+          // fresh model: clear any orphan weights log a previous JVM's
+          // in-memory catalog left behind, then freeze the parameters
+          // FIRST — see the crash-window discussion in the scaladoc
+          graft.ops.Bucketing.dropManaged(spark, table)
+          graft.ops.Bucketing.writeSmall(
+            Seq((nBuckets, steps)).toDF("nbuckets", "steps"), s"${table}_meta")
+        }
+        val m = spark.table(s"${table}_meta").first()
         val (nb, st) =
-          if (first) (nBuckets, steps)
-          else {
-            val m = spark.table(s"${table}_meta").first()
-            (m.getInt(m.fieldIndex("nbuckets")), m.getInt(m.fieldIndex("steps")))
-          }
-        val wm0 =
-          if (first) qmZeroWeights(nb)
-          else spark.table(table).collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          (m.getInt(m.fieldIndex("nbuckets")), m.getInt(m.fieldIndex("steps")))
+        val wm0 = committedWeights(spark, table).getOrElse(qmZeroWeights(nb))
         val db = qmFeatures(batch, idCol, textCol, nb)
         val wm = qmSteps(db, qmLabels(batch, idCol), nb, st, wm0)
-        import spark.implicits._
-        graft.ops.Bucketing.writeSmall(
-          wm.toSeq.sortBy(_._1).toDF("b", "wm"), table)
-        if (first)
-          graft.ops.Bucketing.writeSmall(
-            Seq((nb, st)).toDF("nbuckets", "steps"), s"${table}_meta")
+        wm.toSeq.sortBy(_._1).map { case (b, w) => (batchId, b, w) }
+          .toDF("batch_id", "b", "wm").write.mode("append")
+          .format("parquet").saveAsTable(table)
       }
       ()
     }
 
+  /** The weight vector of the newest COMMITTED batch in a
+    * [[qualityModelSink]] log, or None before the first commit. Both
+    * scans are bounded: the commit log is batches-sized, the weights
+    * log is batches × (nBuckets + 1) rows. DISTINCT collapses the
+    * bit-identical duplicate rows a crashed-then-retried batch leaves.
+    */
+  private def committedWeights(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Option[Map[Long, Long]] = {
+    val ct = s"${table}_commits"
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(ct)) return None
+    val committed = spark.table(ct).select(col("batch_id"))
+    val r = spark.table(table)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .agg(max(col("batch_id"))).first()
+    if (r.isNullAt(0)) None
+    else Some(spark.table(table)
+      .where(col("batch_id") === r.getLong(0))
+      .select(col("b"), col("wm")).distinct()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap)
+  }
+
   /** Score documents against a [[qualityModelSink]]-trained model: the
     * persisted weight vector (nBuckets + 1 rows — literal-sized by
-    * construction) rides the scoring plan as a literal; nBuckets comes
-    * from the frozen sidecar so the features hash exactly as training
-    * did. One tokenize + hash pass over the input, no shuffle beyond
-    * the per-doc logit aggregation.
+    * construction; the newest COMMITTED batch's rows of the weights
+    * log) rides the scoring plan as a literal; nBuckets comes from the
+    * frozen sidecar so the features hash exactly as training did. One
+    * tokenize + hash pass over the input, no shuffle beyond the
+    * per-doc logit aggregation. Fails loudly before the first commit —
+    * serving an uncommitted (possibly half-written) vector would score
+    * against state the next replay is about to recompute.
     *
     * @return (id, score, pred) — [[qualityModel]]'s output contract
     */
@@ -1404,8 +1480,10 @@ object Corpus {
                            textCol: String): DataFrame = {
     val m = spark.table(s"${table}_meta").first()
     val nb = m.getInt(m.fieldIndex("nbuckets"))
-    val wm = spark.table(table).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wm = committedWeights(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"qualityScoreIngested: model '$table' has no committed training " +
+          "batch — deliver at least one batch through qualityModelSink"))
     qmScore(qmFeatures(docs, idCol, textCol, nb), wm)
   }
 }

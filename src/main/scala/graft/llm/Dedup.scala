@@ -493,7 +493,8 @@ object Dedup {
     val dsNew = docShinglesHashed(batch, idCol, textCol, n, None)
       .join(spark.table(s"${table}_flood"), Seq("h"), "left_anti")
       .localCheckpoint() // two consumers: shingle append + band append
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table,
+      Seq(table, s"${table}_shingles"))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(dsNew, b), s"${table}_shingles", "h",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_shingles"))

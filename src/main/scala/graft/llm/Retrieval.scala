@@ -210,7 +210,8 @@ object Retrieval {
     val st = spark.table(s"${table}_stats").first()
     val bs = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sumdl")).first()
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table,
+      Seq(table, s"${table}_dl"))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(tf, b), table, "term",
       graft.ops.Bucketing.bucketCountOf(spark, table))

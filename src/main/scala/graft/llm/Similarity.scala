@@ -733,7 +733,8 @@ object Similarity {
         "a different length — rebuild with ingestPq or fix the batch")
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
     val n = graft.ops.Bucketing.bucketCountOf(spark, table)
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table,
+      Seq(table, s"${table}_vectors"))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(
         c.select(col("nn_id"), pqCodes(books).as("codes")), b),
@@ -998,7 +999,8 @@ object Similarity {
       s"appendIvfPq: index '$table' codes $dim-dim vectors; batch contains " +
         "a different length — rebuild with ingestIvfPq or fix the batch")
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table,
+      Seq(table, s"${table}_vectors"))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(
         assignClusters(c, cent).select(col("nn_id"), col("cluster"),
@@ -1258,21 +1260,31 @@ object Similarity {
       s"${table}_vectors", "nn_id", nBuckets)
     graft.ops.Bucketing.writeSmall(
       cent.toDF("cid", "centv"), s"${table}_centroids")
-    graft.ops.Bucketing.writeSmall(
+    // bucketed by the codes table's OWN cluster key: the table-path
+    // probe's (cluster, s, cid) lookup join then co-locates with the
+    // cluster-bucketed codes scan instead of shuffling it
+    graft.ops.Bucketing.writeBucketed(
       books.zipWithIndex.flatMap { case (book, s) =>
         book.toSeq.flatMap { case (cl, cws) =>
           cws.map { case (cid, v, _) => (cl, s, cid, v) } }
-      }.toDF("cluster", "s", "cid", "centv"), s"${table}_cellbooks")
+      }.toDF("cluster", "s", "cid", "centv"), s"${table}_cellbooks",
+      "cluster", nBuckets)
     graft.ops.Snapshots.record(spark, table, 0L)
   }
 
   /** The per-cell codebook sidecar collected back into the
     * [[CellBook]]-per-subspace literal form (biases recomputed — exact
-    * doubles, same fold as training).
+    * doubles, same fold as training). Used by the APPEND coder (which
+    * needs the whole book to code its batch) and by the literal-path
+    * probe below its size threshold; the probe's scale form joins the
+    * TABLE instead ([[residReconFromTable]]) and never collects.
     */
   private def cellBooksOf(spark: org.apache.spark.sql.SparkSession,
-                          table: String): IndexedSeq[CellBook] = {
-    val rows = spark.table(s"${table}_cellbooks").collect()
+                          table: String): IndexedSeq[CellBook] =
+    cellBooksFromRows(spark.table(s"${table}_cellbooks").collect())
+
+  private def cellBooksFromRows(rows: Array[org.apache.spark.sql.Row])
+      : IndexedSeq[CellBook] = {
     if (rows.isEmpty) return IndexedSeq.empty
     val m = rows.map(_.getInt(1)).max + 1
     (0 until m).map { s =>
@@ -1285,13 +1297,104 @@ object Similarity {
     }
   }
 
+  /** Reconstruct `dq = centroid + per-cell codewords` for a stamped
+    * codes relation `(nn_id, cluster, codes)` by JOINING the
+    * cluster-keyed `_cellbooks` TABLE — the production serving form the
+    * literal path stands in for below its size threshold: per-cell
+    * books grow as nCentroids × m × nCodes (a DESIGN parameter users
+    * crank), and collecting them to a plan literal makes the driver the
+    * bottleneck exactly where the index is sized for scale. Shape: the
+    * codes scan posexplodes into (cluster, s, cid) lookups — the
+    * cellbooks table is bucketed by the SAME cluster key as the codes
+    * table, so the join co-locates instead of broadcasting
+    * driver-collected state; codewords regroup per row ordered by
+    * subspace (array_sort on the (s, cw) struct — deterministic), and
+    * the centroid re-addition joins the nCentroids-row `_centroids`
+    * sidecar (broadcast). Arithmetic is element-for-element the literal
+    * path's: flatten(sorted codewords) IS concat(cw_0..cw_{m-1}), and
+    * parquet round-trips the doubles exactly — outputs are
+    * bit-identical (AnnRecallSpec pins it).
+    *
+    * Every stored code has its (cluster, s, cid) book row by
+    * construction — ingest trains books over exactly the cells it
+    * codes, and append rejects uncovered cells loudly — so the inner
+    * join drops nothing.
+    */
+  private def residReconFromTable(spark: org.apache.spark.sql.SparkSession,
+                                  table: String,
+                                  codes: DataFrame): DataFrame = {
+    val cb = spark.table(s"${table}_cellbooks")
+      .select(col("cluster"), col("s"), col("cid"), col("centv").as("cw"))
+    val perS = codes
+      .select(col("nn_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("s", "cid")))
+    val dvr = perS.join(cb, Seq("cluster", "s", "cid"))
+      .groupBy(col("nn_id"), col("cluster"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cw")))),
+        e => e.getField("cw"))).as("dvr"))
+    dvr.join(broadcast(spark.table(s"${table}_centroids")
+        .select(col("cid").as("cluster"), col("centv"))), Seq("cluster"))
+      .select(col("nn_id"), col("cluster"),
+        zip_with(col("centv"), col("dvr"), (a, b) => a + b).as("dq"))
+  }
+
+  /** Per-CELL reconstruction-error stats over an [[ingestIvfPqResidual]]
+    * index — [[pqReconStats]]'s cell-keyed sibling and the rebuild
+    * trigger [[appendIvfPqResidual]] promises: mean squared error
+    * between each stored vector and its reconstruction
+    * centroid + per-cell codewords. Residual books are MORE
+    * drift-sensitive than global ones (a code is only meaningful WITH
+    * its cell), so the monitor is per cell: an out-of-distribution
+    * append concentrates its error in the cells it lands in, and those
+    * rows rising is exactly the rebuild signal. Reconstruction goes
+    * through the codebook-TABLE join ([[residReconFromTable]]) — the
+    * monitor never collects books, so it holds at production cell
+    * counts.
+    *
+    * Float discipline as on [[pqReconStats]]: per-row SSE is a
+    * 0.0-seeded fold over squares (never −0.0, so it matches the
+    * oracle's seedless list_reduce bit-for-bit), micro-quantized and
+    * summed as exact integers, one final division per cell. Tombstoned
+    * rows are excluded — drift should reflect the LIVE index. Cells
+    * with no live rows are absent (no reconstruction to measure;
+    * [[ivfClusterStats]] is the emptied-cell monitor).
+    *
+    * @return (cluster, n_vectors, mse) — one row per live cell
+    */
+  def ivfPqResidualCellStats(spark: org.apache.spark.sql.SparkSession,
+                             table: String): DataFrame = {
+    val live = graft.ops.Tombstones.filterByParent(spark, table,
+      graft.ops.Snapshots.readAsOf(spark, table, table, None), "nn_id")
+    val vec = graft.ops.Tombstones.filterByParent(spark, table,
+      graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, None),
+      "nn_id")
+    val sse = aggregate(
+      zip_with(col("cv"), col("dq"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    residReconFromTable(spark, table, live)
+      .join(vec, Seq("nn_id"))
+      .select(col("cluster"),
+        floor(sse * lit(1000000.0d) + lit(0.5d)).cast("long").as("ssem"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("ssem")).as("sm"))
+      .select(col("cluster"), col("n_vectors"),
+        graft.Num.r6(col("sm").cast("double") / lit(1000000.0d)
+          / col("n_vectors").cast("double")).as("mse"))
+  }
+
   /** Append a batch into an [[ingestIvfPqResidual]] index: assignment
     * and residual codes are pure per-vector functions of the two FROZEN
     * sidecars, so work is batch-sized and `ingest(A); append(B)` equals
     * coding A∪B under A's quantizers — with the residual-specific
     * caveat made explicit: a code is only meaningful WITH its cell, so
-    * the frozen-centroid contract is what keeps old codes valid. Drift
-    * monitors and the rebuild trigger as on [[appendIvfPq]].
+    * the frozen-centroid contract is what keeps old codes valid. A
+    * batch vector assigned to a cell that was EMPTY at ingest (k-means
+    * empty-cell carryover keeps the centroid, but no codebook trained
+    * there) is rejected loudly — coding it would produce NULL codes
+    * that silently vanish from coarse ranking. Drift monitors:
+    * [[ivfPqResidualCellStats]] (per-cell reconstruction MSE) is the
+    * rebuild trigger, [[ivfClusterStats]]' sibling.
     */
   def appendIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
                           table: String, batch: DataFrame, idCol: String,
@@ -1318,10 +1421,23 @@ object Similarity {
     val resid = assignClusters(c, cent)
       .withColumn("rv", zip_with(col("cv"),
         element_at(centMap, col("cluster")), (a, b) => a - b))
+    // a centroid carried through an EMPTY cell at ingest (the k-means
+    // empty-cell rule keeps it) trained no per-cell codebook: coding a
+    // batch vector assigned there would element_at a missing map key —
+    // NULL codes, NULL reconstruction, and the row would silently never
+    // surface in coarse ranking. Reject loudly (the dim-check
+    // contract); the fix is a rebuild, whose seeds then cover the cell
+    val covered = books.head.keySet.toSeq
+    require(resid.where(!col("cluster").isInCollection(covered))
+      .limit(1).count() == 0L,
+      s"appendIvfPqResidual: index '$table' carries a centroid whose cell " +
+        "was empty at ingest (no per-cell codebook) and the batch assigns " +
+        "to it — rebuild with ingestIvfPqResidual so the books cover it")
     val codesCol = array(books.indices.map(s =>
       residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
         books(s))): _*)
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table,
+      Seq(table, s"${table}_vectors"))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(
         resid.select(col("nn_id"), col("cluster"), codesCol.as("codes")), b),
@@ -1333,44 +1449,64 @@ object Similarity {
     graft.ops.Snapshots.record(spark, table, b)
   }
 
-  /** Serve a query batch against an [[ingestIvfPqResidual]] index:
-    * both sidecars ride the plan as literals, the probe reads only the
-    * probed cells (IN-literal file pruning, as on
+  /** Serve a query batch against an [[ingestIvfPqResidual]] index: the
+    * probe reads only the probed cells (IN-literal file pruning, as on
     * [[topKIvfPqIngested]]), reconstruction is centroid + per-cell
     * codewords in place, survivors exact-rescore. Bit-identical to
     * [[topKIvfPqResidual]] at the index parameters.
+    *
+    * TWO reconstruction paths, switched on the cellbooks sidecar's
+    * size: at or below `maxLiteralBookRows` rows the books collect once
+    * and ride the plan as a literal (the bounded local form — one
+    * driver round-trip, zero joins); above it the probe JOINS the
+    * cluster-keyed `_cellbooks` TABLE ([[residReconFromTable]]) and the
+    * driver never sees a codeword — the production form for cell
+    * counts where nCentroids × m × nCodes is no longer plan-literal
+    * material. The switch probe is `limit(threshold + 1).collect()`,
+    * so the literal path pays exactly its old single collect and the
+    * table path collects nothing book-sized. Outputs are bit-identical
+    * (same doubles, same addition order — AnnRecallSpec pins it);
+    * `maxLiteralBookRows = 0` forces the table path, which the
+    * booktable gate runs against the shared oracle.
     */
   def topKIvfPqResidualIngested(spark: org.apache.spark.sql.SparkSession,
                                 table: String, queries: DataFrame,
                                 idCol: String, vecCol: String, k: Int,
                                 nProbe: Int, nCandidates: Int = 0,
                                 nSalts: Int = 0,
-                                asOf: Option[Long] = None): DataFrame = {
+                                asOf: Option[Long] = None,
+                                maxLiteralBookRows: Int = 65536): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
     val nCand = if (nCandidates > 0) nCandidates else 4 * k
     require(nCand >= k, "nCandidates must be >= k")
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val books = cellBooksOf(spark, table)
+    val cbRows = spark.table(s"${table}_cellbooks")
+      .limit(maxLiteralBookRows + 1).collect()
     val cvec = graft.ops.Tombstones.filterByParent(spark, table,
       graft.ops.Snapshots.readAsOf(spark, s"${table}_vectors", table, asOf),
       "nn_id")
     val (q, salts) = prepQueries(queries, idCol, vecCol, nSalts)
-    if (cent.isEmpty || books.isEmpty) return emptyTopKResult(cvec, q)
+    if (cent.isEmpty || cbRows.isEmpty) return emptyTopKResult(cvec, q)
     val probes = ivfProbes(q, cent, nProbe)
     val cells = probedCells(probes)
-    val centMap = typedLit(cent.toMap)
-    val dqr = concat(books.indices.map { s =>
-      val plain = typedLit(books(s).map { case (cl, book) =>
-        cl -> book.map { case (cid, v, _) => cid -> v }.toMap })
-      element_at(element_at(plain, col("cluster")),
-        element_at(col("codes"), s + 1))
-    }: _*)
-    val coded = graft.ops.Tombstones.filterByParent(spark, table,
-        graft.ops.Snapshots.readAsOf(spark, table, table, asOf)
-          .where(col("cluster").isin(cells: _*)), "nn_id")
-      .select(col("nn_id"), col("cluster"),
-        zip_with(element_at(centMap, col("cluster")), dqr, (a, b) => a + b).as("dq"))
+    val codesLive = graft.ops.Tombstones.filterByParent(spark, table,
+      graft.ops.Snapshots.readAsOf(spark, table, table, asOf)
+        .where(col("cluster").isin(cells: _*)), "nn_id")
+    val coded =
+      if (cbRows.length <= maxLiteralBookRows) {
+        val books = cellBooksFromRows(cbRows)
+        val centMap = typedLit(cent.toMap)
+        val dqr = concat(books.indices.map { s =>
+          val plain = typedLit(books(s).map { case (cl, book) =>
+            cl -> book.map { case (cid, v, _) => cid -> v }.toMap })
+          element_at(element_at(plain, col("cluster")),
+            element_at(col("codes"), s + 1))
+        }: _*)
+        codesLive.select(col("nn_id"), col("cluster"),
+          zip_with(element_at(centMap, col("cluster")), dqr,
+            (a, b) => a + b).as("dq"))
+      } else residReconFromTable(spark, table, codesLive)
     val coarse = coded.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("score", graft.Num.r6(dot(col("dq"), col("qv"))))
@@ -1614,10 +1750,17 @@ object Similarity {
     */
   def diversifyMmrIngested(spark: org.apache.spark.sql.SparkSession,
                            vectorsTable: String, candidates: DataFrame,
-                           k: Int, lambda: Double): DataFrame =
+                           k: Int, lambda: Double,
+                           asOf: Option[(String, Long)] = None): DataFrame =
     diversifyMmrFrom(candidates,
       graft.ops.Tombstones.filterByParent(spark, vectorsTable,
-        spark.table(vectorsTable), "nn_id"),
+        asOf match {
+          // (parent index root, batch): the vectors table's snapshot
+          // sidecar lives with its index root, not the satellite name
+          case Some((parent, b)) =>
+            graft.ops.Snapshots.readAsOf(spark, vectorsTable, parent, Some(b))
+          case None => spark.table(vectorsTable)
+        }, "nn_id"),
       k, lambda)
 
   /** The shared MMR core over a prepared normalized relation
@@ -2110,7 +2253,7 @@ object Similarity {
     // a tombstoned id must not silently re-enter (its rows would be
     // probe-invisible) — loud guard, zero-cost when nothing was deleted
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table, Seq(table))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(assignClusters(c, cent), b), table,
       "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
@@ -2238,7 +2381,7 @@ object Similarity {
     val c = graft.Partitioning.spread(batch)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    val b = graft.ops.Snapshots.nextBatchId(spark, table)
+    val b = graft.ops.Snapshots.nextBatchId(spark, table, Seq(table))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(tabled(c, "cv", nPlanes, nTables), b),
       table, "bucket", graft.ops.Bucketing.bucketCountOf(spark, table))

@@ -127,7 +127,21 @@ object Bucketing {
     * correctness.
     */
   def compactBucketedWith(spark: SparkSession, table: String, key: String,
-                          transform: DataFrame => DataFrame): Unit = {
+                          transform: DataFrame => DataFrame): Unit =
+    compactBucketedStaged(spark, table, key) { (tmp, n) =>
+      writeBucketed(transform(spark.table(table)), tmp, key, n)
+    }
+
+  /** The staged-publish skeleton [[compactBucketedWith]] and
+    * [[Snapshots.compactStampedRange]] share: force the bucketed scan,
+    * let `writeStaging` build the replacement table under the staging
+    * name, then swap via catalog renames — never a read-from-self
+    * overwrite. `writeStaging(tmp, n)` receives the staging name and
+    * the table's bucket count and must leave `tmp` a bucketed table on
+    * the same (key, n).
+    */
+  def compactBucketedStaged(spark: SparkSession, table: String, key: String)
+                           (writeStaging: (String, Int) => Unit): Unit = {
     val n = bucketCountOf(spark, table)
     val tmp = s"${table}__compacting"
     // force the bucketed scan: the auto heuristic falls back to a plain
@@ -146,7 +160,7 @@ object Bucketing {
       s"compactBucketed: leftover '$backup' from an interrupted " +
         s"compaction — recover (rename it or '$tmp' back to '$table') " +
         "before compacting again")
-    try writeBucketed(transform(spark.table(table)), tmp, key, n)
+    try writeStaging(tmp, n)
     finally spark.conf.set(conf, prev)
     // publish keeps a full copy live under a deterministic name at every
     // instant: original parks as backup, compacted copy takes the name,

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * out for the multi-table index layouts (BM25 postings, MinHash
   * bands/shingles, LSH bands, IVF/PQ/IVF-PQ codes and vectors).
   *
-  * Numbering: ingest stamps batch 0; each append stamps max + 1, read
-  * from the `<parent>_batches` sidecar (one row per completed batch —
-  * batches-per-deployment-sized, so [[nextBatchId]] is a bounded scan).
+  * Numbering: ingest stamps batch 0; each append stamps max + 1 over
+  * BOTH the `<parent>_batches` sidecar (one row per completed batch —
+  * batches-per-deployment-sized) AND the stamped data tables, so a
+  * crashed append's id is never reused ([[nextBatchId]]'s contract).
   * The streaming sinks route through the same ingest/append paths, so
   * streamed indexes snapshot identically; note the snapshot sequence is
   * this sidecar's, not the stream's commit-log batch ids (a replayed
@@ -41,9 +42,9 @@ import org.apache.spark.sql.functions._
   * predicate prunes newer batch files via parquet min/max stats (each
   * append writes fresh files, so files are batch-pure until
   * compaction). [[Bucketing.compactBucketed]] preserves the column but
-  * merges files ACROSS batches — compact only when snapshots older than
-  * the compaction horizon are no longer needed, or compact per batch
-  * range (the BucketedLogSink note, inherited).
+  * merges files ACROSS batches — use [[compactStampedRange]] to merge
+  * only the batches inside a horizon and keep the live tail's files
+  * batch-pure (the BucketedLogSink note, now a verb).
   */
 object Snapshots {
 
@@ -53,15 +54,45 @@ object Snapshots {
   def batchesTable(parent: String): String = s"${parent}_batches"
 
   /** The id the NEXT batch stamps: 0 for a fresh index, max + 1 after.
-    * Bounded: the sidecar holds one row per completed batch.
+    *
+    * `dataTables` are the stamped tables the caller is about to append
+    * into, and they are consulted too: the sidecar alone is NOT the
+    * high-water mark after a crashed append (data rows stamped `b`
+    * landed, `record(b)` never ran). Deriving the next id from the
+    * sidecar only would REUSE `b`, and the retry's `record(b)` would
+    * retroactively commit the crash's half-written orphan rows into
+    * every `asOf >= b` snapshot. Taking `max(sidecar, data) + 1`
+    * guarantees a crashed batch's id is never recorded, so its orphan
+    * rows stay permanently excluded from every snapshot read (they
+    * remain in the CURRENT view — the full-table read documented on
+    * [[readAsOf]] — until compaction rewrites them away; exactly-once
+    * retry semantics come from routing appends through the streaming
+    * sinks' commit log, which replays under the SAME stream batch id
+    * and skips committed ones).
+    *
+    * Cost: the sidecar scan is batches-sized; each data-table max is a
+    * single-column scan of the RLE/dictionary-compressed stamp column —
+    * batch-count-bounded distinct values, a metadata-light aggregation
+    * that is noise next to the append it guards.
     */
-  def nextBatchId(spark: SparkSession, parent: String): Long = {
+  def nextBatchId(spark: SparkSession, parent: String,
+                  dataTables: Seq[String] = Nil): Long = {
     val bt = batchesTable(parent)
-    if (!spark.catalog.tableExists(bt)) 0L
-    else {
-      val r = spark.table(bt).agg(max(col("batch_id"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    val sidecarMax: Option[Long] =
+      if (!spark.catalog.tableExists(bt)) None
+      else {
+        val r = spark.table(bt).agg(max(col("batch_id"))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val dataMax = dataTables.filter(spark.catalog.tableExists).flatMap { t =>
+      val df = spark.table(t)
+      if (!df.columns.contains(BatchCol)) None
+      else {
+        val r = df.agg(max(col(BatchCol))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
     }
+    ((sidecarMax.toSeq ++ dataMax) :+ -1L).max + 1L
   }
 
   /** Stamp a relation with its batch of origin — applied to every row
@@ -91,6 +122,47 @@ object Snapshots {
     */
   def reset(spark: SparkSession, parent: String): Unit =
     Bucketing.dropManaged(spark, batchesTable(parent))
+
+  /** SNAPSHOT-AWARE compaction of a stamped bucketed table: merge the
+    * accumulated small files of batches in `[bLo, bHi]` while keeping
+    * every batch OUTSIDE the range in batch-pure files — the
+    * compact-per-batch-range form this object's scaladoc recommends.
+    * [[Bucketing.compactBucketed]] preserves the stamp column (asOf
+    * stays CORRECT after it) but merges files ACROSS batches, which
+    * forfeits the parquet min/max file pruning that makes asOf probes
+    * cheap; this verb confines the merge to the compaction horizon, so
+    * an `asOf` at or beyond `bHi` still skips nothing it needs and an
+    * `asOf` BELOW `bHi` degrades only within the merged horizon
+    * (IndexSnapshotSpec proves on-disk batch purity outside it).
+    *
+    * Shape: the staging write is one job for the merged horizon plus
+    * one batch-pruned job per out-of-horizon batch (each append's scan
+    * prunes to that batch's files via the stamp min/max, and its output
+    * files are pure by construction). Out-of-horizon batches are the
+    * RECENT few in the intended use — compact the old history, keep the
+    * live tail pure — so the job count is small; files-per-bucket after
+    * compaction = 1 + out-of-horizon batch count. `transform` is the
+    * [[Tombstones.purge]]-style row-filtering hook (applied to every
+    * group; must not re-key). Same staged publish + single-writer
+    * contract as [[Bucketing.compactBucketedWith]].
+    */
+  def compactStampedRange(spark: SparkSession, table: String, key: String,
+                          bLo: Long, bHi: Long,
+                          transform: DataFrame => DataFrame = identity)
+      : Unit = {
+    require(bLo <= bHi, s"empty compaction range [$bLo, $bHi]")
+    Bucketing.compactBucketedStaged(spark, table, key) { (tmp, n) =>
+      def rows = spark.table(table)
+      val inRange = col(BatchCol).between(bLo, bHi)
+      Bucketing.writeBucketed(transform(rows.where(inRange)), tmp, key, n)
+      val rest = rows.where(!inRange).select(col(BatchCol)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      rest.foreach { b =>
+        Bucketing.appendBucketed(
+          transform(rows.where(col(BatchCol) === b)), tmp, key, n)
+      }
+    }
+  }
 
   /** Read a stamped index table, optionally as of a batch. `None` is
     * the current view — the full table, stamp dropped (probe outputs

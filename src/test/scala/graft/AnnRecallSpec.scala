@@ -600,6 +600,28 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
   }
 
+  test("residual IVF-PQ: the forced codebook-TABLE path is bit-identical to the literal path") {
+    val table = "graft_recall_rivfpq_bt"
+    val deps = Seq(table, s"${table}_vectors", s"${table}_centroids",
+      s"${table}_cellbooks", s"${table}_tombstones", s"${table}_batches")
+    deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    try {
+      Similarity.ingestIvfPqResidual(emb, "vec_id", "embedding", table,
+        nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+      val lit = Similarity.topKIvfPqResidualIngested(spark, table, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+        .collect().toSet
+      // maxLiteralBookRows = 0 forces the production form: reconstruction
+      // joins the cluster-keyed _cellbooks table, the driver never
+      // collects a codeword — same doubles, same addition order
+      val tab = Similarity.topKIvfPqResidualIngested(spark, table, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20,
+        maxLiteralBookRows = 0).collect().toSet
+      assert(tab == lit,
+        "the codebook-table serving path must be bit-identical to the literal path")
+    } finally deps.foreach(graft.ops.Bucketing.dropManaged(spark, _))
+  }
+
   test("residual coding beats the global codebook at equal (m, nCodes) on clustered data — the distribution it exists for") {
     import spark.implicits._
     // deterministic clustered fixture: 8 well-separated cells ± small

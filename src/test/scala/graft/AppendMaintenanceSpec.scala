@@ -229,6 +229,82 @@ class AppendMaintenanceSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("ivfPqResidualCellStats: an out-of-distribution append raises the landed cells' MSE — the rebuild trigger") {
+    import spark.implicits._
+    val t = "graft_rivfpq_drift"
+    val deps = Seq(t, s"${t}_vectors", s"${t}_centroids", s"${t}_cellbooks",
+      s"${t}_tombstones", s"${t}_batches")
+    dropAll(deps: _*)
+    // 4 tight axis-aligned clusters: cluster c concentrates on axis c,
+    // so the per-cell residual books train on near-pure directions and
+    // reconstruct the in-distribution rows almost exactly
+    val dim = 8
+    def vec(axis: Int, id: Long, offAxis: Double) =
+      (0 until dim).map(d =>
+        (if (d == axis) 10.0 else 0.0) +
+          (if (d == (axis + 1) % 4) offAxis else 0.0) +
+          ((id * 31 + d * 17) % 19 - 9) * 0.01).map(_.toFloat)
+    // ids interleave across clusters so the 4 lowest-id k-means seeds
+    // cover all 4 clusters (seeds are id-ordered by contract)
+    val ingest = (for (c <- 0 until 4; i <- 0 until 20) yield {
+      val id = (c + i * 4).toLong; (id, vec(c, id, 0.0))
+    }).toDF("vec_id", "embedding")
+    try {
+      Similarity.ingestIvfPqResidual(ingest, "vec_id", "embedding", t,
+        nCentroids = 4, m = 2, nCodes = 4, kmeansIters = 2, nBuckets = 4)
+      val before = Similarity.ivfPqResidualCellStats(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // the OOD batch: still assigns to its cluster's cell (the on-axis
+      // component dominates) but carries a large off-axis residual the
+      // frozen books never saw
+      val ood = (for (c <- 0 until 4; i <- 0 until 5) yield {
+        val id = (1000 + c * 5 + i).toLong; (id, vec(c, id, 5.0))
+      }).toDF("vec_id", "embedding")
+      Similarity.appendIvfPqResidual(spark, t, ood, "vec_id", "embedding")
+      val after = Similarity.ivfPqResidualCellStats(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(after.keySet == before.keySet)
+      before.foreach { case (cell, mse0) =>
+        assert(after(cell) > mse0,
+          f"cell $cell MSE must RISE on the shifted batch: ${after(cell)}%.6f <= $mse0%.6f")
+      }
+    } finally dropAll(deps: _*)
+  }
+
+  test("appendIvfPqResidual rejects a batch assigned to an ingest-empty cell (no codebook to code against)") {
+    import spark.implicits._
+    val t = "graft_rivfpq_emptycell"
+    val deps = Seq(t, s"${t}_vectors", s"${t}_centroids", s"${t}_cellbooks",
+      s"${t}_tombstones", s"${t}_batches")
+    dropAll(deps: _*)
+    val dim = 8
+    val ingest = (0L until 20L).map { id =>
+      (id, (0 until dim).map(d =>
+        (if (d == 0) 10.0 else 0.1) + (id % 7) * 0.01).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    try {
+      Similarity.ingestIvfPqResidual(ingest, "vec_id", "embedding", t,
+        nCentroids = 2, m = 2, nCodes = 4, kmeansIters = 1, nBuckets = 2)
+      // simulate the k-means empty-cell carryover: a centroid survives
+      // in the sidecar with NO members at ingest — and therefore no
+      // per-cell codebook. Coding a batch vector assigned there would
+      // element_at a missing key: NULL codes that silently vanish from
+      // coarse ranking. The append must reject loudly instead.
+      val cents = spark.table(s"${t}_centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val ghost = (99L, (0 until dim).map(d => if (d == 7) 1.0d else 0.0d))
+      Bucketing.writeSmall((cents :+ ghost).toSeq.toDF("cid", "centv"),
+        s"${t}_centroids")
+      val batch = Seq((500L, (0 until dim).map(d =>
+        if (d == 7) 10.0 else 0.0).map(_.toFloat))).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendIvfPqResidual(spark, t, batch, "vec_id", "embedding")
+      }
+      assert(e.getMessage.contains("empty at ingest"),
+        s"wrong rejection: ${e.getMessage}")
+    } finally dropAll(deps: _*)
+  }
+
   test("compactBucketed: content-identical, one file per bucket, layout intact") {
     val t = "graft_compact_spec"
     dropAll(t)

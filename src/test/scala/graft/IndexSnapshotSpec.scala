@@ -118,6 +118,87 @@ class IndexSnapshotSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("a crashed append's batch id is never reused: the next append skips past stamped-but-unrecorded rows") {
+    val t = "graft_snap_lsh_crash"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      val snap0 = rows(Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(0L)))
+      // the crash: batch-1 data landed, record(1) never ran
+      val orphan = Snapshots.stamp(
+        spark.table(t).drop(Snapshots.BatchCol)
+          .withColumn("nn_id", col("nn_id") + 100000L)
+          .localCheckpoint(), 1L)
+      Bucketing.appendBucketed(orphan, t, "bucket",
+        Bucketing.bucketCountOf(spark, t))
+      // deriving the next id from the sidecar alone would REUSE 1 here,
+      // and record(1) would retroactively commit the orphan rows into
+      // every asOf >= 1 snapshot — nextBatchId must consult the data
+      assert(Snapshots.nextBatchId(spark, t, Seq(t)) == 2L,
+        "nextBatchId must take max(sidecar, data) + 1 after a crashed append")
+      Similarity.appendLsh(spark, t,
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        "vec_id", "embedding")
+      assert(spark.table(Snapshots.batchesTable(t))
+        .collect().map(_.getLong(0)).toSet == Set(0L, 2L),
+        "the retry must land under a FRESH id; the crashed id stays unrecorded")
+      // the orphan half-batch stays invisible to every snapshot — even
+      // ones taken after the successful retry
+      assert(rows(Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(1L))) == snap0,
+        "asOf 1 must still exclude the crashed batch's orphan rows")
+      val at2 = Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(2L))
+      assert(at2.filter(col("nn_id") >= 100000L).count() == 0L,
+        "orphan rows leaked into the post-retry snapshot")
+    } finally dropAll(deps: _*)
+  }
+
+  test("compactStampedRange: merged horizon + batch-pure tail, every snapshot answer unchanged") {
+    val t = "graft_snap_lsh_cmp"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      Similarity.appendLsh(spark, t, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding")
+      Similarity.appendLsh(spark, t, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 10)
+      def probe(b: Long) = rows(Similarity.topKLshIngested(spark, t, q,
+        "vec_id", "embedding", k = 3, asOf = Some(b)))
+      val before = (0L to 2L).map(probe)
+      Snapshots.compactStampedRange(spark, t, "bucket", 0L, 1L)
+      assert((0L to 2L).map(probe) == before,
+        "compaction changed a snapshot answer — the stamp column must survive")
+      // on-disk batch purity: no file may mix the live tail (batch 2)
+      // with the merged horizon — that mixing is exactly what forfeits
+      // the min/max file pruning an old asOf probe relies on
+      val loc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty)
+      val perFile = files.map { f =>
+        spark.read.parquet(f).select(col(Snapshots.BatchCol)).distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+      assert(perFile.forall(s => s == Set(2L) || !s.contains(2L)),
+        s"a compacted file mixes the live tail with the horizon: $perFile")
+      assert(perFile.exists(_ == Set(2L)),
+        "the out-of-horizon batch must keep batch-pure files")
+    } finally dropAll(deps: _*)
+  }
+
   test("batch numbering: ingest restarts the timeline at 0; appends count up") {
     val t = "graft_snap_seq"
     val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")

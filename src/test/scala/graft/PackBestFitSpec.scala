@@ -87,6 +87,31 @@ class PackBestFitSpec extends AnyFunSuite {
     assert(out(3L)._3 == 0L && out(4L)._3 == 0L)
   }
 
+  test("packBestFitBins: fill/waste arithmetic at capacity edges, overfull single-doc bins included") {
+    // one stream so placements are fully determined: FFD order is
+    // (2,300) (1,256) (3,255) (6,10) (4,1) (5,0) — 300 overflows into
+    // its own bin, 256 exactly fills one, 255+1 closes to exactly 256,
+    // the zero-token doc lands in the FIRST fullest bin (tie to low)
+    val d = Seq((1L, 256L), (2L, 300L), (3L, 255L), (4L, 1L), (5L, 0L),
+      (6L, 10L)).toDF("doc_id", "n")
+    val bins = Corpus.packBestFitBins(pack(d), CAP).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getSeq[Long](3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(bins(0) == ((1L, Seq(2L), 300L, 0L, true)),
+      s"oversize doc: fill 300, waste clamped to 0, flagged overfull — got ${bins(0)}")
+    assert(bins(1) == ((2L, Seq(1L, 5L), 256L, 0L, false)),
+      s"exactly-full bin keeps placement order incl. the zero-token doc — got ${bins(1)}")
+    assert(bins(2) == ((2L, Seq(3L, 4L), 256L, 0L, false)),
+      s"255+1 closes to zero waste — got ${bins(2)}")
+    assert(bins(3) == ((1L, Seq(6L), 10L, 246L, false)),
+      s"open tail bin carries its waste — got ${bins(3)}")
+    // the manifest is a pure aggregation of the placements: fills and
+    // doc sets must reconcile with the placement rows exactly
+    val placed = pack(d).collect()
+    assert(bins.values.map(_._3).sum == placed.map(_.getLong(1)).sum)
+    assert(bins.values.flatMap(_._2).toSet == placed.map(_.getLong(0)).toSet)
+  }
+
   test("deterministic: identical output across runs and partitionings") {
     val a = pack(skewed, nStreams = 4).collect().map(_.toString).sorted.toSeq
     val b = pack(skewed.repartition(13), nStreams = 4)

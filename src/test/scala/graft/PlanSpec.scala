@@ -36,6 +36,7 @@ class PlanSpec extends AnyFunSuite {
       "text_strip_html", "text_script_profile",
       "events_funnel", "similarity_topk_mlsh", "multimodal_decode_gif",
       "corpus_pack_edges", "corpus_pack_segments",
+      "corpus_pack_bestfit_segments",
       "corpus_decontaminate_report", "corpus_batch_by_length",
       "corpus_select_budget",
       "similarity_topk_mips_ann", "similarity_topk_mips_ivf",
@@ -94,6 +95,34 @@ class PlanSpec extends AnyFunSuite {
     // escape hatch over the broadcast 3-row PRF seed side)
     assert(!p.contains("documents.parquet"),
       s"stages must read the shared tokenized relation, not re-scan the corpus:\n${p.take(800)}")
+  }
+
+  test("retrieval_context_full_asof: the snapshot probe DAG scans documents ZERO times") {
+    val p = plan("retrieval_context_full_asof")
+    assert(!p.contains("CartesianProduct"), "asof capstone must stay equi-join/broadcast")
+    // the as-of twin serves the whole RAG DAG from the two-batch
+    // persisted indexes cut at batch 0 — like the ingested twin, the
+    // document corpus is never scanned in the probe path
+    assert(!p.contains("documents.parquet"),
+      s"the snapshot probe DAG must never scan the document corpus:\n${p.take(800)}")
+  }
+
+  test("residual IVF-PQ booktable path: reconstruction SCANS the _cellbooks table; the literal path never does") {
+    val forced = plan("similarity_topk_rivfpq_booktable")
+    assert(forced.contains("_cellbooks"),
+      s"forced table path must JOIN the cellbooks table, not collect it:\n${forced.take(800)}")
+    assert(!forced.contains("CartesianProduct") &&
+      !forced.contains("BroadcastNestedLoopJoin"),
+      "the (cluster, s, cid) lookup must stay an equi-join")
+    // negative control: below the size threshold the books ride as a
+    // plan literal and the plan contains no cellbooks scan at all
+    val literal = plan("similarity_topk_ivfpq_residual_ingested")
+    assert(!literal.contains("_cellbooks"),
+      "literal path unexpectedly scans the cellbooks table")
+    // the stats monitor is always table-join (it must hold at
+    // production cell counts)
+    val stats = plan("similarity_rivfpq_stats")
+    assert(stats.contains("_cellbooks") && !stats.contains("CartesianProduct"))
   }
 
   test("retrieval_context_full_ingested: ZERO documents scans — the probe serves from persisted tables") {

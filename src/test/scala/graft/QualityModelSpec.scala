@@ -87,6 +87,87 @@ class QualityModelSpec extends AnyFunSuite {
     } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
   }
 
+  test("crash between weights write and commit: the replayed batch does NOT double-apply its gradient") {
+    import spark.implicits._
+    val clean = "graft_qm_crash_clean"
+    val crashed = "graft_qm_crash_sim"
+    val deps = Seq(clean, crashed).flatMap(t =>
+      Seq(t, s"${t}_meta", s"${t}_commits"))
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      val b0 = labeled.filter(col("doc_id") % 2 === 0)
+      val b1 = labeled.filter(col("doc_id") % 2 =!= 0)
+      def scores(t: String) = Corpus.qualityScoreIngested(spark, t, fixture,
+        "doc_id", "text").collect().map(_.toString).sorted.toSeq
+      val cleanDeliver = Corpus.qualityModelSink(clean, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      cleanDeliver(b0, 0L); cleanDeliver(b1, 1L)
+      val expect = scores(clean)
+      // the crash: batch 1's weights landed, the commit record did not
+      // — simulated by delivering batch 1 and then striking its row
+      // from the commit log before the at-least-once replay arrives
+      val deliver = Corpus.qualityModelSink(crashed, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      deliver(b0, 0L); deliver(b1, 1L)
+      val ct = s"${crashed}_commits"
+      val keep = spark.table(ct).where(col("batch_id") =!= 1L)
+        .collect().map(_.getLong(0)).toSeq
+      graft.ops.Bucketing.writeSmall(keep.toDF("batch_id"), ct)
+      deliver(b1, 1L) // the replay of the uncommitted batch
+      // an overwrite-style weight table would re-read the already-
+      // stepped weights here and apply the gradient twice; the
+      // batch-keyed log restarts from the last COMMITTED vector, so the
+      // retry's rows are bit-identical to the orphans and scores match
+      // the crash-free run exactly
+      assert(scores(crashed) == expect,
+        "replayed uncommitted batch must restart from the pre-batch weights")
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
+  test("batch-0 crash after the meta write: the replay restarts from zero under the frozen parameters") {
+    import spark.implicits._
+    val clean = "graft_qm_meta_clean"
+    val crashed = "graft_qm_meta_sim"
+    val deps = Seq(clean, crashed).flatMap(t =>
+      Seq(t, s"${t}_meta", s"${t}_commits"))
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      def scores(t: String) = Corpus.qualityScoreIngested(spark, t, fixture,
+        "doc_id", "text").collect().map(_.toString).sorted.toSeq
+      val cleanDeliver = Corpus.qualityModelSink(clean, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      cleanDeliver(labeled, 0L)
+      // the crash window: meta froze, no weights batch committed —
+      // the sink writes meta FIRST precisely so this replay trains from
+      // the zero vector under the frozen (nBuckets, steps) instead of
+      // silently re-freezing whatever the retry passes
+      graft.ops.Bucketing.writeSmall(
+        Seq((32, 2)).toDF("nbuckets", "steps"), s"${crashed}_meta")
+      val deliver = Corpus.qualityModelSink(crashed, "doc_id", "text",
+        nBuckets = 99, steps = 7) // sink params must LOSE to the frozen meta
+      deliver(labeled, 0L)
+      assert(scores(crashed) == scores(clean),
+        "post-meta-crash replay must train from zero under the frozen parameters")
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
+  test("serving before the first commit fails loudly") {
+    import spark.implicits._
+    val t = "graft_qm_nocommit"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      graft.ops.Bucketing.writeSmall(
+        Seq((32, 2)).toDF("nbuckets", "steps"), s"${t}_meta")
+      val e = intercept[IllegalStateException] {
+        Corpus.qualityScoreIngested(spark, t, fixture, "doc_id", "text")
+      }
+      assert(e.getMessage.contains("no committed training batch"))
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
   test("degenerate inputs: no-feature docs absent; single-class labels converge to that class") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "   "),
