@@ -337,6 +337,14 @@ object Scaling {
           "probe_rivfpq_ingested" -> (() => llm.Similarity.topKIvfPqResidualIngested(
             spark, rivfpqT, qBatch, "vec_id", "embedding",
             k = 5, nProbe = 4, nCandidates = 20).count()),
+          // the forced codebook-TABLE serving path: reconstruction joins
+          // the cluster-bucketed _cellbooks table instead of a plan
+          // literal — predicted flat too (the probed-cell filter bounds
+          // the join's left side; the books side is index-sized, tiny)
+          "probe_rivfpq_booktable" -> (() => llm.Similarity.topKIvfPqResidualIngested(
+            spark, rivfpqT, qBatch, "vec_id", "embedding",
+            k = 5, nProbe = 4, nCandidates = 20,
+            maxLiteralBookRows = 0).count()),
           // SNAPSHOT probes over two-batch indexes, pinned to batch 0:
           // the asOf overheads are the batches-sidecar semi-join (tiny,
           // broadcast) and — for BM25 — the snapshot stats aggregate

@@ -1224,62 +1224,39 @@ private[graft] object TextCorpusGates {
         Corpus.qualityScoreIngested(s, table, d, "doc_id", "text")
           .select(col("id").as("doc_id"), col("score"), col("pred"))
       },
-      {
-        val sig = Num.r6Sql("1.0 / (1.0 + exp(-CAST(zm AS DOUBLE) / 1000000.0))")
-        val pm = s"CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT)"
-        // one gradient step over batch `db` dividing by batch size `nn`
-        // — the per-run gate's step CTE with the relation names
-        // parameterized (the weight-vector chain w0..w6 threads through
-        // all three batches in delivery order)
-        def step(i: Int, db: String, nn: String) =
-          s"""z$i AS (SELECT doc_id, sum(c * wm) AS zm
-             |       FROM $db JOIN w$i USING (b) GROUP BY doc_id),
-             |e$i AS (SELECT z$i.doc_id, $pm - ym AS errm
-             |       FROM z$i JOIN lbl USING (doc_id)),
-             |g$i AS (SELECT b, sum(errm * c) AS g
-             |       FROM $db JOIN e$i USING (doc_id) GROUP BY b),
-             |w${i + 1} AS (SELECT w.b, w.wm - coalesce(g.g, 0) // (2 * (SELECT n FROM $nn)) AS wm
-             |       FROM w$i w LEFT JOIN g$i g USING (b))""".stripMargin
-        s"""WITH $textBCte,
-           |$qualityCtes,
-           |${repetitionCtes("documents")},
-           |lbl AS (SELECT q.doc_id,
-           |          CASE WHEN q.n_tokens BETWEEN 40 AND 100000
-           |                AND q.avg_token_len BETWEEN 3.0 AND 10.0
-           |                AND q.stopword_ratio >= 0.05
-           |                AND r.top_word_frac <= 0.2
-           |                AND r.distinct_frac >= 0.3
-           |               THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ym
-           |        FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
-           |tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-           |                                   t -> t <> '') AS tk
-           |        FROM documents WHERE text IS NOT NULL),
-           |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
-           |       UNION ALL
-           |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-           |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
-           |       FROM tkz),
-           |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
-           |db2 AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, b
-           |        UNION ALL
-           |        SELECT DISTINCT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM fb),
-           |dba AS (SELECT * FROM db2 WHERE doc_id % 3 = 0),
-           |dbb AS (SELECT * FROM db2 WHERE doc_id % 3 = 1),
-           |dbc AS (SELECT * FROM db2 WHERE doc_id % 3 = 2),
-           |nna AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 0),
-           |nnb AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 1),
-           |nnc AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 2),
-           |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM db2),
-           |${step(0, "dba", "nna")},
-           |${step(1, "dba", "nna")},
-           |${step(2, "dbb", "nnb")},
-           |${step(3, "dbb", "nnb")},
-           |${step(4, "dbc", "nnc")},
-           |${step(5, "dbc", "nnc")},
-           |zf AS (SELECT doc_id, sum(c * wm) AS zm
-           |       FROM db2 JOIN w6 USING (b) GROUP BY doc_id)
-           |SELECT doc_id, $sig AS score, ($sig) >= 0.5 AS pred FROM zf""".stripMargin
-      }),
+      qualityStreamedOracleSql(nBatches = 3)),
+
+    ("corpus_quality_asof",
+      (s: SparkSession, dir: String) => {
+        // the AS-OF verb for the eighth persisted family — the one
+        // whose state is a trained VECTOR, not rows: the batch-keyed
+        // weights log scores with the vector as of a training batch
+        // ("what did the quality gate say when this doc was admitted").
+        // Same three deliveries + replay as the streamed gate; scoring
+        // pins asOf = 1, so the oracle threads only batches 0 and 1
+        // through the gradient chain — batch 2's gradient must be
+        // invisible, and a doubled replay of batch 1 would shift w4.
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
+        val labeled = d
+          .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("label"), lit(0)).as("label"))
+          .localCheckpoint()
+        val table = s"graft_qm_asof_${dirSuffix(dir)}"
+        Seq(table, s"${table}_meta", s"${table}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        val deliver = Corpus.qualityModelSink(table, "doc_id", "text",
+          nBuckets = 64, steps = 2)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+        deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        Corpus.qualityScoreIngested(s, table, d, "doc_id", "text",
+          asOf = Some(1L))
+          .select(col("id").as("doc_id"), col("score"), col("pred"))
+      },
+      qualityStreamedOracleSql(nBatches = 2)),
 
     ("corpus_perplexity",
       (s: SparkSession, dir: String) => {
@@ -1827,6 +1804,71 @@ private[graft] object TextCorpusGates {
          |JOIN qual ON qual.doc_id = d.doc_id JOIN lang ON lang.doc_id = d.doc_id
          |WHERE lang_pred = 'en' AND quality_score >= 0.5""".stripMargin),
   )
+
+  /** DuckDB oracle for the streamed quality model: the weak-label +
+    * hashed-feature CTEs, then `2 × nBatches` gradient steps threading
+    * the weight chain w0..w(2·nBatches) through the first `nBatches`
+    * deliveries in order (delivery slices are doc_id % 3 = 0/1/2, 2
+    * steps each — the sink's gate parameters). Shared by the streamed
+    * gate (all 3 batches) and the as-of gate (the chain CUT at the
+    * pinned batch — scoring with w4 is exactly "the vector as of batch
+    * 1", so the hash match pins the time-travel semantics).
+    */
+  private def qualityStreamedOracleSql(nBatches: Int): String = {
+    require(nBatches >= 1 && nBatches <= 3, "gate delivers 3 batches")
+    val sig = Num.r6Sql("1.0 / (1.0 + exp(-CAST(zm AS DOUBLE) / 1000000.0))")
+    val pm = s"CAST(floor(($sig) * 1000000.0 + 0.5) AS BIGINT)"
+    // one gradient step over batch `db` dividing by batch size `nn`
+    // — the per-run gate's step CTE with the relation names
+    // parameterized
+    def step(i: Int, db: String, nn: String) =
+      s"""z$i AS (SELECT doc_id, sum(c * wm) AS zm
+         |       FROM $db JOIN w$i USING (b) GROUP BY doc_id),
+         |e$i AS (SELECT z$i.doc_id, $pm - ym AS errm
+         |       FROM z$i JOIN lbl USING (doc_id)),
+         |g$i AS (SELECT b, sum(errm * c) AS g
+         |       FROM $db JOIN e$i USING (doc_id) GROUP BY b),
+         |w${i + 1} AS (SELECT w.b, w.wm - coalesce(g.g, 0) // (2 * (SELECT n FROM $nn)) AS wm
+         |       FROM w$i w LEFT JOIN g$i g USING (b))""".stripMargin
+    val chain = Seq(("dba", "nna"), ("dbb", "nnb"), ("dbc", "nnc"))
+      .take(nBatches).zipWithIndex.flatMap { case ((db, nn), bi) =>
+        Seq(step(2 * bi, db, nn), step(2 * bi + 1, db, nn))
+      }.mkString(",\n")
+    s"""WITH $textBCte,
+       |$qualityCtes,
+       |${repetitionCtes("documents")},
+       |lbl AS (SELECT q.doc_id,
+       |          CASE WHEN q.n_tokens BETWEEN 40 AND 100000
+       |                AND q.avg_token_len BETWEEN 3.0 AND 10.0
+       |                AND q.stopword_ratio >= 0.05
+       |                AND r.top_word_frac <= 0.2
+       |                AND r.distinct_frac >= 0.3
+       |               THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ym
+       |        FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+       |tkz AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                   t -> t <> '') AS tk
+       |        FROM documents WHERE text IS NOT NULL),
+       |gr AS (SELECT doc_id, unnest(tk) AS g FROM tkz
+       |       UNION ALL
+       |       SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                                            i -> tk[i] || ' ' || tk[i + 1])) AS g
+       |       FROM tkz),
+       |fb AS (SELECT doc_id, (${rhSql("g")}) % 64 AS b FROM gr),
+       |db2 AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, b
+       |        UNION ALL
+       |        SELECT DISTINCT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM fb),
+       |dba AS (SELECT * FROM db2 WHERE doc_id % 3 = 0),
+       |dbb AS (SELECT * FROM db2 WHERE doc_id % 3 = 1),
+       |dbc AS (SELECT * FROM db2 WHERE doc_id % 3 = 2),
+       |nna AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 0),
+       |nnb AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 1),
+       |nnc AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM fb WHERE doc_id % 3 = 2),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM db2),
+       |$chain,
+       |zf AS (SELECT doc_id, sum(c * wm) AS zm
+       |       FROM db2 JOIN w${2 * nBatches} USING (b) GROUP BY doc_id)
+       |SELECT doc_id, $sig AS score, ($sig) >= 0.5 AS pred FROM zf""".stripMargin
+  }
 
   /** The [[graft.llm.Corpus.packBestFit]] oracle: the shared fixture
     * (byte lengths over documents plus the NULL row) and the recursive

@@ -1442,17 +1442,21 @@ object Corpus {
     }
 
   /** The weight vector of the newest COMMITTED batch in a
-    * [[qualityModelSink]] log, or None before the first commit. Both
-    * scans are bounded: the commit log is batches-sized, the weights
-    * log is batches × (nBuckets + 1) rows. DISTINCT collapses the
-    * bit-identical duplicate rows a crashed-then-retried batch leaves.
+    * [[qualityModelSink]] log (at or below `asOf` when given), or None
+    * before the first commit. Both scans are bounded: the commit log is
+    * batches-sized, the weights log is batches × (nBuckets + 1) rows.
+    * DISTINCT collapses the bit-identical duplicate rows a
+    * crashed-then-retried batch leaves.
     */
   private def committedWeights(spark: org.apache.spark.sql.SparkSession,
-                               table: String): Option[Map[Long, Long]] = {
+                               table: String,
+                               asOf: Option[Long] = None)
+      : Option[Map[Long, Long]] = {
     val ct = s"${table}_commits"
     if (!spark.catalog.tableExists(table) ||
         !spark.catalog.tableExists(ct)) return None
-    val committed = spark.table(ct).select(col("batch_id"))
+    val committed = asOf.foldLeft(spark.table(ct).select(col("batch_id")))(
+      (c, b) => c.where(col("batch_id") <= b))
     val r = spark.table(table)
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .agg(max(col("batch_id"))).first()
@@ -1473,17 +1477,30 @@ object Corpus {
     * serving an uncommitted (possibly half-written) vector would score
     * against state the next replay is about to recompute.
     *
+    * `asOf = Some(b)` scores with the weights AS OF training batch `b`
+    * — the model-audit verb the batch-keyed weights log gives for free
+    * ("what did the quality gate score this doc when it was admitted"),
+    * completing the as-of story for the ONE persisted family whose
+    * state is a trained vector rather than rows. The timeline here is
+    * the sink's COMMIT-LOG batch ids (a trained vector exists per
+    * delivered batch), not a [[graft.ops.Snapshots]] sidecar — there is
+    * no per-row provenance to slice, the whole vector IS the state.
+    * Deterministic by the training arithmetic: the vector at batch b
+    * never changes after batch b commits.
+    *
     * @return (id, score, pred) — [[qualityModel]]'s output contract
     */
   def qualityScoreIngested(spark: org.apache.spark.sql.SparkSession,
                            table: String, docs: DataFrame, idCol: String,
-                           textCol: String): DataFrame = {
+                           textCol: String,
+                           asOf: Option[Long] = None): DataFrame = {
     val m = spark.table(s"${table}_meta").first()
     val nb = m.getInt(m.fieldIndex("nbuckets"))
-    val wm = committedWeights(spark, table).getOrElse(
+    val wm = committedWeights(spark, table, asOf).getOrElse(
       throw new IllegalStateException(
         s"qualityScoreIngested: model '$table' has no committed training " +
-          "batch — deliver at least one batch through qualityModelSink"))
+          s"batch${asOf.map(b => s" at or below asOf $b").getOrElse("")} — " +
+          "deliver at least one batch through qualityModelSink"))
     qmScore(qmFeatures(docs, idCol, textCol, nb), wm)
   }
 }

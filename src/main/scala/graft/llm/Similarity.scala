@@ -1398,14 +1398,16 @@ object Similarity {
     */
   def appendIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
                           table: String, batch: DataFrame, idCol: String,
-                          vecCol: String): Unit = {
+                          vecCol: String,
+                          maxLiteralBookRows: Int = 65536): Unit = {
     val cent: Seq[(Long, Seq[Double])] = spark.table(s"${table}_centroids")
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
-    val books = cellBooksOf(spark, table)
+    val cbRows = spark.table(s"${table}_cellbooks")
+      .limit(maxLiteralBookRows + 1).collect()
     val c = graft.Partitioning.spread(batch)
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("nn_id"), normalize(col(vecCol)).as("cv"))
-    if (cent.isEmpty || books.isEmpty) {
+    if (cent.isEmpty || cbRows.isEmpty) {
       require(c.limit(1).count() == 0L,
         s"appendIvfPqResidual: index '$table' has an empty quantizer sidecar — " +
           "an empty-corpus index defines no quantizer; rebuild with ingestIvfPqResidual")
@@ -1416,37 +1418,88 @@ object Similarity {
       s"appendIvfPqResidual: index '$table' codes $dim-dim vectors; batch " +
         "contains a different length — rebuild or fix the batch")
     graft.ops.Tombstones.requireNotTombstoned(spark, table, c, "nn_id")
-    val sub = dim / books.length
     val centMap = typedLit(cent.toMap)
     val resid = assignClusters(c, cent)
       .withColumn("rv", zip_with(col("cv"),
         element_at(centMap, col("cluster")), (a, b) => a - b))
     // a centroid carried through an EMPTY cell at ingest (the k-means
     // empty-cell rule keeps it) trained no per-cell codebook: coding a
-    // batch vector assigned there would element_at a missing map key —
-    // NULL codes, NULL reconstruction, and the row would silently never
-    // surface in coarse ranking. Reject loudly (the dim-check
-    // contract); the fix is a rebuild, whose seeds then cover the cell
-    val covered = books.head.keySet.toSeq
-    require(resid.where(!col("cluster").isInCollection(covered))
-      .limit(1).count() == 0L,
+    // batch vector assigned there would produce NULL/dropped codes and
+    // the row would silently never surface in coarse ranking. Reject
+    // loudly (the dim-check contract); the fix is a rebuild, whose
+    // seeds then cover the cell
+    val emptyCellMsg =
       s"appendIvfPqResidual: index '$table' carries a centroid whose cell " +
         "was empty at ingest (no per-cell codebook) and the batch assigns " +
-        "to it — rebuild with ingestIvfPqResidual so the books cover it")
-    val codesCol = array(books.indices.map(s =>
-      residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
-        books(s))): _*)
+        "to it — rebuild with ingestIvfPqResidual so the books cover it"
+    // coding path switches on the cellbooks size, as on the probe: the
+    // literal fold below the threshold (one collect, zero joins), the
+    // codebook-TABLE join above it — appends are where a production
+    // deployment codes every arriving batch, so the design-parameter-
+    // sized collect has to go here too. Bit-identical codes
+    // (AppendMaintenanceSpec pins the table parity).
+    val coded =
+      if (cbRows.length <= maxLiteralBookRows) {
+        val books = cellBooksFromRows(cbRows)
+        val sub = dim / books.length
+        require(resid.where(!col("cluster")
+            .isInCollection(books.head.keySet.toSeq))
+          .limit(1).count() == 0L, emptyCellMsg)
+        val codesCol = array(books.indices.map(s =>
+          residArgmin(slice(col("rv"), s * sub + 1, sub), col("cluster"),
+            books(s))): _*)
+        resid.select(col("nn_id"), col("cluster"), codesCol.as("codes"))
+      } else {
+        val cb = spark.table(s"${table}_cellbooks")
+        require(resid.join(cb.select(col("cluster")).distinct(),
+            Seq("cluster"), "left_anti").limit(1).count() == 0L, emptyCellMsg)
+        val m = cb.agg(max(col("s"))).first().getInt(0) + 1
+        residCodesFromTable(spark, table, resid, m, dim / m)
+      }
     val b = graft.ops.Snapshots.nextBatchId(spark, table,
       Seq(table, s"${table}_vectors"))
     graft.ops.Bucketing.appendBucketed(
-      graft.ops.Snapshots.stamp(
-        resid.select(col("nn_id"), col("cluster"), codesCol.as("codes")), b),
+      graft.ops.Snapshots.stamp(coded, b),
       table, "cluster", graft.ops.Bucketing.bucketCountOf(spark, table))
     graft.ops.Bucketing.appendBucketed(
       graft.ops.Snapshots.stamp(c.select(col("nn_id"), col("cv")), b),
       s"${table}_vectors", "nn_id",
       graft.ops.Bucketing.bucketCountOf(spark, s"${table}_vectors"))
     graft.ops.Snapshots.record(spark, table, b)
+  }
+
+  /** Code a residual relation `(nn_id, cluster, rv)` by JOINING the
+    * cluster-keyed `_cellbooks` TABLE — [[residReconFromTable]]'s
+    * sibling for the APPEND side: per (row, subspace) the batch
+    * explodes into its m residual slices, joins the own cell's nCodes
+    * candidate codewords (co-bucketed on cluster), and takes the argmax
+    * of the bias-adjusted dot `dot(sv, c) − ½‖c‖²` with ties to the
+    * lowest cid — max over the (adj, −cid) struct, exactly the literal
+    * fold's strict-improvement-in-ascending-cid rule. The bias is
+    * recomputed in-plan with the same 0.0-seeded left-to-right
+    * square-sum fold the driver-side collect uses, so every adjusted
+    * score — and therefore every code — is bit-identical to the
+    * literal path. Work is batch × m × nCodes rows, never driver-side.
+    */
+  private def residCodesFromTable(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, resid: DataFrame,
+                                  m: Int, sub: Int): DataFrame = {
+    val cb = spark.table(s"${table}_cellbooks")
+      .select(col("cluster"), col("s"), col("cid"), col("centv"))
+    val perS = resid.select(col("nn_id"), col("cluster"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("rv"), s * sub + 1, sub)): _*)).as(Seq("s", "sv")))
+    val adj = dot(col("sv"), col("centv")) +
+      lit(-0.5d) * aggregate(transform(col("centv"), z => z * z),
+        lit(0.0d), (a, x) => a + x)
+    perS.join(cb, Seq("cluster", "s"))
+      .groupBy(col("nn_id"), col("cluster"), col("s"))
+      .agg(max(struct(adj.as("adj"), (-col("cid")).as("nc"))).as("best"))
+      .groupBy(col("nn_id"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("s"),
+          (-col("best.nc")).as("code")))),
+        e => e.getField("code")).as("codes"))
+      .select(col("nn_id"), col("cluster"), col("codes"))
   }
 
   /** Serve a query batch against an [[ingestIvfPqResidual]] index: the

@@ -271,6 +271,28 @@ class AppendMaintenanceSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("appendIvfPqResidual: the forced codebook-TABLE coding path writes bit-identical codes to the literal fold") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val ta = "graft_rivfpq_applit"
+    val tb = "graft_rivfpq_apptab"
+    val deps = Seq(ta, tb).flatMap(t => Seq(t, s"${t}_vectors",
+      s"${t}_centroids", s"${t}_cellbooks", s"${t}_tombstones", s"${t}_batches"))
+    dropAll(deps: _*)
+    try {
+      for (t <- Seq(ta, tb))
+        Similarity.ingestIvfPqResidual(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", t,
+          nCentroids = 8, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 4)
+      val batch = emb.filter(col("vec_id") % 2 =!= 0)
+      Similarity.appendIvfPqResidual(spark, ta, batch, "vec_id", "embedding")
+      Similarity.appendIvfPqResidual(spark, tb, batch, "vec_id", "embedding",
+        maxLiteralBookRows = 0) // force the join path
+      assert(rows(spark.table(ta)) == rows(spark.table(tb)),
+        "table-join coding must write the exact codes the literal fold writes")
+    } finally dropAll(deps: _*)
+  }
+
   test("appendIvfPqResidual rejects a batch assigned to an ingest-empty cell (no codebook to code against)") {
     import spark.implicits._
     val t = "graft_rivfpq_emptycell"
@@ -302,6 +324,14 @@ class AppendMaintenanceSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("empty at ingest"),
         s"wrong rejection: ${e.getMessage}")
+      // the table-coding path must reject identically (its inner join
+      // would otherwise DROP the row instead of NULLing it — same
+      // silent-vanish failure, same loud guard)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.appendIvfPqResidual(spark, t, batch, "vec_id", "embedding",
+          maxLiteralBookRows = 0)
+      }
+      assert(e2.getMessage.contains("empty at ingest"))
     } finally dropAll(deps: _*)
   }
 

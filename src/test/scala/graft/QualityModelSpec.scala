@@ -153,6 +153,29 @@ class QualityModelSpec extends AnyFunSuite {
     } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
   }
 
+  test("asOf scoring: the vector at a pinned batch never moves as later batches land") {
+    import spark.implicits._
+    val t = "graft_qm_asof_spec"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      def scores(asOf: Option[Long]) = Corpus.qualityScoreIngested(spark, t,
+        fixture, "doc_id", "text", asOf).collect().map(_.toString).sorted.toSeq
+      val deliver = Corpus.qualityModelSink(t, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      deliver(labeled.filter(col("doc_id") % 2 === 0), 0L)
+      val at0 = scores(None)
+      deliver(labeled.filter(col("doc_id") % 2 =!= 0), 1L)
+      assert(scores(Some(0L)) == at0,
+        "a pinned model snapshot changed after a later training batch")
+      assert(scores(Some(1L)) == scores(None),
+        "asOf at the newest batch must equal the current view")
+      val e = intercept[IllegalStateException] { scores(Some(-1L)) }
+      assert(e.getMessage.contains("asOf"))
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
   test("serving before the first commit fails loudly") {
     import spark.implicits._
     val t = "graft_qm_nocommit"
