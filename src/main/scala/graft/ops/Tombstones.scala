@@ -131,4 +131,28 @@ object Tombstones {
     }
     clear(spark, parent)
   }
+
+  /** [[purge]]'s SNAPSHOT-AWARE form for batch-stamped tables: the
+    * physical drop rides [[Snapshots.compactStampedRange]] instead of
+    * the whole-table rewrite, so batches OUTSIDE `[bLo, bHi]` keep
+    * their batch-pure files (asOf probes on the live tail keep their
+    * min/max file pruning) while the horizon merges. The tombstone
+    * anti-join applies to EVERY group — takedowns are retroactive, so
+    * deleted rows leave the out-of-horizon files too — and the
+    * tombstone set clears after, same as [[purge]]. Use when the index
+    * both snapshots and takes deletes: purge-then-keep-pruning is the
+    * combination a long-lived deployment actually wants.
+    */
+  def purgeStampedRange(spark: SparkSession, parent: String,
+                        tables: Seq[(String, String)], idName: String,
+                        bLo: Long, bHi: Long): Unit = {
+    val tt = tableOf(parent)
+    if (!spark.catalog.tableExists(tt)) return
+    val tomb = spark.table(tt)
+    tables.foreach { case (table, key) =>
+      Snapshots.compactStampedRange(spark, table, key, bLo, bHi,
+        _.join(tomb, Seq(idName), "left_anti"))
+    }
+    clear(spark, parent)
+  }
 }

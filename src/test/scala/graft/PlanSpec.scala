@@ -64,7 +64,8 @@ class PlanSpec extends AnyFunSuite {
       "similarity_lsh_deleted", "similarity_ivf_deleted",
       "retrieval_bm25_deleted",
       "dedup_neardup_deleted", "similarity_bitext_mined",
-      "corpus_quality_model")) {
+      "corpus_quality_model", "corpus_quality_streamed",
+      "corpus_quality_asof")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

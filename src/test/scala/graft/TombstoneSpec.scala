@@ -112,6 +112,48 @@ class TombstoneSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("purgeStampedRange: physical takedown everywhere, batch-pure files outside the horizon") {
+    import graft.ops.Snapshots
+    val t = "graft_tomb_range"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      Similarity.appendLsh(spark, t, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding")
+      Similarity.appendLsh(spark, t, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding")
+      // victims from the horizon (batch 0) AND the live tail (batch 2):
+      // retraction is retroactive, so BOTH must leave the raw files
+      Similarity.deleteFromLsh(spark, t,
+        emb.filter(col("vec_id").isin(0L, 2L)).select(col("vec_id").as("nn_id")))
+      Tombstones.purgeStampedRange(spark, t, Seq(t -> "bucket"), "nn_id",
+        bLo = 0L, bHi = 1L)
+      val raw = spark.read.parquet(tablePath(t))
+      assert(raw.filter(col("nn_id").isin(0L, 2L)).count() == 0L,
+        "purged ids must exist in NO file, inside or outside the horizon")
+      assert(!spark.catalog.tableExists(s"${t}_tombstones"),
+        "tombstone set must clear after the physical drop")
+      // the live tail keeps batch-pure files (the pruning the range
+      // form exists to preserve)
+      val loc = new org.apache.hadoop.fs.Path(tablePath(t))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val perFile = fs.listStatus(loc).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+        .map(f => spark.read.parquet(f).select(col(Snapshots.BatchCol))
+          .distinct().collect().map(_.getLong(0)).toSet)
+      assert(perFile.forall(s => s == Set(2L) || !s.contains(2L)),
+        s"a file mixes the live tail with the horizon: $perFile")
+      // snapshots still answer, minus the takedowns
+      val at1 = Similarity.topKLshIngested(spark, t,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        asOf = Some(1L))
+      assert(at1.filter(col("nn_id").isin(0L, 2L)).count() == 0L)
+      assert(at1.count() > 0L)
+    } finally dropAll(deps: _*)
+  }
+
   test("delete-then-replay: a re-delivered batch id cannot resurrect deleted rows") {
     val t = "graft_ts_lsh_replay"
     val deps = Seq(t, s"${t}_meta", s"${t}_commits", s"${t}_tombstones")
