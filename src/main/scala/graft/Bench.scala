@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // launch-time 1-minute load average — recorded into the output JSON
+    // so every artifact self-discloses its window state (this host has
+    // documented multi-hour warm windows that inflate iteration-loop
+    // queries 1.3-3.6x; an artifact without its load reading cannot be
+    // adjudicated without out-of-band pins)
+    val load1m: Option[Double] =
+      try Some(scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble)
+      catch { case _: Throwable => None }
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -88,7 +97,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = timedFailures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed}""")
+    // the 4-canary window adjudication (BASELINE.md, round-17 rule):
+    // a series reads CLEAN only if all four sit under their bands —
+    // two sub-second plan-cost canaries plus two iteration-loop queries
+    // (the family warm windows inflate first, which the classic pair
+    // provably missed in round 16). Emitted with readings + thresholds
+    // so the artifact adjudicates itself; null verdict when a subset
+    // run omits a canary.
+    val canaryBands = Seq("sketch_quantile_hist" -> 0.35, "tpch_q1" -> 0.25,
+      "dedup_ngram_jaccard" -> 2.5, "graph_pagerank" -> 3.5)
+    val rmap = results.toMap
+    val canaries = canaryBands.map { case (n, thr) =>
+      val v = rmap.get(n).map(fmt).getOrElse("null")
+      s"""\"$n\":{"sec":$v,"max_clean":$thr}"""
+    }.mkString("{", ",", "}")
+    val windowClean =
+      if (canaryBands.forall { case (n, _) => rmap.contains(n) })
+        canaryBands.forall { case (n, thr) => rmap(n) <= thr }.toString
+      else "null"
+    val loadJson = load1m.map(fmt).getOrElse("null")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed,"load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean}""")
     // The driver's artifact retains only the TAIL of stdout (~2000
     // chars): round 9's full JSON lost its own total and half the
     // per-query numbers to the cut. Print a compact summary LAST so the
@@ -96,7 +124,7 @@ object Bench {
     // full line is truncated.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir","load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean}""")
     spark.stop()
   }
 }

@@ -376,6 +376,36 @@ object Scaling {
         }
         emit("scaling_probe", f, dir, results)
       }
+
+      // SPARK_GRAFT_BPE=1: the MERGE-COUNT scaling of BPE learning —
+      // the claim is about Spark JOB COUNT, not per-job cost (each
+      // round's work is O(vocab) either way): batchT = T cuts the
+      // sequential algorithm's one-count-job-per-merge to one per
+      // ceil(nMerges/T) rounds. Counted with a listener (ground truth,
+      // not inferred), timed alongside. Run at factor 1 — vocabulary,
+      // not corpus factor, is this curve's x-axis.
+      if (sys.env.get("SPARK_GRAFT_BPE").contains("1")) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          for (n <- Seq(64, 256); bt <- Seq(1, 8)) {
+            Thread.sleep(1000) // drain listener events of the prior cell
+            jobs.set(0)
+            val t0 = System.nanoTime()
+            val got = llm.Bpe.learnMerges(docs, "text", n, batchT = bt).count()
+            val secs = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(1000)
+            println(s"""{"metric":"scaling_bpe","factor":$f,"nMerges":$n,"batchT":$bt,"merges":$got,"jobs":${jobs.get()},"sec":${fmt(secs)}}""")
+          }
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
     }
     spark.stop()
   }

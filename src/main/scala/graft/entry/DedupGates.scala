@@ -1389,5 +1389,180 @@ private[graft] object DedupGates {
       ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
         iters = 2, dim = 64, k = 5, nCand = 20,
         trainWhere = "id % 3 = 0", serveWhere = "a.nn_id % 3 < 2")),
+
+    ("similarity_ivfpq_residual_asof",
+      (s: SparkSession, dir: String) => {
+        // time travel for the LAST family that lacked it — and the one
+        // whose codes are only meaningful WITH their frozen cell state:
+        // cells AND per-cell residual books froze on batch 0, batches 1
+        // and 2 coded against those sidecars, and the asOf=1 snapshot
+        // serves codes + rescore vectors of batches 0–1 only. The
+        // oracle trains both quantizer chains on the batch-0 slice and
+        // serves the first-two-batches union — the hash match proves
+        // the snapshot read composes with cell pruning and the
+        // per-cell codebook join exactly as the current view does.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_rivfpq_asof_${dirSuffix(dir)}"
+        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table,
+          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.appendIvfPqResidual(s, table,
+          e.filter(col("vec_id") % 3 === 1), "vec_id", "embedding")
+        Similarity.appendIvfPqResidual(s, table,
+          e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20, asOf = Some(1L))
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20,
+        trainWhere = "id % 3 = 0", serveWhere = "c.id % 3 < 2")),
+
+    ("similarity_lsh_asof_compacted",
+      (s: SparkSession, dir: String) => {
+        // the full index LIFECYCLE under the driver's hash — ingest,
+        // two appends, a takedown, then the ON-DISK REWRITE
+        // ([[graft.ops.Tombstones.purgeStampedRange]]: tombstoned rows
+        // physically leave every file, the [0,1] horizon merges while
+        // batch 2 keeps batch-pure files, tombstones clear) — and BOTH
+        // reads served from the rewritten files: the current view and
+        // the asOf=1 snapshot, tagged and unioned. The oracle knows
+        // nothing of the rewrite: it serves the same two reads from the
+        // logical row sets (all-minus-deleted; batches 0–1 minus
+        // deleted), so the hash match proves the compaction/purge
+        // rewrite changes NOTHING an index reader can observe —
+        // TombstoneSpec's on-disk assertions, promoted to the driver's
+        // end-to-end gate.
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_lsh_cmp_${dirSuffix(dir)}"
+        Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding")
+        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding")
+        Similarity.deleteFromLsh(s, table,
+          e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("nn_id")))
+        graft.ops.Tombstones.purgeStampedRange(s, table,
+          Seq(table -> "bucket"), "nn_id", bLo = 0L, bHi = 1L)
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.topKLshIngested(s, table, q, "vec_id", "embedding", k = 5)
+          .withColumn("view", lit("current"))
+          .unionByName(
+            Similarity.topKLshIngested(s, table, q, "vec_id", "embedding",
+              k = 5, asOf = Some(1L)).withColumn("view", lit("asof1")))
+      },
+      s"""SELECT q1.*, 'current' AS view FROM (
+         |${mlshOracleSql(nPlanes = 4, nTables = 16,
+             corpusWhere = "c.id % 7 <> 3")}
+         |) q1
+         |UNION ALL
+         |SELECT q2.*, 'asof1' AS view FROM (
+         |${mlshOracleSql(nPlanes = 4, nTables = 16,
+             corpusWhere = "c.id % 3 < 2 AND c.id % 7 <> 3")}
+         |) q2""".stripMargin),
+
+    // ---- PROBE-ONLY bench entries: every `*_ingested` composite pays
+    // its full index build inside the timed run by design (the honest
+    // pay-once disclosure), which means a PROBE-PATH regression hides
+    // inside a multi-second build — these twins build the index only
+    // if absent (the session keeps it across Bench's warm + timed
+    // passes, so from the second timed run on, the measured work is
+    // the probe alone — the steady-state number SCALING.md measured
+    // out-of-band until round 17). Correctness is un-weakened: each
+    // shares its family's full oracle, and builds are deterministic,
+    // so first-run-builds vs cached-table answers are bit-identical.
+    ("probe_ivf_ingested",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_ivf_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table))
+          Similarity.ingestIvf(e, "vec_id", "embedding", table,
+            nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      ivfTopKOracleSql),
+
+    ("probe_pq_ingested",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_pq_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table))
+          Similarity.ingestPq(e, "vec_id", "embedding", table,
+            m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCandidates = 20)
+      },
+      pqTopKSql(m = 4, nCodes = 8, iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("probe_ivfpq_ingested",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_ivfpq_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table))
+          Similarity.ingestIvfPq(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("probe_rivfpq_ingested",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_rivfpq_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table))
+          Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("probe_rivfpq_booktable",
+      (s: SparkSession, dir: String) => {
+        // SHARES probe_rivfpq_ingested's table (build-if-absent in
+        // both, so gate order doesn't matter) and forces the
+        // cluster-keyed codebook-TABLE serving path — the two probe
+        // twins are the literal-vs-table A/B as first-class bench
+        // lines, bit-identical by the shared oracle
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_rivfpq_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table))
+          Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        Similarity.topKIvfPqResidualIngested(s, table,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = 4, nCandidates = 20, maxLiteralBookRows = 0)
+      },
+      rivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20)),
+
+    ("probe_ivfpq_asof",
+      (s: SparkSession, dir: String) => {
+        // the SNAPSHOT probe path as its own bench line: a TWO-batch
+        // index (so asOf=0 actually exercises the batch filter +
+        // sidecar semi-join instead of degenerating to the full view),
+        // built once, probed at batch 0
+        val e = t(s, dir, "embeddings")
+        val table = s"graft_prb_ivfpq_b2_${dirSuffix(dir)}"
+        if (!s.catalog.tableExists(table)) {
+          Similarity.ingestIvfPq(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPq(s, table,
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        }
+        Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20,
+          asOf = Some(0L))
+      },
+      ivfpqTopKSql(nCentroids = 16, nProbe = 4, m = 4, nCodes = 8,
+        iters = 2, dim = 64, k = 5, nCand = 20,
+        trainWhere = "id % 2 = 0", serveWhere = "a.nn_id % 2 = 0")),
   )
 }

@@ -47,19 +47,64 @@ object Bpe {
   /** Learn `nMerges` BPE merges. Stops early when no adjacent pair
     * remains (all words fully merged or single-symbol).
     *
+    * `batchT` is the MERGE-COUNT scaling knob: the sequential algorithm
+    * runs one Spark job pair (count + checkpoint) PER merge — fine at a
+    * gate's nMerges = 8, a scale problem at a production 30k-merge
+    * vocabulary (30k sequential jobs whose per-job work is O(vocab),
+    * correctly bounded; the JOB COUNT is what doesn't scale). With
+    * `batchT = T`, each ROUND counts pairs once, collects the top
+    * `candidateCap` candidates (a bounded, cap-sized driver list), and
+    * greedily selects up to its quota of MUTUALLY NON-INTERACTING pairs
+    * in (cnt DESC, a, b) order: a candidate is admissible iff none of
+    * {a, b, a+b} was touched (consumed OR produced) by an
+    * earlier-selected pair this round. That admissibility rule is what
+    * makes the batch sound: two admissible pairs' `replace` patterns
+    * can neither overlap in the encoding (overlap requires a shared
+    * consumed symbol), nor create or destroy each other's occurrences
+    * (creation/destruction requires one pair's produced or consumed
+    * symbol to appear in the other) — so the round's replaces commute,
+    * applying them in selection order equals any order, and every
+    * selected pair's recorded cnt is still its true count at
+    * application time. Job count drops from O(nMerges) to
+    * O(nMerges / T).
+    *
+    * The honest contract change for T > 1: rounds are FIXED at
+    * ceil(nMerges / T) with per-round quota min(T, remaining), and a
+    * round whose admissible candidates run out (cap-bounded list, or
+    * everything overlaps) under-fills its quota WITHOUT making the
+    * deficit up later — the returned table can then hold fewer than
+    * `nMerges` rows, and the merge SEQUENCE legitimately differs from
+    * sequential BPE (the classic batched-BPE approximation: within a
+    * round, counts are not refreshed between the T picks, so a pair
+    * involving a just-created symbol can't win until the next round).
+    * At `batchT = 1` the quota is 1, the top-1 candidate is always
+    * admissible, and the output is BIT-IDENTICAL to the sequential
+    * algorithm — BpeBatchSpec pins both properties.
+    *
+    * @param batchT merges selected per pair-count round (default 1 =
+    *               exact sequential BPE)
+    * @param candidateCap driver-collected candidates per round
+    *                     (default 4 × batchT; must be ≥ batchT)
     * @return (step: int — 1-based, left, right, cnt: long) — the merge
     *         table in learned order
     */
-  def learnMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
+                  batchT: Int = 1, candidateCap: Int = 0): DataFrame = {
     require(nMerges >= 1, "nMerges must be at least 1")
+    require(batchT >= 1, "batchT must be at least 1")
+    val cap = if (candidateCap > 0) candidateCap else 4 * batchT
+    require(cap >= batchT, s"candidateCap must be >= batchT, got $cap < $batchT")
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordTable(df, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
+    val rounds = (nMerges + batchT - 1) / batchT
+    var r = 0
     var done = false
-    while (step < nMerges && !done) {
-      val top = words
+    while (r < rounds && !done) {
+      val quota = math.min(batchT, nMerges - r * batchT)
+      val cand = words
         .select(col("freq"),
           expr("split(substring(enc, 2, length(enc) - 2), '\\\\|\\\\|')").as("s"))
         .where(size(col("s")) >= 2)
@@ -69,17 +114,31 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(cap)
         .collect()
-      if (top.isEmpty) done = true
+      if (cand.isEmpty) done = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        step += 1
-        merges += ((step, a, b, cnt))
-        words = words
-          .withColumn("enc", expr(s"replace(enc, '|$a||$b|', '|$a$b|')"))
-          .localCheckpoint(true)
+        val touched = scala.collection.mutable.HashSet.empty[String]
+        val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < cand.length && taken.size < quota) {
+          val (a, b, cnt) =
+            (cand(i).getString(0), cand(i).getString(1), cand(i).getLong(2))
+          if (!touched(a) && !touched(b) && !touched(a + b)) {
+            taken += ((a, b, cnt))
+            touched ++= Seq(a, b, a + b)
+          }
+          i += 1
+        }
+        taken.foreach { case (a, b, cnt) =>
+          step += 1
+          merges += ((step, a, b, cnt))
+        }
+        words = taken.foldLeft(words) { case (wdf, (a, b, _)) =>
+          wdf.withColumn("enc", expr(s"replace(enc, '|$a||$b|', '|$a$b|')"))
+        }.localCheckpoint(true)
       }
+      r += 1
     }
     merges.toSeq.toDF("step", "left", "right", "cnt")
   }

@@ -1444,9 +1444,12 @@ object Corpus {
   /** The weight vector of the newest COMMITTED batch in a
     * [[qualityModelSink]] log (at or below `asOf` when given), or None
     * before the first commit. Both scans are bounded: the commit log is
-    * batches-sized, the weights log is batches × (nBuckets + 1) rows.
+    * batches-sized, the weights log is batches × (nBuckets + 1) rows —
+    * which grows with stream lifetime; [[compactQualityModelLog]] is
+    * the retention verb that re-bounds it to keepLast vectors.
     * DISTINCT collapses the bit-identical duplicate rows a
-    * crashed-then-retried batch leaves.
+    * crashed-then-retried batch leaves (applied only to the one chosen
+    * batch's nBuckets + 1 rows, never the whole log).
     */
   private def committedWeights(spark: org.apache.spark.sql.SparkSession,
                                table: String,
@@ -1502,5 +1505,43 @@ object Corpus {
           s"batch${asOf.map(b => s" at or below asOf $b").getOrElse("")} — " +
           "deliver at least one batch through qualityModelSink"))
     qmScore(qmFeatures(docs, idCol, textCol, nb), wm)
+  }
+
+  /** RETENTION for a [[qualityModelSink]] weights log — the verb that
+    * bounds it: the log grows by nBuckets + 1 rows per delivered batch
+    * (plus bit-identical duplicates from crashed retries), unbounded
+    * over a long-lived stream. This keeps the newest `keepLast`
+    * COMMITTED vectors, collapses crash-retry duplicates (DISTINCT),
+    * and drops uncommitted orphan rows outright. The COMMIT LOG is
+    * deliberately untouched — it is what makes replayed batch ids
+    * no-ops, and it is batches-sized (one long per batch).
+    *
+    * The honest trade: [[qualityScoreIngested]]'s `asOf` below the
+    * retention horizon now FAILS LOUDLY (no committed batch at or below
+    * asOf) rather than serving a wrong vector — audit depth is exactly
+    * `keepLast` batches. Current-view scoring is unaffected (the newest
+    * vector always survives).
+    *
+    * Cost: one batches-sized commit-log sort for the horizon, one
+    * log-sized filtered read whose survivors are keepLast×(nBuckets+1)
+    * rows — literal-sized by construction, so the rewrite stages
+    * through the driver (same bounded-collect argument as the scoring
+    * path, which already rides the whole vector as a literal).
+    */
+  def compactQualityModelLog(spark: org.apache.spark.sql.SparkSession,
+                             table: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be positive")
+    val ct = s"${table}_commits"
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(ct)) return
+    val keep = spark.table(ct).select(col("batch_id"))
+      .orderBy(col("batch_id").desc).limit(keepLast)
+    val kept = spark.table(table)
+      .join(broadcast(keep), Seq("batch_id"), "left_semi")
+      .select(col("batch_id"), col("b"), col("wm")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    import spark.implicits._
+    kept.toDF("batch_id", "b", "wm").write.mode("overwrite")
+      .format("parquet").saveAsTable(table)
   }
 }

@@ -63,17 +63,24 @@ object Snapshots {
     * retroactively commit the crash's half-written orphan rows into
     * every `asOf >= b` snapshot. Taking `max(sidecar, data) + 1`
     * guarantees a crashed batch's id is never recorded, so its orphan
-    * rows stay permanently excluded from every snapshot read (they
+    * rows stay permanently excluded from every snapshot read. They DO
     * remain in the CURRENT view — the full-table read documented on
-    * [[readAsOf]] — until compaction rewrites them away; exactly-once
-    * retry semantics come from routing appends through the streaming
-    * sinks' commit log, which replays under the SAME stream batch id
-    * and skips committed ones).
+    * [[readAsOf]] — until a compaction run with `healOrphans` set
+    * ([[compactStampedRange]]) rewrites them away; exactly-once retry
+    * semantics come from routing appends through the streaming sinks'
+    * commit log, which replays under the SAME stream batch id and
+    * skips committed ones.
     *
-    * Cost: the sidecar scan is batches-sized; each data-table max is a
-    * single-column scan of the RLE/dictionary-compressed stamp column —
-    * batch-count-bounded distinct values, a metadata-light aggregation
-    * that is noise next to the append it guards.
+    * Cost: the sidecar scan is batches-sized; each data-table max runs
+    * UNDER the predicate `stamp > sidecar max` — appends write fresh
+    * files, so committed files are batch-pure and their parquet min/max
+    * stats prune them at planning time (a compacted horizon's merged
+    * file carries `max stamp ≤ sidecar max` and prunes too). What
+    * actually scans is only files carrying stamps ABOVE the sidecar —
+    * i.e. a crashed append's orphans, normally zero files. Without the
+    * predicate this would be a data-proportional column scan (Spark
+    * does not answer bare `max()` from footer stats on the v1 read
+    * path).
     */
   def nextBatchId(spark: SparkSession, parent: String,
                   dataTables: Seq[String] = Nil): Long = {
@@ -84,11 +91,16 @@ object Snapshots {
         val r = spark.table(bt).agg(max(col("batch_id"))).first()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
+    val floor = sidecarMax.getOrElse(-1L)
     val dataMax = dataTables.filter(spark.catalog.tableExists).flatMap { t =>
       val df = spark.table(t)
       if (!df.columns.contains(BatchCol)) None
       else {
-        val r = df.agg(max(col(BatchCol))).first()
+        // only stamps ABOVE the sidecar matter (ties can't raise the
+        // max); the predicate turns the scan into file-pruned metadata
+        // work on every committed batch-pure file
+        val r = df.where(col(BatchCol) > floor)
+          .agg(max(col(BatchCol))).first()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
     }
@@ -145,14 +157,31 @@ object Snapshots {
     * [[Tombstones.purge]]-style row-filtering hook (applied to every
     * group; must not re-key). Same staged publish + single-writer
     * contract as [[Bucketing.compactBucketedWith]].
+    *
+    * `healOrphans = Some(parent)` additionally drops rows whose stamp
+    * the parent's batches sidecar never recorded — the physical remains
+    * of a crashed append ([[nextBatchId]]'s orphans, already invisible
+    * to every asOf read but still served by the CURRENT view, where a
+    * duplicate row from the crash+retry pair can displace a distinct
+    * top-k neighbor). Safe under the single-writer contract: with no
+    * append in flight, every legitimate row's batch is recorded, so the
+    * anti-join removes exactly the crash debris. The sidecar is
+    * batches-sized and broadcasts.
     */
   def compactStampedRange(spark: SparkSession, table: String, key: String,
                           bLo: Long, bHi: Long,
-                          transform: DataFrame => DataFrame = identity)
+                          transform: DataFrame => DataFrame = identity,
+                          healOrphans: Option[String] = None)
       : Unit = {
     require(bLo <= bHi, s"empty compaction range [$bLo, $bHi]")
+    val committed = healOrphans
+      .filter(p => spark.catalog.tableExists(batchesTable(p)))
+      .map(p => spark.table(batchesTable(p))
+        .select(col("batch_id").as(BatchCol)))
     Bucketing.compactBucketedStaged(spark, table, key) { (tmp, n) =>
-      def rows = spark.table(table)
+      def rows = committed.foldLeft(spark.table(table)) { (df, c) =>
+        df.join(broadcast(c), Seq(BatchCol), "left_semi")
+      }
       val inRange = col(BatchCol).between(bLo, bHi)
       Bucketing.writeBucketed(transform(rows.where(inRange)), tmp, key, n)
       val rest = rows.where(!inRange).select(col(BatchCol)).distinct()

@@ -150,8 +150,10 @@ object Tombstones {
     if (!spark.catalog.tableExists(tt)) return
     val tomb = spark.table(tt)
     tables.foreach { case (table, key) =>
+      // healOrphans: the physical-cleanup verb also sweeps the crash
+      // debris of unrecorded appends (Snapshots.nextBatchId's orphans)
       Snapshots.compactStampedRange(spark, table, key, bLo, bHi,
-        _.join(tomb, Seq(idName), "left_anti"))
+        _.join(tomb, Seq(idName), "left_anti"), healOrphans = Some(parent))
     }
     clear(spark, parent)
   }

@@ -199,6 +199,78 @@ class IndexSnapshotSpec extends AnyFunSuite {
     } finally dropAll(deps: _*)
   }
 
+  test("compactStampedRange healOrphans: a crashed append's debris leaves the CURRENT view") {
+    val t = "graft_snap_lsh_heal"
+    val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestLsh(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", t, nPlanes = 3, nTables = 2, nBuckets = 4)
+      // the crash: batch-1 data landed, record(1) never ran
+      val orphan = Snapshots.stamp(
+        spark.table(t).drop(Snapshots.BatchCol)
+          .withColumn("nn_id", col("nn_id") + 100000L)
+          .localCheckpoint(), 1L)
+      Bucketing.appendBucketed(orphan, t, "bucket",
+        Bucketing.bucketCountOf(spark, t))
+      // the retry lands under a fresh id (2)
+      Similarity.appendLsh(spark, t,
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 10)
+      def currentIds = Similarity.topKLshIngested(spark, t, q,
+        "vec_id", "embedding", k = 3).select(col("nn_id"))
+        .collect().map(_.getLong(0)).toSet
+      // snapshots already exclude the orphans; the CURRENT view is the
+      // read that still serves them until the heal
+      assert(spark.table(t).where(col("nn_id") >= 100000L).count() > 0L,
+        "fixture must have orphan rows on disk")
+      val snapBefore = (0L to 2L).map(b => rows(Similarity.topKLshIngested(
+        spark, t, q, "vec_id", "embedding", k = 3, asOf = Some(b))))
+      Snapshots.compactStampedRange(spark, t, "bucket", 0L, 2L,
+        healOrphans = Some(t))
+      assert(spark.table(t).where(col("nn_id") >= 100000L).count() == 0L,
+        "healOrphans must physically drop unrecorded-batch rows")
+      assert(currentIds.forall(_ < 100000L),
+        "the current view must no longer serve crash debris")
+      assert((0L to 2L).map(b => rows(Similarity.topKLshIngested(
+        spark, t, q, "vec_id", "embedding", k = 3, asOf = Some(b))))
+        == snapBefore,
+        "the heal must not change any snapshot answer")
+      assert(Snapshots.nextBatchId(spark, t, Seq(t)) == 3L,
+        "numbering continues from the recorded history after the heal")
+    } finally dropAll(deps: _*)
+  }
+
+  test("residual IVF-PQ asOf composes with table-served codebooks: both serving paths, same snapshot") {
+    val t = "graft_snap_rivfpq"
+    val deps = Seq(t, s"${t}_vectors", s"${t}_centroids", s"${t}_cellbooks",
+      s"${t}_batches", s"${t}_tombstones")
+    dropAll(deps: _*)
+    try {
+      Similarity.ingestIvfPqResidual(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", t,
+        nCentroids = 4, m = 4, nCodes = 4, kmeansIters = 2, nBuckets = 4)
+      Similarity.appendIvfPqResidual(spark, t,
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 10)
+      def probe(asOf: Option[Long], maxLit: Int) = rows(
+        Similarity.topKIvfPqResidualIngested(spark, t, q,
+          "vec_id", "embedding", k = 3, nProbe = 2, nCandidates = 12,
+          asOf = asOf, maxLiteralBookRows = maxLit))
+      val lit0 = probe(Some(0L), 65536)
+      // the snapshot must exclude every odd (batch-1) id
+      assert(lit0.nonEmpty)
+      // table-served codebooks at the SAME snapshot: bit-identical
+      assert(probe(Some(0L), 0) === lit0,
+        "snapshot x table-served-codebooks must match the literal path")
+      // and the pinned snapshot is stable across the serving paths even
+      // at the head
+      assert(probe(None, 0) === probe(None, 65536),
+        "current-view parity between the two serving paths")
+    } finally dropAll(deps: _*)
+  }
+
   test("batch numbering: ingest restarts the timeline at 0; appends count up") {
     val t = "graft_snap_seq"
     val deps = Seq(t, s"${t}_meta", s"${t}_batches", s"${t}_tombstones")

@@ -176,6 +176,42 @@ class QualityModelSpec extends AnyFunSuite {
     } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
   }
 
+  test("compactQualityModelLog: retention keeps the newest vectors, drops debris, bounds audit depth") {
+    import spark.implicits._
+    val t = "graft_qm_retention"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      def scores(asOf: Option[Long]) = Corpus.qualityScoreIngested(spark, t,
+        fixture, "doc_id", "text", asOf).collect().map(_.toString).sorted.toSeq
+      val deliver = Corpus.qualityModelSink(t, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      deliver(labeled.filter(col("doc_id") % 3 === 0), 0L)
+      deliver(labeled.filter(col("doc_id") % 3 === 1), 1L)
+      deliver(labeled.filter(col("doc_id") % 3 === 2), 2L)
+      // plant crash debris: an UNCOMMITTED batch 3's rows in the log
+      spark.table(t).where(col("batch_id") === 2L)
+        .withColumn("batch_id", lit(3L))
+        .localCheckpoint()
+        .write.mode("append").format("parquet").saveAsTable(t)
+      val head = scores(None)
+      val at1 = scores(Some(1L))
+      Corpus.compactQualityModelLog(spark, t, keepLast = 2)
+      val kept = spark.table(t).select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L),
+        s"retention must keep exactly the newest 2 committed vectors, got $kept")
+      assert(scores(None) == head, "current-view scoring moved under retention")
+      assert(scores(Some(1L)) == at1, "an in-horizon snapshot moved under retention")
+      // below the horizon: loud failure, never a wrong vector
+      val e = intercept[IllegalStateException] { scores(Some(0L)) }
+      assert(e.getMessage.contains("no committed training batch"))
+      // the commit log is untouched — a replayed old batch stays a no-op
+      assert(spark.table(s"${t}_commits").count() == 3L)
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
   test("serving before the first commit fails loudly") {
     import spark.implicits._
     val t = "graft_qm_nocommit"
