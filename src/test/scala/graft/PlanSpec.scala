@@ -126,6 +126,37 @@ class PlanSpec extends AnyFunSuite {
     assert(stats.contains("_cellbooks") && !stats.contains("CartesianProduct"))
   }
 
+  test("probe gates: serving paths read persisted index tables only — no corpus scan, no cartesian") {
+    // the probe-only bench twins must actually measure the serving
+    // path: lexical probes never scan the document corpus (tokenized
+    // once at ingest), and every candidate/rescore join stays equi-key
+    for (q <- Seq("probe_bm25_ingested", "probe_bm25_asof")) {
+      val p = plan(q)
+      assert(!p.contains("documents.parquet"),
+        s"$q scans the corpus instead of the posting tables:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    for (q <- Seq("probe_ivf_ingested", "probe_pq_ingested",
+        "probe_ivfpq_ingested", "probe_rivfpq_ingested", "probe_ivfpq_asof")) {
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    val bt = plan("probe_rivfpq_booktable")
+    assert(bt.contains("_cellbooks") && !bt.contains("CartesianProduct"),
+      "the forced-table probe twin must serve codebooks from the table")
+  }
+
+  test("lifecycle gates: compacted/asof probes stay broadcast equi-joins") {
+    // the purge rewrite must not change the probe's plan shape: the
+    // banded query side broadcasts onto the (rewritten) bucketed scan,
+    // and the snapshot read's sidecar semi-join broadcasts too
+    val p = plan("similarity_lsh_asof_compacted")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"))
+    val r = plan("similarity_ivfpq_residual_asof")
+    assert(!r.contains("CartesianProduct") &&
+      !r.contains("BroadcastNestedLoopJoin"), r.take(600))
+  }
+
   test("retrieval_context_full_ingested: ZERO documents scans — the probe serves from persisted tables") {
     val p = plan("retrieval_context_full_ingested")
     assert(!p.contains("CartesianProduct"), "ingested capstone must stay equi-join/broadcast")
