@@ -102,21 +102,65 @@ object Bench {
     // two sub-second plan-cost canaries plus two iteration-loop queries
     // (the family warm windows inflate first, which the classic pair
     // provably missed in round 16). Emitted with readings + thresholds
-    // so the artifact adjudicates itself; null verdict when a subset
-    // run omits a canary.
-    val canaryBands = Seq("sketch_quantile_hist" -> 0.35, "tpch_q1" -> 0.25,
+    // so the artifact adjudicates itself. The default bands are
+    // HOST-SPECIFIC constants calibrated on this machine's sf0.1
+    // pins — on another host or dataset, override them with
+    // SPARK_GRAFT_CANARY_BANDS ("name:sec,name:sec,..."), and the
+    // emitted object carries the sf-dir the bands were judged against
+    // (`bands_assume_sf`) so a mismatched run is detectable in the
+    // artifact instead of silently reading authoritative.
+    val defaultBands = Seq("sketch_quantile_hist" -> 0.35, "tpch_q1" -> 0.25,
       "dedup_ngram_jaccard" -> 2.5, "graph_pagerank" -> 3.5)
+    val bandsAssumeSf = sys.env.get("SPARK_GRAFT_CANARY_BANDS")
+      .map(_ => sfDir).getOrElse("/root/testdata/sf0.1")
+    val canaryBands = sys.env.get("SPARK_GRAFT_CANARY_BANDS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+        val Array(n, thr) = kv.split(":")
+        n.trim -> thr.trim.toDouble
+      }).getOrElse(defaultBands)
     val rmap = results.toMap
     val canaries = canaryBands.map { case (n, thr) =>
       val v = rmap.get(n).map(fmt).getOrElse("null")
       s"""\"$n\":{"sec":$v,"max_clean":$thr}"""
-    }.mkString("{", ",", "}")
+    }.mkString("{", ",", s""","bands_assume_sf":"$bandsAssumeSf"}""")
+    // verdict semantics: null is reserved for canaries DELIBERATELY
+    // omitted via SPARK_GRAFT_ONLY; a canary that was selected but
+    // crashed in the timed pass reads FALSE (dirty) — a broken canary
+    // cannot vouch for its window
+    val canarySelected = canaryBands.filter { case (n, _) =>
+      selected.exists(_._1 == n) }
     val windowClean =
-      if (canaryBands.forall { case (n, _) => rmap.contains(n) })
-        canaryBands.forall { case (n, thr) => rmap(n) <= thr }.toString
-      else "null"
+      if (canarySelected.size < canaryBands.size) "null"
+      else if (canaryBands.exists { case (n, _) => !rmap.contains(n) }) "false"
+      else canaryBands.forall { case (n, thr) => rmap(n) <= thr }.toString
+    // per-LINE scatter self-flagging (round-19): the window verdict
+    // above adjudicates the SERIES; a single wild reading inside an
+    // otherwise-clean series (round 18's dedup_winnow_pairs at 48x its
+    // pin) previously needed human adjudication. Any query whose median
+    // reads > 3x its recorded bar (tools/bench_bars.json — the pinned
+    // per-query medians; override path via SPARK_GRAFT_BARS) AND is at
+    // least +0.3 s over it is re-run ONCE and both readings are
+    // emitted, so the artifact distinguishes "scatter" (re-run back at
+    // bar) from "regression" (re-run confirms) by itself.
+    val barsPath = sys.env.getOrElse("SPARK_GRAFT_BARS", "tools/bench_bars.json")
+    val bars: Map[String, Double] =
+      try {
+        val txt = scala.io.Source.fromFile(barsPath).mkString
+        "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val scatterFlags = results
+      .filter { case (n, v) => bars.get(n).exists(b => v > 3 * b && v - b > 0.3) }
+      .map { case (n, v) =>
+        val fn = SparkEntry.queries(n)
+        val t0 = System.nanoTime()
+        val rerun = try { fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+        s"""\"$n\":{"sec":${fmt(v)},"bar":${fmt(bars(n))},"rerun":${rerun.map(fmt).getOrElse("null")}}"""
+      }.mkString("{", ",", "}")
     val loadJson = load1m.map(fmt).getOrElse("null")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed,"load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed,"load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean,"scatter_flags":$scatterFlags}""")
     // The driver's artifact retains only the TAIL of stdout (~2000
     // chars): round 9's full JSON lost its own total and half the
     // per-query numbers to the cut. Print a compact summary LAST so the
@@ -124,7 +168,7 @@ object Bench {
     // full line is truncated.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir","load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir","load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean,"scatter_flags":$scatterFlags}""")
     spark.stop()
   }
 }

@@ -394,8 +394,18 @@ object Scaling {
           }
         }
         spark.sparkContext.addSparkListener(listener)
+        // cells default to the round-18 grid; SPARK_GRAFT_BPE_CELLS
+        // ("nMerges:batchT,...") picks others — e.g. "512:64" is the
+        // production shape (a real tokenizer's 30k-merge run projected:
+        // ceil(512/64) = 8 count rounds vs 512 sequential jobs, with 64
+        // chained replace folds per round stressing codegen)
+        val cells: Seq[(Int, Int)] = sys.env.get("SPARK_GRAFT_BPE_CELLS")
+          .map(_.split(",").toSeq.map { kv =>
+            val Array(n0, t0) = kv.split(":"); (n0.trim.toInt, t0.trim.toInt)
+          })
+          .getOrElse(for (n <- Seq(64, 256); bt <- Seq(1, 8)) yield (n, bt))
         try {
-          for (n <- Seq(64, 256); bt <- Seq(1, 8)) {
+          for ((n, bt) <- cells) {
             Thread.sleep(1000) // drain listener events of the prior cell
             jobs.set(0)
             val t0 = System.nanoTime()

@@ -797,11 +797,13 @@ private[graft] object DedupGates {
         // semantics; codebook drift is the documented rebuild trigger.
         val e = t(s, dir, "embeddings")
         val table = s"graft_pq_app_${dirSuffix(dir)}"
-        Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nCandidates = 20)
       },
@@ -848,11 +850,13 @@ private[graft] object DedupGates {
         // centroid drift is the documented rebuild trigger.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivf_app_${dirSuffix(dir)}"
-        Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4)
       },
@@ -868,10 +872,12 @@ private[graft] object DedupGates {
         // batch-sized: hash + explode the batch, append bucketed files.
         val e = t(s, dir, "embeddings")
         val table = s"graft_lsh_app_${dirSuffix(dir)}"
-        Similarity.ingestLsh(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
-        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestLsh(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+          Similarity.appendLsh(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5)
       },
@@ -887,14 +893,16 @@ private[graft] object DedupGates {
         // rows and burn probe ranks on duplicate candidates.
         val e = t(s, dir, "embeddings")
         val table = s"graft_lsh_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_meta", s"${table}_commits")
-          .foreach(graft.ops.Bucketing.dropManaged(s, _))
-        val deliver = Similarity.lshSink(table, "vec_id", "embedding",
-          nPlanes = 4, nTables = 16, nBuckets = 8)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_meta", s"${table}_commits")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Similarity.lshSink(table, "vec_id", "embedding",
+            nPlanes = 4, nTables = 16, nBuckets = 8)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        }
         Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5)
       },
@@ -909,11 +917,13 @@ private[graft] object DedupGates {
         // the drift signal that triggers the documented rebuild.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivf_stats_${dirSuffix(dir)}"
-        Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvf(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvf(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.ivfClusterStats(s, table)
       },
       ivfStatsOracleSql),
@@ -926,11 +936,13 @@ private[graft] object DedupGates {
         // after appends is exactly the documented rebuild trigger.
         val e = t(s, dir, "embeddings")
         val table = s"graft_pq_stats_${dirSuffix(dir)}"
-        Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestPq(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.pqReconStats(s, table)
       },
       {
@@ -956,14 +968,16 @@ private[graft] object DedupGates {
         // them — the oracle has no duplicates.
         val e = t(s, dir, "embeddings")
         val table = s"graft_pq_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_vectors", s"${table}_codebooks", s"${table}_commits")
-          .foreach(graft.ops.Bucketing.dropManaged(s, _))
-        val deliver = Similarity.pqSink(table, "vec_id", "embedding",
-          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_vectors", s"${table}_codebooks", s"${table}_commits")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Similarity.pqSink(table, "vec_id", "embedding",
+            m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        }
         Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nCandidates = 20)
       },
@@ -981,14 +995,16 @@ private[graft] object DedupGates {
         // top-k burns ranks on them — the oracle has no duplicates.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivf_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_centroids", s"${table}_commits")
-          .foreach(graft.ops.Bucketing.dropManaged(s, _))
-        val deliver = Similarity.ivfSink(table, "vec_id", "embedding",
-          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_centroids", s"${table}_commits")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Similarity.ivfSink(table, "vec_id", "embedding",
+            nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        }
         Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4)
       },
@@ -1061,11 +1077,13 @@ private[graft] object DedupGates {
         // even half and serves the union.
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_app_${dirSuffix(dir)}"
-        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPqResidual(s, table,
-          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPqResidual(s, table,
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        }
         Similarity.topKIvfPqResidualIngested(s, table,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nProbe = 4, nCandidates = 20)
@@ -1082,16 +1100,18 @@ private[graft] object DedupGates {
         // delivery is a commit-log no-op.
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_vectors", s"${table}_centroids",
-          s"${table}_cellbooks", s"${table}_commits", s"${table}_tombstones",
-          s"${table}_batches")
-          .foreach(graft.ops.Bucketing.dropManaged(s, _))
-        val deliver = Similarity.ivfpqResidualSink(table, "vec_id", "embedding",
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_vectors", s"${table}_centroids",
+            s"${table}_cellbooks", s"${table}_commits", s"${table}_tombstones",
+            s"${table}_batches")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Similarity.ivfpqResidualSink(table, "vec_id", "embedding",
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        }
         Similarity.topKIvfPqResidualIngested(s, table,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nProbe = 4, nCandidates = 20)
@@ -1107,10 +1127,12 @@ private[graft] object DedupGates {
         // union, serve the surviving even half).
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_del_${dirSuffix(dir)}"
-        Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.deleteFromIvfPqResidual(s, table,
-          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        builtOnce(s, table) {
+          Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.deleteFromIvfPqResidual(s, table,
+            e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        }
         Similarity.topKIvfPqResidualIngested(s, table,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nProbe = 4, nCandidates = 20)
@@ -1135,11 +1157,13 @@ private[graft] object DedupGates {
         // never collects books.
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_sts_${dirSuffix(dir)}"
-        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPqResidual(s, table,
-          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPqResidual(s, table,
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        }
         Similarity.ivfPqResidualCellStats(s, table)
       },
       rivfpqCellStatsSql(nCentroids = 16, m = 4, nCodes = 8,
@@ -1158,8 +1182,10 @@ private[graft] object DedupGates {
         // collects nothing book-sized).
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_bt_${dirSuffix(dir)}"
-        Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        builtOnce(s, table) {
+          Similarity.ingestIvfPqResidual(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        }
         Similarity.topKIvfPqResidualIngested(s, table,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nProbe = 4, nCandidates = 20, maxLiteralBookRows = 0)
@@ -1195,11 +1221,13 @@ private[graft] object DedupGates {
         // each parent family, composed.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivfpq_app_${dirSuffix(dir)}"
-        Similarity.ingestIvfPq(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvfPq(e.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
       },
@@ -1214,15 +1242,17 @@ private[graft] object DedupGates {
         // sidecars, the replayed delivery is a commit-log no-op.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivfpq_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_vectors", s"${table}_centroids",
-          s"${table}_codebooks", s"${table}_commits", s"${table}_tombstones")
-          .foreach(graft.ops.Bucketing.dropManaged(s, _))
-        val deliver = Similarity.ivfpqSink(table, "vec_id", "embedding",
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
-        deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_vectors", s"${table}_centroids",
+            s"${table}_codebooks", s"${table}_commits", s"${table}_tombstones")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Similarity.ivfpqSink(table, "vec_id", "embedding",
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L)
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // replayed
+          deliver(e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+        }
         Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
       },
@@ -1237,10 +1267,12 @@ private[graft] object DedupGates {
         // on union, serve the surviving even half).
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivfpq_del_${dirSuffix(dir)}"
-        Similarity.ingestIvfPq(e, "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.deleteFromIvfPq(s, table,
-          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        builtOnce(s, table) {
+          Similarity.ingestIvfPq(e, "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.deleteFromIvfPq(s, table,
+            e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        }
         Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20)
       },
@@ -1259,10 +1291,12 @@ private[graft] object DedupGates {
         // (TombstoneSpec asserts deleted ids leave the files on disk).
         val e = t(s, dir, "embeddings")
         val table = s"graft_lsh_del_${dirSuffix(dir)}"
-        Similarity.ingestLsh(e, "vec_id", "embedding", table,
-          nPlanes = 4, nTables = 16, nBuckets = 8)
-        Similarity.deleteFromLsh(s, table,
-          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        builtOnce(s, table) {
+          Similarity.ingestLsh(e, "vec_id", "embedding", table,
+            nPlanes = 4, nTables = 16, nBuckets = 8)
+          Similarity.deleteFromLsh(s, table,
+            e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        }
         Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5)
       },
@@ -1278,10 +1312,12 @@ private[graft] object DedupGates {
         // from deletion feed the same rebuild trigger as drift.
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivf_del_${dirSuffix(dir)}"
-        Similarity.ingestIvf(e, "vec_id", "embedding", table,
-          nCentroids = 16, kmeansIters = 2, nBuckets = 8)
-        Similarity.deleteFromIvf(s, table,
-          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        builtOnce(s, table) {
+          Similarity.ingestIvf(e, "vec_id", "embedding", table,
+            nCentroids = 16, kmeansIters = 2, nBuckets = 8)
+          Similarity.deleteFromIvf(s, table,
+            e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        }
         Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4)
       },
@@ -1296,10 +1332,12 @@ private[graft] object DedupGates {
         // LIVE rows only.
         val e = t(s, dir, "embeddings")
         val table = s"graft_pq_del_${dirSuffix(dir)}"
-        Similarity.ingestPq(e, "vec_id", "embedding", table,
-          m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.deleteFromPq(s, table,
-          e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        builtOnce(s, table) {
+          Similarity.ingestPq(e, "vec_id", "embedding", table,
+            m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.deleteFromPq(s, table,
+            e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id").as("nn_id")))
+        }
         Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nCandidates = 20)
       },
@@ -1318,12 +1356,14 @@ private[graft] object DedupGates {
         // shares the two-thirds oracle outright
         val e = t(s, dir, "embeddings")
         val table = s"graft_lsh_asof_${dirSuffix(dir)}"
-        Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
-        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
-          "vec_id", "embedding")
-        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+          Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding")
+          Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding")
+        }
         Similarity.topKLshIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, asOf = Some(1L))
       },
@@ -1336,13 +1376,15 @@ private[graft] object DedupGates {
         // with the serve side cut at the snapshot
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivf_asof_${dirSuffix(dir)}"
-        Similarity.ingestIvf(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table, nCentroids = 16, kmeansIters = 2,
-          nBuckets = 8)
-        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 1),
-          "vec_id", "embedding")
-        Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvf(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table, nCentroids = 16, kmeansIters = 2,
+            nBuckets = 8)
+          Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding")
+          Similarity.appendIvf(s, table, e.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding")
+        }
         Similarity.topKIvfIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4, asOf = Some(1L))
       },
@@ -1356,13 +1398,15 @@ private[graft] object DedupGates {
         // codes AND rescore vectors of batches 0–1 only
         val e = t(s, dir, "embeddings")
         val table = s"graft_pq_asof_${dirSuffix(dir)}"
-        Similarity.ingestPq(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table, m = 4, nCodes = 8, kmeansIters = 2,
-          nBuckets = 8)
-        Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 1),
-          "vec_id", "embedding")
-        Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestPq(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table, m = 4, nCodes = 8, kmeansIters = 2,
+            nBuckets = 8)
+          Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding")
+          Similarity.appendPq(s, table, e.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding")
+        }
         Similarity.topKPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nCandidates = 20, asOf = Some(1L))
       },
@@ -1375,13 +1419,15 @@ private[graft] object DedupGates {
         // snapshot reads codes and rescore vectors of batches 0–1 only
         val e = t(s, dir, "embeddings")
         val table = s"graft_ivfpq_asof_${dirSuffix(dir)}"
-        Similarity.ingestIvfPq(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 1),
-          "vec_id", "embedding")
-        Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvfPq(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding")
+          Similarity.appendIvfPq(s, table, e.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding")
+        }
         Similarity.topKIvfPqIngested(s, table, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nProbe = 4, nCandidates = 20,
           asOf = Some(1L))
@@ -1403,13 +1449,15 @@ private[graft] object DedupGates {
         // per-cell codebook join exactly as the current view does.
         val e = t(s, dir, "embeddings")
         val table = s"graft_rivfpq_asof_${dirSuffix(dir)}"
-        Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPqResidual(s, table,
-          e.filter(col("vec_id") % 3 === 1), "vec_id", "embedding")
-        Similarity.appendIvfPqResidual(s, table,
-          e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+        builtOnce(s, table) {
+          Similarity.ingestIvfPqResidual(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPqResidual(s, table,
+            e.filter(col("vec_id") % 3 === 1), "vec_id", "embedding")
+          Similarity.appendIvfPqResidual(s, table,
+            e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding")
+        }
         Similarity.topKIvfPqResidualIngested(s, table,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nProbe = 4, nCandidates = 20, asOf = Some(1L))
@@ -1435,16 +1483,18 @@ private[graft] object DedupGates {
         // end-to-end gate.
         val e = t(s, dir, "embeddings")
         val table = s"graft_lsh_cmp_${dirSuffix(dir)}"
-        Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
-        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
-          "vec_id", "embedding")
-        Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding")
-        Similarity.deleteFromLsh(s, table,
-          e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("nn_id")))
-        graft.ops.Tombstones.purgeStampedRange(s, table,
-          Seq(table -> "bucket"), "nn_id", bLo = 0L, bHi = 1L)
+        builtOnce(s, table) {
+          Similarity.ingestLsh(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", table, nPlanes = 4, nTables = 16, nBuckets = 8)
+          Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding")
+          Similarity.appendLsh(s, table, e.filter(col("vec_id") % 3 === 2),
+            "vec_id", "embedding")
+          Similarity.deleteFromLsh(s, table,
+            e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("nn_id")))
+          graft.ops.Tombstones.purgeStampedRange(s, table,
+            Seq(table -> "bucket"), "nn_id", bLo = 0L, bHi = 1L)
+        }
         val q = e.filter(col("vec_id") < 20)
         Similarity.topKLshIngested(s, table, q, "vec_id", "embedding", k = 5)
           .withColumn("view", lit("current"))

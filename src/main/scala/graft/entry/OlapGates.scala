@@ -1135,12 +1135,14 @@ private[graft] object OlapGates {
         // trigger, the centroid-drift trade made explicit).
         val d = t(s, dir, "documents")
         val table = s"graft_mh_app_${dirSuffix(dir)}"
-        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
-          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
-          maxDocFreq = Some(20), table, nBuckets = 8)
-        Dedup.appendMinhashIndex(s, table,
-          d.filter(col("doc_id") > 125 && col("doc_id") <= 250),
-          "doc_id", "text")
+        builtOnce(s, table) {
+          Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
+            "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+            maxDocFreq = Some(20), table, nBuckets = 8)
+          Dedup.appendMinhashIndex(s, table,
+            d.filter(col("doc_id") > 125 && col("doc_id") <= 250),
+            "doc_id", "text")
+        }
         Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
           "doc_id", "text", threshold = 0.3)
       },
@@ -1158,15 +1160,17 @@ private[graft] object OlapGates {
         // double-counts — this gate's oracle would catch it.
         val d = t(s, dir, "documents")
         val table = s"graft_mh_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_shingles", s"${table}_flood", s"${table}_meta",
-          s"${table}_commits").foreach(Bucketing.dropManaged(s, _))
-        val idx = d.filter(col("doc_id") <= 250)
-        val deliver = Dedup.minhashSink(table, "doc_id", "text",
-          n = 3, k = 16, rowsPerBand = 4, maxDocFreq = Some(20), nBuckets = 8)
-        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
-        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
-        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
-        deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_shingles", s"${table}_flood", s"${table}_meta",
+            s"${table}_commits").foreach(Bucketing.dropManaged(s, _))
+          val idx = d.filter(col("doc_id") <= 250)
+          val deliver = Dedup.minhashSink(table, "doc_id", "text",
+            n = 3, k = 16, rowsPerBand = 4, maxDocFreq = Some(20), nBuckets = 8)
+          deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+          deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+          deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+          deliver(idx.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        }
         Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
           "doc_id", "text", threshold = 0.3)
       },
@@ -1184,12 +1188,14 @@ private[graft] object OlapGates {
         // docs ≤ 250, index side restricted to the survivors).
         val d = t(s, dir, "documents")
         val table = s"graft_mh_del_${dirSuffix(dir)}"
-        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 250),
-          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
-          maxDocFreq = Some(20), table, nBuckets = 8)
-        Dedup.deleteFromMinhashIndex(s, table,
-          d.filter(col("doc_id") <= 250 && col("doc_id") % 5 === 0)
-            .select(col("doc_id").as("doc")))
+        builtOnce(s, table) {
+          Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 250),
+            "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+            maxDocFreq = Some(20), table, nBuckets = 8)
+          Dedup.deleteFromMinhashIndex(s, table,
+            d.filter(col("doc_id") <= 250 && col("doc_id") % 5 === 0)
+              .select(col("doc_id").as("doc")))
+        }
         Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
           "doc_id", "text", threshold = 0.3)
       },
@@ -1208,15 +1214,17 @@ private[graft] object OlapGates {
         // the snapshot probe even though they sit in the same files.
         val d = t(s, dir, "documents")
         val table = s"graft_mh_asof_${dirSuffix(dir)}"
-        Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
-          "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
-          maxDocFreq = Some(20), table, nBuckets = 8)
-        Dedup.appendMinhashIndex(s, table,
-          d.filter(col("doc_id") > 125 && col("doc_id") <= 187),
-          "doc_id", "text")
-        Dedup.appendMinhashIndex(s, table,
-          d.filter(col("doc_id") > 187 && col("doc_id") <= 250),
-          "doc_id", "text")
+        builtOnce(s, table) {
+          Dedup.ingestMinhashIndex(d.filter(col("doc_id") <= 125),
+            "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+            maxDocFreq = Some(20), table, nBuckets = 8)
+          Dedup.appendMinhashIndex(s, table,
+            d.filter(col("doc_id") > 125 && col("doc_id") <= 187),
+            "doc_id", "text")
+          Dedup.appendMinhashIndex(s, table,
+            d.filter(col("doc_id") > 187 && col("doc_id") <= 250),
+            "doc_id", "text")
+        }
         Dedup.minhashLshIngested(s, table, d.filter(col("doc_id") > 250),
           "doc_id", "text", threshold = 0.3, asOf = Some(1L))
       },
@@ -1405,12 +1413,14 @@ private[graft] object OlapGates {
         // batch-order independent)
         val log = s"graft_wlog_sp_${dirSuffix(dir)}"
         val degT = s"graft_wdeg_sp_${dirSuffix(dir)}"
-        Seq(log, s"${log}_meta", degT).foreach(Bucketing.dropManaged(s, _))
-        val e = coPurchaseEdgesWeighted(s, dir)
-        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 0),
-          "src", "dst", "w", log, degT, nBuckets = 8)
-        Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 1),
-          "src", "dst", "w", log, degT, nBuckets = 8)
+        builtOnce(s, log) {
+          Seq(log, s"${log}_meta", degT).foreach(Bucketing.dropManaged(s, _))
+          val e = coPurchaseEdgesWeighted(s, dir)
+          Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 0),
+            "src", "dst", "w", log, degT, nBuckets = 8)
+          Graph.ingestWeightedEdges(e.filter(pmod(col("src") + col("dst"), lit(2)) === 1),
+            "src", "dst", "w", log, degT, nBuckets = 8)
+        }
         Graph.ssspIngested(s, log,
           t(s, dir, "customer").filter(col("c_custkey") <= 3)
             .select(col("c_custkey")),

@@ -280,10 +280,12 @@ private[graft] object TextCorpusGates {
         import s.implicits._
         val table = s"graft_bm25_app_${dirSuffix(dir)}"
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        Retrieval.ingestBm25(d.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", table, nBuckets = 8)
-        Retrieval.appendBm25(d.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text", table)
+        builtOnce(s, table) {
+          Retrieval.ingestBm25(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", table, nBuckets = 8)
+          Retrieval.appendBm25(d.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", table)
+        }
         Retrieval.bm25TopKIngested(s, table,
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
@@ -300,14 +302,16 @@ private[graft] object TextCorpusGates {
         // a sharp exactly-once check, not just a smoke test.
         import s.implicits._
         val table = s"graft_bm25_str_${dirSuffix(dir)}"
-        Seq(table, s"${table}_dl", s"${table}_stats", s"${table}_commits")
-          .foreach(Bucketing.dropManaged(s, _))
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val deliver = Retrieval.bm25Sink(table, "doc_id", "text", nBuckets = 8)
-        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
-        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
-        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
-        deliver(d.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        builtOnce(s, table) {
+          Seq(table, s"${table}_dl", s"${table}_stats", s"${table}_commits")
+            .foreach(Bucketing.dropManaged(s, _))
+          val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          val deliver = Retrieval.bm25Sink(table, "doc_id", "text", nBuckets = 8)
+          deliver(d.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+          deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+          deliver(d.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+          deliver(d.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        }
         Retrieval.bm25TopKIngested(s, table,
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
@@ -328,9 +332,11 @@ private[graft] object TextCorpusGates {
         import s.implicits._
         val table = s"graft_bm25_del_${dirSuffix(dir)}"
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        Retrieval.ingestBm25(d, "doc_id", "text", table, nBuckets = 8)
-        Retrieval.deleteFromBm25(s, table,
-          d.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("doc")))
+        builtOnce(s, table) {
+          Retrieval.ingestBm25(d, "doc_id", "text", table, nBuckets = 8)
+          Retrieval.deleteFromBm25(s, table,
+            d.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("doc")))
+        }
         Retrieval.bm25TopKIngested(s, table,
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
       },
@@ -350,12 +356,14 @@ private[graft] object TextCorpusGates {
         import s.implicits._
         val table = s"graft_bm25_asof_${dirSuffix(dir)}"
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        Retrieval.ingestBm25(d.filter(col("doc_id") % 3 === 0),
-          "doc_id", "text", table, nBuckets = 8)
-        Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 1),
-          "doc_id", "text", table)
-        Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 2),
-          "doc_id", "text", table)
+        builtOnce(s, table) {
+          Retrieval.ingestBm25(d.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", table, nBuckets = 8)
+          Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 1),
+            "doc_id", "text", table)
+          Retrieval.appendBm25(d.filter(col("doc_id") % 3 === 2),
+            "doc_id", "text", table)
+        }
         Retrieval.bm25TopKIngested(s, table,
           bm25Queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10,
           asOf = Some(1L))
@@ -497,9 +505,11 @@ private[graft] object TextCorpusGates {
             "left_semi")
         val bmT = s"graft_ctx_bm25_${dirSuffix(dir)}"
         val annT = s"graft_ctx_ivfpq_${dirSuffix(dir)}"
-        Retrieval.ingestBm25(docs, "doc_id", "text", bmT, nBuckets = 8)
-        Similarity.ingestIvfPq(emb, "vec_id", "embedding", annT,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        builtOnce(s, bmT) {
+          Retrieval.ingestBm25(docs, "doc_id", "text", bmT, nBuckets = 8)
+          Similarity.ingestIvfPq(emb, "vec_id", "embedding", annT,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+        }
         val queries = Seq((9001L, "spark window join"),
           (9002L, "hash merge sort"), (9003L, "customer query table"))
           .toDF("qid", "qtext")
@@ -558,15 +568,17 @@ private[graft] object TextCorpusGates {
             "left_semi")
         val bmT = s"graft_ctxa_bm25_${dirSuffix(dir)}"
         val annT = s"graft_ctxa_ivfpq_${dirSuffix(dir)}"
-        Retrieval.ingestBm25(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", bmT, nBuckets = 8)
-        Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text", bmT)
-        Similarity.ingestIvfPq(emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", annT,
-          nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
-        Similarity.appendIvfPq(s, annT, emb.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding")
+        builtOnce(s, bmT) {
+          Retrieval.ingestBm25(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", bmT, nBuckets = 8)
+          Retrieval.appendBm25(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", bmT)
+          Similarity.ingestIvfPq(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", annT,
+            nCentroids = 16, m = 4, nCodes = 8, kmeansIters = 2, nBuckets = 8)
+          Similarity.appendIvfPq(s, annT, emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding")
+        }
         val asOf0 = Some(0L)
         val queries = Seq((9001L, "spark window join"),
           (9002L, "hash merge sort"), (9003L, "customer query table"))
@@ -939,10 +951,12 @@ private[graft] object TextCorpusGates {
         val table = s"graft_decontam_${dirSuffix(dir)}"
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
-        Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 74 === 0),
-          "doc_id", "text", n = 8, table, nBuckets = 8)
-        Corpus.appendDecontamIndex(s, table,
-          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+        builtOnce(s, table) {
+          Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 74 === 0),
+            "doc_id", "text", n = 8, table, nBuckets = 8)
+          Corpus.appendDecontamIndex(s, table,
+            docs.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+        }
         Corpus.decontaminateIngested(s, table, docs, "doc_id", "text")
       },
       decontamOracleSql),
@@ -961,11 +975,13 @@ private[graft] object TextCorpusGates {
         val table = s"graft_decontam_asof_${dirSuffix(dir)}"
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
-        Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 37 === 0),
-          "doc_id", "text", n = 8, table, nBuckets = 8)
-        Corpus.appendDecontamIndex(s, table,
-          docs.filter(col("doc_id") % 5 === 3 && col("doc_id") % 37 =!= 0),
-          "doc_id", "text")
+        builtOnce(s, table) {
+          Corpus.ingestDecontamIndex(docs.filter(col("doc_id") % 37 === 0),
+            "doc_id", "text", n = 8, table, nBuckets = 8)
+          Corpus.appendDecontamIndex(s, table,
+            docs.filter(col("doc_id") % 5 === 3 && col("doc_id") % 37 =!= 0),
+            "doc_id", "text")
+        }
         Corpus.decontaminateIngested(s, table, docs, "doc_id", "text",
           asOf = Some(0L))
       },
@@ -991,10 +1007,12 @@ private[graft] object TextCorpusGates {
           .union(Seq((99991L, Option.empty[String])).toDF("doc_id", "text"))
         val keepSuite = col("doc_id") % 37 === 0
         val retractable = col("doc_id") % 5 === 3 && col("doc_id") % 37 =!= 0
-        Corpus.ingestDecontamIndex(docs.filter(keepSuite || retractable),
-          "doc_id", "text", n = 8, table, nBuckets = 8)
-        Corpus.deleteFromDecontamIndex(s, table,
-          docs.filter(retractable).select(col("doc_id").as("doc")))
+        builtOnce(s, table) {
+          Corpus.ingestDecontamIndex(docs.filter(keepSuite || retractable),
+            "doc_id", "text", n = 8, table, nBuckets = 8)
+          Corpus.deleteFromDecontamIndex(s, table,
+            docs.filter(retractable).select(col("doc_id").as("doc")))
+        }
         Corpus.decontaminateIngested(s, table, docs, "doc_id", "text")
       },
       decontamOracleSql),
@@ -1294,13 +1312,53 @@ private[graft] object TextCorpusGates {
         // through the gradient chain — batch 2's gradient must be
         // invisible, and a doubled replay of batch 1 would shift w4.
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val table = s"graft_qm_asof_${dirSuffix(dir)}"
+        builtOnce(s, table) {
+          val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
+          val labeled = d
+            .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("label"), lit(0)).as("label"))
+            .localCheckpoint()
+          Seq(table, s"${table}_meta", s"${table}_commits")
+            .foreach(graft.ops.Bucketing.dropManaged(s, _))
+          val deliver = Corpus.qualityModelSink(table, "doc_id", "text",
+            nBuckets = 64, steps = 2)
+          deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+          deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+          deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
+          deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+        }
+        Corpus.qualityScoreIngested(s, table, d, "doc_id", "text",
+          asOf = Some(1L))
+          .select(col("id").as("doc_id"), col("score"), col("pred"))
+      },
+      qualityStreamedOracleSql(nBatches = 2)),
+
+    ("corpus_quality_asof_compacted",
+      (s: SparkSession, dir: String) => {
+        // RETENTION lifecycle for the weights-log family under the
+        // driver's hash — the [[Corpus.compactQualityModelLog]] twin of
+        // `similarity_lsh_asof_compacted`: three deliveries + a replay,
+        // then compact(keepLast = 2) drops batch 0's vector rows from
+        // the log (staged publish, never read-from-self). Both
+        // surviving reads serve from the rewritten log: the CURRENT
+        // view (batch 2's vector carries all three gradients — the
+        // oracle replays the full 3-batch chain and must still match)
+        // and asOf = 1 (retained). asOf = 0 sits below the retention
+        // horizon and must FAIL LOUDLY rather than serve a wrong
+        // vector; the gate proves it by catching the construction-time
+        // IllegalStateException and riding the verdict into the hashed
+        // result (`below_horizon_fails` — the oracle pins TRUE, so a
+        // silently-served vector OR a lost loud-failure flips the hash).
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val pass = Corpus.gopherFilter(d, "doc_id", "text").select(col("doc_id"))
         val labeled = d
           .join(pass.withColumn("label", lit(1)), Seq("doc_id"), "left")
           .select(col("doc_id"), col("text"),
             coalesce(col("label"), lit(0)).as("label"))
           .localCheckpoint()
-        val table = s"graft_qm_asof_${dirSuffix(dir)}"
+        val table = s"graft_qm_cmp_${dirSuffix(dir)}"
         Seq(table, s"${table}_meta", s"${table}_commits")
           .foreach(graft.ops.Bucketing.dropManaged(s, _))
         val deliver = Corpus.qualityModelSink(table, "doc_id", "text",
@@ -1309,11 +1367,30 @@ private[graft] object TextCorpusGates {
         deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
         deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 1), 1L) // replayed
         deliver(labeled.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
-        Corpus.qualityScoreIngested(s, table, d, "doc_id", "text",
+        Corpus.compactQualityModelLog(s, table, keepLast = 2)
+        val belowHorizonFails =
+          try {
+            Corpus.qualityScoreIngested(s, table, d, "doc_id", "text",
+              asOf = Some(0L))
+            false
+          } catch { case _: IllegalStateException => true }
+        val cur = Corpus.qualityScoreIngested(s, table, d, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("score"), col("pred"))
+          .withColumn("view", lit("current"))
+        val at1 = Corpus.qualityScoreIngested(s, table, d, "doc_id", "text",
           asOf = Some(1L))
           .select(col("id").as("doc_id"), col("score"), col("pred"))
+          .withColumn("view", lit("asof1"))
+        cur.unionByName(at1)
+          .withColumn("below_horizon_fails", lit(belowHorizonFails))
       },
-      qualityStreamedOracleSql(nBatches = 2)),
+      s"""SELECT q1.*, 'current' AS view, TRUE AS below_horizon_fails FROM (
+         |${qualityStreamedOracleSql(nBatches = 3)}
+         |) q1
+         |UNION ALL
+         |SELECT q2.*, 'asof1' AS view, TRUE AS below_horizon_fails FROM (
+         |${qualityStreamedOracleSql(nBatches = 2)}
+         |) q2""".stripMargin),
 
     ("corpus_perplexity",
       (s: SparkSession, dir: String) => {

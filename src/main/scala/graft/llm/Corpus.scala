@@ -428,7 +428,15 @@ object Corpus {
     */
   def perplexityScore(corpus: DataFrame, idCol: String, textCol: String,
                       bigrams: DataFrame, unigrams: DataFrame,
-                      tokensCol: Option[String] = None): DataFrame = {
+                      tokensCol: Option[String] = None,
+                      broadcastLm: Boolean = true): DataFrame = {
+    // broadcastLm=false drops the broadcast() hints so AQE picks the
+    // join sides — the huge-LM serving shape ([[bigramLm]] bounds the
+    // model by topM + ref vocab, but a web-scale ref vocab can outgrow
+    // executor memory; with the hints off, a small scored batch
+    // broadcasts INTO the LM instead of the other way around). Default
+    // true keeps the historical plan for model-sized LMs.
+    def lm(df: DataFrame): DataFrame = if (broadcastLm) broadcast(df) else df
     val toks = filter(tokensCol.map(col).getOrElse(
       TextAnalysis.tokens(col(textCol))), t => t =!= "")
     val totals = unigrams.agg(sum(col("cb")).as("t"), count(lit(1)).as("v"))
@@ -445,10 +453,10 @@ object Corpus {
         log((coalesce(col("cb"), lit(0L)) + 1).cast("double")
           / (col("t") + col("v")).cast("double")))
     pairs
-      .join(broadcast(bigrams), Seq("a", "b"), "left")
-      .join(broadcast(unigrams.select(col("b").as("a"), col("cb").as("ca"))),
+      .join(lm(bigrams), Seq("a", "b"), "left")
+      .join(lm(unigrams.select(col("b").as("a"), col("cb").as("ca"))),
         Seq("a"), "left")
-      .join(broadcast(unigrams), Seq("b"), "left")
+      .join(lm(unigrams), Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(graft.Num.r6(-avg(lp)).as("ppl"))
@@ -1527,6 +1535,23 @@ object Corpus {
     * rows — literal-sized by construction, so the rewrite stages
     * through the driver (same bounded-collect argument as the scoring
     * path, which already rides the whole vector as a literal).
+    *
+    * PUBLISH is staged, never a read-from-self overwrite (the
+    * [[graft.ops.Bucketing.compactBucketedStaged]] discipline): the
+    * survivors are written to `<table>__compacting`, the live log
+    * parks as `<table>__precompact`, the compacted copy takes the
+    * name, the backup drops LAST — so a full copy of the weights log
+    * stays live under a deterministic name at every instant. A crash
+    * mid-rewrite can no longer lose the log and silently restart
+    * training from the zero vector while the commit log still marks
+    * the lost batches committed. A leftover backup from an interrupted
+    * publish fails the next attempt loudly instead of compacting
+    * whatever now answers to the name.
+    *
+    * Single-writer contract (same as the sink itself): no in-flight
+    * [[qualityModelSink]] delivery may run concurrently — a batch
+    * committed between the snapshot read and the rename swap would be
+    * dropped from the weights log while staying marked committed.
     */
   def compactQualityModelLog(spark: org.apache.spark.sql.SparkSession,
                              table: String, keepLast: Int): Unit = {
@@ -1534,6 +1559,12 @@ object Corpus {
     val ct = s"${table}_commits"
     if (!spark.catalog.tableExists(table) ||
         !spark.catalog.tableExists(ct)) return
+    val tmp = s"${table}__compacting"
+    val backup = s"${table}__precompact"
+    require(!spark.catalog.tableExists(backup),
+      s"compactQualityModelLog: leftover '$backup' from an interrupted " +
+        s"compaction — recover (rename it or '$tmp' back to '$table') " +
+        "before compacting again")
     val keep = spark.table(ct).select(col("batch_id"))
       .orderBy(col("batch_id").desc).limit(keepLast)
     val kept = spark.table(table)
@@ -1542,6 +1573,9 @@ object Corpus {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     import spark.implicits._
     kept.toDF("batch_id", "b", "wm").write.mode("overwrite")
-      .format("parquet").saveAsTable(table)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$backup`")
   }
 }

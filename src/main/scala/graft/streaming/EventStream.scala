@@ -498,13 +498,39 @@ object EventStream {
     * r6 rounding — stream-vs-batch equality is asserted in
     * StreamingSpec. Docs with fewer than two tokens have no score and
     * are rejected, matching the batch filter's conservative default.
+    *
+    * SIZE CONTRACT (`maxLmRows`, per table): the LM rides every task as
+    * a driver-collected literal map — the right shape for a
+    * topM-pruned model, the WRONG shape for a web-scale ref vocab
+    * (the unigram table is ref-vocab-sized and unbounded in general).
+    * Above the cap this fails LOUDLY at construction instead of
+    * OOMing the driver mid-stream. The above-cap path is
+    * [[perplexityScoredSink]]: a stateless per-row map cannot
+    * re-aggregate per doc after a relational LM join (streaming append
+    * mode forbids the groupBy without state), so the join-path twin is
+    * a micro-batch delivery — the same escape-hatch shape as the
+    * codebook literal/table switch in
+    * [[graft.llm.Similarity]] (`maxLiteralBookRows`).
     */
   def perplexityStream(docs: Dataset[DocText], bigrams: DataFrame,
-                       unigrams: DataFrame, maxScore: Double): Dataset[ScoredDoc] = {
+                       unigrams: DataFrame, maxScore: Double,
+                       maxLmRows: Int = 1 << 20): Dataset[ScoredDoc] = {
     import docs.sparkSession.implicits._
-    val bg: Map[(String, String), Long] = bigrams.collect()
+    require(maxLmRows >= 0, "maxLmRows must be non-negative")
+    // limit(cap + 1): the guard never scans past the cap, and the
+    // under-cap rows are REUSED as the literal (one collect, not two)
+    val bgRows = bigrams.limit(maxLmRows + 1).collect()
+    val uniRows = unigrams.limit(maxLmRows + 1).collect()
+    require(bgRows.length <= maxLmRows && uniRows.length <= maxLmRows,
+      s"perplexityStream: LM exceeds maxLmRows=$maxLmRows per table " +
+        s"(bigrams > ${maxLmRows.min(bgRows.length)}, unigrams > " +
+        s"${maxLmRows.min(uniRows.length)}) — a literal map of this " +
+        "model would ride the driver and every task; prune it " +
+        "(bigramLm's topM) or serve through the join path: " +
+        "perplexityScoredSink (foreachBatch, LM stays a cluster table)")
+    val bg: Map[(String, String), Long] = bgRows
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val uni: Map[String, Long] = unigrams.collect()
+    val uni: Map[String, Long] = uniRows
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val t = uni.values.sum
     val v = uni.size.toLong
@@ -543,6 +569,43 @@ object EventStream {
           ScoredDoc(d.doc_id, Some(ppl), ppl <= maxScore)
         }
       }
+    }
+  }
+
+  /** The JOIN-PATH twin of [[perplexityStream]] for LMs above its
+    * literal cap: a `foreachBatch` delivery that scores each
+    * micro-batch RELATIONALLY against persisted LM tables — the model
+    * never leaves the cluster (no driver collect, no task-serialized
+    * map; with the broadcast hints off, AQE broadcasts the SMALL
+    * micro-batch into the LM join, or falls back to shuffle for a
+    * truly huge vocab). Output appends `ScoredDoc`-shaped rows
+    * (doc_id, ppl, keep) to `outTable`, exactly once per batch id
+    * ([[ExactlyOnce]] — replays are no-ops).
+    *
+    * Bit-identical to the literal path by construction: the scoring IS
+    * [[graft.llm.Corpus.perplexityScore]], the batch pipeline both
+    * twins mirror (same tokens, same C(a,b)/C(a), same ln(0.4) stupid
+    * backoff, same r6); docs the batch scorer drops (< 2 tokens) or
+    * cannot score (all terms skipped on an inconsistent model) come
+    * back as ppl = null / keep = false via the left join, matching the
+    * stream twin's reject rows. StreamingSpec pins all three equal.
+    */
+  def perplexityScoredSink(bigramsTable: String, unigramsTable: String,
+                           maxScore: Double, outTable: String)
+      : (Dataset[DocText], Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    ExactlyOnce.once(spark, s"${outTable}_commits", batchId) {
+      val scored = graft.llm.Corpus.perplexityScore(
+        batch.toDF(), "doc_id", "text",
+        spark.table(bigramsTable), spark.table(unigramsTable),
+        broadcastLm = false)
+      val out = batch.toDF().select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ppl"),
+          coalesce(col("ppl") <= lit(maxScore), lit(false)).as("keep"))
+      if (!spark.catalog.tableExists(outTable))
+        graft.ops.Bucketing.dropManaged(spark, outTable)
+      out.write.mode("append").format("parquet").saveAsTable(outTable)
     }
   }
 

@@ -209,6 +209,37 @@ class QualityModelSpec extends AnyFunSuite {
       assert(e.getMessage.contains("no committed training batch"))
       // the commit log is untouched — a replayed old batch stays a no-op
       assert(spark.table(s"${t}_commits").count() == 3L)
+      // staged publish left no residue under either staging name
+      assert(!spark.catalog.tableExists(s"${t}__compacting") &&
+        !spark.catalog.tableExists(s"${t}__precompact"))
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
+  test("compactQualityModelLog: an interrupted publish fails the next attempt loudly, with both copies recoverable") {
+    import spark.implicits._
+    val t = "graft_qm_crashpub"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits", s"${t}__precompact",
+      s"${t}__compacting")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      val deliver = Corpus.qualityModelSink(t, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      deliver(labeled.filter(col("doc_id") % 2 === 0), 0L)
+      deliver(labeled.filter(col("doc_id") % 2 === 1), 1L)
+      // simulate a crash between the two renames: the original parked
+      // as backup — exactly the window the staged publish leaves open
+      spark.sql(s"ALTER TABLE `$t` RENAME TO `${t}__precompact`")
+      spark.table(s"${t}__precompact").localCheckpoint()
+        .write.format("parquet").saveAsTable(t)
+      val e = intercept[IllegalArgumentException] {
+        Corpus.compactQualityModelLog(spark, t, keepLast = 1)
+      }
+      assert(e.getMessage.contains("__precompact"))
+      // the guard refused BEFORE touching anything: the weights log and
+      // the parked backup both still serve
+      assert(spark.table(t).count() > 0 &&
+        spark.table(s"${t}__precompact").count() > 0)
     } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
   }
 

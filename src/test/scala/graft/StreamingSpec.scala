@@ -438,6 +438,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(2L).isEmpty && streamed(2L) == ((None, false)))
   }
 
+  test("perplexity LM cap: literal path refuses an over-cap model loudly; the join-path sink is bit-identical and replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStream.DocText
+    val bg = Seq(("the", "quick", 3L), ("quick", "brown", 2L),
+      ("brown", "fox", 1L)).toDF("a", "b", "cab")
+    val uni = Seq(("the", 5L), ("quick", 3L), ("brown", 2L), ("fox", 1L))
+      .toDF("b", "cb")
+    val docs = Seq(
+      DocText(1L, "the quick brown fox"),        // LM hits
+      DocText(2L, "unseen words entirely here"), // OOV backoff
+      DocText(3L, "solo"),                       // < 2 tokens -> reject
+      DocText(4L, null))                         // null -> reject
+    // cap 0 forces the switch: the literal path must fail at
+    // CONSTRUCTION (not OOM mid-stream) and name the join-path twin
+    val ex = intercept[IllegalArgumentException] {
+      EventStream.perplexityStream(docs.toDS(), bg, uni, maxScore = 3.0,
+        maxLmRows = 0)
+    }
+    assert(ex.getMessage.contains("perplexityScoredSink"))
+
+    // join path: LM persisted as cluster tables, scored per micro-batch
+    val bgT = "graft_ppl_join_bg"
+    val uniT = "graft_ppl_join_uni"
+    val outT = "graft_ppl_join_out"
+    Seq(bgT, uniT, outT, s"${outT}_commits")
+      .foreach(graft.ops.Bucketing.dropManaged(spark, _))
+    bg.write.format("parquet").saveAsTable(bgT)
+    uni.write.format("parquet").saveAsTable(uniT)
+    val sink = EventStream.perplexityScoredSink(bgT, uniT, maxScore = 3.0,
+      outTable = outT)
+    sink(docs.take(2).toDS(), 0L)
+    sink(docs.drop(2).toDS(), 1L)
+    sink(docs.drop(2).toDS(), 1L) // replayed delivery: must be a no-op
+    val got = spark.table(outT).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+      .toMap
+    assert(spark.table(outT).count() == 4L) // replay appended nothing
+    val batch = graft.llm.Corpus.perplexityScore(
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", bg, uni)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scored docs: join-path ppl equals the batch pipeline exactly
+    assert(got(1L) == ((Some(batch(1L)), batch(1L) <= 3.0)))
+    assert(got(2L) == ((Some(batch(2L)), batch(2L) <= 3.0)))
+    // scoreless docs surface as reject rows, matching the stream twin
+    assert(got(3L) == ((None, false)) && got(4L) == ((None, false)))
+    // and the literal-path stream twin agrees wherever it scores
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocText]
+    val q = EventStream.perplexityStream(mem.toDS(), bg, uni, maxScore = 3.0)
+      .writeStream.format("memory").queryName("ppl_cap_lit_test")
+      .outputMode("append").start()
+    val lit = try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      spark.table("ppl_cap_lit_test")
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+        .toMap
+    } finally q.stop()
+    assert(lit == got)
+  }
+
   test("streaming sequence packing equals the batch operator under ordered delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
