@@ -114,15 +114,29 @@ object Bench {
     val bandsAssumeSf = sys.env.get("SPARK_GRAFT_CANARY_BANDS")
       .map(_ => sfDir).getOrElse("/root/testdata/sf0.1")
     val canaryBands = sys.env.get("SPARK_GRAFT_CANARY_BANDS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-        val Array(n, thr) = kv.split(":")
-        n.trim -> thr.trim.toDouble
-      }).getOrElse(defaultBands)
+      .map { raw =>
+        val parsed = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+          val Array(n, thr) = kv.split(":")
+          n.trim -> thr.trim.toDouble
+        }
+        // an empty band list would adjudicate window_clean=true with
+        // ZERO canaries vouching for the window; an unknown name would
+        // read "null" — the verdict reserved for deliberate
+        // SPARK_GRAFT_ONLY omission. Both fail loudly, mirroring the
+        // SPARK_GRAFT_ONLY validation above
+        require(parsed.nonEmpty,
+          "SPARK_GRAFT_CANARY_BANDS parsed to zero bands — unset the " +
+            "variable to use the default bands instead")
+        val unknown = parsed.map(_._1).toSet.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_CANARY_BANDS names not in the registry: ${unknown.mkString(", ")}")
+        parsed
+      }.getOrElse(defaultBands)
     val rmap = results.toMap
     val canaries = canaryBands.map { case (n, thr) =>
       val v = rmap.get(n).map(fmt).getOrElse("null")
       s"""\"$n\":{"sec":$v,"max_clean":$thr}"""
-    }.mkString("{", ",", s""","bands_assume_sf":"$bandsAssumeSf"}""")
+    }.mkString("{", ",", "}")
     // verdict semantics: null is reserved for canaries DELIBERATELY
     // omitted via SPARK_GRAFT_ONLY; a canary that was selected but
     // crashed in the timed pass reads FALSE (dirty) — a broken canary
@@ -149,7 +163,7 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    val scatterFlags = results
+    val scatterResults = results
       .filter { case (n, v) => bars.get(n).exists(b => v > 3 * b && v - b > 0.3) }
       .map { case (n, v) =>
         val fn = SparkEntry.queries(n)
@@ -157,10 +171,31 @@ object Bench {
         val rerun = try { fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
-        s"""\"$n\":{"sec":${fmt(v)},"bar":${fmt(bars(n))},"rerun":${rerun.map(fmt).getOrElse("null")}}"""
-      }.mkString("{", ",", "}")
+        // the rerun adjudicates EXPLICITLY: back at bar = "scatter";
+        // still >1.5x the bar (+0.3 s) = "suspect" — a rerun that
+        // merely clears the 3x trigger while confirming a 1.5-3x
+        // elevation is evidence, not noise (round 19's corpus_gopher
+        // rerun read 1.6x its bar and was silently treated as
+        // cleared); >3x again = "confirmed"; a crashed rerun cannot
+        // vouch for anything = "failed"
+        val b = bars(n)
+        val verdict = rerun match {
+          case None => "failed"
+          case Some(r) if r > 3 * b && r - b > 0.3 => "confirmed"
+          case Some(r) if r > 1.5 * b && r - b > 0.3 => "suspect"
+          case Some(_) => "scatter"
+        }
+        (n, v, b, rerun, verdict)
+      }
+    val scatterFlags = scatterResults.map { case (n, v, b, rerun, verdict) =>
+      s"""\"$n\":{"sec":${fmt(v)},"bar":${fmt(b)},"rerun":${rerun.map(fmt).getOrElse("null")},"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
+    // non-cleared flags surfaced as a flat list so the retained tail of
+    // a truncated artifact still names them
+    val suspects = scatterResults.filter(_._5 != "scatter")
+      .map(t => "\"" + t._1 + "\"").mkString("[", ",", "]")
     val loadJson = load1m.map(fmt).getOrElse("null")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed,"load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean,"scatter_flags":$scatterFlags}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","warm_failures":$warmFailures,"runs":$runs,"timed_failures":$failed,"load_1m":$loadJson,"canaries":$canaries,"bands_assume_sf":"$bandsAssumeSf","window_clean":$windowClean,"scatter_flags":$scatterFlags,"suspects":$suspects}""")
     // The driver's artifact retains only the TAIL of stdout (~2000
     // chars): round 9's full JSON lost its own total and half the
     // per-query numbers to the cut. Print a compact summary LAST so the
@@ -168,7 +203,7 @@ object Bench {
     // full line is truncated.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir","load_1m":$loadJson,"canaries":$canaries,"window_clean":$windowClean,"scatter_flags":$scatterFlags}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"timed_failures":$failed,"top10_slowest":$top10,"sf":"$sfDir","load_1m":$loadJson,"canaries":$canaries,"bands_assume_sf":"$bandsAssumeSf","window_clean":$windowClean,"scatter_flags":$scatterFlags,"suspects":$suspects}""")
     spark.stop()
   }
 }

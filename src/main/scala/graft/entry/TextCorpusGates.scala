@@ -1405,6 +1405,47 @@ private[graft] object TextCorpusGates {
       },
       s"WITH $perplexityCtes SELECT doc_id, ppl FROM ppl"),
 
+    ("corpus_perplexity_streamed",
+      (s: SparkSession, dir: String) => {
+        // the JOIN-PATH LM serving lifecycle under the driver's hash —
+        // [[graft.streaming.EventStream.perplexityScoredSink]] was the
+        // one lifecycle verb with spec-only coverage: the pruned LM
+        // persists as CLUSTER TABLES (never driver-collected — the
+        // above-cap escape hatch of perplexityStream's literal path),
+        // the corpus arrives as three foreachBatch deliveries
+        // (doc_id % 3) with batch 1 RE-delivered (commit-log no-op — a
+        // doubled append would duplicate those rows and flip the
+        // driver's hash), and the sink scores each micro-batch
+        // RELATIONALLY (broadcastLm=false: AQE broadcasts the small
+        // batch into the LM join). Docs the batch scorer drops
+        // (< 2 tokens / unscorable) come back ppl=null, keep=false via
+        // the sink's left join. The oracle replays the batch scorer
+        // over the full corpus: exactly-once delivery of a disjoint
+        // partition IS the batch result.
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val (bg, uni) = Corpus.bigramLm(docs.filter(col("doc_id") % 10 === 0),
+          "text", topM = 100)
+        val pre = s"graft_ppl_str_${dirSuffix(dir)}"
+        val (bgT, uniT, outT) = (s"${pre}_bg", s"${pre}_uni", s"${pre}_out")
+        Seq(bgT, uniT, outT, s"${outT}_commits")
+          .foreach(graft.ops.Bucketing.dropManaged(s, _))
+        bg.write.format("parquet").saveAsTable(bgT)
+        uni.write.format("parquet").saveAsTable(uniT)
+        val deliver = graft.streaming.EventStream.perplexityScoredSink(
+          bgT, uniT, maxScore = 4.2, outTable = outT)
+        def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .as[graft.streaming.EventStream.DocText]
+        deliver(slice(0), 0L)
+        deliver(slice(1), 1L)
+        deliver(slice(1), 1L) // replayed — must be a commit-log no-op
+        deliver(slice(2), 2L)
+        s.table(outT).select(col("doc_id"), col("ppl"), col("keep"))
+      },
+      s"""WITH $perplexityCtes
+         |SELECT d.doc_id, p.ppl, coalesce(p.ppl <= 4.2, FALSE) AS keep
+         |FROM documents d LEFT JOIN ppl p USING (doc_id)""".stripMargin),
+
     ("corpus_admission_full",
       (s: SparkSession, dir: String) => {
         // the CAPSTONE composite: the full pretraining admission

@@ -1557,14 +1557,20 @@ object Corpus {
                              table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "keepLast must be positive")
     val ct = s"${table}_commits"
-    if (!spark.catalog.tableExists(table) ||
-        !spark.catalog.tableExists(ct)) return
     val tmp = s"${table}__compacting"
     val backup = s"${table}__precompact"
+    // leftover detection MUST precede the missing-table early return: a
+    // crash between the two publish renames leaves the log parked as
+    // `backup` while the table name is unoccupied — an early return
+    // keyed on tableExists(table) would silently no-op right past the
+    // evidence (the recovery contract is LOUD failure in EVERY crash
+    // window, never a quiet skip)
     require(!spark.catalog.tableExists(backup),
       s"compactQualityModelLog: leftover '$backup' from an interrupted " +
         s"compaction — recover (rename it or '$tmp' back to '$table') " +
         "before compacting again")
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(ct)) return
     val keep = spark.table(ct).select(col("batch_id"))
       .orderBy(col("batch_id").desc).limit(keepLast)
     val kept = spark.table(table)

@@ -518,14 +518,18 @@ object EventStream {
     import docs.sparkSession.implicits._
     require(maxLmRows >= 0, "maxLmRows must be non-negative")
     // limit(cap + 1): the guard never scans past the cap, and the
-    // under-cap rows are REUSED as the literal (one collect, not two)
-    val bgRows = bigrams.limit(maxLmRows + 1).collect()
-    val uniRows = unigrams.limit(maxLmRows + 1).collect()
-    require(bgRows.length <= maxLmRows && uniRows.length <= maxLmRows,
-      s"perplexityStream: LM exceeds maxLmRows=$maxLmRows per table " +
-        s"(bigrams > ${maxLmRows.min(bgRows.length)}, unigrams > " +
-        s"${maxLmRows.min(uniRows.length)}) — a literal map of this " +
-        "model would ride the driver and every task; prune it " +
+    // under-cap rows are REUSED as the literal (one collect, not two).
+    // cap + 1 saturates instead of overflowing — maxLmRows =
+    // Int.MaxValue would wrap negative and limit() would reject it
+    val probe = if (maxLmRows == Int.MaxValue) maxLmRows else maxLmRows + 1
+    val bgRows = bigrams.limit(probe).collect()
+    val uniRows = unigrams.limit(probe).collect()
+    val overCap = Seq("bigrams" -> bgRows.length, "unigrams" -> uniRows.length)
+      .collect { case (nm, n) if n > maxLmRows => nm }
+    require(overCap.isEmpty,
+      s"perplexityStream: LM exceeds maxLmRows=$maxLmRows " +
+        s"(over-cap table(s): ${overCap.mkString(", ")}) — a literal map " +
+        "of this model would ride the driver and every task; prune it " +
         "(bigramLm's topM) or serve through the join path: " +
         "perplexityScoredSink (foreachBatch, LM stays a cluster table)")
     val bg: Map[(String, String), Long] = bgRows

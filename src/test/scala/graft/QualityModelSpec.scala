@@ -243,6 +243,32 @@ class QualityModelSpec extends AnyFunSuite {
     } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
   }
 
+  test("compactQualityModelLog: mid-publish crash with the table name UNOCCUPIED still fails loudly, never no-ops") {
+    import spark.implicits._
+    val t = "graft_qm_crashmid"
+    val deps = Seq(t, s"${t}_meta", s"${t}_commits", s"${t}__precompact",
+      s"${t}__compacting")
+    deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+    try {
+      val labeled = fixture.join(labels, Seq("doc_id"))
+      val deliver = Corpus.qualityModelSink(t, "doc_id", "text",
+        nBuckets = 32, steps = 2)
+      deliver(labeled.filter(col("doc_id") % 2 === 0), 0L)
+      // the OTHER crash window of the staged publish: after rename 1,
+      // before rename 2 — the log is parked as backup and the table
+      // name answers to NOTHING. A tableExists(table) early return
+      // would silently no-op here and report a compaction that never
+      // ran; the leftover guard must fire FIRST
+      spark.sql(s"ALTER TABLE `$t` RENAME TO `${t}__precompact`")
+      val e = intercept[IllegalArgumentException] {
+        Corpus.compactQualityModelLog(spark, t, keepLast = 1)
+      }
+      assert(e.getMessage.contains("__precompact"))
+      // the parked copy is untouched and recoverable
+      assert(spark.table(s"${t}__precompact").count() > 0)
+    } finally deps.foreach(d => spark.sql(s"DROP TABLE IF EXISTS `$d`"))
+  }
+
   test("serving before the first commit fails loudly") {
     import spark.implicits._
     val t = "graft_qm_nocommit"

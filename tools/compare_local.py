@@ -4,7 +4,12 @@
 executes each oracle SQL in DuckDB over the same sf dir and compares
 row count, schema (sorted column names), and values (rows sorted).
 
-Usage: python3 tools/compare_local.py <sfDir> <verifyOutDir> [query ...]
+With --artifact PATH it additionally writes a per-query record in the
+driver's CORRECTNESS_r{N}.json schema ({rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}) — the local record that
+survives when the driver's own artifact comes back empty (r16/r18/r19).
+
+Usage: python3 tools/compare_local.py [--artifact PATH] <sfDir> <verifyOutDir> [query ...]
 """
 import duckdb, glob, json, math, os, sys
 
@@ -29,13 +34,25 @@ def key(row):
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    artifact = None
+    if argv and argv[0] == "--artifact":
+        artifact = argv[1]
+        argv = argv[2:]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    records = {}
+
+    def record(name, rows_m, schema_m, hash_m, srows, orows, err):
+        records[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                         "hash_match": hash_m, "spark_rows": srows,
+                         "oracle_rows": orows, "err": err}
+
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -43,6 +60,7 @@ def main():
         files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, False, False, None, None, "no spark output")
             n_fail += 1
             continue
         try:
@@ -54,10 +72,15 @@ def main():
             drows = duck.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e)[:300]}")
+            record(name, False, False, False, None, None,
+                   f"exec error: {str(e)[:300]}")
             n_fail += 1
             continue
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            record(name, len(srows) == len(drows), False, False,
+                   len(srows), len(drows),
+                   f"columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
         # Oracle output-TYPE parity (the rounds-8/9 red-row class): the
@@ -69,8 +92,11 @@ def main():
         tbad = [(c, stypes[c], dtypes[c]) for c in scols
                 if stypes[c] != dtypes[c]]
         if tbad:
-            print(f"FAIL {name}: oracle/spark type mismatch: "
-                  + ", ".join(f"{c} spark={a} duck={b}" for c, a, b in tbad))
+            msg = ("oracle/spark type mismatch: "
+                   + ", ".join(f"{c} spark={a} duck={b}" for c, a, b in tbad))
+            print(f"FAIL {name}: {msg}")
+            record(name, len(srows) == len(drows), True, False,
+                   len(srows), len(drows), msg)
             n_fail += 1
             continue
         # reorder values to sorted-column order, then sort rows
@@ -80,6 +106,8 @@ def main():
         ddata = sorted(([norm(r[i]) for i in didx] for r in drows), key=key)
         if len(sdata) != len(ddata):
             print(f"FAIL {name}: rows spark={len(sdata)} duck={len(ddata)}")
+            record(name, False, True, False, len(sdata), len(ddata),
+                   f"rows spark={len(sdata)} duck={len(ddata)}")
             n_fail += 1
             continue
         bad = None
@@ -92,10 +120,17 @@ def main():
             print(f"FAIL {name}: first diff at sorted row {i} (cols {scols}):")
             print(f"  spark: {a}")
             print(f"  duck : {b}")
+            record(name, True, True, False, len(sdata), len(ddata),
+                   f"first diff at sorted row {i}")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sdata)} rows")
+            record(name, True, True, True, len(sdata), len(ddata), None)
             n_pass += 1
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump(records, f, indent=2, sort_keys=True)
+        print(f"== artifact: {artifact} ({len(records)} queries) ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
