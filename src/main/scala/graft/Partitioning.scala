@@ -92,4 +92,36 @@ object Partitioning {
     * for session cache audits (and the unit tests).
     */
   def pinnedCount: Int = pins.size()
+
+  /** Eager lineage truncation for a relation an ITERATIVE operator
+    * re-joins on `key` every round: materialize it hash-partitioned by
+    * `key` (explicit partition count = `spark.sql.shuffle.partitions`,
+    * which AQE never coalesces for explicit-N repartitions), sorted
+    * within partitions, through the partitioning-preserving local
+    * checkpoint ([[GraftBridge.localCheckpointKeepPartitioning]] — a
+    * plain `localCheckpoint` degrades to `UnknownPartitioning` under
+    * AQE, so every iteration re-Exchanges AND re-Sorts the static side
+    * of its join; guide §2.4: operations keyed the same way should
+    * share one exchange). Costs one extra exchange + sort at build;
+    * removes one |relation|-sized exchange + sort from EVERY iteration.
+    * Storage/recovery semantics identical to `localCheckpoint(true)`.
+    */
+  def checkpointKeyed(df: DataFrame, key: String,
+                      numParts: Option[Int] = None): DataFrame = {
+    val n = numParts.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    GraftBridge.localCheckpointKeepPartitioning(
+      df.repartition(n, org.apache.spark.sql.functions.col(key))
+        .sortWithinPartitions(key))
+  }
+
+  /** [[GraftBridge.localCheckpointKeepPartitioning]] pass-through for
+    * per-round state relations: same truncation as
+    * `localCheckpoint(true)`, but whatever hash layout the round's plan
+    * produced stays visible to the next round's planner (one fewer
+    * exchange when rounds are keyed consistently; never worse than the
+    * unknown-partitioning baseline).
+    */
+  def checkpointKeep(df: DataFrame): DataFrame =
+    GraftBridge.localCheckpointKeepPartitioning(df)
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,7 +69,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol)._1
+    iterate(graft.Partitioning.checkpointKeyed(e.join(deg, "src"), "src"), iters, damping, tol)._1
   }
 
   /** [[pageRank]] plus the number of iterations actually run — the
@@ -79,7 +81,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol)
+    iterate(graft.Partitioning.checkpointKeyed(e.join(deg, "src"), "src"), iters, damping, tol)
   }
 
   /** Write the degree-annotated edge relation `(src, dst, deg)` as a
@@ -138,7 +140,8 @@ object Graph {
                        iters: Int, damping: Double = 0.85d,
                        tol: Double = 0.0d): DataFrame =
     iterate(spark.table(logTable).join(spark.table(degTable), "src"),
-      iters, damping, tol)._1
+      iters, damping, tol,
+      keyParts = Some(Bucketing.bucketCountOf(spark, logTable)))._1
 
   /** PageRank over a [[writeEdges]]-bucketed edge table: bit-identical
     * output to [[pageRank]] on the same edges (same arithmetic, same
@@ -150,7 +153,8 @@ object Graph {
   def pageRankBucketed(spark: SparkSession, edgeTable: String,
                        iters: Int, damping: Double = 0.85d,
                        tol: Double = 0.0d): DataFrame =
-    iterate(spark.table(edgeTable), iters, damping, tol)._1
+    iterate(spark.table(edgeTable), iters, damping, tol,
+      keyParts = Some(Bucketing.bucketCountOf(spark, edgeTable)))._1
 
   /** Weighted PageRank: each out-edge carries a weight and src's rank
     * splits PROPORTIONALLY to weight instead of uniformly — the
@@ -188,7 +192,8 @@ object Graph {
           .cast("long").as("wmu"))
       .where(col("wmu") > 0L)
     val deg = e.groupBy("src").agg(sum(col("wmu")).as("degmu"))
-    iterate(e.join(deg, "src").localCheckpoint(true), iters, damping, tol,
+    iterate(graft.Partitioning.checkpointKeyed(e.join(deg, "src"), "src"),
+      iters, damping, tol,
       contrib = col("rank") * col("wmu").cast("double")
         / col("degmu").cast("double"))._1
   }
@@ -280,7 +285,8 @@ object Graph {
     iterate(spark.table(logTable).join(spark.table(degTable), "src"),
       iters, damping, tol,
       contrib = col("rank") * col("wmu").cast("double")
-        / col("degmu").cast("double"))._1
+        / col("degmu").cast("double"),
+      keyParts = Some(Bucketing.bucketCountOf(spark, logTable)))._1
   }
 
   /** [[sssp]] over an [[ingestWeightedEdges]] log — shortest paths need
@@ -325,7 +331,8 @@ object Graph {
     requireWeightedTable(spark, table)
     iterate(spark.table(table), iters, damping, tol,
       contrib = col("rank") * col("wmu").cast("double")
-        / col("degmu").cast("double"))._1
+        / col("degmu").cast("double"),
+      keyParts = Some(Bucketing.bucketCountOf(spark, table)))._1
   }
 
   /** Personalized PageRank (PPR): rank mass teleports to a SEED SET
@@ -355,9 +362,9 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    val eDeg = graft.Partitioning.checkpointKeyed(e.join(deg, "src"), "src")
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeep)
     val nS = sd.count()
     // no seeds → nothing to personalize toward: empty ranking, the
     // same graceful empty-input contract as pageRank on empty edges
@@ -369,10 +376,10 @@ object Graph {
       .distinct()
       .join(sd.select(col("node"), lit(true).as("__s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeyed(_, "node"))
     val danglingNodes = nodes
       .join(eDeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeep)
     val hasDangling = danglingNodes.limit(1).count() > 0L
     val tp = (1.0d - damping) / nSD
     var ranks = nodes.select(col("node"), col("seed"),
@@ -397,7 +404,7 @@ object Graph {
             when(col("seed"), col("dm") / lit(nSD)).otherwise(lit(0.0d))))
       ranks = withDm.select(col("node"), col("seed"), newRank.as("rank"))
       i += 1
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (i < iters) ranks = ranks.pipe(graft.Partitioning.checkpointKeep)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -423,8 +430,9 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val e = graft.Partitioning.checkpointKeyed(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")), "src")
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -440,7 +448,7 @@ object Graph {
       labels = labels.join(vote, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
       i += 1
-      if (i < iters) labels = labels.localCheckpoint(true)
+      if (i < iters) labels = labels.pipe(graft.Partitioning.checkpointKeep)
     }
     labels
   }
@@ -458,20 +466,30 @@ object Graph {
     */
   private def iterate(eDeg: DataFrame, iters: Int, damping: Double,
                       tol: Double = 0.0d,
-                      contrib: Column = col("rank") / col("deg")): (DataFrame, Int) = {
+                      contrib: Column = col("rank") / col("deg"),
+                      keyParts: Option[Int] = None): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     require(damping > 0.0d && damping < 1.0d, "damping must be in (0, 1)")
     require(tol >= 0.0d, "tol must be non-negative")
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    // keyed at the session's shuffle-partition count: every iteration
+    // LEFT-joins nodes on `node` against the contribution aggregate —
+    // a keyed claim pins the join (and therefore each round's OUTPUT)
+    // at plain hash(node, P), which the next round's rank-side join
+    // reuses through the node->src alias (zero rank-side exchange)
+    // keyParts aligns the node/rank keying with a BUCKETED edge
+    // relation's bucket count so the co-location cascade below holds
+    // for the bucketed/ingested twins too (a mismatched count would
+    // re-exchange the rank side to the bucket count every round)
+    val nodes = graft.Partitioning.checkpointKeyed(
+      eDeg.select(col("src").as("node"))
+        .union(eDeg.select(col("dst").as("node")))
+        .distinct(), "node", keyParts)
     val n = nodes.count()
     if (n == 0L) return (nodes.withColumn("rank", lit(0.0d)), 0)
 
     val danglingNodes = nodes
       .join(eDeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeep)
     val hasDangling = danglingNodes.limit(1).count() > 0L
 
     val nD = n.toDouble
@@ -503,7 +521,7 @@ object Graph {
       i += 1
       if (tol > 0.0d) {
         val next = withDm.select(col("node"), col("prev"), newRank.as("rank"))
-          .localCheckpoint(true)
+          .pipe(graft.Partitioning.checkpointKeep)
         val delta = next.agg(coalesce(sum(abs(col("rank") - col("prev"))),
           lit(0.0d))).first().getDouble(0)
         converged = delta < tol
@@ -513,7 +531,7 @@ object Graph {
         // truncate lineage between iterations; the LAST iteration stays
         // lazy so the caller's sink job is the one that materializes it
         // (and its plan stays inspectable)
-        if (i < iters) ranks = ranks.localCheckpoint(true)
+        if (i < iters) ranks = ranks.pipe(graft.Partitioning.checkpointKeep)
       }
     }
     (ranks, i)
@@ -546,8 +564,9 @@ object Graph {
     */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val e = graft.Partitioning.checkpointKeyed(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")), "src")
     bfsLoop(e, sources, sourceCol, maxHops)
   }
 
@@ -568,7 +587,7 @@ object Graph {
                       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     var reached = sources.select(col(sourceCol).cast("long").as("node")).distinct()
-      .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+      .select(col("node"), lit(0).as("dist")).pipe(graft.Partitioning.checkpointKeep)
     var frontier = reached
     var hop = 0
     while (hop < maxHops && frontier.limit(1).count() > 0L) {
@@ -580,7 +599,7 @@ object Graph {
       if (hop < maxHops) {
         // ONE checkpoint per hop: the frontier is a filter over the
         // checkpointed state, not a second materialization
-        val ck = next.localCheckpoint(true)
+        val ck = next.pipe(graft.Partitioning.checkpointKeep)
         frontier = ck.where(col("dist") === hop)
         reached = ck
       } else {
@@ -629,7 +648,7 @@ object Graph {
         floor(col(wCol).cast("double") * lit(1000000.0d) + lit(0.5d))
           .cast("long").as("wmu"))
       .where(col("wmu").isNotNull)
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeyed(_, "src"))
     require(e.where(col("wmu") < 0L).limit(1).count() == 0L,
       "sssp requires non-negative edge weights")
     ssspLoop(e, sources, sourceCol, maxIters)
@@ -657,7 +676,7 @@ object Graph {
                        maxIters: Int): DataFrame = {
     require(maxIters >= 0, "maxIters must be non-negative")
     var reached = sources.select(col(sourceCol).cast("long").as("node")).distinct()
-      .select(col("node"), lit(0L).as("distmu")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("distmu")).pipe(graft.Partitioning.checkpointKeep)
     var frontier = reached
     var it = 0
     var result = reached
@@ -668,7 +687,7 @@ object Graph {
       val next = reached.union(expand)
         .groupBy("node").agg(min(col("distmu")).as("distmu"))
       if (it < maxIters) {
-        val ck = next.localCheckpoint(true)
+        val ck = next.pipe(graft.Partitioning.checkpointKeep)
         // frontier = nodes whose best distance improved (or are new):
         // only they can improve a neighbor next round
         frontier = ck.join(
@@ -762,7 +781,7 @@ object Graph {
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeep)
     var r = 0
     while (r < rounds) {
       val keep = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
@@ -774,7 +793,7 @@ object Graph {
         .select(col("u"), col("v"))
       r += 1
       if (r < rounds) {
-        p = p.localCheckpoint(true)
+        p = p.pipe(graft.Partitioning.checkpointKeep)
         // an empty relation is a fixpoint — the remaining rounds are
         // no-ops by construction, so skipping them cannot diverge from
         // the oracle's full unroll
@@ -823,7 +842,7 @@ object Graph {
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(graft.Partitioning.checkpointKeep)
     val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val adj = p.select(col("u").as("w"), col("v").as("x"))

@@ -85,14 +85,21 @@ class GraphSpec extends AnyFunSuite {
     val pm = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bm = bucketed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pm === bm)
-    // the visible (final-iteration) plan: the bucketed scan joins
-    // exchange-free on the edge side, so it needs strictly fewer
-    // exchanges than the plain variant's same iteration
-    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
+    // the visible (final-iteration) plan: NEITHER twin shuffles the
+    // edge relation on the iteration join — the bucketed scan is
+    // co-located by layout, and since round 20 the plain loop's
+    // partitioning-preserving checkpoint (Partitioning.checkpointKeyed)
+    // reaches the same per-iteration shape; the bucketed twin's
+    // remaining advantage is paying ZERO raw-edge scan/shuffle/
+    // materialization per run (build-time work the final-iteration
+    // plan cannot show). Shuffles keyed on src (the join key) must be
+    // absent from both; only the contribution aggregation may shuffle.
+    def srcShuffles(p: String) =
+      "Exchange hashpartitioning\\(src".r.findAllIn(p).size
     val pPlain = plain.queryExecution.executedPlan.toString
     val pBucketed = bucketed.queryExecution.executedPlan.toString
-    assert(exchanges(pBucketed) < exchanges(pPlain),
-      s"bucketed=${exchanges(pBucketed)} plain=${exchanges(pPlain)}")
+    assert(srcShuffles(pBucketed) === 0, s"bucketed iteration shuffles src:\n$pBucketed")
+    assert(srcShuffles(pPlain) === 0, s"plain iteration shuffles src:\n$pPlain")
   }
 
   test("personalized PageRank with seeds = all nodes is bit-identical to standard (dangling included)") {
@@ -519,16 +526,20 @@ class GraphSpec extends AnyFunSuite {
     val sb = SparkEntry.queries("graph_sssp_bucketed")(spark, dir)
     assert(sp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
       sb.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
-    def exchanges(p: String) = "(?<!Reused)Exchange".r.findAllIn(p).size
-    assert(exchanges(sb.queryExecution.executedPlan.toString) <
-      exchanges(sp.queryExecution.executedPlan.toString))
+    // since round 20 BOTH twins relax exchange-free on the edge side
+    // (bucketed by layout; plain via the partitioning-preserving keyed
+    // checkpoint) — the invariant is zero src-keyed shuffles, the
+    // bucketed twin's remaining edge being zero raw-edge build work
+    def srcShuffles(p: String) =
+      "Exchange hashpartitioning\\(src".r.findAllIn(p).size
+    assert(srcShuffles(sb.queryExecution.executedPlan.toString) === 0)
     // weighted PageRank: same parity + plan property
     val wp = SparkEntry.queries("graph_pagerank_weighted")(spark, dir)
     val wb = SparkEntry.queries("graph_pagerank_weighted_bucketed")(spark, dir)
     assert(wp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
       wb.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
-    assert(exchanges(wb.queryExecution.executedPlan.toString) <
-      exchanges(wp.queryExecution.executedPlan.toString))
+    assert(srcShuffles(wb.queryExecution.executedPlan.toString) === 0)
+    assert(srcShuffles(wp.queryExecution.executedPlan.toString) === 0)
   }
 
   test("writeWeightedEdges rejects negative weights at ingest") {
