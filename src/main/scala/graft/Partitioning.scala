@@ -105,6 +105,21 @@ object Partitioning {
     * share one exchange). Costs one extra exchange + sort at build;
     * removes one |relation|-sized exchange + sort from EVERY iteration.
     * Storage/recovery semantics identical to `localCheckpoint(true)`.
+    *
+    * SKEW EXPOSURE (guide §2.5, documented trade): the claimed layout
+    * is exactly what lets the per-iteration join skip its exchange —
+    * and a join with no exchange is one AQE's skew-split can never
+    * rewrite (skew handling splits oversized SHUFFLE partitions at
+    * runtime). On a power-law key (one hub src owning a large edge
+    * share) the hub's partition is re-read as one fat task every
+    * iteration. Bounds: the fat partition is paid once per iteration
+    * WITHOUT re-shuffling (the unkeyed baseline re-exchanges the same
+    * skewed relation AND takes the fat reduce task), correctness is
+    * unaffected (GraphSpec pins a 98%-hub fixture bit-exact), and the
+    * mitigation when a profiled hub dominates is the salted-join path
+    * (`ops/Reshape.saltedJoin`'s technique) applied to the iteration join
+    * — a deliberate non-default because salting multiplies the small
+    * side every round for every caller, hub or not.
     */
   def checkpointKeyed(df: DataFrame, key: String,
                       numParts: Option[Int] = None): DataFrame = {

@@ -65,13 +65,21 @@ object Dedup {
     // the materialized key relation is 16 bytes/row — ONE text scan
     // computes it, and the frequency count + singleton branch reuse it
     // without rescanning the corpus
-    val fpKeys = fpFull.select(col("doc"), col("fp")).localCheckpoint()
+    // keyed on fp: the dup-frequency aggregation and the singleton
+    // anti-join both key on fp, so the claimed layout feeds both
+    // exchange-free (guide §2.4)
+    val fpKeys = graft.Partitioning.checkpointKeyed(
+      fpFull.select(col("doc"), col("fp")), "fp")
     val dupFp = fpKeys.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("fp"))
     // one more text scan, semi-restricted to candidate fingerprints;
     // candidates are proportional to the DUP RATE, so text bytes only
     // travel for rows that actually need equality verification
-    val candidates = fpFull.join(dupFp, Seq("fp"), "left_semi").localCheckpoint()
+    // keyed on fp: the verify aggregation groups by (fp, txt) and the
+    // keeper join-back keys on (fp, txt) — hash(fp) satisfies both
+    // (grouping/join keys are a superset of the claimed key)
+    val candidates = graft.Partitioning.checkpointKeyed(
+      fpFull.join(dupFp, Seq("fp"), "left_semi"), "fp")
     val verified = candidates.groupBy(col("fp"), col("txt"))
       .agg(min(col("doc")).as("keep_id"), count(lit(1)).as("n_dups"))
     val dups = candidates.join(verified, Seq("fp", "txt"))
@@ -150,6 +158,7 @@ object Dedup {
                               n: Int, maxDocFreq: Option[Long],
                               materialize: Boolean): DataFrame = {
     val ds = docShingles(df, idCol, textCol, n, maxDocFreq)
+    // unkeyed on purpose — the [[minhashLsh]] measured-revert rationale
     if (materialize) ds.localCheckpoint() else ds
   }
 
@@ -286,7 +295,15 @@ object Dedup {
                  materializeShingles: Boolean = true,
                  tokensCol: Option[String] = None): DataFrame = {
     // the minhash family works over HASHED shingles end-to-end
-    // ([[docShinglesHashed]]): every exchange below carries longs
+    // ([[docShinglesHashed]]): every exchange below carries longs.
+    // The checkpoint is deliberately UNKEYED (measured this round): a
+    // doc-keyed claim would feed bandKeys' groupBy(doc) and
+    // jaccardVerify's size aggregations exchange-free, but the explode
+    // writes each doc's shingles CONTIGUOUSLY, so those aggregations'
+    // partial phase already collapses the shuffle to ~|docs| rows —
+    // where the keyed claim costs a full |doc,h| repartition + sort at
+    // materialization. Bench: dedup_minhash_lsh 2.66 s → 10.9 s keyed
+    // (rerun-confirmed, not scatter); reverted.
     val ds0 = docShinglesHashed(df, idCol, textCol, n, maxDocFreq, tokensCol)
     val ds = if (materializeShingles) ds0.localCheckpoint() else ds0
     val bandsAll = bandKeys(ds, k, rowsPerBand)
@@ -741,28 +758,55 @@ object Dedup {
     // bidirectional union references it twice — without this the whole
     // upstream candidate-generation DAG runs double
     val p = pairs.select(col(d1).as("a"), col(d2).as("b")).localCheckpoint()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+    // SCALE-ADAPTIVE key partition count (guide §2): the keyed claims
+    // below pin the per-round joins at plain hash(·, n) — a layout AQE
+    // neither coalesces nor re-plans to broadcast — so a count fixed at
+    // spark.sql.shuffle.partitions would run every round of a 25-pair
+    // dedup graph as 32-task SMJ stages (measured +30% on the cc
+    // composites at sf0.1). Derive n from the materialized pair count
+    // (the count reads the checkpoint — no recompute): ~250k edge rows
+    // per partition, capped at the session's shuffle parallelism, so
+    // tiny graphs run single-task rounds and corpus-scale graphs keep
+    // full parallelism.
+    val keyParts = Some(math.min(
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
+      p.count() * 2L / 250000L + 1L).toInt)
+    // the static edge relation is KEYED on dst — the per-round join key
+    // — through the partitioning-preserving checkpoint (the Graph.scala
+    // iterate pattern, guide §2.4): a plain localCheckpoint degrades to
+    // UnknownPartitioning under AQE, so every propagation round would
+    // re-Exchange + re-Sort the |E|-sized edge list the materialization
+    // already laid out
+    val edges = graft.Partitioning.checkpointKeyed(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+        .distinct(), "dst", keyParts)
     // iteration 1 fused into initialization: with identity labels the
     // first round's neighbor-min is exactly groupBy(src).min(dst) over
     // the bidirectional edge list (which also enumerates every node),
     // so labels start one propagation round in — one shuffle replaces
-    // the distinct-nodes checkpoint PLUS the first loop round
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
-      .select(col("src").as("node"),
-        least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint()
+    // the distinct-nodes checkpoint PLUS the first loop round.
+    // EXPLICITLY keyed on node (not checkpointKeep): the aggregation's
+    // own exchange is ENSURE_REQUIREMENTS-inserted, which AQE may
+    // coalesce — a coalesced claim no longer co-partitions with the
+    // explicitly-keyed edges and every round would re-exchange. With
+    // both relations pinned at plain hash(·, P), each round's label
+    // join, neighbor-min join-back and the per-round kept checkpoints
+    // stay aligned: the only per-round exchange left is the
+    // neighbor-min aggregation itself (Graph.iterate's structure).
+    var labels = graft.Partitioning.checkpointKeyed(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("node"),
+          least(col("src"), col("nbr")).as("label")), "node", keyParts)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val next = labels
+      val next = graft.Partitioning.checkpointKeep(labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next")))
       converged = next.filter(col("next") < col("label")).isEmpty
       labels = next.select(col("node"), col("next").as("label"))
       i += 1
@@ -965,7 +1009,11 @@ object Dedup {
     val wins0 = graft.Partitioning.spread(df)
       .select(col(idCol).as("doc"), posexplode(winArr).as(Seq("pos", "w")))
       .withColumn("h", graft.functions.RollingHash.hash(col("w"), 131L))
-    val wins = if (materializeWindows) wins0.localCheckpoint() else wins0
+    // keyed on h: the (h, w) stats aggregation, the candidate semi-join
+    // and the hit self-join all cluster on keys with h as a prefix, so
+    // hash(h) satisfies every one of them exchange-free
+    val wins = if (materializeWindows)
+      graft.Partitioning.checkpointKeyed(wins0, "h") else wins0
     // stats key on (h, w) — the window TEXT, not the hash alone: a
     // hash collision between a flood-capped boilerplate window and a
     // real duplicated passage would otherwise merge their counts and
@@ -979,7 +1027,10 @@ object Dedup {
       .filter(col("nd") > 1 && maxOcc.map(col("n") <= _).getOrElse(lit(true)))
       .select(col("h"), col("w"))
     val cand0 = wins.join(dupH, Seq("h", "w"), "left_semi")
-    val cand = if (materializeWindows) cand0.localCheckpoint() else cand0
+    // checkpointKeep: cand0 inherits wins' hash(h) layout through the
+    // semi-join, and the hit self-join reuses it
+    val cand = if (materializeWindows)
+      graft.Partitioning.checkpointKeep(cand0) else cand0
     val l = cand.select(col("h"), col("doc").as("d1"), col("pos").as("p1"), col("w").as("w1"))
     val r = cand.select(col("h").as("h2"), col("doc").as("d2"), col("pos").as("p2"),
       col("w").as("w2"))

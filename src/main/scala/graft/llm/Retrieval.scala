@@ -60,12 +60,15 @@ object Retrieval {
     */
   private def postings(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val toks = graft.Partitioning.spread(docs)
-      .where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc"),
-        explode(split(lower(col(textCol)), "\\s+")).as("term"))
-      .where(col("term") =!= "")
-      .localCheckpoint(true)
+    // keyed on doc (guide §2.4): both posting aggregations group by key
+    // sets with doc as a member, so the claimed layout feeds both
+    // exchange-free
+    val toks = graft.Partitioning.checkpointKeyed(
+      graft.Partitioning.spread(docs)
+        .where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc"),
+          explode(split(lower(col(textCol)), "\\s+")).as("term"))
+        .where(col("term") =!= ""), "doc")
     (toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
       toks.groupBy(col("doc")).agg(count(lit(1)).as("dl")))
   }

@@ -1817,14 +1817,23 @@ object Similarity {
       k, lambda)
 
   /** The shared MMR core over a prepared normalized relation
-    * `cvec (nn_id, cv)`. PIN COST: this call persists up to k+1
-    * MEMORY_AND_DISK plans (the candidate fetch plus one remaining-pool
-    * plan per selection round; the candidate INPUT pin is released
-    * eagerly once the contract counts have materialized it into the
-    * joined cache). The pins are only dropped by
-    * [[graft.Partitioning.unpersistPins]] — a long-lived serving
-    * session calling MMR per request MUST call it after each request's
-    * terminal action, or cache accumulates linearly in k × calls.
+    * `cvec (nn_id, cv)`. PIN COST: this call persists ONE
+    * MEMORY_AND_DISK plan (the candidate fetch; the candidate INPUT pin
+    * is released eagerly once the contract counts have materialized it
+    * into the joined cache) — droppable via
+    * [[graft.Partitioning.unpersistPins]] in long-lived serving
+    * sessions. Each selection round's remaining-pool relation is
+    * instead an EAGER lineage-truncating checkpoint
+    * ([[graft.Partitioning.checkpointKeep]]): round r's pool references
+    * round r−1's pool TWICE (the argmax pick and the pool update), so a
+    * cache-only pin leaves the logical plan doubling per round — 2^k
+    * copies of the candidate-fetch DAG, measured 64k plan lines / 7.3k
+    * Exchange nodes at k=5 — and Catalyst re-analyzes that tree on
+    * every action (guide §5: very large plans are driver-side,
+    * single-threaded cost; §3.3: materialize to truncate). The
+    * checkpoint bounds the plan at O(1) per round; pool relations are
+    * (queries × N)-bounded by contract, so the per-round materialization
+    * job is trivially small.
     */
   private def diversifyMmrFrom(candidates: DataFrame, cvec: DataFrame,
                                k: Int, lambda: Double): DataFrame = {
@@ -1889,13 +1898,12 @@ object Similarity {
       // the inner join also drops queries whose candidates are exhausted
       // (no pick last round => nothing left to rank); the =!= filter
       // removes exactly the newest pick from the remaining pool
-      rem = graft.Partitioning.trackPin(
+      rem = graft.Partitioning.checkpointKeep(
         rem.join(broadcast(pv), Seq("query_id"))
           .filter(col("nn_id") =!= col("_pid"))
           .withColumn("ms",
             if (r == 2) simNew else greatest(col("ms"), simNew))
-          .drop("pv", "_pid")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .drop("pv", "_pid"))
       pick = argmaxPick(
         rem.withColumn("mmr", lit(lm) * col("relm") - lit(om) * col("ms")), r)
       acc = acc.unionByName(

@@ -29,6 +29,21 @@ object Bucketing {
     * recompute pipelines; the bucket count is part of the table's
     * contract — joins co-locate only across tables sharing (key, n).
     *
+    * The input is CLUSTERED to one partition per bucket before the
+    * write (`cluster = true`, the default): a bucketed write fans each
+    * input task out into one file per bucket it holds rows for, so an
+    * unclustered write emits up to tasks × buckets files — the
+    * many-small-files problem of guide §6 (slower scans, and
+    * files-per-bucket > 1 forfeits the merge join's sort elision).
+    * `repartition(n, key)` uses the SAME hash+pmod placement as the
+    * bucket-id assignment, so each write task holds exactly one whole
+    * bucket and emits exactly one file — the Iceberg
+    * `write.distribution-mode=hash` trade: one exchange at ingest buys
+    * every later scan/join the compacted layout. Compaction paths pass
+    * `cluster = false`: their input is a forced bucketed scan already
+    * holding one partition per bucket, and the exchange-free local
+    * rewrite is the point of that path.
+    *
     * SINGLE WRITER PER TABLE NAME: the drop + location-delete +
     * saveAsTable sequence below is not atomic, so two concurrent
     * writers of the SAME table name can interleave (one dropping or
@@ -38,13 +53,20 @@ object Bucketing {
     * tables) and running same-dir suites sequentially. Concurrent
     * writers of DIFFERENT names are safe.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
+                    cluster: Boolean = true): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     dropManaged(df.sparkSession, table)
-    df.write.mode("overwrite")
+    clustered(df, key, nBuckets, cluster).write.mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }
+
+  private def clustered(df: DataFrame, key: String, nBuckets: Int,
+                        cluster: Boolean): DataFrame =
+    if (cluster)
+      df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+    else df
 
   /** DROP TABLE IF EXISTS plus default-location cleanup. A managed-table
     * dir left behind by a previous JVM is invisible to this JVM's fresh
@@ -69,9 +91,10 @@ object Bucketing {
     * (a `foreachBatch` sink can call this per micro-batch). Same
     * single-writer-per-table contract as [[writeBucketed]].
     */
-  def appendBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+  def appendBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
+                     cluster: Boolean = true): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    df.write.mode("append")
+    clustered(df, key, nBuckets, cluster).write.mode("append")
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }
@@ -129,7 +152,8 @@ object Bucketing {
   def compactBucketedWith(spark: SparkSession, table: String, key: String,
                           transform: DataFrame => DataFrame): Unit =
     compactBucketedStaged(spark, table, key) { (tmp, n) =>
-      writeBucketed(transform(spark.table(table)), tmp, key, n)
+      writeBucketed(transform(spark.table(table)), tmp, key, n,
+        cluster = false)
     }
 
   /** The staged-publish skeleton [[compactBucketedWith]] and

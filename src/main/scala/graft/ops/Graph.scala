@@ -68,6 +68,13 @@ object Graph {
                iters: Int, damping: Double = 0.85d, tol: Double = 0.0d): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // deg-attach stays the join form DELIBERATELY (measured this
+    // round): a single-pass window rewrite (repartition(P, src) +
+    // count over partitionBy(src)) halves the edge-DAG evaluations on
+    // paper, but the degree aggregate is |V|-sized and BROADCASTS, so
+    // the join form never shuffles e before the keyed checkpoint —
+    // where the window pays a full |E| sort+buffer per call. Bench:
+    // graph_pagerank 3.25 s → 5.80 s with the window form; reverted.
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     iterate(graft.Partitioning.checkpointKeyed(e.join(deg, "src"), "src"), iters, damping, tol)._1
   }
@@ -127,7 +134,10 @@ object Graph {
       Bucketing.writeBucketed(e, logTable, "src", nBuckets)
     val deg = spark.table(logTable).groupBy("src")
       .agg(count(lit(1)).cast("double").as("deg"))
-    Bucketing.writeBucketed(deg, degTable, "src", nBuckets)
+    // cluster = false: the aggregation over the src-bucketed log scan
+    // is already one-partition-per-bucket — re-clustering would add a
+    // redundant exchange for a layout the rows already have
+    Bucketing.writeBucketed(deg, degTable, "src", nBuckets, cluster = false)
   }
 
   /** PageRank over an [[ingestEdges]] log: the log⋈degrees join is

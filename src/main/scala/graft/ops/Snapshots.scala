@@ -183,12 +183,17 @@ object Snapshots {
         df.join(broadcast(c), Seq(BatchCol), "left_semi")
       }
       val inRange = col(BatchCol).between(bLo, bHi)
-      Bucketing.writeBucketed(transform(rows.where(inRange)), tmp, key, n)
+      // cluster = false: the forced bucketed scan already hands each
+      // write task one whole bucket — the exchange-free local rewrite
+      // IS this path's contract
+      Bucketing.writeBucketed(transform(rows.where(inRange)), tmp, key, n,
+        cluster = false)
       val rest = rows.where(!inRange).select(col(BatchCol)).distinct()
         .collect().map(_.getLong(0)).sorted
       rest.foreach { b =>
         Bucketing.appendBucketed(
-          transform(rows.where(col(BatchCol) === b)), tmp, key, n)
+          transform(rows.where(col(BatchCol) === b)), tmp, key, n,
+          cluster = false)
       }
     }
   }

@@ -83,7 +83,7 @@ object GraftBridge {
     */
   def localCheckpointKeepPartitioning(df: Dataset[Row]): Dataset[Row] = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
-    import org.apache.spark.sql.catalyst.plans.physical.{CoalescedHashPartitioning, HashPartitioning, Partitioning, PartitioningCollection, UnknownPartitioning}
+    import org.apache.spark.sql.catalyst.plans.physical.{CoalescedHashPartitioning, HashPartitioning, Partitioning, PartitioningCollection, SinglePartition, UnknownPartitioning}
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
@@ -128,6 +128,11 @@ object GraftBridge {
           c.copy(from = h.asInstanceOf[HashPartitioning]))
       case pc: PartitioningCollection =>
         pc.partitionings.flatMap(remapped).headOption
+      // a 1-partition layout (scale-adaptive keyed checkpoints on tiny
+      // inputs: Catalyst rewrites repartition-by-expr with n = 1 to
+      // SinglePartition) — references nothing, satisfies every
+      // clustered distribution, trivially sound to claim
+      case SinglePartition => Some(SinglePartition)
       case _ => None
     }
     val partitioning = remapped(finalPlan.outputPartitioning)

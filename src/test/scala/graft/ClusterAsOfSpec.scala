@@ -11,6 +11,30 @@ class ClusterAsOfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("connectedComponents: returned labels claim a hash-partitioned layout (keyed checkpoint, not UnknownPartitioning)") {
+    // the round-21 §2.4 fix: the loop's per-round state and the static
+    // edge relation materialize through the partitioning-preserving
+    // checkpoint, so (a) each propagation round re-joins without
+    // re-exchanging the materialized side and (b) the RETURNED label
+    // relation hands its hash(node) layout to the caller's join-back
+    // (dedup_clusters' left join elides the label-side exchange).
+    // Assert (b) directly on the plan: the final checkpoint scan must
+    // carry a HashPartitioning claim.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 10L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs)
+    val lrs = cc.queryExecution.optimizedPlan.collect { case l: LogicalRDD => l }
+    assert(lrs.nonEmpty, "labels must come from a checkpointed relation")
+    // tiny graphs legitimately claim SinglePartition (the scale-adaptive
+    // count collapses to 1, which satisfies every clustered
+    // distribution); what must never come back is UnknownPartitioning
+    assert(lrs.forall(l => l.outputPartitioning.isInstanceOf[HashPartitioning]
+        || l.outputPartitioning == SinglePartition),
+      s"checkpointed labels lost their keyed layout: " +
+        s"${lrs.map(_.outputPartitioning).mkString(", ")}")
+  }
+
   test("connectedComponents: path graph converges to min label across the chain") {
     // 1-2, 2-3, 3-4 is the worst case for min propagation (diameter 3);
     // 9-10 a separate component

@@ -54,6 +54,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("power-law hub: keyed-checkpoint iteration stays exact under heavy key skew") {
+    // the guide-§2.5 exposure the keyed checkpoint trades away: the
+    // explicit-N repartition claims a layout AQE will not skew-split,
+    // so a hub key pins one fat partition per iteration. This pins the
+    // CORRECTNESS half of that trade on a power-law fixture — one hub
+    // holding ~98% of the edges (every spoke points at it, it points
+    // back at a chain) must produce exactly the reference ranks; the
+    // perf half (a salted iteration join) is documented future work on
+    // Partitioning.checkpointKeyed.
+    val spokes = (1L to 64L).map(i => i -> 0L)
+    val chain = (1L until 16L).map(i => i -> (i + 1L))
+    val edges = spokes ++ chain :+ (0L -> 1L)
+    for (iters <- Seq(1, 3)) {
+      assert(run(edges, iters) === ref(edges, iters), s"iters=$iters")
+    }
+  }
+
   test("star graph matches reference and conserves mass") {
     val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 10L -> 1L)
     val got = run(edges, iters = 3)

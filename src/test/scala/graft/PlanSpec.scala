@@ -200,6 +200,19 @@ class PlanSpec extends AnyFunSuite {
       .foreach(graft.ops.Bucketing.dropManaged(spark, _))
   }
 
+  test("similarity_topk_mmr: per-round checkpoints bound the plan — no exponential lineage") {
+    // round r's remaining pool references round r−1's pool twice (pick
+    // + update), so a cache-only pin left the logical plan doubling per
+    // round: 64,271 formatted lines / 7,306 Exchange nodes at k=5
+    // (plans/r20/_before/similarity_topk_mmr.txt) — driver-side
+    // planning cost that grows 2^k (guide §5, §3.3). The eager
+    // per-round checkpoint bounds it; assert well under the exponential
+    // regime so a reintroduced unbounded union fails loudly.
+    val df = SparkEntry.queries("similarity_topk_mmr")(spark, dir)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.size
+    assert(lines < 2000, s"MMR plan must stay round-bounded, got $lines lines")
+  }
+
   test("brute-force paths are the only nested-loop consumers") {
     // the documented small-data escape hatches DO use a nested-loop/cross
     // product — assert they are contained there and nowhere else
